@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the engine.
+  *
+  * The reference framework's whole control plane (master election, worker
+  * membership, heartbeats, task retry, checkpoint replication — SURVEY.md §2.3)
+  * is Spark's runtime here; the only knobs the reference exposed to a job were
+  * `m` (number of map shards, `w7/src/master/requesthandler.h:52-60`) and `r`
+  * (number of reducers). Those map onto `spark.sql.files.maxPartitionBytes`
+  * and `spark.sql.shuffle.partitions` respectively.
+  */
+object GraftSession {
+
+  /** Build a local session shaped for this container (local[N], AQE on,
+    * UTC, small shuffle-partition count matched to cores — NOT the 200
+    * default, which is wrong for local mode).
+    */
+  def local(
+      cores: Int = 32,
+      shufflePartitions: Int = 32,
+      appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** The reference's `m` knob: number of map-side input shards for a given
+    * total input size (`DBConnection::calc_shard_sz`,
+    * `w7/src/master/dbconn.h:39-64`). In Spark, shard size is declarative.
+    */
+  def withMapShards(spark: SparkSession, totalBytes: Long, m: Int): Unit = {
+    val bytesPerShard = math.max(1L, (totalBytes + m - 1) / m)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", bytesPerShard.toString)
+  }
+
+  /** The reference's `r` knob: number of reduce partitions
+    * (`w7/src/master/requesthandler.h:52-60`). */
+  def withReducers(spark: SparkSession, r: Int): Unit =
+    spark.conf.set("spark.sql.shuffle.partitions", r.toString)
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.io.Tables
+import graft.ops.TextOps
+
+/** The oracle-checked query suite. Each query has (a) a DataFrame program
+  * (the engine surface under test) and (b) ANSI SQL with identical column
+  * names for the DuckDB oracle.
+  *
+  * Float determinism: every `sum`/`avg` over doubles goes through an exact
+  * DECIMAL cast so Spark's and DuckDB's summation order cannot change the
+  * result; the final value is cast back to DOUBLE, which is a deterministic
+  * function of the exact decimal in both engines. Every query also ends in
+  * a total deterministic ORDER BY.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Exact-decimal view of a double column (values in testdata carry ≤2
+    * fractional digits, so scale 6 is lossless). */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Deterministic double from an exact decimal sum. Rounding to scale 2
+    * first keeps the value*100 well inside 2^53, so the decimal→double
+    * conversion is a single correctly-rounded step in BOTH engines
+    * (DuckDB's wide-decimal→double goes hugeint/10^s, which can double-
+    * round and land 1 ulp off Spark's BigDecimal conversion otherwise). */
+  private def dsum(c: Column): Column = round(sum(dec(c)), 2).cast("double")
+
+  private def dsumExpr(c: Column): Column = round(sum(c), 2).cast("double")
+
+  private val one = lit(1).cast(DecimalType(18, 6))
+
+  // revenue term: l_extendedprice * (1 - l_discount), exact
+  private def revenueTerm(df: DataFrame): Column =
+    dec(df("l_extendedprice")) * (one - dec(df("l_discount")))
+
+  // ---------------------------------------------------------------- queries
+
+  val sql: Map[String, String] = Map(
+    "mr_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' ')) AS word
+        |      FROM documents) tok
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY word""".stripMargin,
+    "mr_wordcount_topk" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' ')) AS word
+        |      FROM documents) tok
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY cnt DESC, word
+        |LIMIT 20""".stripMargin,
+    "mr_grep" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE text LIKE '%stream%' AND lang = 'en'
+        |ORDER BY doc_id""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1997-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_filter" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q3_join" ->
+      """SELECT o_orderkey,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin
+  )
+
+  val plans: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr_wordcount" -> { (s, dir) =>
+      TextOps.wordCount(t(s, dir, "documents"), col("text")).orderBy("word")
+    },
+    "mr_wordcount_topk" -> { (s, dir) =>
+      TextOps
+        .wordCount(t(s, dir, "documents"), col("text"))
+        .orderBy(desc("cnt"), asc("word"))
+        .limit(20)
+    },
+    "mr_grep" -> { (s, dir) =>
+      // map-only job: pushed filter + pruned projection
+      t(s, dir, "documents")
+        .where(col("text").contains("stream") && col("lang") === "en")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+    "q1_agg" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1997-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsumExpr(revenueTerm(li)).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    "q6_filter" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          dsumExpr(dec(col("l_extendedprice")) * dec(col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n"))
+    },
+    "q3_join" -> { (s, dir) =>
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(dsumExpr(revenueTerm(li)).as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10)
+    }
+  )
+}

@@ -1,0 +1,31 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source layer: a "container" in the reference is a directory of blobs
+  * (`w7/src/master/dbconn.h:107-113`); here a dataset is a directory of
+  * parquet (or text) files. Spark's FileSourceScanExec does the blob
+  * listing + byte-range sharding the reference hand-rolled
+  * (`DBConnection::make_shards`, `w7/src/master/dbconn.h:66-104`).
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one named parquet table from a scale-factor directory. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Load a text "container": one row per line, column `value`.
+    * Equivalent of the reference's blob-container input
+    * (`w7/client.sh:162-168`); Spark's line reader replaces
+    * `fix_word_boundary` (`w7/src/worker/worker.h:196-232`). */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Register every table as a temp view for spark.sql use. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

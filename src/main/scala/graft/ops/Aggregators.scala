@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+import scala.collection.mutable
+
+/** Typed `Aggregator[IN, BUF, OUT]` library — the faithful port of the
+  * reference's `reducefunc` UDF slot (`w7/src/python/reduce.py:2-17`,
+  * SURVEY.md §2.4). The reference's reducer sees its whole sorted partition
+  * at once; an Aggregator sees a merge tree, so user logic must be
+  * commutative + associative — the same property the reference's in-map
+  * combiner already assumed (`w7/src/python/map.py:16-22`).
+  *
+  * Register for SQL/DataFrame use via
+  * `org.apache.spark.sql.functions.udaf(...)`.
+  */
+object Aggregators {
+
+  /** Reference parity: sum of per-key counts (`reduce.py:13-15`). */
+  object SumLong extends Aggregator[Long, Long, Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, a: Long): Long = b + a
+    def merge(b1: Long, b2: Long): Long = b1 + b2
+    def finish(b: Long): Long = b
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  object CountAgg extends Aggregator[Any, Long, Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, a: Any): Long = b + 1
+    def merge(b1: Long, b2: Long): Long = b1 + b2
+    def finish(b: Long): Long = b
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Bounded top-k by score within each group — keeps a k-sized heap per
+    * partition so the shuffle carries at most k rows per group per
+    * partition (map-side combine for top-k). */
+  final case class TopK[T](k: Int)(implicit ord: Ordering[T], enc: Encoder[Seq[T]])
+      extends Aggregator[T, Seq[T], Seq[T]] {
+    private def trim(xs: Seq[T]): Seq[T] = xs.sorted(ord.reverse).take(k)
+    def zero: Seq[T] = Seq.empty
+    def reduce(b: Seq[T], a: T): Seq[T] = trim(b :+ a)
+    def merge(b1: Seq[T], b2: Seq[T]): Seq[T] = trim(b1 ++ b2)
+    def finish(b: Seq[T]): Seq[T] = b.sorted(ord.reverse)
+    def bufferEncoder: Encoder[Seq[T]] = enc
+    def outputEncoder: Encoder[Seq[T]] = enc
+  }
+
+  /** Single-pass mean without a second aggregation job. */
+  object MeanDouble extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), a: Double): (Double, Long) = (b._1 + a, b._2 + 1)
+    def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(b: (Double, Long)): Double = if (b._2 == 0) 0.0 else b._1 / b._2
+    def bufferEncoder: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Element-wise min of fixed-width long vectors — the merge step of a
+    * MinHash signature (extension surface, SURVEY.md §2.5). */
+  final case class MinVector(width: Int)
+      extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.fill(width)(Long.MaxValue)
+    def reduce(b: Array[Long], a: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < width) { if (a(i) < b(i)) b(i) = a(i); i += 1 }
+      b
+    }
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = reduce(b1, b2)
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = ExprEnc.longArray
+    def outputEncoder: Encoder[Array[Long]] = ExprEnc.longArray
+  }
+
+  private object ExprEnc {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val longArray: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+}

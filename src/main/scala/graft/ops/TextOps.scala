@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text normalization + tokenization with the exact semantics of the
+  * reference's canonical map UDF (`w7/src/python/map.py:9-18`):
+  * lowercase → every punctuation char → space → split on spaces → drop
+  * empty tokens. Implemented purely with codegen'd built-in expressions
+  * (no UDFs) so the whole pipeline stays inside whole-stage codegen.
+  *
+  * Java's `\p{Punct}` is exactly Python's `string.punctuation`
+  * (the 32 ASCII punctuation chars), so `regexp_replace(lower(x),
+  * "\\p{Punct}", " ")` reproduces `str.translate` at `map.py:11-13`.
+  */
+object TextOps {
+
+  /** lowercase + punctuation→space (map.py:9-13). */
+  def normalize(c: Column): Column =
+    regexp_replace(lower(c), "\\p{Punct}", " ")
+
+  /** Array of non-empty tokens (map.py:16-18 skips empty words). */
+  def tokens(c: Column): Column =
+    filter(split(normalize(c), " "), t => length(t) > 0)
+
+  /** Number of non-empty whitespace tokens — cheap token counting for
+    * pipeline budgeting (ext surface). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** One output row per token of `text` — the map phase of word count
+    * (D4 in SURVEY.md §2.1). */
+  def explodeWords(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(split(normalize(text), " ")).as("word"))
+      .where(length(col("word")) > 0)
+
+  /** The reference's one shipped end-to-end query: word count
+    * (`w7/src/python/map.py` + `w7/src/python/reduce.py`). Partial
+    * aggregation (the reference's in-UDF combiner, map.py:16-22) is
+    * automatic under HashAggregateExec. */
+  def wordCount(df: DataFrame, text: Column): DataFrame =
+    explodeWords(df, text).groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Character n-gram shingles of normalized text (for MinHash / Jaccard
+    * dedup — extension surface, SURVEY.md §2.5). */
+  def charShingles(c: Column, n: Int): Column = {
+    val s = regexp_replace(normalize(c), "\\s+", " ")
+    // transform over 0..len-n producing substrings; empty when too short
+    filter(
+      transform(
+        sequence(lit(0), greatest(length(s) - n, lit(0))),
+        i => substring(s, lit(1) + i, lit(n))),
+      g => length(g) === n)
+  }
+
+  /** Word n-grams of normalized text. */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    filter(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")),
+      g => size(split(g, " ")) === n)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def wc(lines: Seq[String]): Map[String, Long] =
+    TextOps
+      .wordCount(lines.toDF("text"), col("text"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+
+  test("reference map.py normalization: lowercase, punctuation→space, drop empties") {
+    // mirrors w7/src/python/map.py:9-18 on a testdata_1.txt-style line
+    val got = wc(Seq("Savannah nanoseconds. The THE the!  a:b"))
+    assert(got == Map(
+      "savannah" -> 1L, "nanoseconds" -> 1L, "the" -> 3L, "a" -> 1L, "b" -> 1L))
+  }
+
+  test("every ASCII punctuation char is a separator") {
+    val punct = """!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~"""
+    val line = punct.map(p => s"x${p}y").mkString(" ")
+    val got = wc(Seq(line))
+    assert(got == Map("x" -> punct.length.toLong, "y" -> punct.length.toLong))
+  }
+
+  test("wordcount is a homomorphism: wc(a ++ b) == merge(wc(a), wc(b))") {
+    // the associativity the reference combiner assumes (map.py:16-22)
+    val wordGen = Gen.listOf(
+      Gen.oneOf("Alpha", "beta,", "GAMMA.", "d:e", "", "  "))
+    (0 until 10).foreach { i =>
+      val a = wordGen(Gen.Parameters.default, Seed(i.toLong)).getOrElse(Nil)
+      val b = wordGen(Gen.Parameters.default, Seed(i + 100L)).getOrElse(Nil)
+      val merged = (wc(Seq(a.mkString(" "))).toSeq ++ wc(Seq(b.mkString(" "))).toSeq)
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      assert(wc(Seq((a ++ b).mkString(" "))) == merged)
+    }
+  }
+
+  test("char shingles") {
+    val got = spark.range(1).select(TextOps.charShingles(lit("abcd"), 3)).as[Seq[String]].head()
+    assert(got == Seq("abc", "bcd"))
+  }
+
+  test("word ngrams") {
+    val got = spark.range(1)
+      .select(TextOps.wordNgrams(lit("The quick, brown fox"), 2)).as[Seq[String]].head()
+    assert(got == Seq("the quick", "quick brown", "brown fox"))
+  }
+
+  test("token count") {
+    val got = spark.range(1).select(TextOps.tokenCount(lit("a  b, c."))).as[Int].head()
+    assert(got == 3)
+  }
+}

@@ -1,0 +1,307 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.io.Tables
+
+/** Relational operator coverage over the TPC-H-ish star schema: the full
+  * declarative surface a user of the reference would gain by switching to
+  * this engine (the reference itself has only map+reduce — SURVEY.md §2.1 —
+  * so these exercise the Spark built-ins our API re-exposes).
+  *
+  * Scale notes (100 TB design stance):
+  *   - dimension tables (region/nation/part/supplier/customer at small SF)
+  *     join via `broadcast()` — no shuffle of the fact table;
+  *   - fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  *     aggregate partially before the exchange;
+  *   - every aggregate is decimal-exact then rounded, so results are
+  *     deterministic under any partitioning/merge order.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+  private def dsum(c: Column): Column = round(sum(dec(c)), 2).cast("double")
+  private val one = lit(1).cast(DecimalType(18, 6))
+  private def revTerm(df: DataFrame): Column =
+    dec(df("l_extendedprice")) * (one - dec(df("l_discount")))
+  private val revSql =
+    "CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))"
+
+  val sql: Map[String, String] = Map(
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q5_region_revenue" ->
+      s"""SELECT n_name, CAST(round(sum($revSql), 2) AS DOUBLE) AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin,
+    "q7_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "q8_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) ranked
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q9_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q10_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q11_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region_name, COALESCE(n_name, 'ALL') AS nation_name,
+        |       CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal,
+        |       count(*) AS n
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+    "q12_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,
+        |       count(*) AS n,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY hour_ts, event_type
+        |ORDER BY hour_ts, event_type""".stripMargin,
+    "q13_events_json" ->
+      """SELECT user_id,
+        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       count(*) AS n
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q14_conditional_agg" ->
+      s"""SELECT
+         |  CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN $revSql ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS promo_revenue,
+         |  CAST(round(sum($revSql), 2) AS DOUBLE) AS total_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q15_union" ->
+      """SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |UNION
+        |SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
+    "q16_having" ->
+      """SELECT n_nationkey, CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_nationkey
+        |HAVING count(*) > 3
+        |ORDER BY n_nationkey""".stripMargin,
+    "q17_avg" ->
+      """SELECT l_returnflag,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 6) AS DOUBLE) / count(*) AS avg_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q18_in_subquery" ->
+      s"""SELECT CAST(round(sum($revSql), 2) AS DOUBLE) AS revenue, count(*) AS n
+         |FROM lineitem
+         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2')""".stripMargin,
+    "q19_scalar_subquery" ->
+      """SELECT count(*) AS n_above, CAST(min(o_orderkey) AS BIGINT) AS first_key
+        |FROM orders
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6) AS DOUBLE) / count(*) FROM orders)""".stripMargin,
+    "q20_lag_window" ->
+      """SELECT user_id, sum(gap_s) AS total_gap_s, count(*) AS n_gaps FROM (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+        |  FROM events) g
+        |WHERE gap_s IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
+  )
+
+  val plans: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_semi_join" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").where(col("l_quantity") > 45)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+    "q5_region_revenue" -> { (s, dir) =>
+      // dims broadcast; the only big shuffle is orders⋈lineitem
+      val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val o = t(s, dir, "orders").where(
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      val li = t(s, dir, "lineitem")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(c),
+          o("o_custkey") === c("c_custkey") && c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(revTerm(li)), 2).cast("double").as("revenue"))
+        .orderBy("n_name")
+    },
+    "q7_distinct" -> { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+    },
+    "q8_window_rank" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+    "q9_topk_orders" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+    },
+    "q10_anti_join" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+    "q11_rollup" -> { (s, dir) =>
+      // ROLLUP as two-level re-aggregation instead of the native
+      // rollup(): at scale this shuffles each input row once and
+      // re-aggregates the (much smaller) per-group partials for the
+      // higher levels, where rollup's Expand would shuffle every row
+      // once per grouping level. Decimal partials stay exact until the
+      // final round. (Also sidesteps Spark 4's ambiguous-attribute
+      // misfire on rollup().agg() after a join.)
+      val base = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("rkey"), col("n_name").as("nkey"), dec(col("s_acctbal")).as("bal"))
+        .groupBy("rkey", "nkey")
+        .agg(sum(col("bal")).as("bal"), count(lit(1)).as("n"))
+      val lvl0 = base.select(col("rkey"), col("nkey"), col("bal"), col("n"))
+      val lvl1 = base.groupBy("rkey")
+        .agg(sum(col("bal")).as("bal"), sum(col("n")).as("n"))
+        .select(col("rkey"), lit(null).cast("string").as("nkey"), col("bal"), col("n"))
+      val lvl2 = base
+        .agg(sum(col("bal")).as("bal"), sum(col("n")).as("n"))
+        .select(lit(null).cast("string").as("rkey"), lit(null).cast("string").as("nkey"), col("bal"), col("n"))
+      lvl0.unionAll(lvl1).unionAll(lvl2)
+        .select(
+          coalesce(col("rkey"), lit("ALL")).as("region_name"),
+          coalesce(col("nkey"), lit("ALL")).as("nation_name"),
+          round(col("bal"), 2).cast("double").as("total_bal"),
+          col("n"))
+        .orderBy("region_name", "nation_name")
+    },
+    "q12_events_hourly" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("hour_ts", "event_type")
+    },
+    "q13_events_json" -> { (s, dir) =>
+      t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")
+    },
+    "q14_conditional_agg" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .agg(
+          round(sum(when(p("p_type") === "PROMO", revTerm(li))
+            .otherwise(lit(0).cast(DecimalType(18, 6)))), 2)
+            .cast("double").as("promo_revenue"),
+          round(sum(revTerm(li)), 2).cast("double").as("total_revenue"))
+    },
+    "q15_union" -> { (s, dir) =>
+      val n = t(s, dir, "nation")
+      val viaCust = t(s, dir, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select("n_name")
+      val viaSupp = t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select("n_name")
+      viaCust.union(viaSupp).distinct().orderBy("n_name")
+    },
+    "q16_having" -> { (s, dir) =>
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(dsum(col("s_acctbal")).as("total_bal"), count(lit(1)).as("cnt"))
+        .where(col("cnt") > 3)
+        .drop("cnt")
+        .orderBy("n_nationkey")
+    },
+    "q17_avg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          (round(sum(dec(col("l_quantity"))), 6).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    "q18_in_subquery" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").where(col("p_brand") === "Brand#2").select("p_partkey")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left_semi")
+        .agg(round(sum(revTerm(li)), 2).cast("double").as("revenue"), count(lit(1)).as("n"))
+    },
+    "q19_scalar_subquery" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val avgPrice = o.agg(
+        (round(sum(dec(col("o_totalprice"))), 6).cast("double") / count(lit(1))).as("avg_price"))
+      o.crossJoin(broadcast(avgPrice))
+        .where(col("o_totalprice") > lit(1.5) * col("avg_price"))
+        .agg(count(lit(1)).as("n_above"), min(col("o_orderkey")).cast("long").as("first_key"))
+    },
+    "q20_lag_window" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+        .where(col("gap_s").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(col("gap_s")).as("total_gap_s"), count(lit(1)).as("n_gaps"))
+        .orderBy("user_id")
+    }
+  )
+}

@@ -15,9 +15,11 @@ object SparkEntry {
       col("text"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.plans
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.plans ++ RelationalQueries.plans
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.sql
+  def oracleSql: Map[String, String] =
+    Queries.sql ++ RelationalQueries.sql
 }

@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Source layer: a "container" in the reference is a directory of blobs
   * (`w7/src/master/dbconn.h:107-113`); here a dataset is a directory of
@@ -14,9 +15,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one named parquet table from a scale-factor directory. */
+  /** Load one named parquet table from a scale-factor directory.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses to read as a timestamp; read it as raw nanos and truncate to
+    * microseconds with integer division (`div`, not `/` — double division
+    * would lose precision above 2^53). */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read
+        .parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   /** Load a text "container": one row per line, column `value`.
     * Equivalent of the reference's blob-container input

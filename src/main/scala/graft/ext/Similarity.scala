@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY.md §2.5).
+  *
+  * Scores use quantized integer dot products: each float coordinate is
+  * rounded to 3 decimals (×1000) and the dot product is exact int64
+  * arithmetic. For unit-norm embeddings qdot ≈ cosine × 10^6. Integer
+  * scores make results bit-reproducible across engines and partitionings —
+  * float summation order can never flip a ranking.
+  */
+object Similarity {
+
+  /** Quantized int64 dot product of two array<float> columns. */
+  def quantizedDot(a: Column, b: Column): Column = {
+    val q = (x: Column) => round(x.cast("double") * 1000).cast("long")
+    aggregate(
+      zip_with(a, b, (x, y) => q(x) * q(y)),
+      lit(0L),
+      (acc, v) => acc + v)
+  }
+
+  /** Exact double cosine (for engine-internal use where cross-engine
+    * reproducibility doesn't matter; sum order is fixed left-to-right). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val n1 = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val n2 = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot / (sqrt(n1) * sqrt(n2))
+  }
+
+  /** Brute-force top-k neighbors for each probe: the exact baseline.
+    * Probes are broadcast (small side); the corpus is scanned once —
+    * at 100 TB this is the map-only "score + per-probe top-k" shape with
+    * partial top-k folded into the final window. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeIdCol: String,
+      probeVecCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(probes))
+      .where(col(idCol) =!= col(probeIdCol))
+      .select(
+        col(probeIdCol),
+        col(idCol),
+        quantizedDot(col(probeVecCol), col(vecCol)).as("qdot"))
+    val w = Window.partitionBy(probeIdCol).orderBy(desc("qdot"), asc(idCol))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+  }
+
+  /** All embedding pairs with qdot ≥ threshold — embedding-cosine near-dup
+    * detection. Brute-force O(n²) block joins are correct at any SF but
+    * quadratic; pair with an LSH/IVF bucketing front (see `Dedup`
+    * banding) when the corpus is large. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, minQdot: Long): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), quantizedDot(col("v_a"), col("v_b")).as("qdot"))
+      .where(col("qdot") >= minQdot)
+  }
+
+  /** Random-hyperplane LSH bucket id for an embedding: sign bits against
+    * `planes` fixed pseudo-random hyperplanes — the scale path for ANN
+    * (candidates from matching buckets, then exact re-score). */
+  def rhpBucket(vec: Column, dim: Int, planes: Int): Column = {
+    val rnd = new scala.util.Random(7)
+    val planeVecs = Array.fill(planes, dim)(rnd.nextGaussian())
+    val bits = (0 until planes).map { p =>
+      val dot = (0 until dim).map { i =>
+        element_at(vec, i + 1).cast("double") * lit(planeVecs(p)(i))
+      }.reduce(_ + _)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((x: Column, y: Column) => x.bitwiseOR(y))
+  }
+}

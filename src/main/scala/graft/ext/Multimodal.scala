@@ -1,0 +1,124 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in per-partition batches.
+  *
+  * The Spark side — schema, partitioning, batch iteration, output shape —
+  * is real and tested. The codec itself is a STUB (`FakeCodec`): this
+  * container has no image/audio libraries, so "decode" parses a
+  * deterministic synthetic header instead of running a real JPEG/PCM
+  * decoder. Swap `Codec` implementations to go live; nothing else
+  * changes.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),     // image | audio | video
+    StructField("payload", BinaryType, nullable = false),  // opaque encoded bytes
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("sample_rate", IntegerType))))))
+
+  /** A pluggable per-record decoder: bytes → fixed-length feature vector.
+    * Implementations must be serializable and deterministic. */
+  trait Codec extends Serializable {
+    def features(kind: String, payload: Array[Byte]): Array[Float]
+    def thumbnail(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
+
+  /** STUB codec: deterministic byte-level statistics standing in for a
+    * real decode. Replace with an actual image/audio decoder in
+    * production — the pipeline shape (mapPartitions batching, schema,
+    * partition preservation) is identical. */
+  object FakeCodec extends Codec {
+    def features(kind: String, payload: Array[Byte]): Array[Float] = {
+      // 16-bin byte histogram, normalized — a deterministic fake of an
+      // embedding-model forward pass
+      val hist = new Array[Float](16)
+      payload.foreach(b => hist((b & 0xFF) >> 4) += 1f)
+      val n = math.max(1, payload.length).toFloat
+      hist.map(_ / n)
+    }
+    def thumbnail(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      // deterministic downsample of the byte stream to w*h "pixels"
+      Array.tabulate(w * h)(i => payload(i * payload.length / (w * h)))
+  }
+
+  /** Build a deterministic synthetic media table from the documents table
+    * (payload = UTF-8 bytes of the text, metadata derived from lengths) —
+    * the test fixture for the binary pipeline. */
+  def syntheticMedia(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.io.Tables(spark, dir, "documents")
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        (col("n_chars") % 30).cast("int").as("n_frames"),
+        lit(16000).as("sample_rate")).as("meta"))
+  }
+
+  /** Batched feature extraction over binary payloads: one codec instance
+    * per partition, rows streamed through it — the Scala analogue of a
+    * pandas-batch UDF. Output keeps (media_id, kind) and appends the
+    * feature vector. */
+  def extractFeatures(media: DataFrame, codec: Codec): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("features", ArrayType(FloatType), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media
+      .select("media_id", "kind", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), r.getString(1),
+            codec.features(r.getString(1), r.getAs[Array[Byte]]("payload")).toSeq)
+        }
+      }(enc)
+  }
+
+  /** Frame sampling for video payloads: every `stride`-th fixed-size
+    * window of the byte stream becomes one frame row — the explode shape
+    * of per-frame processing (row count multiplies, partitioning is
+    * preserved, no shuffle). */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    media
+      .where(col("kind") === "video")
+      .select(
+        col("media_id"),
+        posexplode(
+          filter(
+            transform(
+              sequence(lit(0), floor((length(col("payload")) - frameBytes) / (frameBytes * stride)).cast("int")),
+              i => substring(col("payload"), i * frameBytes * stride + 1, lit(frameBytes))),
+            f => length(f) === frameBytes)))
+      .withColumnRenamed("pos", "frame_no")
+      .withColumnRenamed("col", "frame")
+
+  /** Thumbnail generation via the codec (stub resize). */
+  def thumbnails(media: DataFrame, codec: Codec, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("thumb", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media
+      .where(col("kind") === "image")
+      .select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map(r => Row(r.getLong(0), codec.thumbnail(r.getAs[Array[Byte]]("payload"), w, h)))
+      }(enc)
+  }
+}

@@ -14,8 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Quantized int64 dot product of two array<float> columns. */
-  def quantizedDot(a: Column, b: Column): Column = {
+  /** Quantized int64 dot product of two array<float> columns — the native
+    * codegen'd Catalyst expression (tight primitive loop inside
+    * whole-stage codegen). */
+  def quantizedDot(a: Column, b: Column): Column =
+    graft.functions.QuantizedDot.qdot(a, b)
+
+  /** Same semantics built only from higher-order functions — the
+    * reference formulation the native expression is validated against. */
+  def quantizedDotHof(a: Column, b: Column): Column = {
     val q = (x: Column) => round(x.cast("double") * 1000).cast("long")
     aggregate(
       zip_with(a, b, (x, y) => q(x) * q(y)),

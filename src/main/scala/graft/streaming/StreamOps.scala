@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is batch-only (SURVEY.md
+  * §1.1: no streams anywhere), but an events table at 100 TB/day is a
+  * stream; these are the standard continuous versions of the engine's
+  * aggregation operators: watermarked tumbling-window aggregation and
+  * stateful sessionization.
+  */
+object StreamOps {
+
+  /** Streaming view of an events directory with the same schema fix-ups
+    * as the batch reader (nanosecond timestamps → microseconds). The file
+    * stream source monitors a directory; a single-file table is exposed
+    * through a temp dir symlink. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val watched = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.createSymbolicLink(watched.resolve("events.parquet"), src)
+    spark.readStream
+      .schema(schema)
+      .parquet(watched.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window count/sum per event type with a watermark: the
+    * streaming equivalent of the batch hourly aggregation (q12). Late
+    * data beyond the watermark is dropped, state is bounded — the only
+    * state kept is one row per (window, event_type). */
+  def windowedCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  case class Session(user_id: Long, start_s: Long, end_s: Long, n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization with explicit state: a session closes after
+    * `gapSeconds` of user inactivity (event-time timeout). The custom
+    * state machine is the streaming analogue of the reference's
+    * whole-partition reducefunc — arbitrary per-key logic over an ordered
+    * group (SURVEY.md §2.4). */
+  def sessionize(
+      events: Dataset[Event],
+      gapSeconds: Long = 600): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          if (evs.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.last, s.n, s.total))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.last, s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapSeconds) * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against the (bounded) input
+    * and return the materialized result — batch-driven smoke execution
+    * via the memory sink. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

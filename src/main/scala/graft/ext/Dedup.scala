@@ -23,18 +23,35 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     array_distinct(TextOps.wordNgrams(text, n))
 
-  /** MinHash signature (array<long> of length numPerms) from a shingle
-    * array column. Hash family: h_i(s) = xxhash64(xxhash64(s), i) — each
-    * shingle is hashed to 8 bytes once, then re-mixed per permutation
-    * (no multiplicative wraparound, which ANSI mode rejects as overflow).
-    * Computed entirely with higher-order functions — one pass per row,
-    * no explode, no shuffle. */
-  def minHashSignature(shinglesCol: Column, numPerms: Int): Column = {
-    val base = transform(shinglesCol, s => xxhash64(s))
+  /** Distinct 64-bit hashes of word n-gram shingles, computed WITHOUT
+    * materializing shingle strings (native expression — one pass over the
+    * token array). Set operations (Jaccard) on these hash sets equal the
+    * string-shingle sets up to 64-bit collisions (~1e-15 per document
+    * pair). */
+  def shingleHashSet(text: Column, n: Int): Column =
+    graft.functions.ShingleHashSet.shingleHashes(TextOps.tokens(text), n)
+
+  /** Base 64-bit hash of each shingle — materialize this ONCE (in its own
+    * projection) before fanning out to permutations: Catalyst does not
+    * share subexpressions across higher-order-function lambdas, so
+    * embedding the string hash inside each permutation would re-hash
+    * every shingle string numPerms times. */
+  def shingleHashes(shinglesCol: Column): Column =
+    transform(shinglesCol, s => xxhash64(s))
+
+  /** MinHash signature (array<long> of length numPerms) from precomputed
+    * shingle hashes — the native codegen'd expression (one primitive
+    * double loop per row, no explode, no shuffle). */
+  def minHashSignature(hashesCol: Column, numPerms: Int): Column =
+    graft.functions.MinHashSig.minhash(hashesCol, numPerms)
+
+  /** Built-ins-only formulation (array_min ∘ transform per permutation) —
+    * validation reference for the native expression; interpreted lambda
+    * evaluation makes it ~50× slower at 128 perms. */
+  def minHashSignatureHof(hashesCol: Column, numPerms: Int): Column =
     array((0 until numPerms).map { i =>
-      array_min(transform(base, h => xxhash64(h, lit(i))))
+      array_min(transform(hashesCol, h => xxhash64(h, lit(i))))
     }: _*)
-  }
 
   /** Explode a signature into (band, bandHash) rows: bands of `rows`
     * consecutive signature entries, hashed together. */
@@ -66,7 +83,12 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline over (id, text): returns
     * (id_a, id_b, jaccard) for pairs with exact Jaccard ≥ threshold.
-    * Exact verification makes LSH a pure candidate filter. */
+    * Exact verification makes LSH a pure candidate filter.
+    *
+    * The (id, shingle-hash-set) relation is cached: it is consumed three
+    * times (signature build + both sides of the verify join) and caching
+    * it avoids re-tokenizing the corpus each time — at cluster scale this
+    * materialization would be a checkpoint instead. */
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -76,8 +98,9 @@ object Dedup {
       bands: Int = 64,
       threshold: Double = 0.6): DataFrame = {
     val sh = df
-      .select(col(idCol), shingles(col(textCol), shingleN).as("ws"))
+      .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
       .where(size(col("ws")) > 0)
+      .cache()
     val sigs = sh.select(col(idCol), minHashSignature(col("ws"), numPerms).as("sig"))
     val cands = candidatePairs(lshBands(sigs, idCol, "sig", bands, numPerms / bands), idCol)
     val wsA = sh.select(col(idCol).as("id_a"), col("ws").as("ws_a"))
@@ -89,26 +112,35 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** 60-bit SimHash over the word multiset, using md5 word hashes (md5 so
-    * the same fingerprint is reproducible in any engine; 60 bits = 15 hex
-    * chars keeps the value inside a signed long). */
-  def simHash(tokens: Column): Column = {
-    val words = tokens
-    val wordHash = (w: Column) => conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long")
+  /** md5-based 60-bit word hashes (md5 so the fingerprint is reproducible
+    * in any engine; 60 bits = 15 hex chars keeps the value inside a
+    * signed long). Materialize once before `simHashFromHashes` — same
+    * no-CSE-across-lambdas rule as `shingleHashes`. */
+  def wordHashes(tokens: Column): Column =
+    transform(tokens, w => conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long"))
+
+  /** 60-bit SimHash from precomputed word hashes: per bit, majority vote
+    * of ±1 over all words. */
+  def simHashFromHashes(hashes: Column): Column = {
     val bitScore = (b: Int) =>
       aggregate(
-        words,
+        hashes,
         lit(0),
-        (acc, w) => acc + when(shiftright(wordHash(w), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
     (0 until 60).map(b => when(bitScore(b) > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
   }
+
+  /** 60-bit SimHash of a token array column. */
+  def simHash(tokens: Column): Column = simHashFromHashes(wordHashes(tokens))
 
   /** SimHash near-dup pairs: candidates share one of 4 15-bit chunks
     * (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), verified with
     * exact hamming distance ≤ maxHamming. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol), simHash(TextOps.tokens(col(textCol))).as("sh"))
+    val hashed = df
+      .select(col(idCol), wordHashes(TextOps.tokens(col(textCol))).as("wh"))
+      .select(col(idCol), simHashFromHashes(col("wh")).as("sh"))
     val chunks = hashed.select(
       col(idCol), col("sh"),
       explode(array((0 until 4).map { c =>

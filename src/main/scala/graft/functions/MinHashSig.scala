@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native codegen'd MinHash signature: array<long> of `numPerms` minima
+  * over a precomputed shingle-hash array, with the splitmix64-based family
+  * h_i(x) = mix(x + GOLDEN*(i+1)).
+  *
+  * Replaces a higher-order-function formulation
+  * (array_min(transform(...)) × numPerms): HOF lambdas are interpreted
+  * per element — numPerms × |shingles| boxed evaluations per row — where
+  * this compiles to one primitive double loop inside whole-stage codegen
+  * (~50× faster at 128 permutations). The hash family is engine-internal:
+  * signatures only gate LSH candidate generation, and candidates are
+  * verified with exact Jaccard, so family choice affects only recall
+  * (same analysis as seeded-xxhash64: pairwise-independent enough for
+  * banding).
+  */
+case class MinHashSig(child: Expression, numPerms: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](numPerms)
+    var i = 0
+    while (i < numPerms) {
+      val seed = MinHashSig.GOLDEN * (i + 1)
+      var best = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val h = MinHashSig.mix(arr.getLong(j) + seed)
+        if (h < best) best = h
+        j += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cls = MinHashSig.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val seed = ctx.freshName("seed")
+      val best = ctx.freshName("best")
+      val h = ctx.freshName("h")
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $out = new long[$numPerms];
+         |for (int $i = 0; $i < $numPerms; $i++) {
+         |  final long $seed = ${MinHashSig.GOLDEN}L * ($i + 1);
+         |  long $best = Long.MAX_VALUE;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    final long $h = $cls.mix($a.getLong($j) + $seed);
+         |    if ($h < $best) $best = $h;
+         |  }
+         |  $out[$i] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+
+  final val GOLDEN = 0x9e3779b97f4a7c15L
+
+  /** splitmix64 finalizer — a strong 64-bit mixer. */
+  def mix(z0: Long): Long = {
+    var z = z0
+    z ^= (z >>> 30); z *= 0xbf58476d1ce4e5b9L
+    z ^= (z >>> 27); z *= 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def minhash(hashes: Column, numPerms: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(hashes), numPerms))
+}

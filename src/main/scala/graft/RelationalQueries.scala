@@ -136,7 +136,23 @@ object RelationalQueries {
         |  FROM events) g
         |WHERE gap_s IS NOT NULL
         |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    "q21_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.sec, c.click_id AS asof_click_id,
+        |       p.sec - c.sec AS gap_s
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.sec >= c.sec
+        |ORDER BY event_id""".stripMargin,
+    "q22_sql_interface" ->
+      """SELECT n_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin
   )
 
   val plans: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -302,6 +318,35 @@ object RelationalQueries {
         .groupBy("user_id")
         .agg(sum(col("gap_s")).as("total_gap_s"), count(lit(1)).as("n_gaps"))
         .orderBy("user_id")
+    },
+    "q21_asof_join" -> { (s, dir) =>
+      // for each purchase, the latest click of the same user at or
+      // before the purchase second (graft.ops.AsOfJoin — the operator
+      // Spark lacks, composed as one union + one running window)
+      val ev = t(s, dir, "events").withColumn("sec", unix_timestamp(col("ts")))
+      val p = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "sec")
+      val c = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "sec")
+        .agg(max(col("event_id")).as("click_id"))
+        .withColumn("click_sec", col("sec"))
+      graft.ops.AsOfJoin
+        .asof(p, c, "user_id", "sec", "sec", Seq("click_id", "click_sec"))
+        .select(
+          col("event_id"), col("user_id"), col("sec"),
+          col("asof_click_id"),
+          (col("sec") - col("asof_click_sec")).as("gap_s"))
+        .orderBy("event_id")
+    },
+    "q22_sql_interface" -> { (s, dir) =>
+      // the SQL text interface over registered views — same surface the
+      // oracle sees
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n_name, count(*) AS n_customers
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name
+          |ORDER BY n_name""".stripMargin)
     }
   )
 }

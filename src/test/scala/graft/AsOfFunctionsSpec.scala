@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.ops.AsOfJoin
+
+class AsOfFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join picks latest right at-or-before left, null when none") {
+    val left = Seq((1L, 10L, "p1"), (1L, 5L, "p2"), (2L, 7L, "p3"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 5L, "c_at_5"), (1L, 8L, "c_at_8"), (3L, 1L, "other"))
+      .toDF("k", "rt", "payload")
+    val got = AsOfJoin.asof(left, right, "k", "t", "rt", Seq("payload"))
+      .select("name", "asof_payload").as[(String, Option[String])]
+      .collect().toMap
+    assert(got == Map(
+      "p1" -> Some("c_at_8"),   // latest of 5,8 at t=10
+      "p2" -> Some("c_at_5"),   // inclusive at equal time
+      "p3" -> None))            // no right rows for k=2
+  }
+
+  test("SQL functions registered and match Column API") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT qdot(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), array(CAST(2.0 AS FLOAT), CAST(0.25 AS FLOAT))) AS d")
+      .as[Long].head()
+    assert(r == 1000L * 2000 + 500L * 250)
+    val sig = spark.sql("SELECT minhash_sig(shingle_hashes(array('a','b','c','d'), 3), 16) AS s")
+      .as[Seq[Long]].head()
+    assert(sig.length == 16)
+    // 2 shingles -> signature minima are over 2 candidates, stable
+    val sig2 = spark.sql("SELECT minhash_sig(shingle_hashes(array('a','b','c','d'), 3), 16) AS s")
+      .as[Seq[Long]].head()
+    assert(sig == sig2)
+  }
+
+  test("GraftExtensions registers functions on a fresh session") {
+    val fresh = spark.newSession()
+    // newSession shares the function registry state? ensure explicit path
+    GraftFunctions.register(fresh)
+    assert(fresh.sql("SELECT qdot(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS d")
+      .as[Long].head() == 1000000L)
+  }
+}

@@ -194,11 +194,21 @@ object ExtQueries {
   )
 
   /** Ops with no SQL-expressible oracle (driver records rows-only): the
-    * SimHash index — its verification lives in ScalaTest instead. */
+    * SimHash index and the LSH-bucketed ANN scale path — their
+    * verification (hamming correctness, recall vs brute force) lives in
+    * ScalaTest instead. */
   val plansNoOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_simhash_pairs" -> { (s, dir) =>
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
         .orderBy("id_a", "id_b")
+    },
+    "ann_lsh_topk" -> { (s, dir) =>
+      // scale path: candidates only from matching random-hyperplane
+      // buckets (multi-probe over 4 tables), exact re-score inside the
+      // bucket — corpus scan per probe replaced by a bucket equi-join
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 10, dim = 64)
+        .orderBy("probe_id", "rn")
     }
   )
 }

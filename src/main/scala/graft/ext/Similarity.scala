@@ -83,8 +83,8 @@ object Similarity {
   /** Random-hyperplane LSH bucket id for an embedding: sign bits against
     * `planes` fixed pseudo-random hyperplanes — the scale path for ANN
     * (candidates from matching buckets, then exact re-score). */
-  def rhpBucket(vec: Column, dim: Int, planes: Int): Column = {
-    val rnd = new scala.util.Random(7)
+  def rhpBucket(vec: Column, dim: Int, planes: Int, seed: Int = 7): Column = {
+    val rnd = new scala.util.Random(seed)
     val planeVecs = Array.fill(planes, dim)(rnd.nextGaussian())
     val bits = (0 until planes).map { p =>
       val dot = (0 until dim).map { i =>
@@ -93,5 +93,39 @@ object Similarity {
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((x: Column, y: Column) => x.bitwiseOR(y))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates come only from buckets
+    * the probe shares in one of `tables` independent hyperplane tables,
+    * then are re-scored exactly. Replaces the per-probe corpus scan with
+    * a bucket equi-join — the shape that survives a 1000-executor corpus.
+    * Recall depends on data geometry (multi-table probing raises it;
+    * uniform-random corpora are the worst case); results are always a
+    * subset of the exact ranking because re-scoring is exact. */
+  def lshTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      dim: Int,
+      tables: Int = 8,
+      planes: Int = 6): DataFrame = {
+    val buckets = corpus
+      .select(col(idCol), col(vecCol),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("tbl"), rhpBucket(col(vecCol), dim, planes, seed = 100 + t).as("bkt"))
+        }: _*)).as("tb"))
+      .select(col(idCol), col(vecCol), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val probes = buckets
+      .where(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pe"), col("tbl"), col("bkt"))
+    val scored = probes
+      .join(buckets, Seq("tbl", "bkt"))
+      .where(col(idCol) =!= col("probe_id"))
+      .dropDuplicates("probe_id", idCol)
+      .select(col("probe_id"), col(idCol), quantizedDot(col("pe"), col(vecCol)).as("qdot"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("qdot"), asc(idCol))
+    scored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)
   }
 }

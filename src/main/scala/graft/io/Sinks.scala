@@ -1,0 +1,43 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sources and sinks beyond parquet/KV-text: CSV and JSON line formats,
+  * with the reference's "R output files" contract available on every
+  * format (repartition to R, deterministic `out_<j>` names —
+  * `w7/src/worker/workerimpl.cc:319-323`).
+  */
+object Sinks {
+
+  /** Write with exactly R hash-partitioned output files named out_<j>. */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      r: Int,
+      keyCol: String,
+      format: String = "parquet"): Unit = {
+    val spark = df.sparkSession
+    df.repartition(r, org.apache.spark.sql.functions.col(keyCol))
+      .write.mode("overwrite").format(format).save(path)
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(path)
+    fs.listStatus(dir).map(_.getPath).filter(_.getName.startsWith("part-")).foreach { p =>
+      val j = p.getName.stripPrefix("part-").takeWhile(_.isDigit).toInt
+      val ext = p.getName.dropWhile(_ != '.')
+      fs.rename(p, new Path(dir, s"out_$j$ext"))
+    }
+  }
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+}

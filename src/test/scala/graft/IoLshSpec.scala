@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+import graft.io.Sinks
+
+class IoLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv round trip preserves data") {
+    val dir = Files.createTempDirectory("csv").toString
+    val df = io.Tables(spark, sf, "nation")
+    Sinks.writeCsv(df, dir)
+    val back = Sinks.readCsv(spark, dir)
+    assert(back.count() == df.count())
+    assert(back.columns.toSeq == df.columns.toSeq)
+    assert(back.as[(Int, String, Int)].collect().toSet ==
+      df.as[(Int, String, Int)].collect().toSet)
+  }
+
+  test("json lines round trip preserves data") {
+    val dir = Files.createTempDirectory("json").toString
+    val df = io.Tables(spark, sf, "region")
+    Sinks.writeJsonLines(df, dir)
+    val back = Sinks.readJsonLines(spark, dir)
+    assert(back.count() == df.count())
+    assert(back.select("r_regionkey", "r_name").as[(Long, String)].collect().toSet ==
+      df.select("r_regionkey", "r_name").as[(Int, String)].collect().map { case (k, n) => (k.toLong, n) }.toSet)
+  }
+
+  test("writePartitioned emits out_<j> files in every format") {
+    val dir = Files.createTempDirectory("partd").toString
+    Sinks.writePartitioned(io.Tables(spark, sf, "nation"), dir, 3, "n_nationkey", "csv")
+    val names = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("out_"))
+    assert(names.map(_.takeWhile(_ != '.')).sorted.toSeq == Seq("out_0", "out_1", "out_2"))
+  }
+
+  test("LSH top-k is an exact-scored subset of brute force with nonzero recall") {
+    val emb = io.Tables(spark, sf, "embeddings")
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val brute = Similarity
+      .bruteForceTopK(emb, probes, "vec_id", "embedding", "probe_id", "pe", 10)
+      .select("probe_id", "vec_id", "qdot").as[(Long, Long, Long)].collect()
+    val bruteTop = brute.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toMap).toMap
+    val lsh = Similarity
+      .lshTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 10, dim = 64)
+      .select("probe_id", "vec_id", "qdot").as[(Long, Long, Long)].collect()
+    assert(lsh.nonEmpty)
+    // every LSH score must equal the exact score for that pair (re-score
+    // is exact), and overall recall must be nonzero
+    val hits = lsh.count { case (p, v, q) => bruteTop.get(p).exists(_.get(v).contains(q)) }
+    val pairsChecked = lsh.count { case (p, v, _) => bruteTop.get(p).exists(_.contains(v)) }
+    assert(hits == pairsChecked, "LSH re-scores must match exact scores")
+    assert(hits > 0, "recall@10 must be nonzero")
+  }
+}

@@ -96,6 +96,21 @@ object ExtQueries {
          |       ELSE 'und' END AS pred_lang
          |FROM s
          |ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH f AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |wh AS (SELECT doc_id, unnest(tk) AS w FROM f),
+         |h AS (SELECT doc_id, CAST(concat('0x', substring(md5(w),1,15)) AS BIGINT) AS h FROM wh),
+         |bits AS (
+         |  SELECT doc_id, bb.b AS b,
+         |         sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS score
+         |  FROM h, (SELECT unnest(range(0,60)) AS b) bb
+         |  GROUP BY doc_id, bb.b),
+         |sh AS (SELECT doc_id, CAST(sum(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh
+         |       FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "text_tfidf_top3" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(list_distinct(list_filter(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' '), x -> x <> ''))) AS word
@@ -131,6 +146,13 @@ object ExtQueries {
     "dedup_neardup_pairs" -> { (s, dir) =>
       Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, numPerms = 128, bands = 64, threshold = 0.6)
+        .orderBy("id_a", "id_b")
+    },
+    "dedup_simhash_pairs" -> { (s, dir) =>
+      // maxHamming=3 with 4 chunks of 15 bits: pigeonhole guarantees the
+      // chunk index misses nothing, so the output is exact (and the
+      // oracle recomputes simhash from scratch in SQL)
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
     },
     "ann_topk" -> { (s, dir) =>
@@ -198,10 +220,6 @@ object ExtQueries {
     * verification (hamming correctness, recall vs brute force) lives in
     * ScalaTest instead. */
   val plansNoOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_simhash_pairs" -> { (s, dir) =>
-      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
-        .orderBy("id_a", "id_b")
-    },
     "ann_lsh_topk" -> { (s, dir) =>
       // scale path: candidates only from matching random-hyperplane
       // buckets (multi-probe over 4 tables), exact re-score inside the

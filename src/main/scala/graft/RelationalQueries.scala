@@ -152,7 +152,30 @@ object RelationalQueries {
       """SELECT n_name, count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
-        |ORDER BY n_name""".stripMargin
+        |ORDER BY n_name""".stripMargin,
+    "q23_variance" ->
+      """SELECT l_returnflag,
+        |  (CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) / count(*))
+        |    - (CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) / count(*))
+        |      * (CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) / count(*)) AS var_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q24_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q25_median" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 
   val plans: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -347,6 +370,58 @@ object RelationalQueries {
           |FROM customer JOIN nation ON c_nationkey = n_nationkey
           |GROUP BY n_name
           |ORDER BY n_name""".stripMargin)
+    },
+    "q23_variance" -> { (s, dir) =>
+      // population variance via E[X²]−E[X]²: sums are exact decimals,
+      // divisions/multiply are IEEE-identical in any engine (pow avoided
+      // — libm pow is not bit-specified)
+      val q = dec(col("l_quantity"))
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          (round(sum(q * q), 2).cast("double") / count(lit(1))).as("ex2"),
+          (round(sum(q), 2).cast("double") / count(lit(1))).as("ex"),
+          count(lit(1)).as("n"))
+        .select(
+          col("l_returnflag"),
+          (col("ex2") - col("ex") * col("ex")).as("var_qty"),
+          col("n"))
+        .orderBy("l_returnflag")
+    },
+    "q24_cube" -> { (s, dir) =>
+      // CUBE via re-aggregation of decimal partials (same scale rationale
+      // as q11_rollup: shuffle each row once, not once per grouping set)
+      val base = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf0"), col("l_linestatus").as("ls0"), dec(col("l_quantity")).as("q"))
+        .groupBy("rf0", "ls0")
+        .agg(sum(col("q")).as("q"), count(lit(1)).as("n"))
+      val nullS = lit(null).cast("string")
+      val lvls = Seq(
+        base.select(col("rf0"), col("ls0"), col("q"), col("n")),
+        base.groupBy("rf0").agg(sum(col("q")).as("q"), sum(col("n")).as("n"))
+          .select(col("rf0"), nullS.as("ls0"), col("q"), col("n")),
+        base.groupBy("ls0").agg(sum(col("q")).as("q"), sum(col("n")).as("n"))
+          .select(nullS.as("rf0"), col("ls0"), col("q"), col("n")),
+        base.agg(sum(col("q")).as("q"), sum(col("n")).as("n"))
+          .select(nullS.as("rf0"), nullS.as("ls0"), col("q"), col("n")))
+      lvls.reduce(_.unionAll(_))
+        .select(
+          coalesce(col("rf0"), lit("ALL")).as("rf"),
+          coalesce(col("ls0"), lit("ALL")).as("ls"),
+          round(col("q"), 2).cast("double").as("sum_qty"),
+          col("n"))
+        .orderBy("rf", "ls")
+    },
+    "q25_median" -> { (s, dir) =>
+      // exact interpolated percentiles: Spark's percentile() and
+      // DuckDB's quantile_cont share the (n-1)p linear-interpolation
+      // definition over sorted exact input doubles
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90_qty"))
+        .orderBy("l_returnflag")
     }
   )
 }

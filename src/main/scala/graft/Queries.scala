@@ -59,6 +59,13 @@ object Queries {
         |GROUP BY word
         |ORDER BY cnt DESC, word
         |LIMIT 20""".stripMargin,
+    "mr_kv_roundtrip" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' ')) AS word
+        |      FROM documents) tok
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY word""".stripMargin,
     "mr_grep" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE text LIKE '%stream%' AND lang = 'en'
@@ -98,6 +105,19 @@ object Queries {
         .wordCount(t(s, dir, "documents"), col("text"))
         .orderBy(desc("cnt"), asc("word"))
         .limit(20)
+    },
+    "mr_kv_roundtrip" -> { (s, dir) =>
+      // full reference job shape incl. the sink: wordcount → R
+      // `out_<j>` files of `key:value` lines (D10) → read back via
+      // last-colon split (reduce.py:9) — the oracle sees plain wordcount,
+      // so the codec round trip must be lossless
+      val out = java.nio.file.Files.createTempDirectory("kvrt").toString
+      io.KvText.write(
+        TextOps.wordCount(t(s, dir, "documents"), col("text")),
+        "word", "cnt", out, r = 5)
+      io.KvText.read(s, out)
+        .select(col("key").as("word"), col("value").cast("long").as("cnt"))
+        .orderBy("word")
     },
     "mr_grep" -> { (s, dir) =>
       // map-only job: pushed filter + pruned projection

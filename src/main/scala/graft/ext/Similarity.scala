@@ -113,10 +113,9 @@ object Similarity {
       planes: Int = 6): DataFrame = {
     val buckets = corpus
       .select(col(idCol), col(vecCol),
-        explode(array((0 until tables).map { t =>
-          struct(lit(t).as("tbl"), rhpBucket(col(vecCol), dim, planes, seed = 100 + t).as("bkt"))
-        }: _*)).as("tb"))
-      .select(col(idCol), col(vecCol), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+        posexplode(graft.functions.RhpBuckets.rhpBuckets(col(vecCol), dim, planes, tables)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bkt")
     val probes = buckets
       .where(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("pe"), col("tbl"), col("bkt"))

@@ -175,7 +175,14 @@ object RelationalQueries {
         |  quantile_cont(l_quantity, 0.9) AS p90_qty
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+    "q26_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) r
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
   )
 
   val plans: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -422,6 +429,16 @@ object RelationalQueries {
           percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
           percentile(col("l_quantity"), lit(0.9)).as("p90_qty"))
         .orderBy("l_returnflag")
+    },
+    "q26_topk_per_key" -> { (s, dir) =>
+      // the custom physical operator (TopKPerKeyPlan/Exec): bounded
+      // per-key heaps partial+final around one exchange, instead of the
+      // window's full per-key shuffle-and-sort
+      graft.plans.TopKPerKey(
+          t(s, dir, "orders"),
+          Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(asc("o_custkey"), desc("o_totalprice"), asc("o_orderkey"))
     }
   )
 }

@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Top-k rows per key — the whole-operator extension point (SURVEY.md
+  * §7.4 class (c): LogicalPlan + SparkStrategy + SparkPlan).
+  *
+  * The built-in formulation (`row_number().over(Window.partitionBy(key)
+  * .orderBy(...)) <= k`) shuffles EVERY row of a key to one task and
+  * sorts it. This operator keeps a bounded k-heap per key on the map
+  * side (partial), shuffles only ≤ k rows per key per input partition,
+  * and re-merges heaps after the exchange (final) — the aggregation-
+  * style two-phase shape that survives hot keys at 100 TB. The planner
+  * inserts the exchange itself from `requiredChildDistribution`.
+  */
+case class TopKPerKeyPlan(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyPlan(keys, order, k, child) =>
+      val partial = TopKPerKeyExec(keys, order, k, planLater(child), partial = true)
+      TopKPerKeyExec(keys, order, k, partial, partial = false) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan,
+    partial: Boolean) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val orderExprs = order
+    val keyExprs = keys
+    val limit = k
+    child.execute().mapPartitions { iter =>
+      // heap keeps the k first rows in `order`; comparator reversed so
+      // poll() drops the worst
+      val ordering = RowOrdering.create(orderExprs, childOutput)
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val groups = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      iter.foreach { row =>
+        val key = keyProj(row).copy()
+        var heap = groups.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](limit + 1, ordering.reversed())
+          groups.put(key, heap)
+        }
+        heap.add(row.copy())
+        if (heap.size() > limit) heap.poll()
+      }
+      import scala.jdk.CollectionConverters._
+      groups.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+object TopKPerKey {
+
+  /** Register the strategy on a session (idempotent). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies = cur :+ TopKPerKeyStrategy
+    }
+  }
+
+  /** Top-k rows of `df` per `keyCols` group, "top" = first in `sortCols`
+    * order ((name, ascending) pairs). Output row order within groups is
+    * unspecified — sort downstream. */
+  def apply(
+      df: DataFrame,
+      keyCols: Seq[String],
+      sortCols: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    install(df.sparkSession)
+    val child = GraftBridge.plan(df)
+    def attr(name: String): Expression =
+      child.output.find(_.name == name).getOrElse(
+        sys.error(s"column $name not in ${child.output.map(_.name)}"))
+    val keyExprs: Seq[Expression] = keyCols.map(attr)
+    val sortOrders: Seq[SortOrder] = sortCols.map { case (name, asc) =>
+      SortOrder(attr(name), if (asc) Ascending else Descending)
+    }
+    GraftBridge.ofRows(df.sparkSession, TopKPerKeyPlan(keyExprs, sortOrders, k, child))
+  }
+}

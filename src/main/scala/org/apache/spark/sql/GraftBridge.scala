@@ -10,6 +10,16 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Logical plan of a DataFrame / DataFrame from a logical plan — for
+    * custom operators (LogicalPlan + Strategy + SparkPlan). */
+  def plan(df: Dataset[Row]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a temp SQL function on a live session (the builder-time
     * path is `GraftExtensions`; this one works on an existing session). */
   def registerFunction(

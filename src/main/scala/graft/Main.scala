@@ -18,8 +18,13 @@ import graft.ops.TextOps
   */
 object Main {
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("--") => k.drop(2) -> v }.toMap
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0, s"expected --flag value pairs, got: ${args.mkString(" ")}")
+    args.sliding(2, 2).map {
+      case Array(k, v) if k.startsWith("--") && !v.startsWith("--") => k.drop(2) -> v
+      case Array(k, v) => sys.error(s"bad argument pair: $k $v")
+    }.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)

@@ -88,7 +88,9 @@ object Dedup {
     * The (id, shingle-hash-set) relation is cached: it is consumed three
     * times (signature build + both sides of the verify join) and caching
     * it avoids re-tokenizing the corpus each time — at cluster scale this
-    * materialization would be a checkpoint instead. */
+    * materialization would be a checkpoint instead. The cache lives until
+    * the session ends (or the caller unpersists); long-lived sessions
+    * running many other jobs should checkpoint + unpersist instead. */
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -134,17 +136,29 @@ object Dedup {
   /** 60-bit SimHash of a token array column. */
   def simHash(tokens: Column): Column = simHashFromHashes(wordHashes(tokens))
 
-  /** SimHash near-dup pairs: candidates share one of 4 15-bit chunks
-    * (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), verified with
-    * exact hamming distance ≤ maxHamming. */
+  /** SimHash near-dup pairs: candidates share one of `maxHamming + 1`
+    * bit chunks (pigeonhole: ≤ maxHamming differing bits cannot touch
+    * every chunk, so at least one chunk is equal — the index is COMPLETE
+    * for the given threshold), verified with exact hamming distance.
+    * Token-less documents are dropped (no signal, and an all-zero
+    * simhash would pair every empty doc with every other). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(nChunks <= 60, s"maxHamming $maxHamming leaves chunks with no bits")
+    val toks = TextOps.tokens(col(textCol))
     val hashed = df
-      .select(col(idCol), wordHashes(TextOps.tokens(col(textCol))).as("wh"))
+      .select(col(idCol), wordHashes(toks).as("wh"))
+      .where(size(col("wh")) > 0)
       .select(col(idCol), simHashFromHashes(col("wh")).as("sh"))
+    // chunk c covers bits [c*60/nChunks, (c+1)*60/nChunks)
+    val bounds = (0 to nChunks).map(c => c * 60 / nChunks)
     val chunks = hashed.select(
       col(idCol), col("sh"),
-      explode(array((0 until 4).map { c =>
-        struct(lit(c).as("chunk"), shiftright(col("sh"), c * 15).bitwiseAND(lit(0x7FFFL)).as("ch"))
+      explode(array((0 until nChunks).map { c =>
+        val lo = bounds(c)
+        val width = bounds(c + 1) - lo
+        val mask = if (width >= 63) -1L else (1L << width) - 1
+        struct(lit(c).as("chunk"), shiftright(col("sh"), lo).bitwiseAND(lit(mask)).as("ch"))
       }: _*)).as("cc"))
       .select(col(idCol), col("sh"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
     val a = chunks.select(col("chunk"), col("ch"), col(idCol).as("id_a"), col("sh").as("sh_a"))

@@ -95,13 +95,19 @@ object Multimodal {
     * preserved, no shuffle). */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     media
-      .where(col("kind") === "video")
+      .where(col("kind") === "video" && length(col("payload")) >= frameBytes)
       .select(
         col("media_id"),
         posexplode(
           filter(
             transform(
-              sequence(lit(0), floor((length(col("payload")) - frameBytes) / (frameBytes * stride)).cast("int")),
+              // clamp: payloads barely longer than one frame must not
+              // produce a negative bound (negative substring positions
+              // read from the END of the payload)
+              sequence(lit(0),
+                greatest(
+                  floor((length(col("payload")) - frameBytes) / (frameBytes * stride)).cast("int"),
+                  lit(0))),
               i => substring(col("payload"), i * frameBytes * stride + 1, lit(frameBytes))),
             f => length(f) === frameBytes)))
       .withColumnRenamed("pos", "frame_no")

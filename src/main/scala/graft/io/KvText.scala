@@ -27,9 +27,11 @@ object KvText {
       .write
       .mode("overwrite")
       .text(path)
-    // rename part-<j>-… to out_<j>; create empty files for absent partitions
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // rename part-<j>-… to out_<j>; create empty files for absent
+    // partitions. Resolve the FS from the path (not the default FS) so
+    // hdfs://, s3a:// etc. targets work.
     val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(dir).map(_.getPath).filter(_.getName.startsWith("part-"))
     parts.foreach { p =>
       val j = p.getName.stripPrefix("part-").takeWhile(_.isDigit).toInt

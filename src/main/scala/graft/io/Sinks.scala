@@ -20,8 +20,8 @@ object Sinks {
     val spark = df.sparkSession
     df.repartition(r, org.apache.spark.sql.functions.col(keyCol))
       .write.mode("overwrite").format(format).save(path)
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(dir).map(_.getPath).filter(_.getName.startsWith("part-")).foreach { p =>
       val j = p.getName.stripPrefix("part-").takeWhile(_.isDigit).toInt
       val ext = p.getName.dropWhile(_ != '.')

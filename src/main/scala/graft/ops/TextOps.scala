@@ -52,13 +52,16 @@ object TextOps {
       g => length(g) === n)
   }
 
-  /** Word n-grams of normalized text. */
+  /** Word n-grams of normalized text (empty array when the text has
+    * fewer than n tokens — without the guard, slicing an empty token
+    * array would yield a bogus [""] singleton for n = 1). */
   def wordNgrams(c: Column, n: Int): Column = {
     val toks = tokens(c)
-    filter(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")),
-      g => size(split(g, " ")) === n)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      filter(
+        transform(
+          sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")),
+        g => size(split(g, " ")) === n))
   }
 }

@@ -19,6 +19,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * and re-merges heaps after the exchange (final) — the aggregation-
   * style two-phase shape that survives hot keys at 100 TB. The planner
   * inserts the exchange itself from `requiredChildDistribution`.
+  *
+  * Memory model: like in-memory HashAggregate, the working set is
+  * O(distinct keys in the partition × k rows) with no spill path yet —
+  * a near-unique key column at huge scale should use the window
+  * formulation (external sort) until a spillable map lands here. The
+  * intended domain is hot-key-skewed, moderate-cardinality grouping.
   */
 case class TopKPerKeyPlan(
     keys: Seq[Expression],

@@ -23,6 +23,17 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     array_distinct(TextOps.wordNgrams(text, n))
 
+  /** Exact dedup keeping one deterministic representative per duplicate
+    * group: the first row by `tieBreakCol` among rows sharing the same
+    * normalized-text fingerprint. Uses the custom top-k-per-key operator
+    * (k=1): bounded state per group, at most one row per group per
+    * partition crosses the shuffle. */
+  def exactKeepFirst(df: DataFrame, textCol: String, tieBreakCol: String): DataFrame =
+    graft.plans.TopKPerKey(
+      df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+      Seq("__fp"), Seq((tieBreakCol, true)), 1
+    ).drop("__fp")
+
   /** Distinct 64-bit hashes of word n-gram shingles, computed WITHOUT
     * materializing shingle strings (native expression — one pass over the
     * token array). Set operations (Jaccard) on these hash sets equal the

@@ -95,6 +95,33 @@ object Similarity {
     bits.reduce((x: Column, y: Column) => x.bitwiseOR(y))
   }
 
+  /** LSH-bucketed near-dup pairs — the scale path for
+    * `nearDupPairs`: candidates only from shared hyperplane buckets
+    * (linear-ish in corpus size), verified with the exact quantized dot,
+    * so every emitted pair truly clears `minQdot`; recall (which pairs
+    * are found) depends on the bucket geometry. */
+  def lshNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minQdot: Long,
+      dim: Int,
+      tables: Int = 8,
+      planes: Int = 6): DataFrame = {
+    val buckets = df
+      .select(col(idCol), col(vecCol),
+        posexplode(graft.functions.RhpBuckets.rhpBuckets(col(vecCol), dim, planes, tables)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bkt")
+    val a = buckets.select(col("tbl"), col("bkt"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = buckets.select(col("tbl"), col("bkt"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("tbl", "bkt"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), quantizedDot(col("v_a"), col("v_b")).as("qdot"))
+      .where(col("qdot") >= minQdot)
+  }
+
   /** LSH-bucketed approximate top-k: candidates come only from buckets
     * the probe shares in one of `tables` independent hyperplane tables,
     * then are re-scored exactly. Replaces the per-probe corpus scan with

@@ -92,6 +92,15 @@ object StreamOps {
       }
   }
 
+  /** Streaming word count — the reference's canonical query as a
+    * continuous pipeline: text lines → reference-parity tokenization →
+    * running counts (complete output mode; state is one row per word). */
+  def streamingWordCount(spark: SparkSession, dir: String): DataFrame = {
+    val lines = spark.readStream.text(dir)
+    graft.ops.TextOps
+      .wordCount(lines, col("value"))
+  }
+
   /** Run a streaming DataFrame to completion against the (bounded) input
     * and return the materialized result — batch-driven smoke execution
     * via the memory sink. */

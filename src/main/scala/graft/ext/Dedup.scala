@@ -160,7 +160,7 @@ object Dedup {
     val hashed = df
       .select(col(idCol), wordHashes(toks).as("wh"))
       .where(size(col("wh")) > 0)
-      .select(col(idCol), simHashFromHashes(col("wh")).as("sh"))
+      .select(col(idCol), graft.functions.SimHash60.simhash60(col("wh")).as("sh"))
     // chunk c covers bits [c*60/nChunks, (c+1)*60/nChunks)
     val bounds = (0 to nChunks).map(c => c * 60 / nChunks)
     val chunks = hashed.select(

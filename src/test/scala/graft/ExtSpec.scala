@@ -42,6 +42,20 @@ class ExtSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("native SimHash60 equals the HOF bit-vote formulation on real docs") {
+    val docs = io.Tables(spark, sf, "documents")
+    val hashes = docs.select(
+      col("doc_id"),
+      Dedup.wordHashes(TextOps.tokens(col("text"))).as("wh"))
+      .where(size(col("wh")) > 0)
+    val diff = hashes.select(
+        graft.functions.SimHash60.simhash60(col("wh")).as("native"),
+        Dedup.simHashFromHashes(col("wh")).as("hof"))
+      .where(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("simhash: near-identical texts collide, unrelated texts don't") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -67,11 +67,53 @@ object Similarity {
       .where(col("rn") <= k)
   }
 
-  /** All embedding pairs with qdot ≥ threshold — embedding-cosine near-dup
-    * detection. Brute-force O(n²) block joins are correct at any SF but
-    * quadratic; pair with an LSH/IVF bucketing front (see `Dedup`
-    * banding) when the corpus is large. */
+  /** All embedding pairs with qdot ≥ threshold — embedding-cosine
+    * near-dup detection, exact O(n²) evaluated as a block-broadcast
+    * kernel: the corpus is quantized once to a compact int64 matrix,
+    * broadcast, and each partition scores its rows against all
+    * higher-id broadcast rows in a primitive loop. Identical output to
+    * the declarative crossJoin (`nearDupPairsCrossJoin`) but without
+    * per-pair row materialization — arithmetic, not copies, is the
+    * cost. At a corpus too large for one broadcast, the same kernel
+    * runs per (row-block × column-block) pair; pair with the LSH
+    * bucketing front (`lshNearDupPairs`) before going quadratic. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, minQdot: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quantized: Dataset[(Long, Array[Long])] = df
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v.map(graft.functions.QuantizedDot.q)) }
+    val all = quantized.collect().sortBy(_._1)
+    val ids = all.map(_._1)
+    val mat = all.map(_._2)
+    val bc = spark.sparkContext.broadcast((ids, mat))
+    val threshold = minQdot
+    quantized
+      .flatMap { case (idA, va) =>
+        val (bIds, bMat) = bc.value
+        // only score against strictly-higher ids: each pair once
+        var lo = java.util.Arrays.binarySearch(bIds, idA)
+        if (lo < 0) lo = -lo - 1 else lo += 1
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var j = lo
+        while (j < bIds.length) {
+          val vb = bMat(j)
+          var dot = 0L
+          var i = 0
+          val n = math.min(va.length, vb.length)
+          while (i < n) { dot += va(i) * vb(i); i += 1 }
+          if (dot >= threshold) out += ((idA, bIds(j), dot))
+          j += 1
+        }
+        out
+      }
+      .toDF("id_a", "id_b", "qdot")
+  }
+
+  /** Declarative crossJoin formulation — validation reference for the
+    * block-broadcast kernel. */
+  def nearDupPairsCrossJoin(df: DataFrame, idCol: String, vecCol: String, minQdot: Long): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.crossJoin(b)
@@ -108,16 +150,24 @@ object Similarity {
       dim: Int,
       tables: Int = 8,
       planes: Int = 6): DataFrame = {
+    // candidate generation carries ONLY ids — the bucket self-join and
+    // pair dedup would otherwise shuffle both float vectors per
+    // candidate row; vectors are re-attached afterwards by two joins
+    // against the (small per bucket-key group) corpus
     val buckets = df
-      .select(col(idCol), col(vecCol),
+      .select(col(idCol),
         posexplode(graft.functions.RhpBuckets.rhpBuckets(col(vecCol), dim, planes, tables)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bkt")
-    val a = buckets.select(col("tbl"), col("bkt"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = buckets.select(col("tbl"), col("bkt"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, Seq("tbl", "bkt"))
+    val a = buckets.select(col("tbl"), col("bkt"), col(idCol).as("id_a"))
+    val b = buckets.select(col("tbl"), col("bkt"), col(idCol).as("id_b"))
+    val cands = a.join(b, Seq("tbl", "bkt"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    cands.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"), quantizedDot(col("v_a"), col("v_b")).as("qdot"))
       .where(col("qdot") >= minQdot)
   }
@@ -138,18 +188,29 @@ object Similarity {
       dim: Int,
       tables: Int = 8,
       planes: Int = 6): DataFrame = {
+    // ids-only candidate generation (see lshNearDupPairs), vectors
+    // re-attached before the exact re-score
     val buckets = corpus
-      .select(col(idCol), col(vecCol),
+      .select(col(idCol),
         posexplode(graft.functions.RhpBuckets.rhpBuckets(col(vecCol), dim, planes, tables)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bkt")
-    val probes = buckets
-      .where(probeFilter)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("pe"), col("tbl"), col("bkt"))
-    val scored = probes
+    val probeBuckets = corpus.where(probeFilter)
+      .select(col(idCol).as("probe_id"),
+        posexplode(graft.functions.RhpBuckets.rhpBuckets(col(vecCol), dim, planes, tables)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bkt")
+    val cands = probeBuckets
       .join(buckets, Seq("tbl", "bkt"))
       .where(col(idCol) =!= col("probe_id"))
-      .dropDuplicates("probe_id", idCol)
+      .select(col("probe_id"), col(idCol))
+      .distinct()
+    val probesVec = corpus.where(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
+    val cv = corpus.select(col(idCol), col(vecCol))
+    val scored = cands
+      .join(broadcast(probesVec), "probe_id")
+      .join(cv, idCol)
       .select(col("probe_id"), col(idCol), quantizedDot(col("pe"), col(vecCol)).as("qdot"))
     val w = Window.partitionBy("probe_id").orderBy(desc("qdot"), asc(idCol))
     scored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)

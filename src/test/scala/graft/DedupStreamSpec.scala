@@ -23,6 +23,16 @@ class DedupStreamSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("block-broadcast near-dup kernel equals declarative crossJoin formulation") {
+    val emb = io.Tables(spark, sf, "embeddings")
+    val blocked = Similarity.nearDupPairs(emb, "vec_id", "embedding", 400000L)
+      .as[(Long, Long, Long)].collect().toSet
+    val declarative = Similarity.nearDupPairsCrossJoin(emb, "vec_id", "embedding", 400000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(blocked == declarative)
+    assert(blocked.nonEmpty)
+  }
+
   test("embedding LSH near-dup pairs are an exactly-scored subset of brute force") {
     val emb = io.Tables(spark, sf, "embeddings")
     val brute = Similarity.nearDupPairs(emb, "vec_id", "embedding", 400000L)

@@ -176,6 +176,43 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q29_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, sec,
+        |    CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |         OR lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, event_id, sec,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(cnt) AS BIGINT) AS n_events,
+        |  CAST(max(cnt) AS BIGINT) AS max_session_events
+        |FROM (
+        |  SELECT user_id, session_id, count(*) AS cnt
+        |  FROM sessions GROUP BY user_id, session_id) per_session
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q27_except" ->
+      """SELECT o_custkey FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F') d
+        |ORDER BY o_custkey""".stripMargin,
+    "q28_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(round(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS qty_F,
+        |  CAST(round(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS qty_O
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q26_topk_per_key" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -428,6 +465,47 @@ object RelationalQueries {
         .agg(
           percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
           percentile(col("l_quantity"), lit(0.9)).as("p90_qty"))
+        .orderBy("l_returnflag")
+    },
+    "q29_sessionize" -> { (s, dir) =>
+      // batch sessionization: gap-flag + running sum assigns session ids,
+      // two aggregations summarize — the batch twin of
+      // streaming.StreamOps.sessionize
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+        .withColumn("prev", lag(col("sec"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("cnt")).as("n_events"),
+          max(col("cnt")).as("max_session_events"))
+        .orderBy("user_id")
+    },
+    "q27_except" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.where(col("o_totalprice") > 450000).select("o_custkey").distinct()
+        .except(o.where(col("o_orderstatus") === "F").select("o_custkey").distinct())
+        .orderBy("o_custkey")
+    },
+    "q28_pivot" -> { (s, dir) =>
+      // pivot with explicit values (deterministic columns); exact decimal
+      // per-cell sums like every other aggregate
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(dec(col("l_quantity"))), 2).cast("double"))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+        .select(col("l_returnflag"),
+          coalesce(col("qty_F"), lit(0.0)).as("qty_F"),
+          coalesce(col("qty_O"), lit(0.0)).as("qty_O"))
         .orderBy("l_returnflag")
     },
     "q26_topk_per_key" -> { (s, dir) =>

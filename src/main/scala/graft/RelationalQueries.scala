@@ -176,6 +176,15 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q30_outer_join" ->
+      """SELECT c_mktsegment,
+        |  count(o_orderkey) AS n_big_orders,
+        |  count(*) AS n_rows,
+        |  CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_unmatched
+        |FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey AND o_totalprice > 450000
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q29_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
@@ -466,6 +475,17 @@ object RelationalQueries {
           percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
           percentile(col("l_quantity"), lit(0.9)).as("p90_qty"))
         .orderBy("l_returnflag")
+    },
+    "q30_outer_join" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey") && o("o_totalprice") > 450000, "left_outer")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(col("o_orderkey")).as("n_big_orders"),
+          count(lit(1)).as("n_rows"),
+          count(when(col("o_orderkey").isNull, 1)).as("n_unmatched"))
+        .orderBy("c_mktsegment")
     },
     "q29_sessionize" -> { (s, dir) =>
       // batch sessionization: gap-flag + running sum assigns session ids,

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.QuantizedDot
+import graft.ops.AsOfJoin
+
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("QuantizedDot.q matches BigDecimal HALF_UP rounding for arbitrary floats") {
+    val gen = Gen.chooseNum(-10f, 10f)
+    (0 until 2000).foreach { i =>
+      val f = gen(Gen.Parameters.default, Seed(i.toLong)).getOrElse(0f)
+      val expected = java.math.BigDecimal.valueOf(f.toDouble * 1000d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      assert(QuantizedDot.q(f) == expected, s"f=$f")
+    }
+    // exact .5 boundaries (representable in binary)
+    Seq(0.0005f, -0.0005f, 0.0015f, 1.0625f).foreach { f =>
+      val expected = java.math.BigDecimal.valueOf(f.toDouble * 1000d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      assert(QuantizedDot.q(f) == expected, s"boundary f=$f")
+    }
+  }
+
+  test("AsOfJoin equals brute-force reference on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 200).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val right = (1 to 100).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+      .distinct // unique (key, time) as the contract requires
+      .map { case (k, t) => (k, t, s"p_${k}_$t") }
+    val lDf = left.toDF("k", "t", "lid")
+    val rDf = right.toDF("k", "rt", "payload")
+    val got = AsOfJoin.asof(lDf, rDf, "k", "t", "rt", Seq("payload"))
+      .select("lid", "asof_payload").as[(Long, Option[String])].collect().toMap
+    val expected = left.map { case (k, t, lid) =>
+      val best = right.filter(r => r._1 == k && r._2 <= t).sortBy(_._2).lastOption
+      lid -> best.map(_._3)
+    }.toMap
+    assert(got == expected)
+    assert(got.values.exists(_.isDefined))
+    assert(got.values.exists(_.isEmpty) || right.map(_._2).min == 0)
+  }
+}

@@ -176,6 +176,25 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q31_date_functions" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |       CAST(CAST(strftime(o_orderdate, '%w') AS BIGINT) + 1 AS BIGINT) AS dow,
+        |       count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY yr, mo, dow
+        |ORDER BY yr, mo, dow""".stripMargin,
+    "q32_string_functions" ->
+      """SELECT upper(substring(c_name, 1, 9)) AS prefix,
+        |       CAST(min(length(c_name)) AS BIGINT) AS min_len,
+        |       CAST(max(length(c_name)) AS BIGINT) AS max_len,
+        |       count(*) AS n
+        |FROM customer
+        |WHERE c_name LIKE 'Customer%'
+        |GROUP BY prefix
+        |ORDER BY prefix""".stripMargin,
     "q30_outer_join" ->
       """SELECT c_mktsegment,
         |  count(o_orderkey) AS n_big_orders,
@@ -475,6 +494,30 @@ object RelationalQueries {
           percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
           percentile(col("l_quantity"), lit(0.9)).as("p90_qty"))
         .orderBy("l_returnflag")
+    },
+    "q31_date_functions" -> { (s, dir) =>
+      // Spark dayofweek is 1=Sunday..7=Saturday; DuckDB strftime('%w')
+      // is 0=Sunday..6 — the +1 aligns them
+      t(s, dir, "orders")
+        .where(
+          col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+            col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("yr", "mo", "dow")
+    },
+    "q32_string_functions" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .where(col("c_name").like("Customer%"))
+        .groupBy(upper(substring(col("c_name"), 1, 9)).as("prefix"))
+        .agg(
+          min(length(col("c_name"))).cast("long").as("min_len"),
+          max(length(col("c_name"))).cast("long").as("max_len"),
+          count(lit(1)).as("n"))
+        .orderBy("prefix")
     },
     "q30_outer_join" -> { (s, dir) =>
       val c = t(s, dir, "customer")

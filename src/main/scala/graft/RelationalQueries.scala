@@ -91,7 +91,7 @@ object RelationalQueries {
         |ORDER BY hour_ts, event_type""".stripMargin,
     "q13_events_json" ->
       """SELECT user_id,
-        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) AS n
         |FROM events
         |WHERE event_type = 'purchase'
@@ -130,7 +130,7 @@ object RelationalQueries {
         |WHERE o_totalprice > 1.5 * (
         |  SELECT CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 6) AS DOUBLE) / count(*) FROM orders)""".stripMargin,
     "q20_lag_window" ->
-      """SELECT user_id, sum(gap_s) AS total_gap_s, count(*) AS n_gaps FROM (
+      """SELECT user_id, CAST(sum(gap_s) AS BIGINT) AS total_gap_s, count(*) AS n_gaps FROM (
         |  SELECT user_id,
         |         CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
         |  FROM events) g

@@ -68,45 +68,71 @@ object Similarity {
   }
 
   /** All embedding pairs with qdot ≥ threshold — embedding-cosine
-    * near-dup detection, exact O(n²) evaluated as a block-broadcast
-    * kernel: the corpus is quantized once to a compact int64 matrix,
-    * broadcast, and each partition scores its rows against all
-    * higher-id broadcast rows in a primitive loop. Identical output to
-    * the declarative crossJoin (`nearDupPairsCrossJoin`) but without
-    * per-pair row materialization — arithmetic, not copies, is the
-    * cost. At a corpus too large for one broadcast, the same kernel
-    * runs per (row-block × column-block) pair; pair with the LSH
-    * bucketing front (`lshNearDupPairs`) before going quadratic. */
-  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, minQdot: Long): DataFrame = {
+    * near-dup detection, exact O(n²) evaluated as a block-pair join:
+    * each row is quantized once to a compact int64 vector, assigned to
+    * one of `blocks` hash blocks, and replicated to the block pairs it
+    * participates in; each (block_a, block_b) task then scores its
+    * n/blocks × n/blocks tile in a primitive loop. Identical output to
+    * the declarative crossJoin (`nearDupPairsCrossJoin`) but fully
+    * distributed — nothing is ever collected or broadcast, task memory
+    * is bounded by two blocks, and parallelism is blocks·(blocks+1)/2
+    * tasks. At 100 TB, raise `blocks` so a block fits in executor
+    * memory (shuffle volume is O(n·blocks/2) quantized vectors); pair
+    * with the LSH bucketing front (`lshNearDupPairs`) before going
+    * quadratic at all. */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minQdot: Long,
+      blocks: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val quantized: Dataset[(Long, Array[Long])] = df
+    val b = blocks
+    val threshold = minQdot
+    val quantized: Dataset[(Int, Long, Array[Long])] = df
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, v.map(graft.functions.QuantizedDot.q)) }
-    val all = quantized.collect().sortBy(_._1)
-    val ids = all.map(_._1)
-    val mat = all.map(_._2)
-    val bc = spark.sparkContext.broadcast((ids, mat))
-    val threshold = minQdot
-    quantized
-      .flatMap { case (idA, va) =>
-        val (bIds, bMat) = bc.value
-        // only score against strictly-higher ids: each pair once
-        var lo = java.util.Arrays.binarySearch(bIds, idA)
-        if (lo < 0) lo = -lo - 1 else lo += 1
+      .map { case (id, v) =>
+        (math.floorMod(id, b).toInt, id, v.map(graft.functions.QuantizedDot.q))
+      }
+    // row in block i is the A side of tiles (i,j) j≥i and the B side of
+    // tiles (h,i) h≤i: every unordered pair lands in exactly one tile
+    val aSide = quantized.flatMap { case (blk, id, qv) =>
+      Iterator.range(blk, b).map(j => (blk * b + j, id, qv))
+    }
+    val bSide = quantized.flatMap { case (blk, id, qv) =>
+      Iterator.range(0, blk + 1).map(i => (i * b + blk, id, qv))
+    }
+    aSide
+      .groupByKey(_._1)
+      .cogroup(bSide.groupByKey(_._1)) { (tile, as, bs) =>
+        val diag = tile / b == tile % b
+        val aArr = as.map(t => (t._2, t._3)).toArray
+        val bArr = bs.map(t => (t._2, t._3)).toArray
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-        var j = lo
-        while (j < bIds.length) {
-          val vb = bMat(j)
-          var dot = 0L
-          var i = 0
-          val n = math.min(va.length, vb.length)
-          while (i < n) { dot += va(i) * vb(i); i += 1 }
-          if (dot >= threshold) out += ((idA, bIds(j), dot))
-          j += 1
+        var ai = 0
+        while (ai < aArr.length) {
+          val (idA, va) = aArr(ai)
+          var bi = 0
+          while (bi < bArr.length) {
+            val (idB, vb) = bArr(bi)
+            // on the diagonal both iterators hold the same rows: keep
+            // the strictly-ordered half so each pair scores once
+            if (!diag || idA < idB) {
+              var dot = 0L
+              var i = 0
+              val n = math.min(va.length, vb.length)
+              while (i < n) { dot += va(i) * vb(i); i += 1 }
+              if (dot >= threshold) {
+                out += ((math.min(idA, idB), math.max(idA, idB), dot))
+              }
+            }
+            bi += 1
+          }
+          ai += 1
         }
-        out
+        out.iterator
       }
       .toDF("id_a", "id_b", "qdot")
   }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, Similarity, TextAnalysis}
 import graft.io.Tables
 import graft.ops.TextOps
+import graft.streaming.StreamOps
 
 /** LLM-data-pipeline operator queries (SURVEY.md §2.5): dedup, similarity
   * search, text analysis. Where the op is SQL-expressible the oracle is
@@ -60,10 +61,63 @@ object ExtQueries {
          |WHERE a.vec_id < b.vec_id
          |  AND ${qdotSql("a.embedding", "b.embedding")} >= 450000
          |ORDER BY id_a, id_b""".stripMargin,
+    // full hash oracle for the LSH ANN scale path: the hyperplane family
+    // is engine-independent (md5-derived small-int weights, integer dot
+    // sign — see functions/RhpBuckets.planeWeight), so DuckDB recomputes
+    // the exact buckets, candidate set, and ranking from scratch
+    "ann_lsh_topk" ->
+      s"""WITH planes AS (
+         |  SELECT t, p, i,
+         |         (CAST(concat('0x', substring(md5(concat(t, ':', p, ':', i)), 1, 15)) AS BIGINT) % 17) - 8 AS w
+         |  FROM range(0, 8) r1(t), range(0, 6) r2(p), range(0, 64) r3(i)),
+         |qv AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |dots AS (
+         |  SELECT vec_id, t, p, sum(q[i + 1] * w) AS dot
+         |  FROM qv CROSS JOIN planes
+         |  GROUP BY vec_id, t, p),
+         |bkt AS (
+         |  SELECT vec_id, t,
+         |         CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bkt
+         |  FROM dots GROUP BY vec_id, t),
+         |cand AS (
+         |  SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id
+         |  FROM bkt pb JOIN bkt cb ON pb.t = cb.t AND pb.bkt = cb.bkt
+         |  WHERE pb.vec_id < 10 AND cb.vec_id <> pb.vec_id),
+         |scored AS (
+         |  SELECT c.probe_id, c.vec_id, ${qdotSql("p.embedding", "e.embedding")} AS qdot
+         |  FROM cand c
+         |  JOIN embeddings p ON p.vec_id = c.probe_id
+         |  JOIN embeddings e ON e.vec_id = c.vec_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, qdot,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
+         |ORDER BY probe_id, rn""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "dedup_keepfirst" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |         row_number() OVER (
+        |           PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')))
+        |           ORDER BY doc_id) AS rn
+        |  FROM documents) d
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    // the streaming twin of q12_events_hourly: same windows, same sums,
+    // continuous execution — so the oracle is the batch SQL verbatim
+    "stream_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,
+        |       count(*) AS n,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY hour_ts, event_type
+        |ORDER BY hour_ts, event_type""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len($tokSql) AS BIGINT) AS n_tokens,
@@ -195,6 +249,37 @@ object ExtQueries {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")
     },
+    "ann_lsh_topk" -> { (s, dir) =>
+      // scale path: candidates only from matching random-hyperplane
+      // buckets (multi-probe over 8 tables), exact re-score inside the
+      // bucket — corpus scan per probe replaced by a bucket equi-join
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 10, dim = 64)
+        .orderBy("probe_id", "rn")
+    },
+    "dedup_keepfirst" -> { (s, dir) =>
+      // the dedup op users actually want — one deterministic
+      // representative per duplicate group — through the custom
+      // top-k-per-key physical operator at k=1
+      Dedup.exactKeepFirst(t(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+    "stream_events_hourly" -> { (s, dir) =>
+      // q12 executed as a Structured Streaming query over the bounded
+      // events table, drained through the memory sink; complete mode
+      // emits every window including those a live run would still hold
+      // open behind the watermark
+      val windowed = StreamOps.windowedCounts(StreamOps.readEvents(s, dir))
+      StreamOps
+        .runToMemory(windowed, "stream_events_hourly_sink",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          col("event_type"), col("n"),
+          round(col("total_value"), 2).cast("double").as("total_value"))
+        .orderBy("hour_ts", "event_type")
+    },
     "text_tfidf_top3" -> { (s, dir) =>
       // two chained wordcount-shaped jobs (the reference's job-chaining
       // pattern, design.md:74): per-doc tf then corpus df, joined
@@ -215,18 +300,8 @@ object ExtQueries {
     }
   )
 
-  /** Ops with no SQL-expressible oracle (driver records rows-only): the
-    * SimHash index and the LSH-bucketed ANN scale path — their
-    * verification (hamming correctness, recall vs brute force) lives in
-    * ScalaTest instead. */
-  val plansNoOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_lsh_topk" -> { (s, dir) =>
-      // scale path: candidates only from matching random-hyperplane
-      // buckets (multi-probe over 4 tables), exact re-score inside the
-      // bucket — corpus scan per probe replaced by a bucket equi-join
-      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          probeFilter = col("vec_id") < 10, k = 10, dim = 64)
-        .orderBy("probe_id", "rn")
-    }
-  )
+  /** Ops with no SQL-expressible oracle (driver records rows-only).
+    * Empty since the RHP-LSH family became engine-independent
+    * (md5-derived planes) and `ann_lsh_topk` gained a full hash oracle. */
+  val plansNoOracle: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 }

@@ -31,7 +31,9 @@ object StreamOps {
   /** Tumbling-window count/sum per event type with a watermark: the
     * streaming equivalent of the batch hourly aggregation (q12). Late
     * data beyond the watermark is dropped, state is bounded — the only
-    * state kept is one row per (window, event_type). */
+    * state kept is one row per (window, event_type). The value sum is
+    * exact decimal so the continuous result is bit-identical to the
+    * batch twin regardless of arrival or partition order. */
   def windowedCounts(
       events: DataFrame,
       windowLen: String = "1 hour",
@@ -39,7 +41,9 @@ object StreamOps {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("total_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))

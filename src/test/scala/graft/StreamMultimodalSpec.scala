@@ -17,9 +17,12 @@ class StreamMultimodalSpec extends SparkSpec {
     // window must match the batch result exactly
     val batch = io.Tables(spark, sf, "events")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
-      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
-    val s = streamed.as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"),
+        col("total_value").cast("double"))
+    val s = streamed.withColumn("total_value", col("total_value").cast("double"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
     val b = batch.as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
     assert(s.nonEmpty)
     assert(s.subsetOf(b))

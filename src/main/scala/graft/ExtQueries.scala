@@ -236,17 +236,23 @@ object ExtQueries {
         .orderBy("doc_id")
     },
     "text_quality" -> { (s, dir) =>
+      // tokenize ONCE in its own projection (Catalyst won't collapse a
+      // multiply-referenced non-cheap alias), derive all metrics from
+      // the array — one regex pass instead of three
       t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
         .select(
           col("doc_id"),
-          TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens"),
-          TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
-          TextAnalysis.meanTokenLen(col("text")).as("mean_tok_len"))
+          size(col("tk")).cast("long").as("n_tokens"),
+          TextAnalysis.stopwordRatioFromTokens(col("tk")).as("stop_ratio"),
+          TextAnalysis.meanTokenLenFromTokens(col("tk")).as("mean_tok_len"))
         .orderBy("doc_id")
     },
     "text_langid" -> { (s, dir) =>
+      // same tokenize-once shape: four marker scans over one array
       t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), TextAnalysis.langIdFromTokens(col("tk")).as("pred_lang"))
         .orderBy("doc_id")
     },
     "ann_lsh_topk" -> { (s, dir) =>

@@ -76,12 +76,26 @@ object Dedup {
 
   /** Candidate pairs (idA < idB) sharing at least one LSH bucket. The
     * equi-self-join on (band, bh) shuffles both sides by bucket key —
-    * the scalable path; hot buckets are bounded by band width and can be
-    * salted if a corpus has giant near-identical clusters. */
-  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val a = bandsDf.select(col("band"), col("bh"), col(idCol).as("id_a"))
-    val b = bandsDf.select(col("band"), col("bh"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bh"))
+    * the scalable path. `salts > 1` guards against hot buckets (giant
+    * near-identical clusters): the A side is replicated to every salt,
+    * the B side hashes to one, so a bucket of m rows spreads its m²/2
+    * pairs over `salts` join keys instead of one straggler task, at the
+    * cost of shuffling the (ids-only) A side `salts` times. Each
+    * unordered pair still appears exactly once: of its two (A,B)
+    * orientations only one survives id_a < id_b. */
+  def candidatePairs(bandsDf: DataFrame, idCol: String, salts: Int = 1): DataFrame = {
+    val a0 = bandsDf.select(col("band"), col("bh"), col(idCol).as("id_a"))
+    val b0 = bandsDf.select(col("band"), col("bh"), col(idCol).as("id_b"))
+    val joined =
+      if (salts <= 1) a0.join(b0, Seq("band", "bh"))
+      else {
+        val a = a0.withColumn("salt",
+          explode(sequence(lit(0), lit(salts - 1))))
+        val b = b0.withColumn("salt",
+          pmod(xxhash64(col("id_b")), lit(salts.toLong)).cast("int"))
+        a.join(b, Seq("band", "bh", "salt"))
+      }
+    joined
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
@@ -109,13 +123,14 @@ object Dedup {
       shingleN: Int = 3,
       numPerms: Int = 128,
       bands: Int = 64,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      salts: Int = 4): DataFrame = {
     val sh = df
       .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
       .where(size(col("ws")) > 0)
       .cache()
     val sigs = sh.select(col(idCol), minHashSignature(col("ws"), numPerms).as("sig"))
-    val cands = candidatePairs(lshBands(sigs, idCol, "sig", bands, numPerms / bands), idCol)
+    val cands = candidatePairs(lshBands(sigs, idCol, "sig", bands, numPerms / bands), idCol, salts)
     val wsA = sh.select(col(idCol).as("id_a"), col("ws").as("ws_a"))
     val wsB = sh.select(col(idCol).as("id_b"), col("ws").as("ws_b"))
     cands
@@ -152,33 +167,65 @@ object Dedup {
     * every chunk, so at least one chunk is equal — the index is COMPLETE
     * for the given threshold), verified with exact hamming distance.
     * Token-less documents are dropped (no signal, and an all-zero
-    * simhash would pair every empty doc with every other). */
+    * simhash would pair every empty doc with every other).
+    *
+    * The chunk index runs over DISTINCT simhash values, not documents:
+    * boilerplate-heavy corpora collapse exact-duplicate simhashes into
+    * one representative before the join, so a million identical docs
+    * contribute one row per chunk instead of a million (the classic
+    * chunk-bucket explosion). Document pairs are re-expanded afterwards
+    * — within-value via a self-join on the full 60-bit value, across
+    * values via the verified value pairs. Output size is inherently
+    * all-pairs; the collapse removes the quadratic JOIN work, not the
+    * quadratic answer a duplicate-saturated corpus genuinely has. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     val nChunks = maxHamming + 1
     require(nChunks <= 60, s"maxHamming $maxHamming leaves chunks with no bits")
     val toks = TextOps.tokens(col(textCol))
+    // consumed three times (value index + both member expansions):
+    // cache the (id, simhash) relation — a checkpoint at cluster scale
     val hashed = df
       .select(col(idCol), wordHashes(toks).as("wh"))
       .where(size(col("wh")) > 0)
       .select(col(idCol), graft.functions.SimHash60.simhash60(col("wh")).as("sh"))
+      .cache()
+    val values = hashed.select("sh").distinct()
     // chunk c covers bits [c*60/nChunks, (c+1)*60/nChunks)
     val bounds = (0 to nChunks).map(c => c * 60 / nChunks)
-    val chunks = hashed.select(
-      col(idCol), col("sh"),
+    val chunks = values.select(
+      col("sh"),
       explode(array((0 until nChunks).map { c =>
         val lo = bounds(c)
         val width = bounds(c + 1) - lo
         val mask = if (width >= 63) -1L else (1L << width) - 1
         struct(lit(c).as("chunk"), shiftright(col("sh"), lo).bitwiseAND(lit(mask)).as("ch"))
       }: _*)).as("cc"))
-      .select(col(idCol), col("sh"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
-    val a = chunks.select(col("chunk"), col("ch"), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = chunks.select(col("chunk"), col("ch"), col(idCol).as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("chunk", "ch"))
+      .select(col("sh"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
+    val va = chunks.select(col("chunk"), col("ch"), col("sh").as("sh_a"))
+    val vb = chunks.select(col("chunk"), col("ch"), col("sh").as("sh_b"))
+    val valuePairs = va.join(vb, Seq("chunk", "ch"))
+      .where(col("sh_a") < col("sh_b"))
+      .select("sh_a", "sh_b")
+      .distinct()
+      .where(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
+    val ma = hashed.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val mb = hashed.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    // within-value pairs (hamming 0) + across-value pairs via the
+    // verified value pairs; least/greatest because value order is
+    // uncorrelated with id order
+    val within = ma
+      .join(hashed.select(col(idCol).as("id_b"), col("sh").as("sh_a")), "sh_a")
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_a").as("sh_b"))
+    val across = valuePairs
+      .join(ma, "sh_a")
+      .join(mb, "sh_b")
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("sh_a"), col("sh_b"))
+    within.union(across)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
   }
 }

@@ -29,19 +29,27 @@ object TextAnalysis {
   private val stopwords =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "for", "on", "with")
 
-  /** Fraction of tokens that are stopwords. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = TextOps.tokens(text)
+  /** Fraction of tokens that are stopwords, over a precomputed token
+    * array. Tokenization is the expensive step (a regex pass over the
+    * raw text) and Catalyst does not share it across consumers —
+    * pipelines deriving several metrics should project
+    * `TextOps.tokens(text)` ONCE and feed the `*FromTokens` variants. */
+  def stopwordRatioFromTokens(toks: Column): Column =
     when(size(toks) === 0, lit(0.0)).otherwise(
       size(filter(toks, t => t.isInCollection(stopwords))).cast("double") / size(toks))
-  }
 
-  /** Mean token length (character count over token count). */
-  def meanTokenLen(text: Column): Column = {
-    val toks = TextOps.tokens(text)
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column =
+    stopwordRatioFromTokens(TextOps.tokens(text))
+
+  /** Mean token length over a precomputed token array. */
+  def meanTokenLenFromTokens(toks: Column): Column =
     when(size(toks) === 0, lit(0.0)).otherwise(
       aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks))
-  }
+
+  /** Mean token length (character count over token count). */
+  def meanTokenLen(text: Column): Column =
+    meanTokenLenFromTokens(TextOps.tokens(text))
 
   /** Punctuation density over raw characters. */
   def punctRatio(text: Column): Column =
@@ -63,19 +71,30 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "que", "y", "es"),
     "fr" -> Seq("le", "la", "les", "et", "est", "que"))
 
-  /** Marker-count score for one language. */
-  def langScore(text: Column, lang: String): Column = {
+  /** Marker-count score for one language over a precomputed token
+    * array. */
+  def langScoreFromTokens(toks: Column, lang: String): Column = {
     val markers = langMarkers.toMap.apply(lang)
-    size(filter(TextOps.tokens(text), t => t.isInCollection(markers)))
+    size(filter(toks, t => t.isInCollection(markers)))
   }
 
-  /** n-gram-heuristic language ID: argmax marker count, alphabetical
-    * tie-break, "und" (undetermined) when nothing matches. */
-  def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (l, _) => l -> langScore(text, l) }
+  /** Marker-count score for one language. */
+  def langScore(text: Column, lang: String): Column =
+    langScoreFromTokens(TextOps.tokens(text), lang)
+
+  /** n-gram-heuristic language ID over a precomputed token array:
+    * argmax marker count, alphabetical tie-break, "und" (undetermined)
+    * when nothing matches. Four cheap array scans instead of four
+    * regex tokenizations when `toks` is a projected column. */
+  def langIdFromTokens(toks: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => l -> langScoreFromTokens(toks, l) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
       when(s === best && s > 0, lit(l)).otherwise(acc)
     }
   }
+
+  /** n-gram-heuristic language ID of raw text (single-metric use; see
+    * `langIdFromTokens` for multi-metric pipelines). */
+  def langId(text: Column): Column = langIdFromTokens(TextOps.tokens(text))
 }

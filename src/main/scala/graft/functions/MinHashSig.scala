@@ -30,6 +30,10 @@ case class MinHashSig(child: Expression, numPerms: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // empty input has no signature: return null rather than an
+    // all-MaxValue row that would flood one LSH bucket with every
+    // empty document
+    if (n == 0) return null
     val out = new Array[Long](numPerms)
     var i = 0
     while (i < numPerms) {
@@ -59,17 +63,21 @@ case class MinHashSig(child: Expression, numPerms: Int)
       val h = ctx.freshName("h")
       s"""
          |final int $n = $a.numElements();
-         |final long[] $out = new long[$numPerms];
-         |for (int $i = 0; $i < $numPerms; $i++) {
-         |  final long $seed = ${MinHashSig.GOLDEN}L * ($i + 1);
-         |  long $best = Long.MAX_VALUE;
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    final long $h = $cls.mix($a.getLong($j) + $seed);
-         |    if ($h < $best) $best = $h;
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final long[] $out = new long[$numPerms];
+         |  for (int $i = 0; $i < $numPerms; $i++) {
+         |    final long $seed = ${MinHashSig.GOLDEN}L * ($i + 1);
+         |    long $best = Long.MAX_VALUE;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      final long $h = $cls.mix($a.getLong($j) + $seed);
+         |      if ($h < $best) $best = $h;
+         |    }
+         |    $out[$i] = $best;
          |  }
-         |  $out[$i] = $best;
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 

@@ -44,11 +44,18 @@ object KvText {
   }
 
   /** Read `key:value` lines back into (key, value) — split on the LAST
-    * colon via greedy regex (rsplit parity, `w7/src/python/reduce.py:9`). */
+    * colon via greedy regex (rsplit parity, `w7/src/python/reduce.py:9`).
+    * A non-empty line without any colon is corrupt input and fails the
+    * job (the reference reducer's rsplit unpacking would raise too)
+    * instead of silently becoming an empty key/value row. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read
       .text(path)
       .where(length(col("value")) > 0)
+      .select(
+        when(col("value").rlike("^.*:[^:]*$"), col("value"))
+          .otherwise(raise_error(concat(lit("malformed key:value line: "), col("value"))))
+          .as("value"))
       .select(
         regexp_extract(col("value"), "^(.*):([^:]*)$", 1).as("key"),
         regexp_extract(col("value"), "^(.*):([^:]*)$", 2).as("value"))

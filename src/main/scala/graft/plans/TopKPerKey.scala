@@ -20,11 +20,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * style two-phase shape that survives hot keys at 100 TB. The planner
   * inserts the exchange itself from `requiredChildDistribution`.
   *
-  * Memory model: like in-memory HashAggregate, the working set is
-  * O(distinct keys in the partition × k rows) with no spill path yet —
-  * a near-unique key column at huge scale should use the window
-  * formulation (external sort) until a spillable map lands here. The
-  * intended domain is hot-key-skewed, moderate-cardinality grouping.
+  * Memory model (the aggregate split, made spill-safe):
+  *  - the PARTIAL phase keeps a hash map of per-key heaps and FLUSHES
+  *    the whole batch downstream whenever the map reaches
+  *    `graft.topk.maxKeysInMemory` keys — emitting more than one ≤k
+  *    batch per key is fine because the final phase re-merges, so
+  *    partial memory is strictly bounded even on near-unique keys;
+  *  - the FINAL phase requires its (already k-bounded, post-shuffle)
+  *    input sorted by key and streams one heap at a time — O(k) memory;
+  *    the planner satisfies the requirement with SortExec, whose
+  *    external sorter is the actual spill path.
   */
 case class TopKPerKeyPlan(
     keys: Seq[Expression],
@@ -58,29 +63,81 @@ case class TopKPerKeyExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(keys.map(key => SortOrder(key, Ascending)))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val orderExprs = order
     val keyExprs = keys
     val limit = k
+    val isPartial = partial
+    val maxKeys = conf.getConfString("graft.topk.maxKeysInMemory", "262144").toInt
     child.execute().mapPartitions { iter =>
       // heap keeps the k first rows in `order`; comparator reversed so
       // poll() drops the worst
       val ordering = RowOrdering.create(orderExprs, childOutput)
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val groups = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      iter.foreach { row =>
-        val key = keyProj(row).copy()
-        var heap = groups.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit + 1, ordering.reversed())
-          groups.put(key, heap)
-        }
-        heap.add(row.copy())
-        if (heap.size() > limit) heap.poll()
-      }
       import scala.jdk.CollectionConverters._
-      groups.values().iterator().asScala.flatMap(_.iterator().asScala)
+
+      if (isPartial) {
+        // hash map of heaps, flushed as a batch whenever it reaches
+        // maxKeys: a key split across batches emits ≤ k rows per batch
+        // and the final phase re-merges — bounded memory, same answer
+        def batch(): Iterator[InternalRow] = {
+          val groups = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+          while (iter.hasNext && groups.size() < maxKeys) {
+            val row = iter.next()
+            val key = keyProj(row).copy()
+            var heap = groups.get(key)
+            if (heap == null) {
+              heap = new java.util.PriorityQueue[InternalRow](limit + 1, ordering.reversed())
+              groups.put(key, heap)
+            }
+            heap.add(row.copy())
+            if (heap.size() > limit) heap.poll()
+          }
+          groups.values().iterator().asScala.flatMap(_.iterator().asScala)
+        }
+        Iterator.continually(()).takeWhile(_ => iter.hasNext).flatMap(_ => batch())
+      } else {
+        // input is key-sorted (requiredChildOrdering): stream one
+        // group's heap at a time — O(k) memory, spill delegated to the
+        // planner-inserted external sort
+        new Iterator[InternalRow] {
+          private var pending: InternalRow = if (iter.hasNext) iter.next().copy() else null
+          private var drain: Iterator[InternalRow] = Iterator.empty
+
+          private def buildGroup(): Unit = {
+            val curKey = keyProj(pending).copy()
+            val heap = new java.util.PriorityQueue[InternalRow](limit + 1, ordering.reversed())
+            heap.add(pending)
+            pending = null
+            var done = false
+            while (!done && iter.hasNext) {
+              val row = iter.next()
+              if (keyProj(row) == curKey) {
+                heap.add(row.copy())
+                if (heap.size() > limit) heap.poll()
+              } else {
+                pending = row.copy()
+                done = true
+              }
+            }
+            drain = heap.iterator().asScala
+          }
+
+          override def hasNext: Boolean = {
+            while (!drain.hasNext && pending != null) buildGroup()
+            drain.hasNext
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            drain.next()
+          }
+        }
+      }
     }
   }
 
@@ -108,9 +165,13 @@ object TopKPerKey {
       k: Int): DataFrame = {
     install(df.sparkSession)
     val child = GraftBridge.plan(df)
-    def attr(name: String): Expression =
-      child.output.find(_.name == name).getOrElse(
-        sys.error(s"column $name not in ${child.output.map(_.name)}"))
+    def attr(name: String): Expression = {
+      val matches = child.output.filter(_.name == name)
+      if (matches.isEmpty) sys.error(s"column $name not in ${child.output.map(_.name)}")
+      if (matches.length > 1) sys.error(
+        s"column $name is ambiguous (${matches.length} attributes match) — alias the inputs first")
+      matches.head
+    }
     val keyExprs: Seq[Expression] = keyCols.map(attr)
     val sortOrders: Seq[SortOrder] = sortCols.map { case (name, asc) =>
       SortOrder(attr(name), if (asc) Ascending else Descending)

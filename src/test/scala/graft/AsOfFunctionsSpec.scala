@@ -22,6 +22,27 @@ class AsOfFunctionsSpec extends SparkSpec {
       "p3" -> None))            // no right rows for k=2
   }
 
+  test("asof join carries a legitimately-null payload value from the matched row") {
+    val left = Seq((1L, 10L, "p1")).toDF("k", "t", "name")
+    // the matched right row (t=8) has a NULL payload value and a non-null
+    // second field: both must come from t=8, not fall back to t=5
+    val right = Seq((1L, 5L, Some("old"), Some(50L)), (1L, 8L, None, Some(80L)))
+      .toDF("k", "rt", "payload", "aux")
+    val got = AsOfJoin.asof(left, right, "k", "t", "rt", Seq("payload", "aux"))
+      .select("name", "asof_payload", "asof_aux")
+      .as[(String, Option[String], Option[Long])].collect().toSeq
+    assert(got == Seq(("p1", None, Some(80L))))
+  }
+
+  test("asof join rejects reserved column names") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "__tag")
+    val right = Seq((1L, 5L, "y")).toDF("k", "rt", "p")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(left, right, "k", "t", "rt", Seq("p"))
+    }
+    assert(e.getMessage.contains("__tag"))
+  }
+
   test("SQL functions registered and match Column API") {
     GraftFunctions.register(spark)
     val r = spark.sql(

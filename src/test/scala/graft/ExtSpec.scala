@@ -42,6 +42,40 @@ class ExtSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("minhash signature of an empty hash array is null, not all-MaxValue") {
+    val df = Seq(Seq.empty[Long], Seq(1L, 2L)).toDF("h")
+    val rows = df.select(Dedup.minHashSignature(col("h"), 8)).collect()
+    assert(rows(0).isNullAt(0))
+    assert(!rows(1).isNullAt(0))
+  }
+
+  test("salted candidate generation equals unsalted on a skewed corpus") {
+    // 300 near-identical docs (a pathological hot LSH bucket) plus a
+    // handful of distinct ones: salting must change the task layout,
+    // never the answer
+    val skewed = ((1 to 300).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog every single day")) ++
+      Seq((900L, "completely different text about mathematics and topology here today"),
+          (901L, "completely different text about mathematics and topology here tomorrow")))
+      .toDF("doc_id", "text")
+    val unsalted = Dedup.nearDupPairs(skewed, "doc_id", "text", salts = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val salted = Dedup.nearDupPairs(skewed, "doc_id", "text", salts = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(salted == unsalted)
+    // every identical-doc pair must be present: 300 choose 2
+    assert(salted.count { case (a, b) => a <= 300 && b <= 300 } == 300 * 299 / 2)
+  }
+
+  test("simhash pairs: identical-doc corpus collapses to one index row per value") {
+    val dup = (1 to 200).map(i => (i.toLong, "boilerplate header shared across every page of the site"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(dup, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.length == 200 * 199 / 2)
+    assert(pairs.forall(_._3 == 0))
+    assert(pairs.forall { case (a, b, _) => a < b })
+  }
+
   test("native SimHash60 equals the HOF bit-vote formulation on real docs") {
     val docs = io.Tables(spark, sf, "documents")
     val hashes = docs.select(

@@ -16,6 +16,16 @@ class KvTextSpec extends SparkSpec {
     assert(files.toSeq == (0 until r).map(j => s"out_$j").sorted)
   }
 
+  test("a colonless line fails the read instead of becoming empty key/value") {
+    val dir = Files.createTempDirectory("kvcorrupt")
+    Files.writeString(dir.resolve("out_0"), "good:1\nthis line has no separator\n")
+    val e = intercept[Exception] {
+      KvText.read(spark, dir.toString).collect()
+    }
+    assert(e.getMessage.contains("malformed") ||
+      Option(e.getCause).exists(_.getMessage.contains("malformed")))
+  }
+
   test("round trip preserves keys containing ':' (rsplit parity, reduce.py:9)") {
     val dir = Files.createTempDirectory("kvtext").toString
     val df = Seq(("a:b:c", 7L), ("plain", 1L)).toDF("key", "value")

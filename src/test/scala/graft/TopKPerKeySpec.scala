@@ -36,4 +36,36 @@ class TopKPerKeySpec extends SparkSpec {
       .as[(Int, Int)].collect().toSet
     assert(got == Set((1, 10), (1, 20), (2, 5)))
   }
+
+  test("near-unique keys with a tiny in-memory cap still produce exact top-k") {
+    // 20k distinct-ish keys with the partial-phase map capped at 64 keys:
+    // forces many flush batches; the final phase must still merge exactly
+    val prev = spark.conf.getOption("graft.topk.maxKeysInMemory")
+    spark.conf.set("graft.topk.maxKeysInMemory", "64")
+    try {
+      val df = spark.range(0, 20000)
+        .select((col("id") % 9973).as("k"), (col("id") * 37 % 10007).as("v"), col("id"))
+      val custom = TopKPerKey(df, Seq("k"), Seq(("v", false), ("id", true)), 2)
+        .select("k", "id").as[(Long, Long)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(desc("v"), asc("id"))
+      val window = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+        .select("k", "id").as[(Long, Long)].collect().toSet
+      assert(custom == window)
+      assert(custom.size > 9973) // most keys have 2+ rows
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("graft.topk.maxKeysInMemory", v)
+        case None => spark.conf.unset("graft.topk.maxKeysInMemory")
+      }
+    }
+  }
+
+  test("duplicate column names are rejected, not silently bound") {
+    val df = Seq((1, 2)).toDF("k", "v").select(col("k"), col("v"), col("v"))
+    val e = intercept[RuntimeException] {
+      TopKPerKey(df, Seq("k"), Seq(("v", true)), 1)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.io.Tables
 import graft.ops.TextOps
 import graft.streaming.StreamOps
@@ -109,6 +109,29 @@ object ExtQueries {
         |  FROM documents) d
         |WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    // the multimodal pipeline end-to-end: synthetic media built from the
+    // documents table, batched codec feature extraction (mapPartitions),
+    // features re-expanded to exact per-bin byte counts. The stub codec's
+    // 16-bin byte histogram is recomputable in SQL because the corpus is
+    // ASCII (byte == code point); a real codec would get rows+schema only
+    "multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |         text
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT media_id,
+        |         unnest(list_transform(range(1, length(text) + 1),
+        |                               i -> ascii(substring(text, CAST(i AS INT), 1)) // 16)) AS bin
+        |  FROM m),
+        |counts AS (
+        |  SELECT media_id, bin, count(*) AS cnt FROM bytes GROUP BY media_id, bin),
+        |grid AS (
+        |  SELECT media_id, kind, CAST(r.b AS INT) AS bin FROM m, range(0, 16) r(b))
+        |SELECT g.media_id, g.kind, g.bin, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM grid g LEFT JOIN counts c ON c.media_id = g.media_id AND c.bin = g.bin
+        |ORDER BY g.media_id, g.bin""".stripMargin,
     // the streaming twin of q12_events_hourly: same windows, same sums,
     // continuous execution — so the oracle is the batch SQL verbatim
     "stream_events_hourly" ->
@@ -270,6 +293,20 @@ object ExtQueries {
       Dedup.exactKeepFirst(t(s, dir, "documents"), "text", "doc_id")
         .select("doc_id")
         .orderBy("doc_id")
+    },
+    "multimodal_features" -> { (s, dir) =>
+      // binary payload → codec batch (one instance per partition, no
+      // shuffle) → per-bin exact counts recovered from the normalized
+      // histogram (count = round(f × n_bytes), exact for n < 5e6)
+      val media = Multimodal.syntheticMedia(s, dir)
+      val feats = Multimodal.extractFeatures(media, Multimodal.FakeCodec)
+      val lens = media.select(col("media_id"), length(col("payload")).as("n_bytes"))
+      feats
+        .join(lens, "media_id")
+        .select(col("media_id"), col("kind"), col("n_bytes"), posexplode(col("features")))
+        .select(col("media_id"), col("kind"), col("pos").as("bin"),
+          round(col("col") * greatest(col("n_bytes"), lit(1))).cast("long").as("cnt"))
+        .orderBy("media_id", "bin")
     },
     "stream_events_hourly" -> { (s, dir) =>
       // q12 executed as a Structured Streaming query over the bounded

@@ -6,15 +6,23 @@ import graft.io.{KvText, Tables}
 import graft.ops.TextOps
 
 /** CLI job submission — the engine's analogue of the reference client
-  * (`w7/client.sh`: `-c container -m M -r R`, word count baked in).
+  * (`w7/client.sh`: `-c container -m M -r R`, word count baked in; the
+  * design-doc ideal of POSTing arbitrary map/reduce UDFs,
+  * `w6/docs/design.md:66-74`, maps to `--query sql`: SQL text IS this
+  * engine's arbitrary-job surface, with the custom native functions —
+  * qdot, minhash_sig, shingle_hashes — registered and every table of
+  * the input directory exposed as a view).
   *
   * Usage:
-  *   graft.Main --input <dir|file> [--format text|parquet] [--query wordcount]
+  *   graft.Main --input <dir|file> [--format text|parquet]
+  *              [--query wordcount|sql|<named>] [--sql "SELECT ..."]
   *              [--m M] [--r R] --output <dir> [--table documents --col text]
+  *              [--key <col> --value <col>]
   *
   * `--m` sets the map-shard count for the input size (the reference's M,
   * via maxPartitionBytes); `--r` the number of reducers = output files.
-  * Output is the reference's `key:value` `out_<j>` contract (KvText).
+  * With `--key`/`--value` the result is written in the reference's
+  * `key:value` `out_<j>` contract (KvText); otherwise parquet.
   */
 object Main {
 
@@ -53,12 +61,25 @@ object Main {
     }
     val textCol = col(opts.getOrElse("col", if (format == "text") "value" else "text"))
 
+    def sink(result: org.apache.spark.sql.DataFrame): Unit =
+      opts.get("key") match {
+        case Some(k) =>
+          val v = opts.getOrElse("value", sys.error("--value required with --key"))
+          KvText.write(result, k, v, output, r)
+        case None =>
+          result.repartition(r).write.mode("overwrite").parquet(output)
+      }
+
     query match {
       case "wordcount" =>
         KvText.write(TextOps.wordCount(df, textCol), "word", "cnt", output, r)
+      case "sql" =>
+        val sqlText = opts.getOrElse("sql", sys.error("--sql required with --query sql"))
+        Tables.registerAll(spark, input)
+        graft.functions.GraftFunctions.register(spark)
+        sink(spark.sql(sqlText))
       case name if SparkEntry.queries.contains(name) =>
-        SparkEntry.queries(name)(spark, input)
-          .coalesce(1).write.mode("overwrite").parquet(output)
+        sink(SparkEntry.queries(name)(spark, input))
       case other => sys.error(s"unknown --query $other")
     }
     println(s"graft: wrote $output")

@@ -20,4 +20,18 @@ class MainSpec extends SparkSpec {
     assert(counts("the") == 3L)
     assert(counts("fox") == 1L)
   }
+
+  test("CLI sql job runs arbitrary SQL with custom functions over the tables") {
+    val out = Files.createTempDirectory("cli_sql_out").toString
+    Main.main(Array(
+      "--input", sf, "--output", out, "--r", "2",
+      "--query", "sql",
+      "--sql", "SELECT n_name AS key, qdot(array(CAST(0.5 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS value FROM nation ORDER BY n_name",
+      "--key", "key", "--value", "value"))
+    val back = io.KvText.read(spark, out)
+    import spark.implicits._
+    val rows = back.select($"key", $"value".cast("long")).as[(String, Long)].collect().toMap
+    assert(rows.size == 25)
+    assert(rows.values.forall(_ == 1000000L)) // 500 * 2000
+  }
 }

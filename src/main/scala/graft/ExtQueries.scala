@@ -61,6 +61,40 @@ object ExtQueries {
          |WHERE a.vec_id < b.vec_id
          |  AND ${qdotSql("a.embedding", "b.embedding")} >= 450000
          |ORDER BY id_a, id_b""".stripMargin,
+    // IVF-flat ANN: sampled-centroid coarse quantizer, inverted-list
+    // probe, exact re-score — all int64 arithmetic with id tie-breaks,
+    // so DuckDB rebuilds the identical index from scratch
+    "ann_ivf_topk" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 97 = 0),
+         |assign AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT e.vec_id, c.cent_id AS list_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${qdotSql("e.embedding", "c.cv")} DESC, c.cent_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) a
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+         |pl AS (
+         |  SELECT probe_id, list_id FROM (
+         |    SELECT p.probe_id, c.cent_id AS list_id,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY ${qdotSql("p.pe", "c.cv")} DESC, c.cent_id) AS pr
+         |    FROM probes p CROSS JOIN cents c) b
+         |  WHERE pr <= 4),
+         |scored AS (
+         |  SELECT pl.probe_id, a.vec_id, ${qdotSql("p.pe", "e.embedding")} AS qdot
+         |  FROM pl
+         |  JOIN assign a ON a.list_id = pl.list_id
+         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |  JOIN probes p ON p.probe_id = pl.probe_id
+         |  WHERE a.vec_id <> pl.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, qdot,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
+         |ORDER BY probe_id, rn""".stripMargin,
     // full hash oracle for the LSH ANN scale path: the hyperplane family
     // is engine-independent (md5-derived small-int weights, integer dot
     // sign — see functions/RhpBuckets.planeWeight), so DuckDB recomputes
@@ -98,6 +132,17 @@ object ExtQueries {
          |ORDER BY probe_id, rn""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // rolling fingerprint: same recurrence rebuilt in DuckDB via
+    // list_reduce over code points (== bytes on this ASCII corpus)
+    "text_rollhash" ->
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, length(text) + 1),
+        |                          i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |         (acc, x) -> (acc * 131 + x) % 2147483647) AS rh
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "dedup_keepfirst" ->
@@ -250,6 +295,11 @@ object ExtQueries {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     },
+    "text_rollhash" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("rh"))
+        .orderBy("doc_id")
+    },
     "text_tokens" -> { (s, dir) =>
       t(s, dir, "documents")
         .select(
@@ -284,6 +334,13 @@ object ExtQueries {
       // bucket — corpus scan per probe replaced by a bucket equi-join
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10, dim = 64)
+        .orderBy("probe_id", "rn")
+    },
+    "ann_ivf_topk" -> { (s, dir) =>
+      // coarse quantize → inverted lists → probe nprobe lists → exact
+      // re-score: the other canonical ANN scale path next to LSH
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 10)
         .orderBy("probe_id", "rn")
     },
     "dedup_keepfirst" -> { (s, dir) =>

@@ -198,6 +198,57 @@ object Similarity {
       .where(col("qdot") >= minQdot)
   }
 
+  /** IVF-flat approximate top-k: a coarse quantizer (centroids = the
+    * deterministic corpus sample `id % centMod == 0`) partitions the
+    * corpus into inverted lists by argmax quantized dot; each probe
+    * scans its `nprobe` nearest lists and re-scores exactly. All
+    * arithmetic is int64 and every argmax/tie is id-broken, so the
+    * result is bit-reproducible in any engine (full hash oracle).
+    *
+    * Scale shape: centroids are tiny and broadcast; list assignment is
+    * a map-side broadcast join + partial-aggregated argmax (≤ 1 row per
+    * vector reaches the shuffle); the probe-side scan shuffles corpus
+    * vectors by list id — the inverted-list layout a 100 TB deployment
+    * would have pre-materialized and bucketed on disk. A production
+    * quantizer would k-means-train the centroids; the sampled quantizer
+    * keeps the identical plan shape with reproducible placement. */
+  def ivfTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      centMod: Int = 97,
+      nprobe: Int = 4): DataFrame = {
+    val cents = corpus.where(pmod(col(idCol), lit(centMod)) === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+    // assignment: argmax centroid dot with smallest-cent_id tie-break,
+    // as a partial-aggregable max_by (struct compare is lexicographic)
+    val scored = corpus.crossJoin(broadcast(cents))
+      .select(col(idCol), col("cent_id"),
+        quantizedDot(col(vecCol), col("cv")).as("cd"))
+    val lists = scored.groupBy(col(idCol))
+      .agg(max_by(col("cent_id"),
+        struct(col("cd"), (lit(0L) - col("cent_id")).as("nc"))).as("list_id"))
+    val probes = corpus.where(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
+    val wp = Window.partitionBy("probe_id").orderBy(desc("cd"), asc("cent_id"))
+    val probeLists = probes.crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("cent_id"),
+        quantizedDot(col("pe"), col("cv")).as("cd"))
+      .withColumn("pr", row_number().over(wp))
+      .where(col("pr") <= nprobe)
+      .select(col("probe_id"), col("cent_id").as("list_id"))
+    val corpusLists = corpus.select(col(idCol), col(vecCol)).join(lists, Seq(idCol))
+    val rescored = probeLists.join(corpusLists, "list_id")
+      .where(col(idCol) =!= col("probe_id"))
+      .join(broadcast(probes), "probe_id")
+      .select(col("probe_id"), col(idCol),
+        quantizedDot(col("pe"), col(vecCol)).as("qdot"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("qdot"), asc(idCol))
+    rescored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates come only from buckets
     * the probe shares in one of `tables` independent hyperplane tables,
     * then are re-scored exactly. Replaces the per-probe corpus scan with

@@ -17,6 +17,14 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(TextOps.normalize(text), "\\s+", " ")).cast("binary"))
 
+  /** Rolling (Rabin–Karp) fingerprint of the raw text bytes — the
+    * incremental alternative to the md5 fingerprint: appending bytes
+    * extends the hash without rehashing, which streaming ingest needs.
+    * Native codegen'd loop; engine-reproducible (overflow-free int64
+    * recurrence mod 2³¹−1). */
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.RollingHash.rollingHash(text)
+
   /** Whitespace token count (reference map.py token semantics). */
   def nTokens(text: Column): Column = TextOps.tokenCount(text)
 

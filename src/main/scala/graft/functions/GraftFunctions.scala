@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   qdot(a, b)            — quantized int64 dot product (QuantizedDot)
   *   minhash_sig(h, k)     — MinHash signature of a hash array (MinHashSig)
   *   shingle_hashes(t, n)  — word n-gram hash set of a token array
+  *   rolling_hash(s)       — Rabin–Karp byte fingerprint (RollingHash)
   */
 object GraftFunctions {
 
@@ -22,7 +23,8 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "qdot" -> (exprs => QuantizedDot(exprs(0), exprs(1))),
     "minhash_sig" -> (exprs => MinHashSig(exprs(0), intLit(exprs(1), "numPerms"))),
-    "shingle_hashes" -> (exprs => ShingleHashSet(exprs(0), intLit(exprs(1), "n"))))
+    "shingle_hashes" -> (exprs => ShingleHashSet(exprs(0), intLit(exprs(1), "n"))),
+    "rolling_hash" -> (exprs => RollingHash(exprs(0))))
 
   /** Register on a live session. */
   def register(spark: SparkSession): Unit =

@@ -120,6 +120,18 @@ class ExtSpec extends SparkSpec {
     assert(got == Seq("de", "en", "es", "und"))
   }
 
+  test("rolling hash: known value, incremental-extension property") {
+    val df = Seq("hello world").toDF("t")
+    val got = df.select(TextAnalysis.rollingFingerprint(col("t"))).as[Long].head()
+    // independently computed: h = fold((h,b) => (h*131+b) mod 2^31-1)
+    val expect = "hello world".getBytes("UTF-8")
+      .foldLeft(0L)((h, b) => (h * 131 + (b & 0xffL)) % 2147483647L)
+    assert(got == expect)
+    // extending the document extends the hash from the prefix value
+    val ext = df.select(TextAnalysis.rollingFingerprint(concat(col("t"), lit("!")))).as[Long].head()
+    assert(ext == (expect * 131 + '!'.toLong) % 2147483647L)
+  }
+
   test("fingerprint is whitespace/punct-normalization invariant") {
     val df = Seq("Hello,  World!", "hello world").toDF("text")
     val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()

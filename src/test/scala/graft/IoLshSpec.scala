@@ -38,6 +38,24 @@ class IoLshSpec extends SparkSpec {
     assert(names.map(_.takeWhile(_ != '.')).sorted.toSeq == Seq("out_0", "out_1", "out_2"))
   }
 
+  test("IVF top-k is an exact-scored subset of brute force with nonzero recall") {
+    val emb = io.Tables(spark, sf, "embeddings")
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val brute = Similarity
+      .bruteForceTopK(emb, probes, "vec_id", "embedding", "probe_id", "pe", 10)
+      .select("probe_id", "vec_id", "qdot").as[(Long, Long, Long)].collect()
+    val bruteTop = brute.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toMap).toMap
+    val ivf = Similarity
+      .ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 10, centMod = 13)
+      .select("probe_id", "vec_id", "qdot").as[(Long, Long, Long)].collect()
+    assert(ivf.nonEmpty)
+    val hits = ivf.count { case (p, v, q) => bruteTop.get(p).exists(_.get(v).contains(q)) }
+    val pairsChecked = ivf.count { case (p, v, _) => bruteTop.get(p).exists(_.contains(v)) }
+    assert(hits == pairsChecked, "IVF re-scores must match exact scores")
+    assert(hits > 0, "recall@10 must be nonzero")
+  }
+
   test("LSH top-k is an exact-scored subset of brute force with nonzero recall") {
     val emb = io.Tables(spark, sf, "embeddings")
     val probes = emb.where(col("vec_id") < 10)

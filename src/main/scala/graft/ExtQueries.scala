@@ -201,6 +201,17 @@ object ExtQueries {
          |  CASE WHEN len(tk) = 0 THEN 0.0 ELSE list_sum(list_transform(tk, x -> length(x)))*1.0 / len(tk) END AS mean_tok_len
          |FROM f
          |ORDER BY doc_id""".stripMargin,
+    // composite quality score: every term is deterministic IEEE double
+    // arithmetic on integer counts, so the sum is bit-identical across
+    // engines (same operands, same association order)
+    "text_qscore" ->
+      s"""WITH f AS (SELECT doc_id, $tokSql AS tk, text FROM documents)
+         |SELECT doc_id,
+         |  least(len(tk) / 100.0, 1.0) * 0.5
+         |  + (CASE WHEN len(tk) = 0 THEN 0.0 ELSE len(list_filter(tk, x -> list_contains(['the','a','an','of','to','and','in','is','it','for','on','with'], x)))*1.0 / len(tk) END) * 0.3
+         |  + (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[[:punct:]]'))*1.0 / length(text) END) * 0.2 AS qscore
+         |FROM f
+         |ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       s"""WITH f AS (SELECT doc_id, $tokSql AS tk FROM documents),
          |s AS (
@@ -319,6 +330,11 @@ object ExtQueries {
           size(col("tk")).cast("long").as("n_tokens"),
           TextAnalysis.stopwordRatioFromTokens(col("tk")).as("stop_ratio"),
           TextAnalysis.meanTokenLenFromTokens(col("tk")).as("mean_tok_len"))
+        .orderBy("doc_id")
+    },
+    "text_qscore" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("qscore"))
         .orderBy("doc_id")
     },
     "text_langid" -> { (s, dir) =>

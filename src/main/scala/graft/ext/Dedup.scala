@@ -76,24 +76,42 @@ object Dedup {
 
   /** Candidate pairs (idA < idB) sharing at least one LSH bucket. The
     * equi-self-join on (band, bh) shuffles both sides by bucket key —
-    * the scalable path. `salts > 1` guards against hot buckets (giant
-    * near-identical clusters): the A side is replicated to every salt,
-    * the B side hashes to one, so a bucket of m rows spreads its m²/2
-    * pairs over `salts` join keys instead of one straggler task, at the
-    * cost of shuffling the (ids-only) A side `salts` times. Each
-    * unordered pair still appears exactly once: of its two (A,B)
-    * orientations only one survives id_a < id_b. */
-  def candidatePairs(bandsDf: DataFrame, idCol: String, salts: Int = 1): DataFrame = {
+    * the scalable path. `salts > 1` turns on ADAPTIVE hot-bucket
+    * salting against giant near-identical clusters: bucket sizes are
+    * counted first (ids-only rows, partial-aggregated, itself
+    * skew-safe), buckets above `hotThreshold` are broadcast as a hot
+    * set, and only their rows take the salted join — the A side is
+    * replicated to every salt, the B side hashes to one, so a bucket of
+    * m rows spreads its m²/2 pairs over `salts` join keys instead of
+    * one straggler task. Cold buckets (virtually all of them) pay
+    * nothing. Each unordered pair still appears exactly once per
+    * bucket: of its two (A,B) orientations only one survives
+    * id_a < id_b; `distinct()` dedups across bands as before. */
+  def candidatePairs(
+      bandsDf: DataFrame,
+      idCol: String,
+      salts: Int = 1,
+      hotThreshold: Int = 1024): DataFrame = {
     val a0 = bandsDf.select(col("band"), col("bh"), col(idCol).as("id_a"))
     val b0 = bandsDf.select(col("band"), col("bh"), col(idCol).as("id_b"))
     val joined =
       if (salts <= 1) a0.join(b0, Seq("band", "bh"))
       else {
-        val a = a0.withColumn("salt",
-          explode(sequence(lit(0), lit(salts - 1))))
-        val b = b0.withColumn("salt",
-          pmod(xxhash64(col("id_b")), lit(salts.toLong)).cast("int"))
-        a.join(b, Seq("band", "bh", "salt"))
+        val hot = bandsDf.groupBy("band", "bh")
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") > hotThreshold)
+          .select(col("band"), col("bh"), lit(true).as("__hot"))
+        val flagA = a0.join(broadcast(hot), Seq("band", "bh"), "left")
+        val flagB = b0.join(broadcast(hot), Seq("band", "bh"), "left")
+        val cold = flagA.where(col("__hot").isNull).drop("__hot")
+          .join(flagB.where(col("__hot").isNull).drop("__hot"), Seq("band", "bh"))
+        val hotA = flagA.where(col("__hot")).drop("__hot")
+          .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+        val hotB = flagB.where(col("__hot")).drop("__hot")
+          .withColumn("salt", pmod(xxhash64(col("id_b")), lit(salts.toLong)).cast("int"))
+        cold.select("band", "bh", "id_a", "id_b")
+          .unionByName(hotA.join(hotB, Seq("band", "bh", "salt"))
+            .select("band", "bh", "id_a", "id_b"))
       }
     joined
       .where(col("id_a") < col("id_b"))
@@ -124,13 +142,15 @@ object Dedup {
       numPerms: Int = 128,
       bands: Int = 64,
       threshold: Double = 0.6,
-      salts: Int = 4): DataFrame = {
+      salts: Int = 4,
+      hotThreshold: Int = 1024): DataFrame = {
     val sh = df
       .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
       .where(size(col("ws")) > 0)
       .cache()
     val sigs = sh.select(col(idCol), minHashSignature(col("ws"), numPerms).as("sig"))
-    val cands = candidatePairs(lshBands(sigs, idCol, "sig", bands, numPerms / bands), idCol, salts)
+    val cands = candidatePairs(
+      lshBands(sigs, idCol, "sig", bands, numPerms / bands), idCol, salts, hotThreshold)
     val wsA = sh.select(col(idCol).as("id_a"), col("ws").as("ws_a"))
     val wsB = sh.select(col(idCol).as("id_b"), col("ws").as("ws_b"))
     cands

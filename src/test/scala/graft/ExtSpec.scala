@@ -59,7 +59,9 @@ class ExtSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val unsalted = Dedup.nearDupPairs(skewed, "doc_id", "text", salts = 1)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val salted = Dedup.nearDupPairs(skewed, "doc_id", "text", salts = 8)
+    // hotThreshold below the cluster size so the 300-doc buckets
+    // actually take the salted path (default 1024 would leave them cold)
+    val salted = Dedup.nearDupPairs(skewed, "doc_id", "text", salts = 8, hotThreshold = 16)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(salted == unsalted)
     // every identical-doc pair must be present: 300 choose 2

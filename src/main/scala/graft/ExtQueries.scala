@@ -177,6 +177,34 @@ object ExtQueries {
         |SELECT g.media_id, g.kind, g.bin, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
         |FROM grid g LEFT JOIN counts c ON c.media_id = g.media_id AND c.bin = g.bin
         |ORDER BY g.media_id, g.bin""".stripMargin,
+    // frame sampling: every stride-th 32-byte window of each video
+    // payload; frames are compared by md5 (identical bytes → identical
+    // digest, and the ASCII corpus makes DuckDB's string slicing equal
+    // Spark's byte slicing)
+    "multimodal_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  WHERE ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] = 'video'
+        |    AND length(text) >= 32),
+        |fr AS (
+        |  SELECT media_id, text,
+        |         unnest(range(0, (length(text) - 32) // 64 + 1)) AS i
+        |  FROM v)
+        |SELECT media_id, CAST(i AS INT) AS frame_no,
+        |       md5(substring(text, CAST(i * 64 + 1 AS INT), 32)) AS frame_md5
+        |FROM fr
+        |ORDER BY media_id, frame_no""".stripMargin,
+    // thumbnail: 64 bytes sampled at i*len/64 — rebuilt in DuckDB by
+    // concatenating the same sampled characters
+    "multimodal_thumbs" ->
+      """WITH im AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  WHERE ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] = 'image')
+        |SELECT media_id,
+        |       md5(array_to_string(list_transform(range(0, 64),
+        |         i -> substring(text, CAST((i * length(text)) // 64 + 1 AS INT), 1)), '')) AS thumb_md5
+        |FROM im
+        |ORDER BY media_id""".stripMargin,
     // the streaming twin of q12_events_hourly: same windows, same sums,
     // continuous execution — so the oracle is the batch SQL verbatim
     "stream_events_hourly" ->
@@ -380,6 +408,18 @@ object ExtQueries {
         .select(col("media_id"), col("kind"), col("pos").as("bin"),
           round(col("col") * greatest(col("n_bytes"), lit(1))).cast("long").as("cnt"))
         .orderBy("media_id", "bin")
+    },
+    "multimodal_frames" -> { (s, dir) =>
+      // per-frame explode of video payloads: row count multiplies, no
+      // shuffle, partitioning preserved
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(s, dir), frameBytes = 32, stride = 2)
+        .select(col("media_id"), col("frame_no"), md5(col("frame")).as("frame_md5"))
+        .orderBy("media_id", "frame_no")
+    },
+    "multimodal_thumbs" -> { (s, dir) =>
+      Multimodal.thumbnails(Multimodal.syntheticMedia(s, dir), Multimodal.FakeCodec, 8, 8)
+        .select(col("media_id"), md5(col("thumb")).as("thumb_md5"))
+        .orderBy("media_id")
     },
     "stream_events_hourly" -> { (s, dir) =>
       // q12 executed as a Structured Streaming query over the bounded

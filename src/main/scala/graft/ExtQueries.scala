@@ -205,6 +205,38 @@ object ExtQueries {
         |         i -> substring(text, CAST((i * length(text)) // 64 + 1 AS INT), 1)), '')) AS thumb_md5
         |FROM im
         |ORDER BY media_id""".stripMargin,
+    // streaming sessionization (flatMapGroupsWithState, event-time
+    // timeouts) against the batch sessionizer's SQL: Append mode only
+    // emits sessions already closed — by a later event or by the
+    // watermark passing the gap timeout — so BOTH sides keep exactly
+    // the sessions whose end is ≥ watermark-delay + gap (+2 s margin)
+    // before the global max event time; that emission is deterministic
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, sec,
+        |    CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |         OR lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, sec,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id,
+        |         CAST(min(sec) AS BIGINT) AS start_s,
+        |         CAST(max(sec) AS BIGINT) AS end_s,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM sessions GROUP BY user_id, session_id),
+        |cut AS (SELECT max(sec) - 7202 AS cut FROM e)
+        |SELECT user_id, start_s, end_s, n_events
+        |FROM agg, cut
+        |WHERE end_s + 1800 <= cut
+        |ORDER BY user_id, start_s""".stripMargin,
     // the streaming twin of q12_events_hourly: same windows, same sums,
     // continuous execution — so the oracle is the batch SQL verbatim
     "stream_events_hourly" ->
@@ -420,6 +452,28 @@ object ExtQueries {
       Multimodal.thumbnails(Multimodal.syntheticMedia(s, dir), Multimodal.FakeCodec, 8, 8)
         .select(col("media_id"), md5(col("thumb")).as("thumb_md5"))
         .orderBy("media_id")
+    },
+    "stream_sessionize" -> { (s, dir) =>
+      // the custom state machine (flatMapGroupsWithState, event-time
+      // timeout) over the bounded events stream; only the
+      // deterministically-emitted sessions (closed ≥ watermark delay +
+      // gap + margin before the last event) survive the cut filter —
+      // the same filter the oracle applies to the batch sessions
+      import s.implicits._
+      val ds = StreamOps.readEvents(s, dir)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("event_type"), col("value").cast("double").as("value"))
+        .as[StreamOps.Event]
+      val out = StreamOps.runToMemory(
+        StreamOps.sessionize(ds, gapSeconds = 1800).toDF(), "stream_sessionize_sink")
+      val cut = Tables(s, dir, "events")
+        .agg((max(unix_timestamp(col("ts"))) - 7202L).as("cut"))
+      out.crossJoin(broadcast(cut))
+        .where(col("end_s") + 1800L <= col("cut"))
+        .select(col("user_id"), col("start_s"), col("end_s"),
+          col("n_events").cast("long").as("n_events"))
+        .orderBy("user_id", "start_s")
     },
     "stream_events_hourly" -> { (s, dir) =>
       // q12 executed as a Structured Streaming query over the bounded

@@ -205,6 +205,15 @@ object ExtQueries {
         |         i -> substring(text, CAST((i * length(text)) // 64 + 1 AS INT), 1)), '')) AS thumb_md5
         |FROM im
         |ORDER BY media_id""".stripMargin,
+    // two-phase salted aggregation (hot-key immunity): same answer as
+    // the direct groupBy because the aggregate is commutative+associative
+    "skew_salted_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_q,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // streaming sessionization (flatMapGroupsWithState, event-time
     // timeouts) against the batch sessionizer's SQL: Append mode only
     // emits sessions already closed — by a later event or by the
@@ -452,6 +461,18 @@ object ExtQueries {
       Multimodal.thumbnails(Multimodal.syntheticMedia(s, dir), Multimodal.FakeCodec, 8, 8)
         .select(col("media_id"), md5(col("thumb")).as("thumb_md5"))
         .orderBy("media_id")
+    },
+    "skew_salted_agg" -> { (s, dir) =>
+      // ops.Skew.saltedAgg: rows spread over salt sub-keys, partially
+      // aggregated, partials re-aggregated — no reducer ever holds a
+      // whole hot key; decimal sums keep the two-phase result exact
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("q"))
+      graft.ops.Skew.saltedAgg(li, "l_returnflag", "q")
+        .select(col("l_returnflag"),
+          round(col("sum_q"), 2).cast("double").as("sum_q"), col("n"))
+        .orderBy("l_returnflag")
     },
     "stream_sessionize" -> { (s, dir) =>
       // the custom state machine (flatMapGroupsWithState, event-time

@@ -36,16 +36,40 @@ object Aggregators {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
-  /** Bounded top-k by score within each group — keeps a k-sized heap per
-    * partition so the shuffle carries at most k rows per group per
-    * partition (map-side combine for top-k). */
+  /** Bounded top-k by score within each group — keeps a k-bounded buffer
+    * per partition so the shuffle carries at most k rows per group per
+    * partition (map-side combine for top-k).
+    *
+    * The buffer invariant is "sorted descending, length ≤ k", which
+    * makes the hot path O(1): a row no better than the current k-th is
+    * rejected with one comparison; an improving row costs one O(k)
+    * insertion; merging two buffers is one O(k) sorted merge. (The
+    * first version re-sorted the whole buffer on every input row.) */
   final case class TopK[T](k: Int)(implicit ord: Ordering[T], enc: Encoder[Seq[T]])
       extends Aggregator[T, Seq[T], Seq[T]] {
-    private def trim(xs: Seq[T]): Seq[T] = xs.sorted(ord.reverse).take(k)
     def zero: Seq[T] = Seq.empty
-    def reduce(b: Seq[T], a: T): Seq[T] = trim(b :+ a)
-    def merge(b1: Seq[T], b2: Seq[T]): Seq[T] = trim(b1 ++ b2)
-    def finish(b: Seq[T]): Seq[T] = b.sorted(ord.reverse)
+    def reduce(b: Seq[T], a: T): Seq[T] =
+      if (b.length >= k && ord.lteq(a, b.last)) b
+      else {
+        val (hi, lo) = b.span(x => ord.gteq(x, a))
+        ((hi :+ a) ++ lo).take(k)
+      }
+    def merge(b1: Seq[T], b2: Seq[T]): Seq[T] = {
+      val x = b1.toIndexedSeq
+      val y = b2.toIndexedSeq
+      val out = mutable.ArrayBuffer.empty[T]
+      var i = 0
+      var j = 0
+      while (out.length < k && (i < x.length || j < y.length)) {
+        if (j >= y.length || (i < x.length && ord.gteq(x(i), y(j)))) {
+          out += x(i); i += 1
+        } else {
+          out += y(j); j += 1
+        }
+      }
+      out.toSeq
+    }
+    def finish(b: Seq[T]): Seq[T] = b
     def bufferEncoder: Encoder[Seq[T]] = enc
     def outputEncoder: Encoder[Seq[T]] = enc
   }

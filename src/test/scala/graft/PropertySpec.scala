@@ -25,6 +25,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopK aggregator fold/merge equals sort.take(k) on random data and splits") {
+    val agg = ops.Aggregators.TopK[Long](5)
+    val rnd = new scala.util.Random(11)
+    (0 until 200).foreach { _ =>
+      val xs = Seq.fill(rnd.nextInt(40))(rnd.nextInt(20).toLong)
+      val expected = xs.sorted(Ordering[Long].reverse).take(5)
+      // straight fold
+      val folded = xs.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(folded) == expected, s"fold xs=$xs")
+      // arbitrary split + merge (the shuffle path)
+      val cut = if (xs.isEmpty) 0 else rnd.nextInt(xs.length + 1)
+      val (l, r) = xs.splitAt(cut)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == expected, s"merge xs=$xs cut=$cut")
+    }
+  }
+
   test("AsOfJoin equals brute-force reference on random data") {
     val rnd = new scala.util.Random(7)
     val left = (1 to 200).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))

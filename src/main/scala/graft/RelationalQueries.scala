@@ -247,7 +247,41 @@ object RelationalQueries {
         |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) r
         |WHERE rn <= 3
-        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q33_exists" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q34_ntile" ->
+      """SELECT o_orderkey,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd
+        |FROM orders
+        |WHERE o_totalprice > 400000
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q35_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+    "q36_frame_window" ->
+      """SELECT DISTINCT user_id,
+        |       first_value(event_id) OVER w AS first_ev,
+        |       last_value(event_id) OVER w AS last_ev,
+        |       nth_value(event_id, 2) OVER w AS second_ev
+        |FROM (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events) e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin
   )
 
   val plans: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -529,6 +563,61 @@ object RelationalQueries {
           count(lit(1)).as("n_rows"),
           count(when(col("o_orderkey").isNull, 1)).as("n_unmatched"))
         .orderBy("c_mktsegment")
+    },
+    "q33_exists" -> { (s, dir) =>
+      // correlated EXISTS / NOT EXISTS as semi + anti joins: the two
+      // scan-level filters prune before the shuffles
+      val c = t(s, dir, "customer")
+      val oF = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+      val oBig = t(s, dir, "orders").where(col("o_totalprice") > 450000)
+      c.join(oF, c("c_custkey") === oF("o_custkey"), "left_semi")
+        .join(oBig, col("c_custkey") === oBig("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+    "q34_ntile" -> { (s, dir) =>
+      // distribution window functions; ties broken by unique order key
+      // so ntile/percent_rank/cume_dist are deterministic
+      val w = Window.partitionBy("o_orderstatus").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .where(col("o_totalprice") > 400000)
+        .select(
+          col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    },
+    "q35_grouping_sets" -> { (s, dir) =>
+      // GROUPING SETS via one decimal partial aggregate re-aggregated
+      // per set — same exact-sum trick as rollup/cube (q11/q24): each
+      // input row crosses the shuffle once instead of once per set
+      val partial = t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(dec(col("l_quantity"))).as("q"), count(lit(1)).as("cnt"))
+      def reagg(keys: Seq[Column], rf: Column, ls: Column) = partial
+        .groupBy(keys: _*)
+        .agg(round(sum(col("q")), 2).cast("double").as("sum_qty"), sum(col("cnt")).as("n"))
+        .select(rf.as("rf"), ls.as("ls"), col("sum_qty"), col("n"))
+      reagg(Seq(col("l_returnflag")), col("l_returnflag"), lit("ALL"))
+        .unionByName(reagg(Seq(col("l_linestatus")), lit("ALL"), col("l_linestatus")))
+        .unionByName(reagg(Nil, lit("ALL"), lit("ALL")))
+        .orderBy("rf", "ls")
+    },
+    "q36_frame_window" -> { (s, dir) =>
+      // frame-sensitive window functions over the full partition frame
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+        .select(
+          col("user_id"),
+          first(col("event_id")).over(w).as("first_ev"),
+          last(col("event_id")).over(w).as("last_ev"),
+          nth_value(col("event_id"), 2).over(w).as("second_ev"))
+        .distinct()
+        .orderBy("user_id")
     },
     "q29_sessionize" -> { (s, dir) =>
       // batch sessionization: gap-flag + running sum assigns session ids,

@@ -273,6 +273,26 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY rf, ls""".stripMargin,
+    "q37_unpivot" ->
+      """SELECT measure,
+        |       CAST(round(sum(CAST(val AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
+        |       count(*) AS n
+        |FROM (
+        |  SELECT * FROM (
+        |    SELECT l_orderkey, l_quantity AS quantity, l_extendedprice AS extendedprice, l_discount AS discount
+        |    FROM lineitem) wide
+        |  UNPIVOT (val FOR measure IN (quantity, extendedprice, discount))) u
+        |GROUP BY measure
+        |ORDER BY measure""".stripMargin,
+    "q38_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type FROM events),
+        |p AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, sec AS csec, event_id AS click_id FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, count(*) AS n_nearby, CAST(min(abs(p.sec - c.csec)) AS BIGINT) AS min_gap
+        |FROM p JOIN c ON p.user_id = c.user_id AND abs(p.sec - c.csec) <= 300
+        |GROUP BY p.event_id
+        |ORDER BY p.event_id""".stripMargin,
     "q36_frame_window" ->
       """SELECT DISTINCT user_id,
         |       first_value(event_id) OVER w AS first_ev,
@@ -604,6 +624,35 @@ object RelationalQueries {
         .unionByName(reagg(Seq(col("l_linestatus")), lit("ALL"), col("l_linestatus")))
         .unionByName(reagg(Nil, lit("ALL"), lit("ALL")))
         .orderBy("rf", "ls")
+    },
+    "q37_unpivot" -> { (s, dir) =>
+      // wide → long via the native unpivot operator, decimal-exact sums
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          dec(col("l_quantity")).as("quantity"),
+          dec(col("l_extendedprice")).as("extendedprice"),
+          dec(col("l_discount")).as("discount"))
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "measure", "val")
+        .groupBy("measure")
+        .agg(round(sum(col("val")), 2).cast("double").as("total"), count(lit(1)).as("n"))
+        .orderBy("measure")
+    },
+    "q38_range_join" -> { (s, dir) =>
+      // bounded-range temporal join via ops.RangeJoin: binned equi-join
+      // + exact |gap| check, not a quadratic non-equi join
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("sec"), col("event_type"))
+      val p = e.where(col("event_type") === "purchase").select("event_id", "user_id", "sec")
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("sec").as("csec"), col("event_id").as("click_id"))
+      graft.ops.RangeJoin.rangeJoin(p, c, "user_id", "sec", "csec", 300L, Seq("click_id"))
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_nearby"), min(col("range_gap")).as("min_gap"))
+        .orderBy("event_id")
     },
     "q36_frame_window" -> { (s, dir) =>
       // frame-sensitive window functions over the full partition frame

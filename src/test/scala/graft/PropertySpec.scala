@@ -42,6 +42,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RangeJoin (binned) equals the naive non-equi join on random data") {
+    val rnd = new scala.util.Random(23)
+    val left = (1 to 300).map(i => (rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong - 200, i.toLong))
+      .toDF("k", "t", "lid")
+    val right = (1 to 300).map(i => (rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong - 200, i.toLong))
+      .toDF("k", "rt", "rid")
+    val binned = ops.RangeJoin.rangeJoin(left, right, "k", "t", "rt", 37L, Seq("rid"))
+      .select("lid", "range_rid").as[(Long, Long)].collect().toSet
+    val naive = left.join(right,
+      left("k") === right("k") &&
+        org.apache.spark.sql.functions.abs(left("t") - right("rt")) <= 37)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(binned == naive)
+    assert(binned.nonEmpty)
+    // multiplicity check too: the binned join must not duplicate pairs
+    val n = ops.RangeJoin.rangeJoin(left, right, "k", "t", "rt", 37L, Seq("rid")).count()
+    assert(n == naive.size)
+  }
+
   test("AsOfJoin equals brute-force reference on random data") {
     val rnd = new scala.util.Random(7)
     val left = (1 to 200).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))

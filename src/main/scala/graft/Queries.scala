@@ -66,6 +66,13 @@ object Queries {
         |WHERE word <> ''
         |GROUP BY word
         |ORDER BY word""".stripMargin,
+    "mr_api_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' ')) AS word
+        |      FROM documents) tok
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY word""".stripMargin,
     "mr_grep" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE text LIKE '%stream%' AND lang = 'en'
@@ -117,6 +124,24 @@ object Queries {
         "word", "cnt", out, r = 5)
       io.KvText.read(s, out)
         .select(col("key").as("word"), col("value").cast("long").as("cnt"))
+        .orderBy("word")
+    },
+    "mr_api_wordcount" -> { (s, dir) =>
+      // the canonical job routed through the typed MapReduceJob
+      // contract itself — user-supplied mapper closure (map.py:9-18
+      // semantics), user-supplied reducer, r = 5 — instead of the
+      // codegen'd Column formulation the other mr_* queries use
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("text")).as[String]
+      graft.api.MapReduceJob[String, String, Long](
+          docs,
+          (line: String) => line.toLowerCase
+            .replaceAll("\\p{Punct}", " ")
+            .split(" ").iterator.filter(_.nonEmpty).map(w => (w, 1L)),
+          (a: Long, b: Long) => a + b)
+        .withReducers(5)
+        .run()
+        .toDF("word", "cnt")
         .orderBy("word")
     },
     "mr_grep" -> { (s, dir) =>

@@ -94,13 +94,16 @@ object Dedup {
       hotThreshold: Int = 1024): DataFrame = {
     val a0 = bandsDf.select(col("band"), col("bh"), col(idCol).as("id_a"))
     val b0 = bandsDf.select(col("band"), col("bh"), col(idCol).as("id_b"))
+    // runtime skew probe, AQE-style: the bucket-size aggregate is tiny
+    // (ids-only, partial-aggregated) and decides the plan — the common
+    // no-skew corpus takes the plain self-join with zero salt overhead
+    lazy val hot = bandsDf.groupBy("band", "bh")
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > hotThreshold)
+      .select(col("band"), col("bh"), lit(true).as("__hot"))
     val joined =
-      if (salts <= 1) a0.join(b0, Seq("band", "bh"))
+      if (salts <= 1 || hot.isEmpty) a0.join(b0, Seq("band", "bh"))
       else {
-        val hot = bandsDf.groupBy("band", "bh")
-          .agg(count(lit(1)).as("__n"))
-          .where(col("__n") > hotThreshold)
-          .select(col("band"), col("bh"), lit(true).as("__hot"))
         val flagA = a0.join(broadcast(hot), Seq("band", "bh"), "left")
         val flagB = b0.join(broadcast(hot), Seq("band", "bh"), "left")
         val cold = flagA.where(col("__hot").isNull).drop("__hot")

@@ -148,9 +148,11 @@ object Similarity {
       .where(col("qdot") >= minQdot)
   }
 
-  /** Random-hyperplane LSH bucket id for an embedding: sign bits against
-    * `planes` fixed pseudo-random hyperplanes — the scale path for ANN
-    * (candidates from matching buckets, then exact re-score). */
+  /** Single-table random-hyperplane bucket id built from Column
+    * expressions only — a didactic/validation form. The engine's real
+    * bucketing is `functions.RhpBuckets` (all tables in one native
+    * loop, md5-derived engine-independent planes); this one keeps the
+    * legacy Gaussian family and exists to show the declarative shape. */
   def rhpBucket(vec: Column, dim: Int, planes: Int, seed: Int = 7): Column = {
     val rnd = new scala.util.Random(seed)
     val planeVecs = Array.fill(planes, dim)(rnd.nextGaussian())

@@ -35,13 +35,18 @@ object GraftFunctions {
 
 /** Builder-time registration:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  * Injects the SQL functions AND the custom top-k-per-key planner
+  * strategy, so a session configured with this class needs no
+  * imperative `register`/`install` calls at all. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }

@@ -293,6 +293,25 @@ object RelationalQueries {
         |FROM p JOIN c ON p.user_id = c.user_id AND abs(p.sec - c.csec) <= 300
         |GROUP BY p.event_id
         |ORDER BY p.event_id""".stripMargin,
+    "q39_regex_extract" ->
+      """SELECT CAST(CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) % 10 AS BIGINT) AS name_digit,
+        |       count(*) AS n,
+        |       CAST(min(c_custkey) AS BIGINT) AS first_key
+        |FROM customer
+        |WHERE regexp_matches(c_name, 'Customer#\d+')
+        |GROUP BY name_digit
+        |ORDER BY name_digit""".stripMargin,
+    "q40_array_functions" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         list_sort(list_distinct(list_filter(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' '), x -> x <> ''))) AS dk
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(dk) AS INT) AS n_distinct,
+        |       array_to_string(dk[1:3], '-') AS first3,
+        |       CAST(list_contains(dk, 'the') AS BOOLEAN) AS has_the
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
     "q36_frame_window" ->
       """SELECT DISTINCT user_id,
         |       first_value(event_id) OVER w AS first_ev,
@@ -653,6 +672,29 @@ object RelationalQueries {
         .groupBy("event_id")
         .agg(count(lit(1)).as("n_nearby"), min(col("range_gap")).as("min_gap"))
         .orderBy("event_id")
+    },
+    "q39_regex_extract" -> { (s, dir) =>
+      // regex capture-group extraction + cast, identical group
+      // semantics in both engines
+      t(s, dir, "customer")
+        .where(col("c_name").rlike("Customer#\\d+"))
+        .groupBy((regexp_extract(col("c_name"), "Customer#(\\d+)", 1)
+          .cast("long") % 10).as("name_digit"))
+        .agg(count(lit(1)).as("n"), min(col("c_custkey")).cast("long").as("first_key"))
+        .orderBy("name_digit")
+    },
+    "q40_array_functions" -> { (s, dir) =>
+      // array surface: distinct, sort, slice, join, contains — over the
+      // tokenize-once projection
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_sort(array_distinct(graft.ops.TextOps.tokens(col("text")))).as("dk"))
+        .select(
+          col("doc_id"),
+          size(col("dk")).as("n_distinct"),
+          array_join(slice(col("dk"), 1, 3), "-").as("first3"),
+          array_contains(col("dk"), "the").as("has_the"))
+        .orderBy("doc_id")
     },
     "q36_frame_window" -> { (s, dir) =>
       // frame-sensitive window functions over the full partition frame

@@ -44,6 +44,30 @@ object ExtQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.ws, b.ws))*1.0 / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+    // near-dup clusters: connected components of the exact-Jaccard pair
+    // graph, component id = min doc id; DuckDB recomputes reachability
+    // from scratch with a recursive CTE
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $shingleSql AS ws FROM toks WHERE len(tk) >= 3),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.ws, b.ws))*1.0 / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.6),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |FROM reach
+         |GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
     "ann_topk" ->
       s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
          |scored AS (
@@ -349,6 +373,15 @@ object ExtQueries {
       Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, numPerms = 128, bands = 64, threshold = 0.6)
         .orderBy("id_a", "id_b")
+    },
+    "dedup_clusters" -> { (s, dir) =>
+      // MinHash-LSH pairs (exact-verified) → component labels: the full
+      // "find duplicates, group them, keep one per group" pipeline
+      val pairs = Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numPerms = 128, bands = 64, threshold = 0.6)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
     },
     "dedup_simhash_pairs" -> { (s, dir) =>
       // maxHamming=3 with 4 chunks of 15 bits: pigeonhole guarantees the

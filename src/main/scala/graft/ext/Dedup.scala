@@ -163,6 +163,53 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair graph: every document
+    * that appears in at least one pair gets the minimum doc id of its
+    * component as `cluster_id` — the step that turns pairwise matches
+    * into "keep one representative per duplicate cluster".
+    *
+    * Pregel-style iterative min-label propagation: each round every
+    * node takes the min of its own label and its neighbors' labels;
+    * rounds ≈ component diameter (near-dup clusters are shallow — a
+    * hub document links its variants, so single digits in practice).
+    * Each round is one equi-join + partial-aggregated min — no driver
+    * data movement; the per-round `count` on the (ids-only) change set
+    * is the loop condition, and `localCheckpoint` truncates the plan
+    * lineage that iterative DataFrames otherwise accumulate. Throws if
+    * `maxIters` rounds don't converge rather than returning a partial
+    * labeling. */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val prop = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src").as("pid")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(prop, col("id") === col("pid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .where(col("lbl") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIters rounds — raise maxIters")
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
   /** md5-based 60-bit word hashes (md5 so the fingerprint is reproducible
     * in any engine; 60 bits = 15 hex chars keeps the value inside a
     * signed long). Materialize once before `simHashFromHashes` — same

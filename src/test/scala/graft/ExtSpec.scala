@@ -42,6 +42,17 @@ class ExtSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("connectedComponents labels chains and separate components correctly") {
+    // chain 1-2-3-...-8 (diameter 7, forces multiple propagation
+    // rounds) plus a separate pair 100-101
+    val pairs = ((1L to 7L).map(i => (i, i + 1)) :+ (100L, 101L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    (1L to 8L).foreach(i => assert(got(i) == 1L, s"node $i"))
+    assert(got(100L) == 100L && got(101L) == 100L)
+    assert(got.size == 10)
+  }
+
   test("minhash signature of an empty hash array is null, not all-MaxValue") {
     val df = Seq(Seq.empty[Long], Seq(1L, 2L)).toDF("h")
     val rows = df.select(Dedup.minHashSignature(col("h"), 8)).collect()

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe bench for the dedup/ANN kernels: synthetically inflates
+  * the documents/embeddings tables N× and measures how the LSH-shaped
+  * paths grow. At sf0.1 every plan is buried under ~1 s of stage
+  * overhead; this is where the adaptive salting, distinct-value SimHash
+  * index, and banded joins are actually measured.
+  *
+  * Inflation is deterministic and — crucially — similarity-preserving
+  * WITHIN a copy but similarity-destroying ACROSS copies, so the true
+  * answer grows linearly (f × base pairs), like a corpus that genuinely
+  * grew, not a duplicate-bomb:
+  *  - documents: copy k Caesar-rotates every letter by k. A bijection
+  *    on texts keeps each copy's internal shingle structure (and thus
+  *    its near-dup pairs) identical, while cross-copy token sets are
+  *    disjoint.
+  *  - embeddings: copy k rotates the vector by k positions. Rotation
+  *    preserves all pairwise dot products within a copy and decorrelates
+  *    copies.
+  *
+  * Output: one JSON line
+  *   {"metric":"scale_probe","sf":...,"factors":[1,4,16],
+  *    "queries":{name:{"1":sec,"4":sec,...}},"rows":{...}}
+  * The quadratic exact kernel (emb_neardup_pairs) is capped at
+  * SPARK_GRAFT_QUAD_MAX (default 4) — it is O(n²) by definition and
+  * only benched to show the contrast with the LSH paths.
+  */
+object BenchScale {
+
+  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  /** f copies of documents; copy k id-offset and letter-rotated by k. */
+  def inflateDocs(docs: DataFrame, f: Int): DataFrame =
+    (0 until f).map { k =>
+      val rot = k % 26
+      val to = alpha.drop(rot) + alpha.take(rot)
+      docs.select(
+        (col("doc_id") + lit(k.toLong * 1000000000L)).as("doc_id"),
+        translate(col("text"), alpha + alpha.toUpperCase,
+          to + to.toUpperCase).as("text"))
+    }.reduce(_ unionByName _)
+
+  /** f copies of embeddings; copy k id-offset and rotated k·17 positions
+    * (a 1-position rotation of a smooth synthetic vector stays highly
+    * correlated with the original; 17 is coprime with 64 so every copy
+    * gets a distinct large rotation). */
+  def inflateEmbeddings(emb: DataFrame, f: Int, dim: Int = 64): DataFrame =
+    (0 until f).map { k =>
+      val rot = (k * 17) % dim
+      val rotated =
+        if (rot == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), rot + 1, dim - rot),
+          slice(col("embedding"), 1, rot))
+      emb.select(
+        (col("vec_id") + lit(k.toLong * 1000000000L)).as("vec_id"),
+        rotated.as("embedding"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val quadMax = sys.env.getOrElse("SPARK_GRAFT_QUAD_MAX", "4").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = io.Tables(spark, sfDir, "documents")
+    val emb0 = io.Tables(spark, sfDir, "embeddings")
+    docs0.count(); emb0.count() // untimed cold-start warmup
+
+    // (name, factor-cap, inflated-input → result) — the result is
+    // cache()+count()ed so every column materializes (a bare count
+    // would let the optimizer prune the score columns)
+    val kernels: Seq[(String, Int, Int => DataFrame)] = Seq(
+      ("dedup_neardup_pairs", Int.MaxValue, f =>
+        ext.Dedup.nearDupPairs(inflateDocs(docs0, f), "doc_id", "text",
+          shingleN = 3, numPerms = 128, bands = 64, threshold = 0.6)),
+      ("dedup_clusters", Int.MaxValue, f =>
+        ext.Dedup.connectedComponents(
+          ext.Dedup.nearDupPairs(inflateDocs(docs0, f), "doc_id", "text",
+            shingleN = 3, numPerms = 128, bands = 64, threshold = 0.6),
+          "id_a", "id_b")),
+      ("ann_lsh_topk", Int.MaxValue, f =>
+        ext.Similarity.lshTopK(inflateEmbeddings(emb0, f), "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 10, dim = 64)),
+      ("ann_ivf_topk", Int.MaxValue, f =>
+        ext.Similarity.ivfTopK(inflateEmbeddings(emb0, f), "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 10)),
+      ("emb_neardup_pairs", quadMax, f =>
+        ext.Similarity.nearDupPairs(inflateEmbeddings(emb0, f), "vec_id", "embedding",
+          450000L, blocks = 16)))
+
+    val secs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Int, Double, Long)]]
+    for ((name, cap, build) <- kernels) {
+      val runs = factors.filter(_ <= cap).map { f =>
+        val t0 = System.nanoTime()
+        val df = build(f).cache()
+        val rows = df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.err.println(f"[scale] $name%-22s f=$f%-3d ${sec}%8.2f s  rows=$rows")
+        (f, sec, rows)
+      }
+      secs(name) = runs
+    }
+    val qJson = secs.map { case (n, runs) =>
+      "\"" + n + "\":{" + runs.map { case (f, s, _) => "\"" + f + "\":" + s }.mkString(",") + "}"
+    }.mkString("{", ",", "}")
+    val rJson = secs.map { case (n, runs) =>
+      "\"" + n + "\":{" + runs.map { case (f, _, r) => "\"" + f + "\":" + r }.mkString(",") + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","sf":"$sfDir","factors":[${factors.mkString(",")}],"queries":$qJson,"rows":$rJson}""")
+    spark.stop()
+  }
+}

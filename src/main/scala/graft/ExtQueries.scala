@@ -68,6 +68,33 @@ object ExtQueries {
          |FROM reach
          |GROUP BY id
          |ORDER BY doc_id""".stripMargin,
+    // canonicalization: every document mapped to the surviving
+    // representative of its near-dup cluster (min id, keep-first), or
+    // itself when it has no near-dup — the full dedup pipeline an
+    // LLM-data user runs daily, in one query
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $shingleSql AS ws FROM toks WHERE len(tk) >= 3),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.ws, b.ws))*1.0 / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.6),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |lbl AS (
+         |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY id)
+         |SELECT d.doc_id, CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS canonical_id
+         |FROM documents d LEFT JOIN lbl l USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "ann_topk" ->
       s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
          |scored AS (
@@ -85,12 +112,16 @@ object ExtQueries {
          |WHERE a.vec_id < b.vec_id
          |  AND ${qdotSql("a.embedding", "b.embedding")} >= 450000
          |ORDER BY id_a, id_b""".stripMargin,
-    // IVF-flat ANN: sampled-centroid coarse quantizer, inverted-list
-    // probe, exact re-score — all int64 arithmetic with id tie-breaks,
-    // so DuckDB rebuilds the identical index from scratch
+    // IVF-flat ANN: fixed-budget coarse quantizer (the 64 corpus rows
+    // with the smallest md5-derived id hash — constant centroid count
+    // at any corpus size), inverted-list probe, exact re-score — all
+    // int64 arithmetic with id tie-breaks, so DuckDB rebuilds the
+    // identical index from scratch
     "ann_ivf_topk" ->
       s"""WITH cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 97 = 0),
+         |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+         |  ORDER BY CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+         |  LIMIT 64),
          |assign AS (
          |  SELECT vec_id, list_id FROM (
          |    SELECT e.vec_id, c.cent_id AS list_id,
@@ -381,6 +412,22 @@ object ExtQueries {
         shingleN = 3, numPerms = 128, bands = 64, threshold = 0.6)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+    "dedup_canonical" -> { (s, dir) =>
+      // keep-first + clustering composed: LSH pairs (exact-verified) →
+      // connected components → min-id representative, docs without a
+      // near-dup mapping to themselves. Downstream dedup is then
+      // `where(doc_id === canonical_id)`.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+        shingleN = 3, numPerms = 128, bands = 64, threshold = 0.6)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      docs.select("doc_id")
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"))
         .orderBy("doc_id")
     },
     "dedup_simhash_pairs" -> { (s, dir) =>

@@ -16,6 +16,12 @@ object GraftSession {
   /** Build a local session shaped for this container (local[N], AQE on,
     * UTC, small shuffle-partition count matched to cores — NOT the 200
     * default, which is wrong for local mode).
+    *
+    * `spark.sql.extensions=graft.functions.GraftExtensions` is the
+    * documented default path: every session built here has the native
+    * SQL functions (qdot, minhash_sig, shingle_hashes, rolling_hash)
+    * and the top-k-per-key planner strategy with zero imperative
+    * `register`/`install` calls.
     */
   def local(
       cores: Int = 32,
@@ -25,6 +31,7 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

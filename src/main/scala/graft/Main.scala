@@ -15,9 +15,15 @@ import graft.ops.TextOps
   *
   * Usage:
   *   graft.Main --input <dir|file> [--format text|parquet]
-  *              [--query wordcount|sql|<named>] [--sql "SELECT ..."]
+  *              [--query wordcount|sql|custom|<named>] [--sql "SELECT ..."]
+  *              [--mapper-class FQCN --reducer-class FQCN]
   *              [--m M] [--r R] --output <dir> [--table documents --col text]
   *              [--key <col> --value <col>]
+  *
+  * `--query custom` is the arbitrary-UDF submission path
+  * (`w6/docs/design.md:66-74`): the named classes must implement
+  * `graft.api.TextMapper` / `graft.api.TextReducer` and are instantiated
+  * reflectively — no engine code changes, no SQL.
   *
   * `--m` sets the map-shard count for the input size (the reference's M,
   * via maxPartitionBytes); `--r` the number of reducers = output files.
@@ -76,8 +82,18 @@ object Main {
       case "sql" =>
         val sqlText = opts.getOrElse("sql", sys.error("--sql required with --query sql"))
         Tables.registerAll(spark, input)
-        graft.functions.GraftFunctions.register(spark)
+        // native functions come from spark.sql.extensions (GraftSession)
         sink(spark.sql(sqlText))
+      case "custom" =>
+        val mc = opts.getOrElse("mapper-class",
+          sys.error("--mapper-class required with --query custom"))
+        val rc = opts.getOrElse("reducer-class",
+          sys.error("--reducer-class required with --query custom"))
+        import spark.implicits._
+        val lines = df.select(textCol.cast("string")).na.drop().as[String]
+        sink(graft.api.CustomJob.run(lines,
+          graft.api.CustomJob.instantiate[graft.api.TextMapper](mc),
+          graft.api.CustomJob.instantiate[graft.api.TextReducer](rc), r))
       case name if SparkEntry.queries.contains(name) =>
         sink(SparkEntry.queries(name)(spark, input))
       case other => sys.error(s"unknown --query $other")

@@ -135,7 +135,7 @@ object Queries {
       val docs = t(s, dir, "documents").select(col("text")).as[String]
       graft.api.MapReduceJob[String, String, Long](
           docs,
-          (line: String) => line.toLowerCase
+          (line: String) => line.toLowerCase(java.util.Locale.ROOT)
             .replaceAll("\\p{Punct}", " ")
             .split(" ").iterator.filter(_.nonEmpty).map(w => (w, 1L)),
           (a: Long, b: Long) => a + b)

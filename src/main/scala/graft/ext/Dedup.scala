@@ -94,16 +94,27 @@ object Dedup {
       hotThreshold: Int = 1024): DataFrame = {
     val a0 = bandsDf.select(col("band"), col("bh"), col(idCol).as("id_a"))
     val b0 = bandsDf.select(col("band"), col("bh"), col(idCol).as("id_b"))
-    // runtime skew probe, AQE-style: the bucket-size aggregate is tiny
-    // (ids-only, partial-aggregated) and decides the plan — the common
-    // no-skew corpus takes the plain self-join with zero salt overhead
-    lazy val hot = bandsDf.groupBy("band", "bh")
-      .agg(count(lit(1)).as("__n"))
-      .where(col("__n") > hotThreshold)
-      .select(col("band"), col("bh"), lit(true).as("__hot"))
+    // runtime skew probe, AQE-style: ONE ids-only partial-aggregated
+    // job, its (tiny, bounded by totalRows/hotThreshold) result
+    // collected once — a `broadcast(hot)` would ship the same rows
+    // through the driver anyway — so the emptiness probe and both
+    // salted-join sides share one materialization instead of
+    // recomputing the bucket-count aggregate three times
+    val hotRows: Array[org.apache.spark.sql.Row] =
+      if (salts <= 1) Array.empty
+      else bandsDf.groupBy("band", "bh")
+        .agg(count(lit(1)).as("__n"))
+        .where(col("__n") > hotThreshold)
+        .select(col("band"), col("bh"))
+        .collect()
     val joined =
-      if (salts <= 1 || hot.isEmpty) a0.join(b0, Seq("band", "bh"))
+      if (salts <= 1 || hotRows.isEmpty) a0.join(b0, Seq("band", "bh"))
       else {
+        val schema = org.apache.spark.sql.types.StructType(
+          Seq(bandsDf.schema("band"), bandsDf.schema("bh")))
+        val hot = bandsDf.sparkSession
+          .createDataFrame(java.util.Arrays.asList(hotRows: _*), schema)
+          .withColumn("__hot", lit(true))
         val flagA = a0.join(broadcast(hot), Seq("band", "bh"), "left")
         val flagB = b0.join(broadcast(hot), Seq("band", "bh"), "left")
         val cold = flagA.where(col("__hot").isNull).drop("__hot")
@@ -134,9 +145,10 @@ object Dedup {
     * The (id, shingle-hash-set) relation is cached: it is consumed three
     * times (signature build + both sides of the verify join) and caching
     * it avoids re-tokenizing the corpus each time — at cluster scale this
-    * materialization would be a checkpoint instead. The cache lives until
-    * the session ends (or the caller unpersists); long-lived sessions
-    * running many other jobs should checkpoint + unpersist instead. */
+    * materialization would be a checkpoint instead. The cache is owned by
+    * `scope`: a long-lived session materializes the result and calls
+    * `scope.close()` to release it; the default scope is never closed
+    * (cache lives until session end / an explicit `clearCache`). */
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -146,11 +158,11 @@ object Dedup {
       bands: Int = 64,
       threshold: Double = 0.6,
       salts: Int = 4,
-      hotThreshold: Int = 1024): DataFrame = {
-    val sh = df
+      hotThreshold: Int = 1024,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    val sh = scope.cache(df
       .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
-      .where(size(col("ws")) > 0)
-      .cache()
+      .where(size(col("ws")) > 0))
     val sigs = sh.select(col(idCol), minHashSignature(col("ws"), numPerms).as("sig"))
     val cands = candidatePairs(
       lshBands(sigs, idCol, "sig", bands, numPerms / bands), idCol, salts, hotThreshold)
@@ -172,10 +184,12 @@ object Dedup {
     * node takes the min of its own label and its neighbors' labels;
     * rounds ≈ component diameter (near-dup clusters are shallow — a
     * hub document links its variants, so single digits in practice).
-    * Each round is one equi-join + partial-aggregated min — no driver
-    * data movement; the per-round `count` on the (ids-only) change set
-    * is the loop condition, and `localCheckpoint` truncates the plan
-    * lineage that iterative DataFrames otherwise accumulate. Throws if
+    * Each round is ONE Spark job: the new labels carry a per-row change
+    * flag, the relation is localCheckpoint'ed lazily, and the change
+    * `count` both materializes the checkpoint (truncating the plan
+    * lineage iterative DataFrames otherwise accumulate) and returns the
+    * loop condition — no second join+count pass over the round's
+    * output. No driver data movement beyond the single count. Throws if
     * `maxIters` rounds don't converge rather than returning a partial
     * labeling. */
   def connectedComponents(
@@ -195,13 +209,17 @@ object Dedup {
     while (changed > 0 && i < maxIters) {
       val prop = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src").as("pid")).agg(min(col("lbl")).as("nlbl"))
+      // lazy checkpoint: the count below runs the round's single job,
+      // materializing every partition (the filter sits ABOVE the
+      // checkpointed scan, so the full relation is cached) and reading
+      // the change tally off the same pass
       val next = labels.join(prop, col("id") === col("pid"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .where(col("lbl") =!= col("old")).count()
-      labels = next
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (col("nlbl").isNotNull && col("nlbl") < col("lbl")).as("__chg"))
+        .localCheckpoint(false)
+      changed = next.where(col("__chg")).count()
+      labels = next.select("id", "lbl")
       i += 1
     }
     require(changed == 0,
@@ -248,17 +266,22 @@ object Dedup {
     * values via the verified value pairs. Output size is inherently
     * all-pairs; the collapse removes the quadratic JOIN work, not the
     * quadratic answer a duplicate-saturated corpus genuinely has. */
-  def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
     val nChunks = maxHamming + 1
     require(nChunks <= 60, s"maxHamming $maxHamming leaves chunks with no bits")
     val toks = TextOps.tokens(col(textCol))
     // consumed three times (value index + both member expansions):
-    // cache the (id, simhash) relation — a checkpoint at cluster scale
-    val hashed = df
+    // cache the (id, simhash) relation — a checkpoint at cluster scale;
+    // lifecycle owned by `scope` (see nearDupPairs)
+    val hashed = scope.cache(df
       .select(col(idCol), wordHashes(toks).as("wh"))
       .where(size(col("wh")) > 0)
-      .select(col(idCol), graft.functions.SimHash60.simhash60(col("wh")).as("sh"))
-      .cache()
+      .select(col(idCol), graft.functions.SimHash60.simhash60(col("wh")).as("sh")))
     val values = hashed.select("sh").distinct()
     // chunk c covers bits [c*60/nChunks, (c+1)*60/nChunks)
     val bounds = (0 to nChunks).map(c => c * 60 / nChunks)

@@ -43,9 +43,13 @@ object Similarity {
   }
 
   /** Brute-force top-k neighbors for each probe: the exact baseline.
-    * Probes are broadcast (small side); the corpus is scanned once —
-    * at 100 TB this is the map-only "score + per-probe top-k" shape with
-    * partial top-k folded into the final window. */
+    * Probes are broadcast (small side); the corpus is scanned once and
+    * per-probe ranking runs through the bounded-heap `TopKPerKey`
+    * physical operator — each input partition sends at most k rows per
+    * probe across the shuffle (map-side partial heaps), instead of
+    * shuffling all n·probes scored rows into one window sort. The
+    * `row_number` that labels ranks afterwards only ever sees the
+    * ≤ k·probes surviving rows. */
   def bruteForceTopK(
       corpus: DataFrame,
       probes: DataFrame,
@@ -54,18 +58,45 @@ object Similarity {
       probeIdCol: String,
       probeVecCol: String,
       k: Int): DataFrame = {
-    val scored = corpus
+    val scored = scoreAllPairs(corpus, probes, idCol, vecCol, probeIdCol, probeVecCol)
+    val top = graft.plans.TopKPerKey(
+      scored, Seq(probeIdCol), Seq(("qdot", false), (idCol, true)), k)
+    val w = Window.partitionBy(probeIdCol).orderBy(desc("qdot"), asc(idCol))
+    top.withColumn("rn", row_number().over(w).cast("long"))
+  }
+
+  /** The built-ins-only window formulation — equivalence reference for
+    * `bruteForceTopK` (all scored rows shuffle into the rank window;
+    * correct, but every row of a probe lands on one task). */
+  def bruteForceTopKWindow(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeIdCol: String,
+      probeVecCol: String,
+      k: Int): DataFrame = {
+    val scored = scoreAllPairs(corpus, probes, idCol, vecCol, probeIdCol, probeVecCol)
+    val w = Window.partitionBy(probeIdCol).orderBy(desc("qdot"), asc(idCol))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+  }
+
+  private def scoreAllPairs(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeIdCol: String,
+      probeVecCol: String): DataFrame =
+    corpus
       .crossJoin(broadcast(probes))
       .where(col(idCol) =!= col(probeIdCol))
       .select(
         col(probeIdCol),
         col(idCol),
         quantizedDot(col(probeVecCol), col(vecCol)).as("qdot"))
-    val w = Window.partitionBy(probeIdCol).orderBy(desc("qdot"), asc(idCol))
-    scored
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .where(col("rn") <= k)
-  }
 
   /** All embedding pairs with qdot ≥ threshold — embedding-cosine
     * near-dup detection, exact O(n²) evaluated as a block-pair join:
@@ -200,30 +231,48 @@ object Similarity {
       .where(col("qdot") >= minQdot)
   }
 
-  /** IVF-flat approximate top-k: a coarse quantizer (centroids = the
-    * deterministic corpus sample `id % centMod == 0`) partitions the
-    * corpus into inverted lists by argmax quantized dot; each probe
-    * scans its `nprobe` nearest lists and re-scores exactly. All
-    * arithmetic is int64 and every argmax/tie is id-broken, so the
-    * result is bit-reproducible in any engine (full hash oracle).
+  /** IVF-flat approximate top-k: a coarse quantizer with a FIXED
+    * centroid budget partitions the corpus into inverted lists by
+    * argmax quantized dot; each probe scans its `nprobe` nearest lists
+    * and re-scores exactly. All arithmetic is int64 and every
+    * argmax/tie is id-broken, so the result is bit-reproducible in any
+    * engine (full hash oracle).
+    *
+    * Centroid selection is a deterministic uniform sample of exactly
+    * `numCentroids` rows: the K corpus rows with the smallest
+    * engine-independent hash of their id (15 hex chars of md5 → signed
+    * int64, id tie-break). Crucially K is a CONSTANT, independent of
+    * corpus size — assignment work is O(n·K) dot products and the
+    * centroid broadcast is K vectors, at any corpus scale. (The
+    * round-2 `id % 97` sampler grew centroids linearly with the corpus:
+    * O(n²/97) assignment and a ~1%-of-corpus broadcast at 100 TB.)
+    * Selecting the K global minima is a distributed TakeOrdered: each
+    * partition surfaces its own top-K, the driver merges K·partitions
+    * candidate IDS — never vectors of the whole corpus.
     *
     * Scale shape: centroids are tiny and broadcast; list assignment is
     * a map-side broadcast join + partial-aggregated argmax (≤ 1 row per
     * vector reaches the shuffle); the probe-side scan shuffles corpus
     * vectors by list id — the inverted-list layout a 100 TB deployment
     * would have pre-materialized and bucketed on disk. A production
-    * quantizer would k-means-train the centroids; the sampled quantizer
-    * keeps the identical plan shape with reproducible placement. */
+    * quantizer would k-means-train the centroid VECTORS for better list
+    * balance; the hashed-sample quantizer has the identical plan shape,
+    * cost model, and a reproducible placement the oracle can rebuild. */
   def ivfTopK(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       probeFilter: Column,
       k: Int,
-      centMod: Int = 97,
+      numCentroids: Int = 64,
       nprobe: Int = 4): DataFrame = {
-    val cents = corpus.where(pmod(col(idCol), lit(centMod)) === 0)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+    val idHash = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val cents = corpus
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"), idHash.as("__h"))
+      .orderBy(asc("__h"), asc("cent_id"))
+      .limit(numCentroids)
+      .select("cent_id", "cv")
     // assignment: argmax centroid dot with smallest-cent_id tie-break,
     // as a partial-aggregable max_by (struct compare is lexicographic)
     val scored = corpus.crossJoin(broadcast(cents))

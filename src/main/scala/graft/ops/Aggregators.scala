@@ -47,6 +47,7 @@ object Aggregators {
     * first version re-sorted the whole buffer on every input row.) */
   final case class TopK[T](k: Int)(implicit ord: Ordering[T], enc: Encoder[Seq[T]])
       extends Aggregator[T, Seq[T], Seq[T]] {
+    require(k > 0, s"TopK needs k > 0, got $k")
     def zero: Seq[T] = Seq.empty
     def reduce(b: Seq[T], a: T): Seq[T] =
       if (b.length >= k && ord.lteq(a, b.last)) b

@@ -34,7 +34,7 @@ object AsOfJoin {
       rightTime: String,
       payload: Seq[String]): DataFrame = {
     val lCols = left.columns
-    val reserved = Set("__t", "__tag", "__p") ++ payload.map(c => s"asof_$c")
+    val reserved = Set("__t", "__tag", "__p", "__asof") ++ payload.map(c => s"asof_$c")
     val clash = (lCols ++ right.columns).filter(reserved)
     require(clash.isEmpty,
       s"as-of join reserves column names ${clash.distinct.mkString(", ")}; rename the inputs")

@@ -42,12 +42,20 @@ object RangeJoin {
     val clash = left.columns.filter(outNames.contains)
     require(clash.isEmpty,
       s"range join reserves column names ${clash.distinct.mkString(", ")}; rename the left input")
+    // exact integral division (`div`), not floor(col / maxGap): the
+    // double quotient rounds for values near 2^53 (epoch nanos) and a
+    // row can land one bin off on only one side, dropping boundary
+    // pairs. `div` truncates toward zero rather than flooring, which
+    // only widens bin 0 to (-maxGap, maxGap); bins are still >= maxGap
+    // wide everywhere, so a qualifying pair (|dt| <= maxGap) can never
+    // sit more than one bin apart and the +/-1 replication stays
+    // complete.
+    def bin(c: String) = expr(s"CAST(`$c` AS BIGINT) div ${maxGap}L")
     val l = left.withColumn("__bin",
-      explode(array(Seq(-1, 0, 1).map(d =>
-        floor(col(leftTime) / maxGap).cast("long") + d): _*)))
+      explode(array(Seq(-1, 0, 1).map(d => bin(leftTime) + d): _*)))
     val r = right.select(
       Seq(col(key), col(rightTime).as("__rt"),
-        floor(col(rightTime) / maxGap).cast("long").as("__bin")) ++
+        bin(rightTime).as("__bin")) ++
         payload.map(c => col(c).as(s"range_$c")): _*)
     l.join(r, Seq(key, "__bin"))
       .where(abs(col(leftTime) - col("__rt")) <= maxGap)

@@ -59,7 +59,7 @@ object StreamOps {
     * group (SURVEY.md §2.4). */
   def sessionize(
       events: Dataset[Event],
-      gapSeconds: Long = 600): Dataset[Session] = {
+      gapSeconds: Long = 1800): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", "2 hours")

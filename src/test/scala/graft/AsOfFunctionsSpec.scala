@@ -43,8 +43,9 @@ class AsOfFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("__tag"))
   }
 
-  test("SQL functions registered and match Column API") {
-    GraftFunctions.register(spark)
+  test("SQL functions available by default (GraftExtensions via session config) and match Column API") {
+    // NO imperative GraftFunctions.register here: GraftSession.local
+    // configures spark.sql.extensions=graft.functions.GraftExtensions
     val r = spark.sql(
       "SELECT qdot(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), array(CAST(2.0 AS FLOAT), CAST(0.25 AS FLOAT))) AS d")
       .as[Long].head()
@@ -58,11 +59,15 @@ class AsOfFunctionsSpec extends SparkSpec {
     assert(sig == sig2)
   }
 
-  test("GraftExtensions registers functions on a fresh session") {
+  test("extensions carry to a fresh newSession with no imperative calls") {
     val fresh = spark.newSession()
-    // newSession shares the function registry state? ensure explicit path
-    GraftFunctions.register(fresh)
     assert(fresh.sql("SELECT qdot(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS d")
       .as[Long].head() == 1000000L)
+  }
+
+  test("imperative GraftFunctions.register stays idempotent on an extended session") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT rolling_hash('ab') AS h").as[Long].head() ==
+      ((97L * 131 + 98) % 2147483647))
   }
 }

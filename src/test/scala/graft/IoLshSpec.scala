@@ -38,6 +38,33 @@ class IoLshSpec extends SparkSpec {
     assert(names.map(_.takeWhile(_ != '.')).sorted.toSeq == Seq("out_0", "out_1", "out_2"))
   }
 
+  test("bruteForceTopK (bounded-heap operator) equals the window formulation") {
+    val emb = io.Tables(spark, sf, "embeddings")
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "vec_id", "qdot", "rn")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val heap = rows(Similarity
+      .bruteForceTopK(emb, probes, "vec_id", "embedding", "probe_id", "pe", 10))
+    val window = rows(Similarity
+      .bruteForceTopKWindow(emb, probes, "vec_id", "embedding", "probe_id", "pe", 10))
+    assert(heap.nonEmpty && heap == window)
+  }
+
+  test("CacheScope releases the dedup pipeline's cached intermediates") {
+    val docs = io.Tables(spark, sf, "documents")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val scope = new graft.util.CacheScope
+    val n = graft.ext.Dedup
+      .nearDupPairs(docs, "doc_id", "text", scope = scope).count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "pipeline should have cached its shingle relation")
+    scope.close()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      s"scope.close() must unpersist what the pipeline cached (pairs=$n)")
+  }
+
   test("IVF top-k is an exact-scored subset of brute force with nonzero recall") {
     val emb = io.Tables(spark, sf, "embeddings")
     val probes = emb.where(col("vec_id") < 10)
@@ -47,7 +74,7 @@ class IoLshSpec extends SparkSpec {
       .select("probe_id", "vec_id", "qdot").as[(Long, Long, Long)].collect()
     val bruteTop = brute.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toMap).toMap
     val ivf = Similarity
-      .ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 10, centMod = 13)
+      .ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 10, numCentroids = 16)
       .select("probe_id", "vec_id", "qdot").as[(Long, Long, Long)].collect()
     assert(ivf.nonEmpty)
     val hits = ivf.count { case (p, v, q) => bruteTop.get(p).exists(_.get(v).contains(q)) }

@@ -2,7 +2,40 @@ package graft
 
 import java.nio.file.Files
 
+/** A user's custom mapper/reducer pair, exactly as someone outside the
+  * engine would write them: plain classes implementing the two traits,
+  * submitted to the CLI by fully-qualified name. */
+class TestVowelCountMapper extends api.TextMapper {
+  def map(record: String): IterableOnce[(String, String)] =
+    record.toLowerCase(java.util.Locale.ROOT)
+      .filter("aeiou".contains(_))
+      .map(v => (v.toString, "1"))
+}
+
+class TestSumReducer extends api.TextReducer {
+  def reduce(key: String, values: Iterator[String]): String =
+    values.map(_.toLong).sum.toString
+}
+
 class MainSpec extends SparkSpec {
+
+  test("CLI custom job: user mapper/reducer classes submitted by FQCN end-to-end") {
+    val in = Files.createTempDirectory("cli_custom_in")
+    Files.writeString(in.resolve("a.txt"), "Education\nqueue\n")
+    val out = Files.createTempDirectory("cli_custom_out").toString
+    Main.main(Array(
+      "--input", in.toString, "--output", out, "--r", "2",
+      "--query", "custom",
+      "--mapper-class", "graft.TestVowelCountMapper",
+      "--reducer-class", "graft.TestSumReducer",
+      "--key", "key", "--value", "value"))
+    val back = io.KvText.read(spark, out)
+    import spark.implicits._
+    val counts = back.select($"key", $"value".cast("long"))
+      .as[(String, Long)].collect().toMap
+    // education -> e,u,a,i,o ; queue -> u,e,u,e
+    assert(counts == Map("a" -> 1L, "e" -> 3L, "i" -> 1L, "o" -> 1L, "u" -> 3L))
+  }
 
   test("CLI wordcount job over a text container writes R out_<j> kv files") {
     val in = Files.createTempDirectory("cli_in")

@@ -43,21 +43,21 @@ object BenchScale {
           to + to.toUpperCase).as("text"))
     }.reduce(_ unionByName _)
 
-  /** f copies of embeddings; copy k id-offset and rotated k·17 positions
-    * (a 1-position rotation of a smooth synthetic vector stays highly
-    * correlated with the original; 17 is coprime with 64 so every copy
-    * gets a distinct large rotation). */
+  /** f copies of embeddings; copy k id-offset and sign-flipped by a
+    * k-seeded deterministic ±1 pattern. A fixed sign pattern s preserves
+    * every within-copy dot product exactly ((s_i·a_i)(s_i·b_i) =
+    * a_i·b_i) while cross-copy dots become sign-randomized sums ≈ 0 —
+    * rotation, by contrast, leaves smooth or near-constant vectors
+    * correlated with their own copies. */
   def inflateEmbeddings(emb: DataFrame, f: Int, dim: Int = 64): DataFrame =
     (0 until f).map { k =>
-      val rot = (k * 17) % dim
-      val rotated =
-        if (rot == 0) col("embedding")
-        else concat(
-          slice(col("embedding"), rot + 1, dim - rot),
-          slice(col("embedding"), 1, rot))
+      val flipped =
+        if (k == 0) col("embedding")
+        else transform(col("embedding"), (x, i) =>
+          when(pmod(xxhash64(lit(k), i), lit(2)) === 0, x).otherwise(-x))
       emb.select(
         (col("vec_id") + lit(k.toLong * 1000000000L)).as("vec_id"),
-        rotated.as("embedding"))
+        flipped.cast("array<float>").as("embedding"))
     }.reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {
@@ -105,6 +105,10 @@ object BenchScale {
 
     val secs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Int, Double, Long)]]
     for ((name, cap, build) <- kernels) {
+      // untimed f=1 warmup per kernel: codegen/compile of the kernel's
+      // expressions otherwise lands on its first timed factor
+      build(1).count()
+      spark.catalog.clearCache()
       val runs = factors.filter(_ <= cap).map { f =>
         val t0 = System.nanoTime()
         val df = build(f).cache()

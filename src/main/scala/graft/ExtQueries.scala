@@ -185,6 +185,76 @@ object ExtQueries {
          |  FROM scored)
          |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
          |ORDER BY probe_id, rn""".stripMargin,
+    // streaming twin of the canonical word count: same tokenization,
+    // continuous execution, complete-mode memory sink
+    "stream_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' ')) AS word
+        |      FROM documents) tok
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY word""".stripMargin,
+    // deterministic train/validation/test assignment: hash-range split
+    // on an engine-independent md5 id hash — the reproducible sampling
+    // op every training pipeline needs (same doc lands in the same
+    // split in any engine, at any scale, with no shuffle at all)
+    "split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+        |       WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // the flagship LLM-data pipeline end-to-end: near-dup
+    // canonicalization (LSH + connected components, keep min-id) →
+    // language filter → quality filter — "materialize the training
+    // corpus" as one query
+    "corpus_select" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $shingleSql AS ws FROM toks WHERE len(tk) >= 3),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.ws, b.ws))*1.0 / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.6),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |lbl AS (
+         |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |canon AS (
+         |  SELECT d.doc_id, d.text FROM documents d LEFT JOIN lbl l USING (doc_id)
+         |  WHERE l.cluster_id IS NULL OR l.cluster_id = d.doc_id),
+         |f AS (SELECT doc_id, $tokSql AS tk, text FROM canon),
+         |s AS (
+         |  SELECT doc_id,
+         |    len(list_filter(tk, x -> list_contains(['der','die','das','und','nicht','ist'], x))) AS s_de,
+         |    len(list_filter(tk, x -> list_contains(['the','a','of','to','and','is'], x))) AS s_en,
+         |    len(list_filter(tk, x -> list_contains(['el','la','los','que','y','es'], x))) AS s_es,
+         |    len(list_filter(tk, x -> list_contains(['le','la','les','et','est','que'], x))) AS s_fr
+         |  FROM f),
+         |q AS (
+         |  SELECT doc_id,
+         |    least(len(tk) / 100.0, 1.0) * 0.5
+         |    + (CASE WHEN len(tk) = 0 THEN 0.0 ELSE len(list_filter(tk, x -> list_contains(['the','a','an','of','to','and','in','is','it','for','on','with'], x)))*1.0 / len(tk) END) * 0.3
+         |    + (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[[:punct:]]'))*1.0 / length(text) END) * 0.2 AS qscore
+         |  FROM f)
+         |SELECT f.doc_id, CAST(len(f.tk) AS BIGINT) AS n_tokens, q.qscore
+         |FROM f JOIN s USING (doc_id) JOIN q USING (doc_id)
+         |WHERE (CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) AND s_de > 0 THEN 'de'
+         |            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) AND s_en > 0 THEN 'en'
+         |            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) AND s_es > 0 THEN 'es'
+         |            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) AND s_fr > 0 THEN 'fr'
+         |            ELSE 'und' END) = 'en'
+         |  AND q.qscore >= 0.5
+         |ORDER BY f.doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
         |FROM documents
@@ -590,6 +660,51 @@ object ExtQueries {
           col("event_type"), col("n"),
           round(col("total_value"), 2).cast("double").as("total_value"))
         .orderBy("hour_ts", "event_type")
+    },
+    "stream_wordcount" -> { (s, dir) =>
+      // the reference's canonical query as a continuous pipeline:
+      // parquet file-stream source → reference-parity tokenization →
+      // running counts in the complete-mode memory sink
+      val docs = StreamOps.readTable(s, dir, "documents")
+      StreamOps.runToMemory(
+          TextOps.wordCount(docs, col("text")), "stream_wordcount_sink",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy("word")
+    },
+    "split_assign" -> { (s, dir) =>
+      // map-only, shuffle-free: split = hash-range of an md5-derived id
+      // hash (80/10/10) — reproducible across engines and partitionings
+      val h = pmod(
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long"),
+        lit(100L))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(h < 80, lit("train"))
+            .when(h < 90, lit("validation"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy("doc_id")
+    },
+    "corpus_select" -> { (s, dir) =>
+      // the full training-corpus materialization: keep one doc per
+      // near-dup cluster (min id), then English-only, then quality
+      // threshold — dedup + langid + quality composed end-to-end
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+        shingleN = 3, numPerms = 128, bands = 64, threshold = 0.6)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val canon = docs.join(clusters, Seq("doc_id"), "left")
+        .where(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      canon
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"), col("text"))
+        .select(col("doc_id"),
+          TextAnalysis.langIdFromTokens(col("tk")).as("lang"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("qscore"))
+        .where(col("lang") === "en" && col("qscore") >= 0.5)
+        .select("doc_id", "n_tokens", "qscore")
+        .orderBy("doc_id")
     },
     "text_tfidf_top3" -> { (s, dir) =>
       // two chained wordcount-shaped jobs (the reference's job-chaining

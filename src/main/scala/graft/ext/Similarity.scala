@@ -180,16 +180,18 @@ object Similarity {
   }
 
   /** Single-table random-hyperplane bucket id built from Column
-    * expressions only — a didactic/validation form. The engine's real
-    * bucketing is `functions.RhpBuckets` (all tables in one native
-    * loop, md5-derived engine-independent planes); this one keeps the
-    * legacy Gaussian family and exists to show the declarative shape. */
-  def rhpBucket(vec: Column, dim: Int, planes: Int, seed: Int = 7): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planeVecs = Array.fill(planes, dim)(rnd.nextGaussian())
+    * expressions only — the didactic/validation form of
+    * `functions.RhpBuckets` (which does all tables in one native loop
+    * because this formulation's planes×dim expression nodes blow Janino
+    * codegen up at real widths). SAME plane family as the native
+    * expression — md5-derived integer weights, int64-quantized sign
+    * test — so for any row this column equals
+    * `element_at(rhpBuckets(vec, dim, planes, tables), table + 1)`. */
+  def rhpBucket(vec: Column, dim: Int, planes: Int, table: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       val dot = (0 until dim).map { i =>
-        element_at(vec, i + 1).cast("double") * lit(planeVecs(p)(i))
+        (round(element_at(vec, i + 1).cast("double") * 1000).cast("long")) *
+          lit(graft.functions.RhpBuckets.planeWeight(table, p, i))
       }.reduce(_ + _)
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -296,8 +298,20 @@ object Similarity {
       .join(broadcast(probes), "probe_id")
       .select(col("probe_id"), col(idCol),
         quantizedDot(col("pe"), col(vecCol)).as("qdot"))
+    rankTopK(rescored, idCol, k)
+  }
+
+  /** Per-probe top-k of a scored candidate relation through the
+    * bounded-heap `TopKPerKey` operator (≤ k rows per probe per input
+    * partition cross the shuffle — a probe whose inverted lists /
+    * buckets hold millions of candidates never funnels them all into
+    * one window task), then rank labels over the ≤ k·probes
+    * survivors. */
+  private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    val top = graft.plans.TopKPerKey(
+      scored, Seq("probe_id"), Seq(("qdot", false), (idCol, true)), k)
     val w = Window.partitionBy("probe_id").orderBy(desc("qdot"), asc(idCol))
-    rescored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)
+    top.withColumn("rn", row_number().over(w).cast("long"))
   }
 
   /** LSH-bucketed approximate top-k: candidates come only from buckets
@@ -340,7 +354,6 @@ object Similarity {
       .join(broadcast(probesVec), "probe_id")
       .join(cv, idCol)
       .select(col("probe_id"), col(idCol), quantizedDot(col("pe"), col(vecCol)).as("qdot"))
-    val w = Window.partitionBy("probe_id").orderBy(desc("qdot"), asc(idCol))
-    scored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)
+    rankTopK(scored, idCol, k)
   }
 }

@@ -12,21 +12,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
-  /** Streaming view of an events directory with the same schema fix-ups
-    * as the batch reader (nanosecond timestamps → microseconds). The file
-    * stream source monitors a directory; a single-file table is exposed
-    * through a temp dir symlink. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  // one watched temp dir per source dir, reused across calls — a
+  // long-lived session that builds many streams over the same table
+  // must not accumulate temp symlink dirs
+  private val watchedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Streaming view of one parquet table of an sf directory: the file
+    * stream source monitors a directory, so the single-file table is
+    * exposed through a (per-source-file, process-lifetime) temp dir
+    * symlink. */
+  def readTable(spark: SparkSession, dir: String, table: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val watched = java.nio.file.Files.createTempDirectory("events_stream")
-    java.nio.file.Files.createSymbolicLink(watched.resolve("events.parquet"), src)
-    spark.readStream
-      .schema(schema)
-      .parquet(watched.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+    val watched = watchedDirs.computeIfAbsent(s"$dir/$table", { _ =>
+      val src = java.nio.file.Paths.get(dir, s"$table.parquet")
+      val w = java.nio.file.Files.createTempDirectory(s"${table}_stream")
+      java.nio.file.Files.createSymbolicLink(w.resolve(s"$table.parquet"), src)
+      w
+    })
+    spark.readStream.schema(schema).parquet(watched.toString)
   }
+
+  /** Streaming view of the events table with the same schema fix-ups as
+    * the batch reader (nanosecond timestamps → microseconds). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    readTable(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling-window count/sum per event type with a watermark: the
     * streaming equivalent of the batch hourly aggregation (q12). Late

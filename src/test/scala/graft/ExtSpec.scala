@@ -123,6 +123,19 @@ class ExtSpec extends SparkSpec {
     assert(buckets(0) == buckets(1))
   }
 
+  test("declarative rhpBucket equals the native RhpBuckets expression per table") {
+    val emb = io.Tables(spark, sf, "embeddings").limit(20)
+    (0 until 3).foreach { t =>
+      val mismatches = emb.select(
+          Similarity.rhpBucket(col("embedding"), 64, 6, table = t).as("hof"),
+          element_at(
+            graft.functions.RhpBuckets.rhpBuckets(col("embedding"), 64, 6, 8), t + 1).as("native"))
+        .where(col("hof") =!= col("native"))
+        .count()
+      assert(mismatches == 0, s"table $t: HOF and native buckets diverge")
+    }
+  }
+
   test("langId picks marker language with alphabetical tie-break") {
     val df = Seq(
       "der hund ist nicht hier",

@@ -67,6 +67,21 @@ case class TopKPerKeyExec(
     if (partial) Seq(Nil)
     else Seq(keys.map(key => SortOrder(key, Ascending)))
 
+  /** Both phases are per-partition transforms, so the child's
+    * partitioning survives — without this override the node reports
+    * UnknownPartitioning and every downstream key-clustered consumer
+    * (e.g. a rank window over the same keys) pays a REDUNDANT exchange
+    * of the already-key-partitioned output. */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  /** The final phase streams one key-group at a time over key-sorted
+    * input, so its output stays key-clustered in ascending key blocks
+    * (rows within a group are heap-ordered — only the key prefix is
+    * promised). The partial phase's hash-map scrambles order. */
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else keys.map(key => SortOrder(key, Ascending))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val orderExprs = order

@@ -201,8 +201,11 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // init = min(id, min(neighbor)): the same single shuffle a distinct
+    // would cost, but with round 1's propagation folded in
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nb"))
+      .select(col("id"), least(col("id"), col("nb")).as("lbl"))
       .localCheckpoint(true)
     var changed = 1L
     var i = 0

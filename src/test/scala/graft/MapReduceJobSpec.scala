@@ -80,4 +80,21 @@ class MapReduceJobSpec extends SparkSpec {
     val m = a.merge(Array(1L, 9L, 5L, 7L), Array(2L, 3L, 5L, Long.MaxValue))
     assert(m.toSeq == Seq(1L, 3L, 5L, 7L))
   }
+
+  test("CustomJob reducer sees the WHOLE group — non-associative logic is legal") {
+    import spark.implicits._
+    val lines = Seq("b a", "a c b", "c").toDS()
+    val mapper = new api.TextMapper {
+      def map(r: String): IterableOnce[(String, String)] =
+        r.split(" ").zipWithIndex.map { case (w, i) => (w, i.toString) }
+    }
+    // joins the SORTED value list — order-sensitive, not a fold of pairs
+    val reducer = new api.TextReducer {
+      def reduce(key: String, values: Iterator[String]): String =
+        values.toSeq.sorted.mkString("|")
+    }
+    val got = api.CustomJob.run(lines, mapper, reducer, r = 2)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "0|1", "b" -> "0|2", "c" -> "0|1"))
+  }
 }

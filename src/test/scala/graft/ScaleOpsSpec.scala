@@ -27,6 +27,26 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("BenchScale doc inflation: pairs of the 4x corpus are exactly 4 offset copies") {
+    // per-copy Caesar rotation keeps each copy's internal near-dup
+    // structure identical and makes cross-copy token sets disjoint —
+    // so the TRUE answer of the inflated corpus is exactly the base
+    // answer replicated with id offsets. This is what makes the scale
+    // probe's growth curves interpretable.
+    val docs = io.Tables(spark, "/root/testdata/sf0.01", "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      ext.Dedup.nearDupPairs(df, "doc_id", "text",
+          shingleN = 3, numPerms = 128, bands = 64, threshold = 0.6)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val base = pairs(docs)
+    assert(base.nonEmpty)
+    val expected = (0 until 4).flatMap { k =>
+      val off = k.toLong * 1000000000L
+      base.map { case (a, b) => (a + off, b + off) }
+    }.toSet
+    assert(pairs(BenchScale.inflateDocs(docs, 4)) == expected)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = Files.createTempDirectory("warehouse").toString
     val s2 = spark.newSession()

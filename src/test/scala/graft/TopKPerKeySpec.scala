@@ -30,6 +30,20 @@ class TopKPerKeySpec extends SparkSpec {
     assert(plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("final TopKPerKey reports its partitioning: same-key window adds NO exchange") {
+    val o = io.Tables(spark, sf, "orders")
+    val topk = TopKPerKey(o.select("o_custkey", "o_totalprice", "o_orderkey"),
+      Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(org.apache.spark.sql.functions.desc("o_totalprice"))
+    val plan = topk
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .queryExecution.executedPlan.toString
+    // exactly the one partial->final exchange; the window reuses the
+    // key partitioning instead of re-shuffling the k-bounded output
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("ties and small groups: k larger than group size returns whole group") {
     val df = Seq((1, 10), (1, 20), (2, 5)).toDF("k", "v")
     val got = TopKPerKey(df, Seq("k"), Seq(("v", false)), 5)

@@ -255,6 +255,24 @@ object ExtQueries {
          |            ELSE 'und' END) = 'en'
          |  AND q.qscore >= 0.5
          |ORDER BY f.doc_id""".stripMargin,
+    // KMV distinct-count sketch over the corpus's 3-gram shingle space:
+    // hashes are 44-bit (11 md5 hex chars) so (k-1)*2^44 stays in int64
+    // and the estimate is exact integral division — DuckDB rebuilds the
+    // identical sketch from scratch (order-limit over distinct hashes)
+    "sketch_distinct_shingles" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT unnest($shingleSql) AS g FROM toks WHERE len(tk) >= 3),
+         |h AS (
+         |  SELECT DISTINCT CAST(concat('0x', substring(md5(g), 1, 11)) AS BIGINT) AS h FROM sh),
+         |k AS (SELECT h FROM h ORDER BY h LIMIT 256),
+         |agg AS (SELECT CAST(max(h) AS BIGINT) AS kth_min, count(*) AS k_sz FROM k),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM h)
+         |SELECT ex.n_exact, agg.kth_min,
+         |       CAST(CASE WHEN agg.k_sz < 256 THEN ex.n_exact
+         |                 ELSE (255 * 17592186044416) // agg.kth_min END AS BIGINT) AS est
+         |FROM agg, ex""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
         |FROM documents
@@ -660,6 +678,26 @@ object ExtQueries {
           col("event_type"), col("n"),
           round(col("total_value"), 2).cast("double").as("total_value"))
         .orderBy("hour_ts", "event_type")
+    },
+    "sketch_distinct_shingles" -> { (s, dir) =>
+      // one pass, bounded state: the KMV aggregator keeps <= 256 hash
+      // values per partition and merges — no distinct shuffle on the
+      // sketch path (the exact countDistinct alongside is the oracle's
+      // comparison column, not part of the sketch)
+      val h = t(s, dir, "documents")
+        .select(explode(Dedup.shingles(col("text"), 3)).as("g"))
+        .select(conv(substring(md5(col("g").cast("binary")), 1, 11), 16, 10)
+          .cast("long").as("h"))
+      h.agg(
+          udaf(graft.ops.Aggregators.KMinValues(256))
+            .apply(col("h")).as("mins"),
+          countDistinct(col("h")).as("n_exact"))
+        .select(
+          col("n_exact"),
+          element_at(col("mins"), size(col("mins"))).as("kth_min"),
+          when(size(col("mins")) < 256, col("n_exact"))
+            .otherwise(expr("(255L * 17592186044416L) div element_at(mins, 256)"))
+            .cast("long").as("est"))
     },
     "stream_wordcount" -> { (s, dir) =>
       // the reference's canonical query as a continuous pipeline:

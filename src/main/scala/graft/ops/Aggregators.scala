@@ -75,6 +75,46 @@ object Aggregators {
     def outputEncoder: Encoder[Seq[T]] = enc
   }
 
+  /** K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002):
+    * keeps the k smallest DISTINCT hash values seen — one bounded
+    * sorted buffer per partition, mergeable — the classic sketch for
+    * "how many distinct" over 100 TB with O(k) state and NO distinct
+    * shuffle (a `countDistinct` shuffles every distinct value; this
+    * ships ≤ k longs per partition). Estimator: |S| exactly when
+    * |S| < k, else (k−1)·2^B / kth_min for B-bit hashes. The buffer
+    * invariant is "sorted ascending, distinct, length ≤ k": a value no
+    * smaller than the current k-th is rejected in one comparison. */
+  final case class KMinValues(k: Int)
+      extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(k > 0, s"KMinValues needs k > 0, got $k")
+    def zero: Seq[Long] = Seq.empty
+    def reduce(b: Seq[Long], a: Long): Seq[Long] =
+      if (b.length >= k && a >= b.last) b
+      else {
+        val (lo, hi) = b.span(_ < a)
+        if (hi.headOption.contains(a)) b
+        else ((lo :+ a) ++ hi).take(k)
+      }
+    def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] = {
+      val x = b1.toIndexedSeq
+      val y = b2.toIndexedSeq
+      val out = mutable.ArrayBuffer.empty[Long]
+      var i = 0
+      var j = 0
+      while (out.length < k && (i < x.length || j < y.length)) {
+        if (j >= y.length) { out += x(i); i += 1 }
+        else if (i >= x.length) { out += y(j); j += 1 }
+        else if (x(i) < y(j)) { out += x(i); i += 1 }
+        else if (y(j) < x(i)) { out += y(j); j += 1 }
+        else { out += x(i); i += 1; j += 1 }
+      }
+      out.toSeq
+    }
+    def finish(b: Seq[Long]): Seq[Long] = b
+    def bufferEncoder: Encoder[Seq[Long]] = ExprEnc.longSeq
+    def outputEncoder: Encoder[Seq[Long]] = ExprEnc.longSeq
+  }
+
   /** Single-pass mean without a second aggregation job. */
   object MeanDouble extends Aggregator[Double, (Double, Long), Double] {
     def zero: (Double, Long) = (0.0, 0L)
@@ -106,5 +146,6 @@ object Aggregators {
   private object ExprEnc {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val longArray: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    val longSeq: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
 }

@@ -42,6 +42,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KMinValues sketch fold/merge equals sorted-distinct-take-k on random data") {
+    val agg = ops.Aggregators.KMinValues(6)
+    val rnd = new scala.util.Random(17)
+    (0 until 200).foreach { _ =>
+      val xs = Seq.fill(rnd.nextInt(50))(rnd.nextInt(25).toLong)
+      val expected = xs.distinct.sorted.take(6)
+      val folded = xs.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(folded) == expected, s"fold xs=$xs")
+      val cut = if (xs.isEmpty) 0 else rnd.nextInt(xs.length + 1)
+      val (l, r) = xs.splitAt(cut)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == expected, s"merge xs=$xs cut=$cut")
+    }
+  }
+
   test("RangeJoin (binned) equals the naive non-equi join on random data") {
     val rnd = new scala.util.Random(23)
     val left = (1 to 300).map(i => (rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong - 200, i.toLong))

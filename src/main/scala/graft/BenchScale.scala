@@ -13,13 +13,16 @@ import org.apache.spark.sql.functions._
   * WITHIN a copy but similarity-destroying ACROSS copies, so the true
   * answer grows linearly (f × base pairs), like a corpus that genuinely
   * grew, not a duplicate-bomb:
-  *  - documents: copy k Caesar-rotates every letter by k. A bijection
-  *    on texts keeps each copy's internal shingle structure (and thus
-  *    its near-dup pairs) identical, while cross-copy token sets are
-  *    disjoint.
-  *  - embeddings: copy k rotates the vector by k positions. Rotation
-  *    preserves all pairwise dot products within a copy and decorrelates
-  *    copies.
+  *  - documents: copy k applies an affine letter cipher i → a·i + b
+  *    (mod 26) with a coprime to 26 — a bijection on letters, so each
+  *    copy's internal shingle structure (and thus its near-dup pairs)
+  *    is EXACTLY preserved, while cross-copy token sets are disjoint
+  *    (two distinct affine maps agree on at most two letters). Copies
+  *    0–25 are plain Caesar rotations (a = 1); the multiplier kicks in
+  *    beyond 26 so factors up to 312 stay pairwise dissimilar.
+  *  - embeddings: copy k sign-flips coordinates by a k-seeded
+  *    deterministic ±1 pattern, which preserves every within-copy dot
+  *    product exactly and sign-randomizes cross-copy dots to ≈ 0.
   *
   * Output: one JSON line
   *   {"metric":"scale_probe","sf":...,"factors":[1,4,16],
@@ -32,16 +35,25 @@ object BenchScale {
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
 
-  /** f copies of documents; copy k id-offset and letter-rotated by k. */
-  def inflateDocs(docs: DataFrame, f: Int): DataFrame =
+  // multiplicative residues coprime to 26 — the `a` of the affine cipher
+  private val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** f copies of documents; copy k id-offset and affine-ciphered:
+    * letter i → units(k/26 mod 12)·i + (k mod 26) (mod 26). Copy 0 is
+    * the identity; copies < 26 are pure rotations (bit-compatible with
+    * the earlier rotation-only scheme); 312 distinct ciphers total. */
+  def inflateDocs(docs: DataFrame, f: Int): DataFrame = {
+    require(f <= 312, s"inflateDocs supports at most 312 pairwise-distinct copies, got $f")
     (0 until f).map { k =>
-      val rot = k % 26
-      val to = alpha.drop(rot) + alpha.take(rot)
+      val a = units((k / 26) % units.length)
+      val b = k % 26
+      val to = alpha.indices.map(i => alpha((a * i + b) % 26)).mkString
       docs.select(
         (col("doc_id") + lit(k.toLong * 1000000000L)).as("doc_id"),
         translate(col("text"), alpha + alpha.toUpperCase,
           to + to.toUpperCase).as("text"))
     }.reduce(_ unionByName _)
+  }
 
   /** f copies of embeddings; copy k id-offset and sign-flipped by a
     * k-seeded deterministic ±1 pattern. A fixed sign pattern s preserves

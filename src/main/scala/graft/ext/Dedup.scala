@@ -164,8 +164,15 @@ object Dedup {
       .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
       .where(size(col("ws")) > 0))
     val sigs = sh.select(col(idCol), minHashSignature(col("ws"), numPerms).as("sig"))
-    val cands = candidatePairs(
-      lshBands(sigs, idCol, "sig", bands, numPerms / bands), idCol, salts, hotThreshold)
+    // the bands relation is consumed up to five times downstream (skew
+    // probe + both join sides, each splitting into hot/cold branches) and
+    // every evaluation would redo the MinHash signatures — the single
+    // most expensive projection in the pipeline. Cache the (id, band,
+    // bh) rows (ids-only, ~tens of bytes per row) so signatures are
+    // computed exactly once; at cluster scale this materialization is
+    // the pre-bucketed index a production deployment would persist.
+    val bandsDf = scope.cache(lshBands(sigs, idCol, "sig", bands, numPerms / bands))
+    val cands = candidatePairs(bandsDf, idCol, salts, hotThreshold)
     val wsA = sh.select(col(idCol).as("id_a"), col("ws").as("ws_a"))
     val wsB = sh.select(col(idCol).as("id_b"), col("ws").as("ws_b"))
     cands
@@ -197,8 +204,13 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the ids-only pair projection FIRST: the symmetrize
+    // union scans `pairs` twice, and an uncached pairs plan (e.g. the
+    // whole MinHash-LSH pipeline) would be executed once per branch —
+    // measured as a clean 2× on the 16× scale probe
+    val p0 = pairs.select(col(aCol).as("a"), col(bCol).as("b")).cache()
+    val edges = p0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p0.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .cache()
     // init = min(id, min(neighbor)): the same single shuffle a distinct
@@ -209,7 +221,9 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var i = 0
+    val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
     while (changed > 0 && i < maxIters) {
+      val t0 = System.nanoTime()
       val prop = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src").as("pid")).agg(min(col("lbl")).as("nlbl"))
       // lazy checkpoint: the count below runs the round's single job,
@@ -224,9 +238,12 @@ object Dedup {
       changed = next.where(col("__chg")).count()
       labels = next.select("id", "lbl")
       i += 1
+      if (verbose) System.err.println(
+        f"[cc] round $i%2d  changed=$changed%-8d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxIters rounds — raise maxIters")
+    p0.unpersist()
     edges.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }

@@ -34,31 +34,42 @@ object Bench {
     io.Tables.all.foreach(t => io.Tables(spark, sfDir, t).count())
     val names = SparkEntry.queries.keys.toSeq.sorted
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
-    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     for (_ <- 1 to passes; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
+      // a FAILED pass records no time: a fast-failing query would
+      // otherwise deflate its median (and the headline total) while only
+      // the `failed` array flagged it
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed += name
       }
-      times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
       // caches opened while building a query must not leak into the
-      // next measurement (or accumulate over passes × 67 queries)
+      // next measurement (or accumulate over passes × 71 queries)
       spark.catalog.clearCache()
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       s(s.length / 2)
     }
-    val med = names.map(n => n -> median(times(n)))
+    // a query is failed only when NO pass succeeded; medians are over
+    // the passes that did succeed
+    val (ok, failed) = names.partition(n => times.getOrElse(n, Nil).nonEmpty)
+    val med = ok.map(n => n -> median(times(n)))
     val qs = med.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val mins = names.map(n => "\"" + n + "\":" + times(n).min).mkString("{", ",", "}")
+    val mins = ok.map(n => "\"" + n + "\":" + times(n).min).mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = med.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"passes":$passes,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"passes":$passes,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // the r3 driver artifact truncated the stdout tail and lost six
+    // per-query numbers — persist the whole line to a file as well
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     spark.stop()
   }
 }

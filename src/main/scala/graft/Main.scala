@@ -67,13 +67,17 @@ object Main {
     }
     val textCol = col(opts.getOrElse("col", if (format == "text") "value" else "text"))
 
-    def sink(result: org.apache.spark.sql.DataFrame): Unit =
+    // prePartitioned: the result already carries hash(key) % r
+    // partitioning from its own (single) reduce exchange — don't pay a
+    // second one in the sink
+    def sink(result: org.apache.spark.sql.DataFrame, prePartitioned: Boolean = false): Unit =
       opts.get("key") match {
         case Some(k) =>
           val v = opts.getOrElse("value", sys.error("--value required with --key"))
-          KvText.write(result, k, v, output, r)
+          KvText.write(result, k, v, output, r, prePartitioned)
         case None =>
-          result.repartition(r).write.mode("overwrite").parquet(output)
+          if (prePartitioned) result.write.mode("overwrite").parquet(output)
+          else result.repartition(r).write.mode("overwrite").parquet(output)
       }
 
     query match {
@@ -93,7 +97,8 @@ object Main {
         val lines = df.select(textCol.cast("string")).na.drop().as[String]
         sink(graft.api.CustomJob.run(lines,
           graft.api.CustomJob.instantiate[graft.api.TextMapper](mc),
-          graft.api.CustomJob.instantiate[graft.api.TextReducer](rc), r))
+          graft.api.CustomJob.instantiate[graft.api.TextReducer](rc), r),
+          prePartitioned = true)
       case name if SparkEntry.queries.contains(name) =>
         sink(SparkEntry.queries(name)(spark, input))
       case other => sys.error(s"unknown --query $other")

@@ -31,17 +31,44 @@ object CustomJob {
   def instantiate[T](fqcn: String): T =
     Class.forName(fqcn).getDeclaredConstructor().newInstance().asInstanceOf[T]
 
-  /** map → shuffle by key → whole-group reduce, with `r` reduce
-    * partitions (`hash(key) % R` at `w7/src/worker/workerimpl.cc:254` ≙
-    * Spark's HashPartitioner under the repartition). */
+  /** map → ONE shuffle by key into exactly `r` partitions → sort-run
+    * whole-group reduce (`hash(key) % R` at
+    * `w7/src/worker/workerimpl.cc:254` ≙ the explicit repartition, which
+    * AQE never coalesces).
+    *
+    * The reduce phase is the reference's own reducer model: keys arrive
+    * in sorted runs and the reducer walks one group at a time
+    * (`w7/src/python/reduce.py:6-17` iterates a sorted shuffle file).
+    * Spark's external sort is the spill path, and groups stream through
+    * a lazy per-key iterator, so a non-associative whole-group reducer
+    * never needs its group materialized — and the reduce exchange IS the
+    * R partitioning (a `groupByKey.mapGroups` + trailing `repartition(r)`
+    * shuffled the same data twice). */
   def run(lines: Dataset[String], mapper: TextMapper, reducer: TextReducer, r: Int): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
     lines
       .flatMap(mapper.map(_))
-      .groupByKey(_._1)
-      .mapGroups { (k, it) => (k, reducer.reduce(k, it.map(_._2))) }
       .toDF("key", "value")
       .repartition(r, org.apache.spark.sql.functions.col("key"))
+      .sortWithinPartitions("key")
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(String, String)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (String, String) = {
+            val k = buf.head._1
+            val values = new Iterator[String] {
+              def hasNext: Boolean = buf.hasNext && buf.head._1 == k
+              def next(): String = buf.next()._2
+            }
+            val v = reducer.reduce(k, values)
+            while (values.hasNext) values.next() // drain an unconsumed tail
+            (k, v)
+          }
+        }
+      }
+      .toDF("key", "value")
   }
 }

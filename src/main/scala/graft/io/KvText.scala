@@ -20,10 +20,16 @@ object KvText {
 
   /** Write a keyed DataFrame as R `out_<j>` text files, hash-partitioned
     * by key (≙ `hash(key) % R` at `w7/src/worker/workerimpl.cc:254`).
-    * Empty partitions still yield an (empty) `out_<j>` file. */
-  def write(df: DataFrame, key: String, value: String, path: String, r: Int): Unit = {
+    * Empty partitions still yield an (empty) `out_<j>` file.
+    * `prePartitioned = true` skips the repartition for input that
+    * already carries the `hash(key) % r` partitioning (e.g.
+    * `CustomJob.run` output, whose single reduce exchange is exactly
+    * this partitioning) — re-shuffling it would be a redundant second
+    * exchange of the reduced relation. */
+  def write(df: DataFrame, key: String, value: String, path: String, r: Int,
+      prePartitioned: Boolean = false): Unit = {
     val spark = df.sparkSession
-    encode(df.repartition(r, col(key)), key, value)
+    encode(if (prePartitioned) df else df.repartition(r, col(key)), key, value)
       .write
       .mode("overwrite")
       .text(path)

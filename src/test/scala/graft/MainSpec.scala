@@ -37,6 +37,17 @@ class MainSpec extends SparkSpec {
     assert(counts == Map("a" -> 1L, "e" -> 3L, "i" -> 1L, "o" -> 1L, "u" -> 3L))
   }
 
+  test("CustomJob.run plans exactly one exchange — the reduce shuffle IS the R partitioning") {
+    import spark.implicits._
+    val lines = Seq("Education", "queue", "banana").toDS()
+    val out = api.CustomJob.run(lines, new TestVowelCountMapper, new TestSumReducer, 3)
+    out.collect()
+    // the AQE string repeats the plan under "== Initial Plan =="
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(plan).length == 1, s"plan:\n$plan")
+    assert(out.rdd.getNumPartitions == 3)
+  }
+
   test("CLI wordcount job over a text container writes R out_<j> kv files") {
     val in = Files.createTempDirectory("cli_in")
     Files.writeString(in.resolve("a.txt"), "The quick brown fox\nthe lazy dog.\n")

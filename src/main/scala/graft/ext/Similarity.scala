@@ -233,33 +233,126 @@ object Similarity {
       .where(col("qdot") >= minQdot)
   }
 
-  /** IVF-flat approximate top-k: a coarse quantizer with a FIXED
-    * centroid budget partitions the corpus into inverted lists by
+  /** Deterministic Lloyd-trained coarse quantizer shared by `ivfTopK`
+    * and `ivfListSizes`: returns exactly `numCentroids` rows
+    * (cent_id, cv: array<long>), centroid vectors in QUANTIZED int64
+    * units.
+    *
+    * Seeds are the K corpus rows with the smallest engine-independent
+    * hash of their id (15 hex chars of md5 → signed int64, id
+    * tie-break); each of `trainRounds` Lloyd rounds then (a) assigns a
+    * BOUNDED training sample — the `trainSample` smallest-hash rows —
+    * to its EUCLIDEAN-nearest centroid (argmin |x−c|² = argmax
+    * 2·x·c − |c|², all int64; id tie-break — assigning by max raw dot
+    * instead degenerates: large-norm centroids swallow the corpus, and
+    * measured max list size got WORSE than the untrained seeds) and
+    * (b) recenters each centroid on the per-coordinate integer mean of
+    * its assignees (truncating int64 division — Spark `div` and DuckDB
+    * `//` truncate identically, so the oracle replays training
+    * bit-for-bit). A centroid whose list goes empty keeps its previous
+    * vector. Training cost is O(S·K·rounds) dot products — CONSTANT in
+    * corpus size (a production quantizer also trains on a sample), and
+    * both sample selections are distributed TakeOrdered merges of ids +
+    * quantized vectors, never full-corpus collects.
+    *
+    * Returned columns: (cent_id, cv: array<long>, nrm = |cv|² — carried
+    * so consumers score 2·dot − nrm without re-deriving the norm per
+    * candidate row). */
+  private[ext] def ivfCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int,
+      trainRounds: Int,
+      trainSample: Int,
+      scope: graft.util.CacheScope): DataFrame = {
+    val idHash = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val qv = transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long"))
+    // cached: consumed twice per training round (assignment + recenter)
+    val sample = scope.cache(corpus
+      .select(col(idCol).as("sid"), qv.as("qv"), idHash.as("__h"))
+      .orderBy(asc("__h"), asc("sid"))
+      .limit(trainSample)
+      .select("sid", "qv"))
+    var cents = corpus
+      .select(col(idCol).as("cent_id"), qv.as("cv"), idHash.as("__h"))
+      .orderBy(asc("__h"), asc("cent_id"))
+      .limit(numCentroids)
+      .select("cent_id", "cv")
+    for (_ <- 1 to trainRounds) {
+      val asgn = sample.crossJoin(broadcast(cents))
+        .select(col("sid"), col("cent_id"),
+          (lit(2L) * quantizedDot(col("qv"), col("cv"))
+            - quantizedDot(col("cv"), col("cv"))).as("cd"))
+        .groupBy(col("sid"))
+        .agg(max_by(col("cent_id"),
+          struct(col("cd"), (lit(0L) - col("cent_id")).as("nc"))).as("list_id"))
+        .join(sample, "sid")
+      val trained = asgn
+        .select(col("list_id"), posexplode(col("qv")))
+        .groupBy("list_id", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .select(col("list_id"), col("pos"), expr("s div n").as("qc"))
+        .groupBy("list_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("qc")))).as("arr"))
+        .select(col("list_id").as("cent_id"),
+          transform(col("arr"), e => e.getField("qc")).as("cv"))
+      cents = cents.select(col("cent_id"), col("cv").as("cv0"))
+        .join(trained, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("cv"), col("cv0")).as("cv"))
+    }
+    // cached: the trained relation is broadcast at least twice (corpus
+    // assignment + probe-list selection) and its plan re-runs the whole
+    // training per evaluation otherwise
+    scope.cache(cents.withColumn("nrm", quantizedDot(col("cv"), col("cv"))))
+  }
+
+  /** Euclidean-nearest-centroid list assignment: (idCol, list_id), one
+    * row per corpus vector — a map-side broadcast join +
+    * partial-aggregable max_by of 2·dot − |c|² (struct compare is
+    * lexicographic; smallest-cent_id tie-break), ≤ 1 row per vector
+    * reaches the shuffle. */
+  private def ivfAssign(
+      corpus: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cents))
+      .select(col(idCol), col("cent_id"),
+        (lit(2L) * quantizedDot(col(vecCol), col("cv")) - col("nrm")).as("cd"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cent_id"),
+        struct(col("cd"), (lit(0L) - col("cent_id")).as("nc"))).as("list_id"))
+
+  /** Inverted-list sizes (list_id, n) of the trained quantizer — the
+    * balance diagnostic reported by the scale probe (`BenchScale`):
+    * max(n) bounds the worst probe-side task, so training exists
+    * precisely to pull max/mean toward 1. */
+  def ivfListSizes(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 64,
+      trainRounds: Int = 1,
+      trainSample: Int = 4096,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, numCentroids, trainRounds, trainSample, scope)
+    ivfAssign(corpus, idCol, vecCol, cents)
+      .groupBy("list_id").agg(count(lit(1)).as("n"))
+  }
+
+  /** IVF-flat approximate top-k: the Lloyd-trained coarse quantizer
+    * (`ivfCentroids`) partitions the corpus into inverted lists by
     * argmax quantized dot; each probe scans its `nprobe` nearest lists
-    * and re-scores exactly. All arithmetic is int64 and every
-    * argmax/tie is id-broken, so the result is bit-reproducible in any
-    * engine (full hash oracle).
+    * and re-scores exactly. All arithmetic — including centroid
+    * training — is int64 and every argmax/tie is id-broken, so the
+    * result is bit-reproducible in any engine (full hash oracle).
     *
-    * Centroid selection is a deterministic uniform sample of exactly
-    * `numCentroids` rows: the K corpus rows with the smallest
-    * engine-independent hash of their id (15 hex chars of md5 → signed
-    * int64, id tie-break). Crucially K is a CONSTANT, independent of
-    * corpus size — assignment work is O(n·K) dot products and the
-    * centroid broadcast is K vectors, at any corpus scale. (The
-    * round-2 `id % 97` sampler grew centroids linearly with the corpus:
-    * O(n²/97) assignment and a ~1%-of-corpus broadcast at 100 TB.)
-    * Selecting the K global minima is a distributed TakeOrdered: each
-    * partition surfaces its own top-K, the driver merges K·partitions
-    * candidate IDS — never vectors of the whole corpus.
-    *
-    * Scale shape: centroids are tiny and broadcast; list assignment is
-    * a map-side broadcast join + partial-aggregated argmax (≤ 1 row per
-    * vector reaches the shuffle); the probe-side scan shuffles corpus
-    * vectors by list id — the inverted-list layout a 100 TB deployment
-    * would have pre-materialized and bucketed on disk. A production
-    * quantizer would k-means-train the centroid VECTORS for better list
-    * balance; the hashed-sample quantizer has the identical plan shape,
-    * cost model, and a reproducible placement the oracle can rebuild. */
+    * Scale shape: K is a CONSTANT independent of corpus size —
+    * assignment work is O(n·K) dot products and the centroid broadcast
+    * is K quantized vectors at any corpus scale; the probe-side scan
+    * shuffles corpus vectors by list id — the inverted-list layout a
+    * 100 TB deployment would have pre-materialized and bucketed on
+    * disk. `trainRounds = 0` reproduces the untrained hashed-sample
+    * quantizer (the round-3 behavior) exactly. */
   def ivfTopK(
       corpus: DataFrame,
       idCol: String,
@@ -267,28 +360,21 @@ object Similarity {
       probeFilter: Column,
       k: Int,
       numCentroids: Int = 64,
-      nprobe: Int = 4): DataFrame = {
-    val idHash = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
-    val cents = corpus
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"), idHash.as("__h"))
-      .orderBy(asc("__h"), asc("cent_id"))
-      .limit(numCentroids)
-      .select("cent_id", "cv")
-    // assignment: argmax centroid dot with smallest-cent_id tie-break,
-    // as a partial-aggregable max_by (struct compare is lexicographic)
-    val scored = corpus.crossJoin(broadcast(cents))
-      .select(col(idCol), col("cent_id"),
-        quantizedDot(col(vecCol), col("cv")).as("cd"))
-    val lists = scored.groupBy(col(idCol))
-      .agg(max_by(col("cent_id"),
-        struct(col("cd"), (lit(0L) - col("cent_id")).as("nc"))).as("list_id"))
+      nprobe: Int = 4,
+      trainRounds: Int = 1,
+      trainSample: Int = 4096,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, numCentroids, trainRounds, trainSample, scope)
+    val lists = ivfAssign(corpus, idCol, vecCol, cents)
     val probes = corpus.where(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
+    // probe the nprobe Euclidean-nearest lists — the same metric that
+    // assigned the corpus, so a probe's neighbors live in the lists it
+    // scans
     val wp = Window.partitionBy("probe_id").orderBy(desc("cd"), asc("cent_id"))
     val probeLists = probes.crossJoin(broadcast(cents))
       .select(col("probe_id"), col("cent_id"),
-        quantizedDot(col("pe"), col("cv")).as("cd"))
+        (lit(2L) * quantizedDot(col("pe"), col("cv")) - col("nrm")).as("cd"))
       .withColumn("pr", row_number().over(wp))
       .where(col("pr") <= nprobe)
       .select(col("probe_id"), col("cent_id").as("list_id"))

@@ -1,19 +1,25 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
-/** Native codegen'd quantized dot product over two `array<float>` columns:
-  * sum_i round(a_i*1000) * round(b_i*1000) as int64, rounding half away
-  * from zero (identical to `round(x)` in SQL engines and to
-  * `Similarity.quantizedDot`'s higher-order-function formulation, which
-  * this replaces in hot paths — the HOF version allocates a lambda frame
-  * per element; this compiles to a tight primitive loop inside
-  * whole-stage codegen).
+/** Native codegen'd quantized dot product. Each side is either
+  * `array<float>` — quantized per element as sum_i round(x_i*1000),
+  * rounding half away from zero (identical to `round(x)` in SQL engines
+  * and to `Similarity.quantizedDot`'s higher-order-function formulation)
+  * — or `array<long>`, taken as ALREADY quantized (the trained IVF
+  * centroids live in quantized int64 units; re-quantizing them would be
+  * wrong and converting them back to float would lose exactness). The
+  * product is exact int64 arithmetic either way.
+  *
+  * Replaces the HOF formulation in hot paths — that version allocates a
+  * lambda frame per element; this compiles to a tight primitive loop
+  * inside whole-stage codegen.
   *
   * Returns null if either side is null or lengths differ (zip_with-pad
   * semantics collapse to null the same way).
@@ -24,16 +30,35 @@ case class QuantizedDot(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
+  private def elemIsLong(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"qdot needs array<float> or array<long> sides, got ${left.dataType} / ${right.dataType}")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lLong = elemIsLong(left)
+    val rLong = elemIsLong(right)
     val n = x.numElements()
     if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += QuantizedDot.q(x.getFloat(i)) * QuantizedDot.q(y.getFloat(i))
+      val xv = if (lLong) x.getLong(i) else QuantizedDot.q(x.getFloat(i))
+      val yv = if (rLong) y.getLong(i) else QuantizedDot.q(y.getFloat(i))
+      acc += xv * yv
       i += 1
     }
     acc
@@ -45,6 +70,8 @@ case class QuantizedDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val cls = QuantizedDot.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      def get(arr: String, long: Boolean): String =
+        if (long) s"$arr.getLong($i)" else s"$cls.q($arr.getFloat($i))"
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -53,7 +80,7 @@ case class QuantizedDot(left: Expression, right: Expression)
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += $cls.q($a.getFloat($i)) * $cls.q($b.getFloat($i));
+         |    $acc += ${get(a, elemIsLong(left))} * ${get(b, elemIsLong(right))};
          |  }
          |  ${ev.value} = $acc;
          |}

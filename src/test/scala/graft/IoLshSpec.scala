@@ -83,6 +83,34 @@ class IoLshSpec extends SparkSpec {
     assert(hits > 0, "recall@10 must be nonzero")
   }
 
+  test("IVF Lloyd training: lists partition the corpus and the trained run is deterministic") {
+    val emb = io.Tables(spark, sf, "embeddings")
+    val n = emb.count()
+    val sizes = Similarity.ivfListSizes(emb, "vec_id", "embedding", numCentroids = 16)
+      .as[(Long, Long)].collect()
+    assert(sizes.map(_._2).sum == n, "every corpus vector lands in exactly one inverted list")
+    def run() = Similarity
+      .ivfTopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 5, numCentroids = 16)
+      .select("probe_id", "vec_id", "qdot", "rn").as[(Long, Long, Long, Long)].collect().toSet
+    val r1 = run()
+    spark.catalog.clearCache()
+    val r2 = run()
+    spark.catalog.clearCache()
+    assert(r1 == r2 && r1.nonEmpty)
+  }
+
+  test("quantizedDot treats an array<long> side as pre-quantized") {
+    val df = Seq((Seq(0.5f, -1.2f, 0.0015f), Seq(2.0f, 3.0f, -4.0f))).toDF("a", "b")
+    val q = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => round(x.cast("double") * 1000).cast("long"))
+    val got = df.select(
+      Similarity.quantizedDot(col("a"), col("b")).as("ff"),
+      Similarity.quantizedDot(q(col("a")), col("b")).as("lf"),
+      Similarity.quantizedDot(q(col("a")), q(col("b"))).as("ll"))
+      .as[(Long, Long, Long)].head()
+    assert(got._1 == got._2 && got._2 == got._3)
+  }
+
   test("LSH top-k is an exact-scored subset of brute force with nonzero recall") {
     val emb = io.Tables(spark, sf, "embeddings")
     val probes = emb.where(col("vec_id") < 10)

@@ -17,7 +17,58 @@ import graft.ops.TextOps
   * output correctness (with b=64 bands of r=2 rows, the probability of
   * missing a pair at Jaccard ≥ 0.6 is (1-0.36)^64 < 1e-12).
   */
+/** Handle over ONE materialized near-dup pair graph, serving every
+  * downstream dedup consumer — see `Dedup.pipeline`. */
+final case class DedupPipeline(
+    pairs: DataFrame,
+    clusters: DataFrame,
+    scope: graft.util.CacheScope) {
+
+  /** Keep one representative (the min-id member) per near-dup cluster;
+    * docs in no cluster pass through. A broadcast-or-shuffle equi-join
+    * against the (small: one row per CLUSTERED doc) cluster map — never
+    * a re-run of the LSH front. */
+  def canonical(docs: DataFrame, idCol: String): DataFrame =
+    docs.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .where(col("cluster_id").isNull || col("cluster_id") === col(idCol))
+      .drop("cluster_id")
+
+  /** Release everything the pipeline materialized. */
+  def close(): Unit = scope.close()
+}
+
 object Dedup {
+
+  /** Composed production pipeline: materialize the verified near-dup
+    * pair graph ONCE and feed every consumer from it.
+    *
+    * The oracle-harness queries (`dedup_clusters`, `dedup_canonical`,
+    * `corpus_select`) each stand alone by design and therefore re-run
+    * the MinHash-LSH front per query; a production corpus build runs it
+    * once. This entry point caches the pair graph into `scope`, folds
+    * it to connected components (eager — the component loop counts per
+    * round), and hands back a `DedupPipeline` whose `pairs`, `clusters`,
+    * and `canonical(docs)` all read the shared materializations. At
+    * cluster scale the scope-owned cache becomes a checkpoint or a
+    * persisted table; the dataflow shape is identical. Call
+    * `DedupPipeline.close()` (or `scope.close()`) when done. */
+  def pipeline(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numPerms: Int = 128,
+      bands: Int = 64,
+      threshold: Double = 0.6,
+      salts: Int = 4,
+      hotThreshold: Int = 1024,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DedupPipeline = {
+    val pairs = scope.cache(
+      nearDupPairs(df, idCol, textCol, shingleN, numPerms, bands, threshold,
+        salts, hotThreshold, scope))
+    val clusters = connectedComponents(pairs, "id_a", "id_b")
+    DedupPipeline(pairs, clusters, scope)
+  }
 
   /** Distinct word n-gram shingles of a text column. */
   def shingles(text: Column, n: Int): Column =

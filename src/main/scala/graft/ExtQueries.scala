@@ -30,6 +30,11 @@ object ExtQueries {
   private def qdotSql(a: String, b: String) =
     s"CAST(list_sum(list_transform(list_zip($a, $b), p -> CAST(round(CAST(p[1] AS DOUBLE)*1000) AS BIGINT) * CAST(round(CAST(p[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT)"
 
+  // integer dot over ALREADY-quantized BIGINT lists (trained IVF
+  // centroids live in quantized units)
+  private def qdotIntSql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT)"
+
   val sql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT count(*) AS n_total, count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')))) AS n_unique
@@ -117,31 +122,58 @@ object ExtQueries {
     // at any corpus size), inverted-list probe, exact re-score — all
     // int64 arithmetic with id tie-breaks, so DuckDB rebuilds the
     // identical index from scratch
+    // the Lloyd training replays bit-for-bit: quantized int64 vectors,
+    // id-tie-broken EUCLIDEAN argmin assignment (argmax 2·dot − |c|²)
+    // of the 4096-smallest-hash sample, per-coordinate
+    // truncating-integer-division mean (Spark `div` == DuckDB `//`),
+    // empty list keeps its seed
     "ann_ivf_topk" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-         |  ORDER BY CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
-         |  LIMIT 64),
+      s"""WITH qv AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
+         |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM embeddings),
+         |samp AS (SELECT vec_id AS sid, q AS sq FROM qv ORDER BY h, vec_id LIMIT 4096),
+         |seeds AS (
+         |  SELECT cent_id, cv, ${qdotIntSql("cv", "cv")} AS nrm FROM (
+         |    SELECT vec_id AS cent_id, q AS cv FROM qv ORDER BY h, vec_id LIMIT 64) s0),
+         |sasgn AS (
+         |  SELECT sid, sq, list_id FROM (
+         |    SELECT s.sid, s.sq, c.cent_id AS list_id,
+         |           row_number() OVER (PARTITION BY s.sid
+         |             ORDER BY 2*${qdotIntSql("s.sq", "c.cv")} - c.nrm DESC, c.cent_id) AS rn
+         |    FROM samp s CROSS JOIN seeds c) a
+         |  WHERE rn = 1),
+         |newc AS (
+         |  SELECT list_id AS cent_id, list(qc ORDER BY dim) AS cv FROM (
+         |    SELECT list_id, i AS dim, CAST(sum(sq[i]) AS BIGINT) // count(*) AS qc
+         |    FROM sasgn, range(1, 65) r(i)
+         |    GROUP BY list_id, i) m
+         |  GROUP BY list_id),
+         |cents AS (
+         |  SELECT cent_id, cv, ${qdotIntSql("cv", "cv")} AS nrm FROM (
+         |    SELECT s.cent_id, coalesce(n.cv, s.cv) AS cv
+         |    FROM seeds s LEFT JOIN newc n USING (cent_id)) c0),
          |assign AS (
          |  SELECT vec_id, list_id FROM (
          |    SELECT e.vec_id, c.cent_id AS list_id,
          |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${qdotSql("e.embedding", "c.cv")} DESC, c.cent_id) AS rn
-         |    FROM embeddings e CROSS JOIN cents c) a
+         |             ORDER BY 2*${qdotIntSql("e.q", "c.cv")} - c.nrm DESC, c.cent_id) AS rn
+         |    FROM qv e CROSS JOIN cents c) a
          |  WHERE rn = 1),
-         |probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+         |probes AS (SELECT vec_id AS probe_id, q AS pe FROM qv WHERE vec_id < 10),
          |pl AS (
          |  SELECT probe_id, list_id FROM (
          |    SELECT p.probe_id, c.cent_id AS list_id,
          |           row_number() OVER (PARTITION BY p.probe_id
-         |             ORDER BY ${qdotSql("p.pe", "c.cv")} DESC, c.cent_id) AS pr
+         |             ORDER BY 2*${qdotIntSql("p.pe", "c.cv")} - c.nrm DESC, c.cent_id) AS pr
          |    FROM probes p CROSS JOIN cents c) b
          |  WHERE pr <= 4),
          |scored AS (
-         |  SELECT pl.probe_id, a.vec_id, ${qdotSql("p.pe", "e.embedding")} AS qdot
+         |  SELECT pl.probe_id, a.vec_id, ${qdotIntSql("p.pe", "e.q")} AS qdot
          |  FROM pl
          |  JOIN assign a ON a.list_id = pl.list_id
-         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |  JOIN qv e ON e.vec_id = a.vec_id
          |  JOIN probes p ON p.probe_id = pl.probe_id
          |  WHERE a.vec_id <> pl.probe_id),
          |ranked AS (
@@ -258,7 +290,8 @@ object ExtQueries {
     // KMV distinct-count sketch over the corpus's 3-gram shingle space:
     // hashes are 44-bit (11 md5 hex chars) so (k-1)*2^44 stays in int64
     // and the estimate is exact integral division — DuckDB rebuilds the
-    // identical sketch from scratch (order-limit over distinct hashes)
+    // identical sketch from scratch (order-limit over distinct hashes;
+    // its k-size doubles as the exact count while the sketch isn't full)
     "sketch_distinct_shingles" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $tokSql AS tk FROM documents),
@@ -267,12 +300,11 @@ object ExtQueries {
          |h AS (
          |  SELECT DISTINCT CAST(concat('0x', substring(md5(g), 1, 11)) AS BIGINT) AS h FROM sh),
          |k AS (SELECT h FROM h ORDER BY h LIMIT 256),
-         |agg AS (SELECT CAST(max(h) AS BIGINT) AS kth_min, count(*) AS k_sz FROM k),
-         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM h)
-         |SELECT ex.n_exact, agg.kth_min,
-         |       CAST(CASE WHEN agg.k_sz < 256 THEN ex.n_exact
+         |agg AS (SELECT CAST(max(h) AS BIGINT) AS kth_min, count(*) AS k_sz FROM k)
+         |SELECT agg.kth_min,
+         |       CAST(CASE WHEN agg.k_sz < 256 THEN agg.k_sz
          |                 ELSE (255 * 17592186044416) // agg.kth_min END AS BIGINT) AS est
-         |FROM agg, ex""".stripMargin,
+         |FROM agg""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
         |FROM documents
@@ -681,23 +713,20 @@ object ExtQueries {
     },
     "sketch_distinct_shingles" -> { (s, dir) =>
       // one pass, bounded state: the KMV aggregator keeps <= 256 hash
-      // values per partition and merges — no distinct shuffle on the
-      // sketch path (the exact countDistinct alongside is the oracle's
-      // comparison column, not part of the sketch)
-      val h = t(s, dir, "documents")
-        .select(explode(Dedup.shingles(col("text"), 3)).as("g"))
-        .select(conv(substring(md5(col("g").cast("binary")), 1, 11), 16, 10)
-          .cast("long").as("h"))
-      h.agg(
-          udaf(graft.ops.Aggregators.KMinValues(256))
-            .apply(col("h")).as("mins"),
-          countDistinct(col("h")).as("n_exact"))
-        .select(
-          col("n_exact"),
-          element_at(col("mins"), size(col("mins"))).as("kth_min"),
-          when(size(col("mins")) < 256, col("n_exact"))
-            .otherwise(expr("(255L * 17592186044416L) div element_at(mins, 256)"))
-            .cast("long").as("est"))
+      // values per partition and merges — the whole point is that NO
+      // distinct shuffle runs (a countDistinct ships every distinct
+      // shingle hash; this ships <= 256 longs per partition). Shingle
+      // hashing is the native md5 expression (one primitive pass per
+      // doc — the HOF string-shingle + explode + md5 formulation it
+      // replaces was 4 s of interpreted lambdas at sf0.1, dwarfing the
+      // sketch itself). Exact-vs-estimate accuracy is a SketchSpec
+      // assertion, not an output column — shipping countDistinct beside
+      // the sketch would make users pay the very shuffle it avoids.
+      graft.ops.Sketches.kmvDistinct(
+        t(s, dir, "documents")
+          .select(explode(
+            graft.functions.ShingleMd5Hashes.shingleMd5(TextOps.tokens(col("text")), 3)).as("h")),
+        "h", k = 256, bits = 44)
     },
     "stream_wordcount" -> { (s, dir) =>
       // the reference's canonical query as a continuous pipeline:
@@ -746,19 +775,25 @@ object ExtQueries {
     },
     "text_tfidf_top3" -> { (s, dir) =>
       // two chained wordcount-shaped jobs (the reference's job-chaining
-      // pattern, design.md:74): per-doc tf then corpus df, joined
+      // pattern, design.md:74): per-doc tf then corpus df, joined; the
+      // per-doc top-3 runs through the bounded-heap TopKPerKey operator
+      // (≤ 3 rows per doc per partition cross the shuffle) — the
+      // row_number that labels ranks afterwards only sees ≤ 3·docs
+      // survivors, never the full scored relation
       val docs = t(s, dir, "documents")
       val words = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
       val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       val df = words.select("doc_id", "word").distinct()
         .groupBy("word").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("word"))
-      tf.join(df, "word")
+      val scored = tf.join(df, "word")
         .select(
           col("doc_id"), col("word"),
           floor(col("tf") * lit(1000000.0) / col("df")).cast("long").as("score"))
+      val top = graft.plans.TopKPerKey(
+        scored, Seq("doc_id"), Seq(("score", false), ("word", true)), 3)
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("word"))
+      top
         .withColumn("rn", row_number().over(w).cast("long"))
-        .where(col("rn") <= 3)
         .select("doc_id", "word", "score", "rn")
         .orderBy("doc_id", "rn")
     }

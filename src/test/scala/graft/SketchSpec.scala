@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The shipped KMV query must be sketch-ONLY: the exact-vs-estimate
+  * comparison lives here as an assertion, not as an output column —
+  * an exact `countDistinct` beside the sketch would pay the very
+  * distinct shuffle the sketch exists to avoid. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shingleHashes(dir: String) =
+    io.Tables(spark, dir, "documents")
+      .select(explode(ext.Dedup.shingles(col("text"), 3)).as("g"))
+      .select(conv(substring(md5(col("g").cast("binary")), 1, 11), 16, 10)
+        .cast("long").as("h"))
+
+  test("KMV estimate tracks the exact distinct shingle count (k=256 → ~6% sigma)") {
+    val est = SparkEntry.queries("sketch_distinct_shingles")(spark, sf)
+      .select("est").as[Long].head()
+    val exact = shingleHashes(sf).agg(countDistinct(col("h"))).as[Long].head()
+    if (exact <= 256) assert(est == exact)
+    else {
+      val relErr = math.abs(est.toDouble - exact) / exact
+      assert(relErr < 0.20, s"est=$est exact=$exact relErr=$relErr (3 sigma ≈ 0.19)")
+    }
+  }
+
+  test("sketch query plan has no distinct aggregate and a single exchange") {
+    val df = SparkEntry.queries("sketch_distinct_shingles")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // `array_distinct` (shingling) is fine; a `count(distinct …)` agg is
+    // the anti-pattern the sketch replaces
+    assert(!plan.contains("count(distinct"), s"distinct aggregate leaked into:\n$plan")
+    // the AQE string repeats the plan under "== Initial Plan ==" — count
+    // exchanges in the final section only
+    val finalSection = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllIn(finalSection).length
+    assert(exchanges == 1, s"expected the one partial→final agg exchange, got $exchanges:\n$plan")
+  }
+
+  test("native ShingleMd5Hashes equals the HOF md5-of-shingle-string formulation") {
+    val docs = io.Tables(spark, sf, "documents")
+    val native = docs.select(col("doc_id"),
+      array_sort(functions.ShingleMd5Hashes.shingleMd5(ops.TextOps.tokens(col("text")), 3)).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val hof = docs
+      .select(col("doc_id"), explode(ext.Dedup.shingles(col("text"), 3)).as("g"))
+      .select(col("doc_id"), conv(substring(md5(col("g").cast("binary")), 1, 11), 16, 10)
+        .cast("long").as("h"))
+      .groupBy("doc_id").agg(array_sort(collect_set(col("h"))).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native.filter(_._2.nonEmpty) == hof)
+    assert(native.values.exists(_.nonEmpty))
+  }
+
+  test("empty input degrades to (null kth_min, est 0) instead of erroring") {
+    val empty = spark.range(0).select(col("id").as("h"))
+    val row = ops.Sketches.kmvDistinct(empty, "h", k = 256, bits = 44).collect().head
+    assert(row.isNullAt(0) && row.getLong(1) == 0L)
+  }
+
+  test("non-full sketch is the exact count; kth_min is the buffer max") {
+    val five = spark.range(5).select((col("id") * 7L + 3L).as("h"))
+    val row = ops.Sketches.kmvDistinct(five, "h", k = 256, bits = 44).collect().head
+    assert(row.getLong(0) == 31L && row.getLong(1) == 5L)
+  }
+}

@@ -21,6 +21,27 @@ class TopKPerKeySpec extends SparkSpec {
     assert(custom.nonEmpty)
   }
 
+  test("tfidf top-3 through TopKPerKey equals the window formulation (string order column)") {
+    val docs = io.Tables(spark, sf, "documents")
+    val words = docs.select(col("doc_id"), explode(ops.TextOps.tokens(col("text"))).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = words.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "word")
+      .select(col("doc_id"), col("word"),
+        floor(col("tf") * lit(1000000.0) / col("df")).cast("long").as("score"))
+    val custom = TopKPerKey(scored, Seq("doc_id"), Seq(("score", false), ("word", true)), 3)
+      .select("doc_id", "word", "score")
+      .as[(Long, String, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), asc("word"))
+    val window = scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select("doc_id", "word", "score")
+      .as[(Long, String, Long)].collect().toSet
+    assert(custom == window)
+    assert(custom.nonEmpty)
+  }
+
   test("plan contains TopKPerKeyExec partial/final around one exchange") {
     val o = io.Tables(spark, sf, "orders")
     val plan = TopKPerKey(o, Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 2)

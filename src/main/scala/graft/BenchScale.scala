@@ -75,7 +75,7 @@ object BenchScale {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,4,16")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,4,16,64")
       .split(",").map(_.trim.toInt).toSeq
     val quadMax = sys.env.getOrElse("SPARK_GRAFT_QUAD_MAX", "4").toInt
     val spark = SparkSession.builder()
@@ -132,13 +132,41 @@ object BenchScale {
       }
       secs(name) = runs
     }
+    // inverted-list balance of the IVF quantizer, trained (1 Lloyd
+    // round) vs untrained (the raw hashed-sample seeds): max list size
+    // bounds the worst probe-side task, so this is the number training
+    // exists to improve
+    val balance = factors.map { f =>
+      val infl = inflateEmbeddings(emb0, f)
+      def maxList(rounds: Int): Long = {
+        val mx = ext.Similarity
+          .ivfListSizes(infl, "vec_id", "embedding", trainRounds = rounds)
+          .agg(max(col("n"))).collect().head.getLong(0)
+        spark.catalog.clearCache()
+        mx
+      }
+      val trained = maxList(1)
+      val untrained = maxList(0)
+      val mean = emb0.count().toDouble * f / 64
+      System.err.println(
+        f"[scale] ivf_lists f=$f%-3d mean=${mean}%9.1f max trained=$trained untrained=$untrained")
+      (f, mean, trained, untrained)
+    }
     val qJson = secs.map { case (n, runs) =>
       "\"" + n + "\":{" + runs.map { case (f, s, _) => "\"" + f + "\":" + s }.mkString(",") + "}"
     }.mkString("{", ",", "}")
     val rJson = secs.map { case (n, runs) =>
       "\"" + n + "\":{" + runs.map { case (f, _, r) => "\"" + f + "\":" + r }.mkString(",") + "}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_probe","sf":"$sfDir","factors":[${factors.mkString(",")}],"queries":$qJson,"rows":$rJson}""")
+    val bJson = balance.map { case (f, mean, tr, un) =>
+      "\"" + f + "\":{\"mean\":" + mean + ",\"trained_max\":" + tr + ",\"untrained_max\":" + un + "}"
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_probe","sf":"$sfDir","factors":[${factors.mkString(",")}],"queries":$qJson,"rows":$rJson,"ivf_lists":$bJson}"""
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale.json")),
+      line + "\n")
     spark.stop()
   }
 }

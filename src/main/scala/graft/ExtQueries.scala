@@ -305,6 +305,53 @@ object ExtQueries {
          |       CAST(CASE WHEN agg.k_sz < 256 THEN agg.k_sz
          |                 ELSE (255 * 17592186044416) // agg.kth_min END AS BIGINT) AS est
          |FROM agg""".stripMargin,
+    // Count-Min counters rebuilt from scratch: position = 4-hex-char
+    // md5 slice mod w per row d, counter = plain GROUP BY count, term
+    // estimate = min over d of its counters (0 when untouched)
+    "sketch_cms_terms" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |words AS (SELECT unnest(tk) AS word FROM toks),
+         |cnt AS (
+         |  SELECT d, CAST(concat('0x', substring(md5(word), CAST(1 + 4*d AS INT), 4)) AS BIGINT) % 1024 AS p, count(*) AS c
+         |  FROM words, range(0, 4) r(d)
+         |  GROUP BY d, p),
+         |terms(term) AS (VALUES ${graft.ops.Sketches.trackedTerms.map("('" + _ + "')").mkString(", ")}),
+         |tp AS (
+         |  SELECT term, d, CAST(concat('0x', substring(md5(term), CAST(1 + 4*d AS INT), 4)) AS BIGINT) % 1024 AS p
+         |  FROM terms, range(0, 4) r(d))
+         |SELECT tp.term, CAST(min(coalesce(cnt.c, 0)) AS BIGINT) AS est
+         |FROM tp LEFT JOIN cnt ON cnt.d = tp.d AND cnt.p = tp.p
+         |GROUP BY tp.term
+         |ORDER BY tp.term""".stripMargin,
+    // LSH-bucketed embedding near-dup: DuckDB rebuilds the hyperplane
+    // buckets (same md5-derived family as ann_lsh_topk), the candidate
+    // set, and the exact verification from scratch
+    "emb_neardup_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT t, p, i,
+         |         (CAST(concat('0x', substring(md5(concat(t, ':', p, ':', i)), 1, 15)) AS BIGINT) % 17) - 8 AS w
+         |  FROM range(0, 8) r1(t), range(0, 6) r2(p), range(0, 64) r3(i)),
+         |qv AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |dots AS (
+         |  SELECT vec_id, t, p, sum(q[i + 1] * w) AS dot
+         |  FROM qv CROSS JOIN planes
+         |  GROUP BY vec_id, t, p),
+         |bkt AS (
+         |  SELECT vec_id, t,
+         |         CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bkt
+         |  FROM dots GROUP BY vec_id, t),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bkt a JOIN bkt b ON a.t = b.t AND a.bkt = b.bkt
+         |  WHERE a.vec_id < b.vec_id)
+         |SELECT c.id_a, c.id_b, ${qdotSql("ea.embedding", "eb.embedding")} AS qdot
+         |FROM cand c
+         |JOIN embeddings ea ON ea.vec_id = c.id_a
+         |JOIN embeddings eb ON eb.vec_id = c.id_b
+         |WHERE ${qdotSql("ea.embedding", "eb.embedding")} >= 450000
+         |ORDER BY id_a, id_b""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
         |FROM documents
@@ -727,6 +774,27 @@ object ExtQueries {
           .select(explode(
             graft.functions.ShingleMd5Hashes.shingleMd5(TextOps.tokens(col("text")), 3)).as("h")),
         "h", k = 256, bits = 44)
+    },
+    "sketch_cms_terms" -> { (s, dir) =>
+      // bounded-state frequency sketch: ONE pass builds d·w counters
+      // per partition (element-wise merge) — term-frequency estimates
+      // with no per-term groupBy shuffle anywhere; md5-slice positions
+      // are engine-independent so the oracle rebuilds the identical
+      // counters and the identical exact-or-over estimates
+      graft.ops.Sketches.cmsTermFreq(
+        t(s, dir, "documents").select(explode(TextOps.tokens(col("text"))).as("word")),
+        "word", graft.ops.Sketches.trackedTerms)
+    },
+    "emb_neardup_lsh" -> { (s, dir) =>
+      // the scale path for embedding near-dup (emb_neardup_pairs'
+      // deliberately-quadratic contrast): candidates only from shared
+      // random-hyperplane buckets — a bucket equi-join, linear-ish in
+      // corpus size — then exact quantized-dot verification, so every
+      // emitted pair truly clears the threshold; the md5-derived plane
+      // family is engine-independent
+      Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          minQdot = 450000L, dim = 64)
+        .orderBy("id_a", "id_b")
     },
     "stream_wordcount" -> { (s, dir) =>
       // the reference's canonical query as a continuous pipeline:

@@ -115,6 +115,36 @@ object Aggregators {
     def outputEncoder: Encoder[Seq[Long]] = ExprEnc.longSeq
   }
 
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005): d rows
+    * of w counters; every occurrence increments one counter per row and
+    * a term's estimate is the MIN of its d counters — always ≥ the true
+    * count, overestimating by ≈ N/w per row with the min over d rows
+    * making a large error exponentially unlikely. State is a FIXED d·w
+    * longs per partition, merged by element-wise sum — term-frequency
+    * estimation over 100 TB in one pass with no per-term groupBy
+    * shuffle. Input rows carry their d counter positions pre-computed
+    * as a column (engine-independent md5-slice hashing — see
+    * `Sketches.cmsTermFreq` — so an external SQL engine rebuilds the
+    * identical counters). */
+  final case class CountMin(d: Int, w: Int)
+      extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    require(d > 0 && w > 0, s"CountMin needs d, w > 0, got d=$d w=$w")
+    def zero: Array[Long] = new Array[Long](d * w)
+    def reduce(b: Array[Long], pos: Seq[Long]): Array[Long] = {
+      var i = 0
+      while (i < d) { b(i * w + pos(i).toInt) += 1; i += 1 }
+      b
+    }
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: Encoder[Array[Long]] = ExprEnc.longArray
+    def outputEncoder: Encoder[Seq[Long]] = ExprEnc.longSeq
+  }
+
   /** Single-pass mean without a second aggregation job. */
   object MeanDouble extends Aggregator[Double, (Double, Long), Double] {
     def zero: (Double, Long) = (0.0, 0L)

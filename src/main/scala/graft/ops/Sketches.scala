@@ -1,10 +1,53 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Query-shaped fronts for the sketch aggregators. */
 object Sketches {
+
+  /** Terms whose corpus frequency the Count-Min query tracks. */
+  val trackedTerms: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "model", "data", "learning", "neural")
+
+  /** The d counter positions of one term: 4-hex-char slices of its md5
+    * digest mod w — engine-independent, so an external SQL engine
+    * derives the identical positions (`substring(md5(term), 1+4*d, 4)`).
+    */
+  private[graft] def cmsPositions(term: Column, d: Int, w: Int): Column = {
+    val dig = md5(term.cast("binary"))
+    array((0 until d).map(i =>
+      pmod(conv(substring(dig, 1 + 4 * i, 4), 16, 10).cast("long"), lit(w.toLong))): _*)
+  }
+
+  /** Count-Min term-frequency estimates: ONE pass over `words` builds
+    * the d·w-counter sketch (bounded state per partition, element-wise
+    * merge — no per-term groupBy shuffle ever runs), then each tracked
+    * term reads the min of its d counters. Estimates are exact-or-over,
+    * never under. At 100 TB this is the one-pass answer to "how often
+    * do these terms appear" — the sketch is a few KB however large the
+    * corpus, and tracking more terms costs nothing extra in the scan. */
+  def cmsTermFreq(
+      words: DataFrame,
+      wordCol: String,
+      terms: Seq[String],
+      d: Int = 4,
+      w: Int = 1024): DataFrame = {
+    require(d > 1 && 4 * d <= 32, s"need 2..8 md5 slices of 4 hex chars, got d=$d")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val sketch = words
+      .select(cmsPositions(col(wordCol), d, w).as("pos"))
+      .agg(udaf(Aggregators.CountMin(d, w)).apply(col("pos")).as("cms"))
+    terms.toDF("term")
+      .crossJoin(sketch)
+      .select(col("term"),
+        least((0 until d).map(i =>
+          element_at(col("cms"),
+            (lit(i * w) + element_at(cmsPositions(col("term"), d, w), i + 1))
+              .cast("int") + lit(1))): _*).as("est"))
+      .orderBy("term")
+  }
 
   /** KMV distinct-count estimate over a column of uniform `bits`-bit
     * hashes: one pass, bounded state (≤ k longs per partition cross the

@@ -55,6 +55,30 @@ class SketchSpec extends SparkSpec {
     assert(native.values.exists(_.nonEmpty))
   }
 
+  test("Count-Min estimates are exact-or-over and invariant to partitioning") {
+    val words = io.Tables(spark, sf, "documents")
+      .select(explode(ops.TextOps.tokens(col("text"))).as("word"))
+    val terms = ops.Sketches.trackedTerms
+    val est = ops.Sketches.cmsTermFreq(words, "word", terms)
+      .as[(String, Long)].collect().toMap
+    val exact = words.where(col("word").isin(terms: _*))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val total = words.count()
+    for (t <- terms) {
+      val e = est(t)
+      val x = exact.getOrElse(t, 0L)
+      assert(e >= x, s"CMS must never undercount: $t est=$e exact=$x")
+      // min over 4 rows of 1024 counters: a large overshoot means the
+      // sketch is broken, not unlucky
+      assert(e - x <= 8 * total / 1024, s"$t overcounted: est=$e exact=$x total=$total")
+    }
+    // merge correctness: the sketch is partitioning-invariant
+    val est1 = ops.Sketches.cmsTermFreq(words.repartition(1), "word", terms)
+      .as[(String, Long)].collect().toMap
+    assert(est1 == est)
+  }
+
   test("empty input degrades to (null kth_min, est 0) instead of erroring") {
     val empty = spark.range(0).select(col("id").as("h"))
     val row = ops.Sketches.kmvDistinct(empty, "h", k = 256, bits = 44).collect().head

@@ -367,6 +367,13 @@ object ExtQueries {
         |         (acc, x) -> (acc * 131 + x) % 2147483647) AS rh
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // batch twin of the streaming dedup state: per-fingerprint min id +
+    // group size
+    "stream_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keeper, CAST(count(*) AS BIGINT) AS n_dups
+        |FROM documents
+        |GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')))
+        |ORDER BY keeper""".stripMargin,
     "dedup_keepfirst" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id,
@@ -805,6 +812,22 @@ object ExtQueries {
           TextOps.wordCount(docs, col("text")), "stream_wordcount_sink",
           org.apache.spark.sql.streaming.OutputMode.Complete())
         .orderBy("word")
+    },
+    "stream_dedup" -> { (s, dir) =>
+      // streaming exact dedup: running per-fingerprint state (one row
+      // per distinct normalized text — the same bounded state a
+      // dropDuplicates would keep) with a DETERMINISTIC keeper, the min
+      // doc id, so arrival order can never flip the result the way
+      // dropDuplicates' keep-first-arrival does under parallel reads
+      val docs = StreamOps.readTable(s, dir, "documents")
+      val grouped = docs
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+        .select("keeper", "n_dups")
+      StreamOps.runToMemory(grouped, "stream_dedup_sink",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy("keeper")
     },
     "split_assign" -> { (s, dir) =>
       // map-only, shuffle-free: split = hash-range of an md5-derived id

@@ -202,7 +202,14 @@ object Similarity {
     * `nearDupPairs`: candidates only from shared hyperplane buckets
     * (linear-ish in corpus size), verified with the exact quantized dot,
     * so every emitted pair truly clears `minQdot`; recall (which pairs
-    * are found) depends on the bucket geometry. */
+    * are found) depends on the bucket geometry.
+    *
+    * Scaling knob: candidate work per table is Σ n_b² over buckets —
+    * about n²/2^planes when buckets are balanced — so `planes` must
+    * grow with the corpus (≈ log₂(n/target-occupancy)) to keep
+    * per-bucket occupancy, and with it the candidate volume per row,
+    * bounded. More planes trades recall per table; add `tables` to buy
+    * it back. */
   def lshNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -406,7 +413,10 @@ object Similarity {
     * a bucket equi-join — the shape that survives a 1000-executor corpus.
     * Recall depends on data geometry (multi-table probing raises it;
     * uniform-random corpora are the worst case); results are always a
-    * subset of the exact ranking because re-scoring is exact. */
+    * subset of the exact ranking because re-scoring is exact. The same
+    * occupancy rule as `lshNearDupPairs` applies: grow `planes` with
+    * the corpus so a probe's candidate set (≈ n/2^planes per table)
+    * stays bounded. */
   def lshTopK(
       corpus: DataFrame,
       idCol: String,

@@ -29,6 +29,26 @@ object Sinks {
     }
   }
 
+  /** Persist a table bucketed (and sorted) by join/aggregation keys —
+    * the layout a 100 TB deployment pre-materializes so repeated joins
+    * and aggregations on those keys read co-located buckets and plan
+    * ZERO shuffle exchanges (Spark reports the bucket spec as the
+    * scan's output partitioning). `bucketBy` requires the session
+    * catalog, so this writes a managed table under the warehouse dir
+    * rather than a bare path; `BucketedJoinSpec` proves the
+    * exchange-free plan. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      buckets: Int,
+      keyCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .saveAsTable(table)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 

@@ -305,6 +305,17 @@ object ExtQueries {
          |       CAST(CASE WHEN agg.k_sz < 256 THEN agg.k_sz
          |                 ELSE (255 * 17592186044416) // agg.kth_min END AS BIGINT) AS est
          |FROM agg""".stripMargin,
+    // the bloom prefilter has no false negatives, so the engine result
+    // is byte-identical to the plain join — the oracle IS the plain
+    // join; the bitmap only changes WHERE rows are dropped (before the
+    // probe-side shuffle instead of inside the join)
+    "bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // Count-Min counters rebuilt from scratch: position = 4-hex-char
     // md5 slice mod w per row d, counter = plain GROUP BY count, term
     // estimate = min over d of its counters (0 when untouched)
@@ -802,6 +813,28 @@ object ExtQueries {
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           minQdot = 450000L, dim = 64)
         .orderBy("id_a", "id_b")
+    },
+    "bloom_join" -> { (s, dir) =>
+      // semi-join reduction: the selective orders subset is aggregated
+      // into a broadcast Bloom bitmap (128 KB at any build cardinality)
+      // and lineitem is pruned against it BEFORE its join shuffle —
+      // survivors then pay the exact join, so false positives cost only
+      // shuffle bytes and the result equals the plain join
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
+        .select("o_orderkey")
+      val li = t(s, dir, "lineitem")
+      val pruned = graft.ops.BloomJoin.mightMatch(
+        li, col("l_orderkey"), urgent, col("o_orderkey"))
+      pruned.join(urgent, pruned("l_orderkey") === urgent("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 6)) *
+            (lit(1).cast(org.apache.spark.sql.types.DecimalType(18, 6)) -
+              col("l_discount").cast(org.apache.spark.sql.types.DecimalType(18, 6)))), 2)
+            .cast("double").as("revenue"))
+        .orderBy("l_returnflag")
     },
     "stream_wordcount" -> { (s, dir) =>
       // the reference's canonical query as a continuous pipeline:

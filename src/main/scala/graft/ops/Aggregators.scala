@@ -173,6 +173,35 @@ object Aggregators {
     def outputEncoder: Encoder[Array[Long]] = ExprEnc.longArray
   }
 
+  /** Bloom-filter bitmap builder (Bloom 1970): a FIXED `words`·64-bit
+    * bitmap per partition; every input row sets its d pre-computed bit
+    * positions, partitions merge by bitwise OR. No false negatives by
+    * construction, so filtering a big relation through the bitmap
+    * before an exact join can only drop rows the join would drop
+    * anyway. At 100 TB this is the semi-join reduction: a build side
+    * too large to broadcast as rows (keys + payloads) still broadcasts
+    * as a bitmap of a few hundred KB, pruning most of the probe side
+    * BEFORE it pays the join shuffle. Positions arrive pre-computed as
+    * a column (engine-independent md5-slice hashing, see
+    * `BloomJoin.bitPositions`). */
+  final case class BloomOr(words: Int)
+      extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    require(words > 0, s"BloomOr needs words > 0, got $words")
+    def zero: Array[Long] = new Array[Long](words)
+    def reduce(b: Array[Long], pos: Seq[Long]): Array[Long] = {
+      pos.foreach { p => b((p >>> 6).toInt) |= 1L << (p & 63) }
+      b
+    }
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) |= b2(i); i += 1 }
+      b1
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: Encoder[Array[Long]] = ExprEnc.longArray
+    def outputEncoder: Encoder[Seq[Long]] = ExprEnc.longSeq
+  }
+
   private object ExprEnc {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val longArray: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()

@@ -305,6 +305,11 @@ object ExtQueries {
          |       CAST(CASE WHEN agg.k_sz < 256 THEN agg.k_sz
          |                 ELSE (255 * 17592186044416) // agg.kth_min END AS BIGINT) AS est
          |FROM agg""".stripMargin,
+    "sort_global_rank" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |FROM orders
+        |ORDER BY rnk""".stripMargin,
     // the bloom prefilter has no false negatives, so the engine result
     // is byte-identical to the plain join — the oracle IS the plain
     // join; the bitmap only changes WHERE rows are dropped (before the
@@ -813,6 +818,18 @@ object ExtQueries {
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           minQdot = 450000L, dim = 64)
         .orderBy("id_a", "id_b")
+    },
+    "sort_global_rank" -> { (s, dir) =>
+      // distributed total order: range-partition + within-partition
+      // sort + offset-stamped ranks — never an Exchange SinglePartition
+      // (the plan a bare row_number() over a global ORDER BY produces);
+      // (o_totalprice desc, o_orderkey) is a total order, so ranks are
+      // placement-independent
+      graft.ops.GlobalSort.globalRank(
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+          parts = s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .orderBy("rnk")
     },
     "bloom_join" -> { (s, dir) =>
       // semi-join reduction: the selective orders subset is aggregated

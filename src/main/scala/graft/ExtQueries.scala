@@ -305,6 +305,24 @@ object ExtQueries {
          |       CAST(CASE WHEN agg.k_sz < 256 THEN agg.k_sz
          |                 ELSE (255 * 17592186044416) // agg.kth_min END AS BIGINT) AS est
          |FROM agg""".stripMargin,
+    // bigram LM rebuilt from scratch: positional double-unnest zips the
+    // two slice lists, counts are plain GROUP BYs, and // is DuckDB's
+    // floor division — same integer scaling as the engine
+    "text_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |         unnest([tk[i] FOR i IN range(1, len(tk))]) AS w1,
+         |         unnest([tk[i+1] FOR i IN range(1, len(tk))]) AS w2
+         |  FROM toks WHERE len(tk) >= 2),
+         |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
+         |scored AS (
+         |  SELECT bg.doc_id, (c2.n2 * 1000000) // c1.n1 AS s
+         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       CAST(sum(s) // count(*) AS BIGINT) AS lm_score
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "sort_global_rank" ->
       """SELECT o_orderkey, o_totalprice,
         |  CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
@@ -818,6 +836,14 @@ object ExtQueries {
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           minQdot = 450000L, dim = 64)
         .orderBy("id_a", "id_b")
+    },
+    "text_lm_score" -> { (s, dir) =>
+      // corpus-trained bigram LM quality filter in exact integer
+      // arithmetic: map-only bigram extraction, two hash-agg "training"
+      // jobs, one scoring join — the classic perplexity-style signal
+      // with no float drift for the oracle to trip on
+      TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     },
     "sort_global_rank" -> { (s, dir) =>
       // distributed total order: range-partition + within-partition

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.ops.TextOps
@@ -105,4 +105,50 @@ object TextAnalysis {
   /** n-gram-heuristic language ID of raw text (single-metric use; see
     * `langIdFromTokens` for multi-metric pipelines). */
   def langId(text: Column): Column = langIdFromTokens(TextOps.tokens(text))
+
+  /** Adjacent token pairs of a token array — map-only (two slices
+    * zipped), never the self-join-on-position a naive bigram
+    * extraction would shuffle for. */
+  def bigrams(toks: Column): Column =
+    zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+
+  /** Bigram language-model quality score — the CCNet-style "perplexity
+    * under a corpus LM" filter, with the LM trained on the corpus
+    * itself in the same job (the reference's chaining pattern: two
+    * wordcount-shaped aggregations feeding a scoring join,
+    * `w6/docs/design.md:74`).
+    *
+    * score(doc) = mean over its bigrams of p(w2|w1), with
+    * p = count(w1,w2)/count(w1,·) kept in EXACT integer arithmetic
+    * (scaled by 10⁶, floor division) so any engine reproduces the
+    * bytes — a float log-prob would drift in the last ulp across
+    * engines. Monotone in the geometric-mean-free LM quality signal:
+    * repeated boilerplate scores high, unseen-continuation soup scores
+    * low.
+    *
+    * Scale shape: bigram extraction is map-only; the model is two
+    * hash aggregations (partial combine on both); scoring is an
+    * equi-join of instances against the (much smaller, heavy-tailed —
+    * AQE-skew-safe) stats relations; the per-doc mean is one more
+    * hash agg. No driver state, no broadcast of the (unbounded)
+    * vocabulary. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col(idCol), explode(bigrams(col("tk"))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val c1 = c2.groupBy("w1").agg(sum("n2").as("n1"))
+    bg.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select(col(idCol), expr("(n2 * 1000000) div n1").as("s"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        expr("sum(s) div count(1)").cast("long").as("lm_score"))
+  }
 }

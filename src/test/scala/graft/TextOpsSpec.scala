@@ -58,4 +58,18 @@ class TextOpsSpec extends SparkSpec {
     val got = spark.range(1).select(TextOps.tokenCount(lit("a  b, c."))).as[Int].head()
     assert(got == 3)
   }
+
+  test("bigram LM: deterministic continuations score 10^6, split ones the exact ratio") {
+    // corpus: "a b" x3 and one "a c" — p(b|a) = 3/4, p(c|a) = 1/4;
+    // doc 4 "x y x y" has p(y|x)=1 and p(x|y)=1 bigrams → mean 10^6
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a b a c"), (4L, "x y x y"))
+      .toDF("doc_id", "text")
+    val got = ext.TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 3 bigrams: (a,b) 750000, (b,a) 10^6, (a,c) 250000 → mean 666666
+    assert(got == Seq(
+      (1L, 1L, 750000L), (2L, 1L, 750000L), (3L, 3L, 666666L), (4L, 3L, 1000000L)))
+  }
 }

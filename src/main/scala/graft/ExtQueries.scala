@@ -305,6 +305,32 @@ object ExtQueries {
          |       CAST(CASE WHEN agg.k_sz < 256 THEN agg.k_sz
          |                 ELSE (255 * 17592186044416) // agg.kth_min END AS BIGINT) AS est
          |FROM agg""".stripMargin,
+    // stratified sample rebuilt from scratch: langid CASE + md5 hash
+    // per-mille against per-language thresholds (en 20%, de/es/fr 50%,
+    // und 5%)
+    "sample_stratified" ->
+      s"""WITH f AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    len(list_filter(tk, x -> list_contains(['der','die','das','und','nicht','ist'], x))) AS s_de,
+         |    len(list_filter(tk, x -> list_contains(['the','a','of','to','and','is'], x))) AS s_en,
+         |    len(list_filter(tk, x -> list_contains(['el','la','los','que','y','es'], x))) AS s_es,
+         |    len(list_filter(tk, x -> list_contains(['le','la','les','et','est','que'], x))) AS s_fr
+         |  FROM f),
+         |lang AS (
+         |  SELECT doc_id,
+         |    CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) AND s_de > 0 THEN 'de'
+         |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) AND s_en > 0 THEN 'en'
+         |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) AND s_es > 0 THEN 'es'
+         |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) AND s_fr > 0 THEN 'fr'
+         |         ELSE 'und' END AS lang
+         |  FROM s)
+         |SELECT doc_id, lang
+         |FROM lang
+         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+         |      < CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500
+         |                  WHEN 'es' THEN 500 WHEN 'fr' THEN 500 ELSE 50 END
+         |ORDER BY doc_id""".stripMargin,
     // bigram LM rebuilt from scratch: positional double-unnest zips the
     // two slice lists, counts are plain GROUP BYs, and // is DuckDB's
     // floor division — same integer scaling as the engine
@@ -836,6 +862,26 @@ object ExtQueries {
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           minQdot = 450000L, dim = 64)
         .orderBy("id_a", "id_b")
+    },
+    "sample_stratified" -> { (s, dir) =>
+      // corpus rebalancing: per-language keep rates (down-sample the
+      // dominant language, keep low-resource ones) decided by a
+      // deterministic per-doc hash against a per-stratum per-mille
+      // threshold — map-only and shuffle-free, so the sample is
+      // reproducible at any partitioning and any scale
+      val rates = Map("en" -> 200L, "de" -> 500L, "es" -> 500L, "fr" -> 500L)
+      val h = pmod(
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long"),
+        lit(1000L))
+      val thr = rates.foldRight(lit(50L): org.apache.spark.sql.Column) {
+        case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), TextAnalysis.langIdFromTokens(col("tk")).as("lang"))
+        .where(h < thr)
+        .orderBy("doc_id")
     },
     "text_lm_score" -> { (s, dir) =>
       // corpus-trained bigram LM quality filter in exact integer

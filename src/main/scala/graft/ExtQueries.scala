@@ -305,6 +305,21 @@ object ExtQueries {
          |       CAST(CASE WHEN agg.k_sz < 256 THEN agg.k_sz
          |                 ELSE (255 * 17592186044416) // agg.kth_min END AS BIGINT) AS est
          |FROM agg""".stripMargin,
+    // duplicated 8-token windows rebuilt from scratch: every (not
+    // distinct) gram per doc, corpus occurrence counts, per-doc dup
+    // fraction in integer per-mille
+    "text_dup_ngrams" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest([array_to_string(tk[i:i+7], ' ') FOR i IN range(1, len(tk) - 6)]) AS g
+         |  FROM toks WHERE len(tk) >= 8),
+         |c AS (SELECT g, count(*) AS n_occ FROM g GROUP BY g)
+         |SELECT doc_id, count(*) AS n_grams,
+         |       CAST(sum(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |       CAST((sum(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS dup_permille
+         |FROM g JOIN c USING (g)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     // stratified sample rebuilt from scratch: langid CASE + md5 hash
     // per-mille against per-language thresholds (en 20%, de/es/fr 50%,
     // und 5%)
@@ -862,6 +877,24 @@ object ExtQueries {
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           minQdot = 450000L, dim = 64)
         .orderBy("id_a", "id_b")
+    },
+    "text_dup_ngrams" -> { (s, dir) =>
+      // substring-level dedup signal (Lee et al. 2022 "Deduplicating
+      // Training Data"): fraction of a doc's 8-token windows that occur
+      // at least twice in the corpus. Gram extraction is map-only from
+      // the token array; the occurrence count is one hash agg with
+      // partial combine; the scoring join is gram-keyed (heavy-tailed,
+      // AQE-skew-safe). Integer per-mille keeps the oracle exact.
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.wordNgrams(col("text"), 8)).as("g"))
+      val counts = grams.groupBy("g").agg(count(lit(1)).as("n_occ"))
+      grams.join(counts, "g")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_permille", expr("(n_dup * 1000) div n_grams"))
+        .orderBy("doc_id")
     },
     "sample_stratified" -> { (s, dir) =>
       // corpus rebalancing: per-language keep rates (down-sample the

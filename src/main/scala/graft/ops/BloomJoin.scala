@@ -25,24 +25,33 @@ import org.apache.spark.sql.functions._
 object BloomJoin {
 
   /** The d bit positions of one key in a `words`·64-bit bitmap:
-    * 8-hex-char slices of the key's md5 digest mod m — engine-
-    * independent (an external SQL engine derives identical positions
-    * from `substring(md5(key), 1+8*i, 8)`), uniform, and cheap (one
-    * md5 per row feeds all d probes). d ≤ 4 fits one 32-hex digest. */
+    * seed-indexed xxhash64 mod m. Native long hashing — no string
+    * casts, no md5 — because bloom positions need no cross-engine
+    * reproducibility: false negatives are impossible under ANY hash,
+    * so the final joined result (what the oracle checks) is
+    * hash-family-independent. The sketch queries use md5 slices
+    * precisely because their oracles rebuild the sketch; this one's
+    * oracle is the plain join. */
   private[graft] def bitPositions(key: Column, d: Int, words: Int): Column = {
-    require(d >= 1 && 8 * d <= 32, s"need 1..4 md5 slices of 8 hex chars, got d=$d")
+    require(d >= 1, s"need d >= 1 hash probes, got d=$d")
     val m = words.toLong * 64
-    val dig = md5(key.cast("string").cast("binary"))
-    array((0 until d).map(i =>
-      pmod(conv(substring(dig, 1 + 8 * i, 8), 16, 10).cast("long"), lit(m))): _*)
+    array((0 until d).map(i => pmod(xxhash64(lit(i), key), lit(m))): _*)
   }
 
   /** Rows of `big` whose `bigKey` MIGHT be in `small.smallKey` —
     * a superset of the true semi-join, never missing a match.
     *
     * Plan shape: one pass over `small` builds the bitmap (partial
-    * aggregation, OR-merge), a broadcast of `words`·8 bytes, and a
-    * codegen'd filter on `big` — no shuffle of `big` at all. */
+    * aggregation, OR-merge) and materializes it to the driver —
+    * `words`·8 bytes of metadata, O(sketch) not O(data), the same
+    * driver-side residence Spark's own InjectRuntimeFilter gives its
+    * bloom subquery result — then the probe is a scan-direct
+    * codegen'd filter over an inlined literal. No join and no shuffle
+    * anywhere near the probe side. (A first cut attached the bitmap
+    * as a broadcast crossJoin column; the nested-loop join then
+    * copied all `words`·8 bytes into EVERY probe output row — a
+    * 75 GB row-materialization tax at sf0.1. Literals are referenced,
+    * not copied.) */
   def mightMatch(
       big: DataFrame,
       bigKey: Column,
@@ -50,21 +59,22 @@ object BloomJoin {
       smallKey: Column,
       d: Int = 3,
       words: Int = 16384): DataFrame = {
-    val bloom = small
+    val bits: Array[Long] = small
       .select(bitPositions(smallKey, d, words).as("pos"))
-      .agg(udaf(Aggregators.BloomOr(words)).apply(col("pos")).as("__bloom_bits"))
-    val withPos = big
-      .crossJoin(broadcast(bloom))
-      .withColumn("__bloom_pos", bitPositions(bigKey, d, words))
+      .agg(udaf(Aggregators.BloomOr(words)).apply(col("pos")).as("bits"))
+      .head().getSeq[Long](0).toArray
+    val bitsLit = lit(bits)
+    val pos = bitPositions(bigKey, d, words)
     val hit = (1 to d)
       .map { i =>
-        // word = pos div 64, bit = pos mod 64; SQL shiftright takes
-        // column operands (the DataFrame helper only takes literals)
-        expr(s"""(shiftright(
-                |   element_at(__bloom_bits, cast(element_at(__bloom_pos, $i) div 64 as int) + 1),
-                |   cast(element_at(__bloom_pos, $i) % 64 as int)) & 1) = 1""".stripMargin)
+        val p = element_at(pos, i)
+        val word = element_at(bitsLit, shiftright(p, 6).cast("int") + 1)
+        // variable-distance shift: the Scala `shiftright` helper only
+        // takes a literal distance, the SQL function takes a column
+        call_function("shiftright", word, pmod(p, lit(64)).cast("int"))
+          .bitwiseAND(lit(1L)) === 1L
       }
       .reduce(_ && _)
-    withPos.filter(hit).drop("__bloom_bits", "__bloom_pos")
+    big.filter(hit)
   }
 }

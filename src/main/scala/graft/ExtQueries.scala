@@ -305,19 +305,38 @@ object ExtQueries {
          |       CAST(CASE WHEN agg.k_sz < 256 THEN agg.k_sz
          |                 ELSE (255 * 17592186044416) // agg.kth_min END AS BIGINT) AS est
          |FROM agg""".stripMargin,
+    "stream_enrich" ->
+      """SELECT event_id, event_type, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
+    // the value at sorted position ceil(q·n) is unique even under
+    // ties, so the exact-quantile pick is deterministic in any engine
+    "quantiles_exact" ->
+      """WITH r AS (
+        |  SELECT l_extendedprice AS v,
+        |         row_number() OVER (ORDER BY l_extendedprice) AS rnk,
+        |         count(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, v
+        |FROM r
+        |WHERE rnk IN (CAST(ceil(0.5*n) AS BIGINT), CAST(ceil(0.9*n) AS BIGINT), CAST(ceil(0.99*n) AS BIGINT))
+        |ORDER BY rnk""".stripMargin,
     // duplicated 8-token windows rebuilt from scratch: every (not
-    // distinct) gram per doc, corpus occurrence counts, per-doc dup
-    // fraction in integer per-mille
+    // distinct) gram per doc as the same 60-bit md5-derived long the
+    // engine shuffles, corpus occurrence counts, per-doc dup fraction
+    // in integer per-mille
     "text_dup_ngrams" ->
       s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
-         |g AS (
+         |g0 AS (
          |  SELECT doc_id, unnest([array_to_string(tk[i:i+7], ' ') FOR i IN range(1, len(tk) - 6)]) AS g
          |  FROM toks WHERE len(tk) >= 8),
-         |c AS (SELECT g, count(*) AS n_occ FROM g GROUP BY g)
+         |g AS (
+         |  SELECT doc_id, CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS h FROM g0),
+         |c AS (SELECT h, count(*) AS n_occ FROM g GROUP BY h)
          |SELECT doc_id, count(*) AS n_grams,
          |       CAST(sum(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
          |       CAST((sum(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS dup_permille
-         |FROM g JOIN c USING (g)
+         |FROM g JOIN c USING (h)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
     // stratified sample rebuilt from scratch: langid CASE + md5 hash
@@ -878,17 +897,58 @@ object ExtQueries {
           minQdot = 450000L, dim = 64)
         .orderBy("id_a", "id_b")
     },
+    "stream_enrich" -> { (s, dir) =>
+      // stream-static join: every micro-batch of the event stream is
+      // enriched against the static customer dim — stateless (append
+      // mode, no state store), the dim broadcast per batch; the 100 TB
+      // shape for continuous ingest that must carry dimension columns
+      val ev = StreamOps.readTable(s, dir, "events")
+        .select("event_id", "user_id", "event_type")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val joined = ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+        .select("event_id", "event_type", "c_mktsegment")
+      StreamOps.runToMemory(joined, "stream_enrich_sink")
+        .orderBy("event_id")
+    },
+    "quantiles_exact" -> { (s, dir) =>
+      // EXACT distributed quantiles: total-order the values (one range
+      // shuffle + in-partition sorts), stamp global ranks with the
+      // two-pass offset scheme, keep only the target positions. The
+      // value at a fixed position of the sorted multiset is unique
+      // even under ties, so the output is deterministic. n arrives
+      // from a count — O(1) driver metadata, like the rank offsets.
+      val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
+      val n = li.count()
+      val targets = Seq(0.5, 0.9, 0.99).map(q => math.ceil(q * n).toLong).distinct
+      graft.ops.GlobalSort.globalRank(
+          li, Seq(col("v").asc), parts = s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .where(col("rnk").isin(targets: _*))
+        .select("rnk", "v")
+        .orderBy("rnk")
+    },
     "text_dup_ngrams" -> { (s, dir) =>
       // substring-level dedup signal (Lee et al. 2022 "Deduplicating
       // Training Data"): fraction of a doc's 8-token windows that occur
       // at least twice in the corpus. Gram extraction is map-only from
       // the token array; the occurrence count is one hash agg with
       // partial combine; the scoring join is gram-keyed (heavy-tailed,
-      // AQE-skew-safe). Integer per-mille keeps the oracle exact.
+      // AQE-skew-safe). Grams travel as 60-bit md5-derived longs, not
+      // ~50-byte strings — the raw-text form shuffled 4× the bytes and
+      // benched 4× slower — and the oracle hashes identically, so even
+      // a collision (overcount) reproduces byte-for-byte. Integer
+      // per-mille keeps the arithmetic exact.
+      // tokens projected BEFORE gramming (the HOF lambda re-evaluates
+      // unprojected expressions per gram); the ids+hashes relation is
+      // tiny and feeds two consumers, so cache it instead of scanning
+      // and re-gramming the corpus twice
       val grams = t(s, dir, "documents")
-        .select(col("doc_id"), explode(TextOps.wordNgrams(col("text"), 8)).as("g"))
-      val counts = grams.groupBy("g").agg(count(lit(1)).as("n_occ"))
-      grams.join(counts, "g")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), explode(TextOps.wordNgramsFromTokens(col("tk"), 8)).as("g"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
+        .cache()
+      val counts = grams.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      grams.join(counts, "h")
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_grams"),

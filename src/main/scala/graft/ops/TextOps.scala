@@ -52,16 +52,28 @@ object TextOps {
       g => length(g) === n)
   }
 
-  /** Word n-grams of normalized text (empty array when the text has
-    * fewer than n tokens — without the guard, slicing an empty token
-    * array would yield a bogus [""] singleton for n = 1). */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  /** Word n-grams over an ALREADY-PROJECTED token array column.
+    *
+    * The column MUST be a projected token array (`.as("tk")` first),
+    * not a raw `tokens(text)` expression: higher-order functions are
+    * interpreted, and an expression referenced inside the lambda body
+    * is RE-EVALUATED per lambda call — a tokenize expression there
+    * re-runs the whole regex tokenization once per gram, O(doc²) per
+    * document (profiled as 500 µs/gram; a bound column reference is
+    * nanoseconds). Construction yields exactly size−n+1 full-length
+    * grams when size ≥ n, so no post-filter is needed; the guard
+    * covers short docs (slicing an empty array would yield a bogus
+    * [""] singleton for n = 1). */
+  def wordNgramsFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>")).otherwise(
-      filter(
-        transform(
-          sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => array_join(slice(toks, i + 1, lit(n)), " ")),
-        g => size(split(g, " ")) === n))
-  }
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+
+  /** Word n-grams of normalized text. Convenience form for single-use
+    * contexts (tests, small relations): the tokenization inside the
+    * lambda re-runs per gram — hot paths must project the token array
+    * and use `wordNgramsFromTokens`. */
+  def wordNgrams(c: Column, n: Int): Column =
+    wordNgramsFromTokens(tokens(c), n)
 }

@@ -305,6 +305,14 @@ object ExtQueries {
          |       CAST(CASE WHEN agg.k_sz < 256 THEN agg.k_sz
          |                 ELSE (255 * 17592186044416) // agg.kth_min END AS BIGINT) AS est
          |FROM agg""".stripMargin,
+    "stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |       c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "stream_enrich" ->
       """SELECT event_id, event_type, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey
@@ -896,6 +904,17 @@ object ExtQueries {
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           minQdot = 450000L, dim = 64)
         .orderBy("id_a", "id_b")
+    },
+    "stream_join" -> { (s, dir) =>
+      // stream-stream interval join (ad attribution): purchases matched
+      // to same-user clicks within the preceding hour; watermarks +
+      // the interval condition keep both state stores bounded
+      val ev = StreamOps.readEvents(s, dir)
+      val joined = StreamOps.attributionJoin(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "purchase"))
+      StreamOps.runToMemory(joined, "stream_join_sink")
+        .orderBy("click_id", "purchase_id")
     },
     "stream_enrich" -> { (s, dir) =>
       // stream-static join: every micro-batch of the event stream is

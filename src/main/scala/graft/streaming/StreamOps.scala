@@ -117,6 +117,35 @@ object StreamOps {
       .wordCount(lines, col("value"))
   }
 
+  /** Stream-stream interval join — ad-attribution shape: each purchase
+    * matched to the same user's clicks in the preceding `windowSeconds`.
+    *
+    * Both sides carry watermarks and the join condition bounds
+    * purchase_ts to [click_ts, click_ts + window], so the state store
+    * holds only `watermark + window` of either stream — bounded at any
+    * throughput, the requirement for an unbounded 100 TB/day feed.
+    * Inner-join matches emit as soon as both rows have arrived; the
+    * watermark only governs state eviction, so a bounded replay yields
+    * exactly the batch join's pairs. */
+  def attributionJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowSeconds: Long = 3600L,
+      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+  }
+
   /** Run a streaming DataFrame to completion against the (bounded) input
     * and return the materialized result — batch-driven smoke execution
     * via the memory sink. */

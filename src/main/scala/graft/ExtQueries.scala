@@ -317,6 +317,24 @@ object ExtQueries {
       """SELECT event_id, event_type, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey
         |ORDER BY event_id""".stripMargin,
+    // histogram quantiles rebuilt from scratch: same 4096 equal-width
+    // bins, same IEEE double arithmetic, lower-edge estimate at the
+    // cumulative crossing
+    "quantiles_hist" ->
+      """WITH mm AS (
+        |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi, count(*) AS n
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT least(floor((l_extendedprice - mm.lo) / ((mm.hi - mm.lo) / 4096)), 4095) AS bin
+        |  FROM lineitem, mm),
+        |h AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+        |cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM h)
+        |SELECT CAST(t.q AS DOUBLE) AS q,
+        |       mm.lo + min(cum.bin) * ((mm.hi - mm.lo) / 4096) AS est
+        |FROM (VALUES (0.5), (0.9), (0.99)) t(q), cum, mm
+        |WHERE cum.cum >= ceil(t.q * mm.n)
+        |GROUP BY t.q, mm.lo, mm.hi
+        |ORDER BY q""".stripMargin,
     // the value at sorted position ceil(q·n) is unique even under
     // ties, so the exact-quantile pick is deterministic in any engine
     "quantiles_exact" ->
@@ -928,6 +946,34 @@ object ExtQueries {
         .select("event_id", "event_type", "c_mktsegment")
       StreamOps.runToMemory(joined, "stream_enrich_sink")
         .orderBy("event_id")
+    },
+    "quantiles_hist" -> { (s, dir) =>
+      // approximate quantiles with BOUNDED state — the scale path next
+      // to quantiles_exact's full sort: one min/max pass fixes 4096
+      // equal-width bins, one histogram aggregation (cardinality ≤
+      // 4096 however large the input), then the quantile estimate is
+      // the lower edge of the bin where the cumulative count crosses
+      // ceil(q·n). Error ≤ one bin width; every step is IEEE double
+      // arithmetic both engines compute identically. The tiny
+      // cumulative window runs over ≤ 4096 rows, not the data.
+      val bins = 4096
+      val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
+      val mm = li.agg(min("v").as("lo"), max("v").as("hi"),
+        count(lit(1)).as("n")).head()
+      val (lo, hi, n) = (mm.getDouble(0), mm.getDouble(1), mm.getLong(2))
+      val w = (hi - lo) / bins
+      val histo = li
+        .select(least(floor((col("v") - lit(lo)) / lit(w)), lit(bins - 1))
+          .cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+      val cum = histo.withColumn("cum",
+        sum("c").over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)))
+      val targets = Seq(0.5, 0.9, 0.99)
+      targets.map { q =>
+        val r = math.ceil(q * n).toLong
+        cum.where(col("cum") >= r).orderBy("bin").limit(1)
+          .select(lit(q).as("q"), (lit(lo) + col("bin") * lit(w)).as("est"))
+      }.reduce(_ unionByName _)
     },
     "quantiles_exact" -> { (s, dir) =>
       // EXACT distributed quantiles: total-order the values (one range

@@ -30,6 +30,20 @@ class GlobalSortSpec extends SparkSpec {
     assert(ranks.toSeq == (1L to 10000L))
   }
 
+  test("histogram quantile estimates are within one bin width of the exact values") {
+    val exact = SparkEntry.queries("quantiles_exact")(spark, sf)
+      .select("v").as[Double].collect().sorted
+    val est = SparkEntry.queries("quantiles_hist")(spark, sf)
+      .orderBy("q").select("est").as[Double].collect()
+    val li = io.Tables(spark, sf, "lineitem")
+      .agg(min("l_extendedprice"), max("l_extendedprice")).as[(Double, Double)].head()
+    val binWidth = (li._2 - li._1) / 4096
+    exact.zip(est).foreach { case (ex, es) =>
+      assert(es <= ex && ex - es <= binWidth,
+        s"estimate $es should be the bin lower edge under exact $ex (width $binWidth)")
+    }
+  }
+
   test("plan range-partitions and never collapses to a single partition") {
     // the rank stamping lives behind an RDD boundary (zipWithIndex), so
     // audit the shuffle stage itself: the exchange must be

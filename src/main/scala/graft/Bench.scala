@@ -32,7 +32,12 @@ object Bench {
     // doesn't absorb JVM/codegen/parquet-footer cold-start (profiled at
     // ~5 s — it made whichever query sorted first look 5× slower)
     io.Tables.all.foreach(t => io.Tables(spark, sfDir, t).count())
+    // optional comma-separated name filter for targeted local runs
+    // (attribution experiments); the driver sets no env → full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 1 to passes; name <- names) {
       val fn = SparkEntry.queries(name)

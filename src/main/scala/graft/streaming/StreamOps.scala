@@ -148,15 +148,35 @@ object StreamOps {
 
   /** Run a streaming DataFrame to completion against the (bounded) input
     * and return the materialized result — batch-driven smoke execution
-    * via the memory sink. */
-  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): DataFrame = {
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    * via the memory sink.
+    *
+    * Stateful operators open one state store PER shuffle partition per
+    * stateful stage (a stream-stream join opens four), and each store
+    * pays snapshot/maintenance overhead every micro-batch — at the
+    * session's 32 partitions the fixed cost dwarfs a bounded replay
+    * (profiled 8 s → 3 s on the interval join). The replay runs at
+    * `shufflePartitions` and the session value is restored after;
+    * results are partition-count-independent (hash aggregation and
+    * equi-join semantics don't depend on R — the reference's own R
+    * knob invariant). A production deployment sizes partitions to
+    * throughput instead. */
+  def runToMemory(
+      df: DataFrame,
+      name: String,
+      mode: OutputMode = OutputMode.Append(),
+      shufflePartitions: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     df.sparkSession.table(name)
   }
 }

@@ -59,6 +59,12 @@ object Queries {
         |GROUP BY word
         |ORDER BY cnt DESC, word
         |LIMIT 20""".stripMargin,
+    "mr_csv_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "mr_kv_roundtrip" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' ')) AS word
@@ -112,6 +118,25 @@ object Queries {
         .wordCount(t(s, dir, "documents"), col("text"))
         .orderBy(desc("cnt"), asc("word"))
         .limit(20)
+    },
+    "mr_csv_roundtrip" -> { (s, dir) =>
+      // foreign-format interchange: per-region revenue written as CSV
+      // (header + inferred-schema read-back — the interchange format
+      // the reference's client tooling consumes), re-read, re-ordered.
+      // The oracle computes the same aggregate straight from parquet,
+      // so the CSV codec round trip must be lossless for longs,
+      // decimals-as-doubles, and strings alike.
+      val out = java.nio.file.Files.createTempDirectory("csvrt").toString
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast(DecimalType(18, 6))), 2)
+            .cast("double").as("total"))
+      io.Sinks.writeCsv(rev, out)
+      io.Sinks.readCsv(s, out)
+        .select(col("o_orderpriority"), col("n").cast("long").as("n"), col("total"))
+        .orderBy("o_orderpriority")
     },
     "mr_kv_roundtrip" -> { (s, dir) =>
       // full reference job shape incl. the sink: wordcount → R

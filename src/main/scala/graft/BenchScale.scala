@@ -113,7 +113,12 @@ object BenchScale {
           probeFilter = col("vec_id") < 10, k = 10)),
       ("emb_neardup_pairs", quadMax, f =>
         ext.Similarity.nearDupPairs(inflateEmbeddings(emb0, f), "vec_id", "embedding",
-          450000L, blocks = 16)))
+          450000L, blocks = 16)),
+      // the affine cipher is a bijection on tokens, so within-copy gram
+      // equality (and cross-copy inequality) is preserved exactly: rows
+      // and dup structure grow ×f by construction
+      ("text_dup_ngrams", Int.MaxValue, f =>
+        ext.TextAnalysis.dupNgramStats(inflateDocs(docs0, f), "doc_id", "text")))
 
     val secs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Int, Double, Long)]]
     for ((name, cap, build) <- kernels) {

@@ -993,32 +993,11 @@ object ExtQueries {
     },
     "text_dup_ngrams" -> { (s, dir) =>
       // substring-level dedup signal (Lee et al. 2022 "Deduplicating
-      // Training Data"): fraction of a doc's 8-token windows that occur
-      // at least twice in the corpus. Gram extraction is map-only from
-      // the token array; the occurrence count is one hash agg with
-      // partial combine; the scoring join is gram-keyed (heavy-tailed,
-      // AQE-skew-safe). Grams travel as 60-bit md5-derived longs, not
-      // ~50-byte strings — the raw-text form shuffled 4× the bytes and
-      // benched 4× slower — and the oracle hashes identically, so even
-      // a collision (overcount) reproduces byte-for-byte. Integer
-      // per-mille keeps the arithmetic exact.
-      // tokens projected BEFORE gramming (the HOF lambda re-evaluates
-      // unprojected expressions per gram); the ids+hashes relation is
-      // tiny and feeds two consumers, so cache it instead of scanning
-      // and re-gramming the corpus twice
-      val grams = t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-        .select(col("doc_id"), explode(TextOps.wordNgramsFromTokens(col("tk"), 8)).as("g"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
-        .cache()
-      val counts = grams.groupBy("h").agg(count(lit(1)).as("n_occ"))
-      grams.join(counts, "h")
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_grams"),
-          sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup"))
-        .withColumn("dup_permille", expr("(n_dup * 1000) div n_grams"))
+      // Training Data"): fraction of a doc's 8-token windows occurring
+      // ≥ 2× in the corpus; the oracle rebuilds the identical md5 gram
+      // hashes, so even a collision (overcount) reproduces
+      // byte-for-byte. Shared with the scale probe via dupNgramStats.
+      TextAnalysis.dupNgramStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
     "sample_stratified" -> { (s, dir) =>

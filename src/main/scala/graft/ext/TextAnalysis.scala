@@ -106,6 +106,32 @@ object TextAnalysis {
     * `langIdFromTokens` for multi-metric pipelines). */
   def langId(text: Column): Column = langIdFromTokens(TextOps.tokens(text))
 
+  /** Per-document duplicated-window statistics (Lee et al. 2022
+    * substring dedup): n_grams 8-token windows, n_dup of them occurring
+    * ≥ 2 times in the whole corpus, dup_permille = 1000·n_dup/n_grams.
+    * Map-only gram extraction over a PROJECTED token array (HOF lambdas
+    * re-evaluate unprojected expressions per gram — the O(doc²) trap),
+    * grams shuffled as 60-bit md5-derived longs (4× fewer bytes than
+    * the raw ~50-char strings), one occurrence-count hash agg, one
+    * gram-keyed scoring join (heavy-tailed, AQE-skew-safe). The tiny
+    * ids+hashes relation feeds two consumers and is cached for the
+    * query's lifetime (Verify/Bench clear per query). */
+  def dupNgramStats(docs: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), explode(TextOps.wordNgramsFromTokens(col("tk"), n)).as("g"))
+      .select(col(idCol),
+        conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
+      .cache()
+    val counts = grams.groupBy("h").agg(count(lit(1)).as("n_occ"))
+    grams.join(counts, "h")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_permille", expr("(n_dup * 1000) div n_grams"))
+  }
+
   /** Adjacent token pairs of a token array — map-only (two slices
     * zipped), never the self-join-on-position a naive bigram
     * extraction would shuffle for. */

@@ -365,6 +365,20 @@ object ExtQueries {
          |FROM g JOIN c USING (h)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    // incremental screening rebuilt from scratch: exact Jaccard between
+    // every new-batch doc and every existing doc (the O(n·m) truth the
+    // banded index only approximates candidates for)
+    "dedup_incremental" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $shingleSql AS ws FROM toks WHERE len(tk) >= 3),
+         |nw AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+         |ol AS (SELECT * FROM sh WHERE doc_id % 5 <> 0)
+         |SELECT nw.doc_id AS id_new, ol.doc_id AS id_old,
+         |       len(list_intersect(nw.ws, ol.ws))*1.0 / len(list_distinct(list_concat(nw.ws, ol.ws))) AS jaccard
+         |FROM nw JOIN ol ON len(list_intersect(nw.ws, ol.ws))*1.0 / len(list_distinct(list_concat(nw.ws, ol.ws))) >= 0.6
+         |ORDER BY id_new, id_old""".stripMargin,
     // stratified sample rebuilt from scratch: langid CASE + md5 hash
     // per-mille against per-language thresholds (en 20%, de/es/fr 50%,
     // und 5%)
@@ -999,6 +1013,18 @@ object ExtQueries {
       // byte-for-byte. Shared with the scale probe via dupNgramStats.
       TextAnalysis.dupNgramStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+    "dedup_incremental" -> { (s, dir) =>
+      // incremental ingest screening: the "new batch" (20% of docs by
+      // id hash) checked for near-dups against the existing corpus via
+      // a cross-corpus banded join — each ingest pays for the batch's
+      // buckets, never the full-corpus self-join
+      val docs = t(s, dir, "documents")
+      Dedup.nearDupPairsAgainst(
+          docs.where(pmod(col("doc_id"), lit(5)) === 0),
+          docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+          "doc_id", "text")
+        .orderBy("id_new", "id_old")
     },
     "sample_stratified" -> { (s, dir) =>
       // corpus rebalancing: per-language keep rates (down-sample the

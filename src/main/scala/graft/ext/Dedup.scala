@@ -233,6 +233,49 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Near-dup pairs BETWEEN two corpora — the incremental-ingest shape:
+    * a new batch is screened against the existing corpus WITHOUT the
+    * full self-join a from-scratch `nearDupPairs(old ∪ new)` would pay.
+    * Returns (id_new, id_old, jaccard) with exact Jaccard ≥ threshold.
+    *
+    * Cost at 100 TB: the existing corpus contributes only its
+    * (id, band, bh) index rows — the pre-bucketed index a production
+    * deployment keeps materialized from ingest to ingest — and the
+    * equi-join on (band, bh) touches only buckets the NEW batch
+    * occupies, so each day's work scales with the batch, not the
+    * corpus. Candidates cross corpora by construction (no id ordering
+    * needed); exact verification on the shingle sets decides, as
+    * everywhere in the dedup family. */
+  def nearDupPairsAgainst(
+      newDocs: DataFrame,
+      oldDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numPerms: Int = 128,
+      bands: Int = 64,
+      threshold: Double = 0.6,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    def shingled(df: DataFrame) = scope.cache(df
+      .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
+      .where(size(col("ws")) > 0))
+    def index(sh: DataFrame) = lshBands(
+      sh.select(col(idCol), minHashSignature(col("ws"), numPerms).as("sig")),
+      idCol, "sig", bands, numPerms / bands)
+    val shNew = shingled(newDocs)
+    val shOld = shingled(oldDocs)
+    val cands = index(shNew).withColumnRenamed(idCol, "id_new")
+      .join(index(shOld).withColumnRenamed(idCol, "id_old"), Seq("band", "bh"))
+      .select("id_new", "id_old")
+      .distinct()
+    cands
+      .join(shNew.select(col(idCol).as("id_new"), col("ws").as("ws_n")), "id_new")
+      .join(shOld.select(col(idCol).as("id_old"), col("ws").as("ws_o")), "id_old")
+      .select(col("id_new"), col("id_old"),
+        jaccard(col("ws_n"), col("ws_o")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Connected components over a near-dup pair graph: every document
     * that appears in at least one pair gets the minimum doc id of its
     * component as `cluster_id` — the step that turns pairwise matches

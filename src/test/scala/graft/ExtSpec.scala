@@ -174,4 +174,25 @@ class ExtSpec extends SparkSpec {
     assert(r.getDouble(1) == 3.0 / 6.0) // the, on, the
     assert(r.getDouble(2) == 17.0 / 6.0)
   }
+
+  test("incremental screening equals the cross-corpus slice of the full self-join") {
+    val docs = io.Tables(spark, sf, "documents")
+    val isNew = (id: Long) => id % 5 == 0
+    val full = Dedup.nearDupPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // full emits id_a < id_b; reorient to (new, old) and keep only
+    // pairs that cross the corpus split
+    val expected = full.flatMap { case (a, b) =>
+      if (isNew(a) && !isNew(b)) Some((a, b))
+      else if (isNew(b) && !isNew(a)) Some((b, a))
+      else None
+    }.toSet
+    val got = Dedup.nearDupPairsAgainst(
+        docs.where(pmod(col("doc_id"), lit(5)) === 0),
+        docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text")
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    spark.catalog.clearCache()
+  }
 }

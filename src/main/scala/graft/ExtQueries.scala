@@ -365,6 +365,19 @@ object ExtQueries {
          |FROM g JOIN c USING (h)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    // per-stratum sample rebuilt from scratch: same md5 hash ranking,
+    // row_number per language
+    "sample_per_key" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        |  FROM h)
+        |SELECT lang, doc_id FROM r WHERE rn <= 10
+        |ORDER BY lang, doc_id""".stripMargin,
     // incremental screening rebuilt from scratch: exact Jaccard between
     // every new-batch doc and every existing doc (the O(n·m) truth the
     // banded index only approximates candidates for)
@@ -1013,6 +1026,20 @@ object ExtQueries {
       // byte-for-byte. Shared with the scale probe via dupNgramStats.
       TextAnalysis.dupNgramStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+    "sample_per_key" -> { (s, dir) =>
+      // bounded deterministic per-stratum sample (eval-set carving):
+      // the 10 smallest md5 id hashes per language, ranked through the
+      // bounded-heap TopKPerKey operator — ≤ 10 rows per language per
+      // partition cross the shuffle, never the full corpus through a
+      // window sort
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+      graft.plans.TopKPerKey(docs, Seq("lang"), Seq(("h", true), ("doc_id", true)), 10)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
     },
     "dedup_incremental" -> { (s, dir) =>
       // incremental ingest screening: the "new batch" (20% of docs by

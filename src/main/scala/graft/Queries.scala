@@ -65,6 +65,12 @@ object Queries {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "mr_json_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS balance
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "mr_kv_roundtrip" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' ')) AS word
@@ -137,6 +143,22 @@ object Queries {
       io.Sinks.readCsv(s, out)
         .select(col("o_orderpriority"), col("n").cast("long").as("n"), col("total"))
         .orderBy("o_orderpriority")
+    },
+    "mr_json_roundtrip" -> { (s, dir) =>
+      // JSONL interchange: schema survives the round trip via Spark's
+      // JSON reader inference (longs stay longs, doubles doubles,
+      // strings strings); the oracle reads the same aggregate straight
+      // from parquet
+      val out = java.nio.file.Files.createTempDirectory("jsonrt").toString
+      val agg = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(dec(col("c_acctbal"))), 2).cast("double").as("balance"))
+      io.Sinks.writeJsonLines(agg, out)
+      io.Sinks.readJsonLines(s, out)
+        .select(col("c_mktsegment"), col("n").cast("long").as("n"), col("balance"))
+        .orderBy("c_mktsegment")
     },
     "mr_kv_roundtrip" -> { (s, dir) =>
       // full reference job shape incl. the sink: wordcount → R

@@ -975,32 +975,10 @@ object ExtQueries {
         .orderBy("event_id")
     },
     "quantiles_hist" -> { (s, dir) =>
-      // approximate quantiles with BOUNDED state — the scale path next
-      // to quantiles_exact's full sort: one min/max pass fixes 4096
-      // equal-width bins, one histogram aggregation (cardinality ≤
-      // 4096 however large the input), then the quantile estimate is
-      // the lower edge of the bin where the cumulative count crosses
-      // ceil(q·n). Error ≤ one bin width; every step is IEEE double
-      // arithmetic both engines compute identically. The tiny
-      // cumulative window runs over ≤ 4096 rows, not the data.
-      val bins = 4096
-      val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
-      val mm = li.agg(min("v").as("lo"), max("v").as("hi"),
-        count(lit(1)).as("n")).head()
-      val (lo, hi, n) = (mm.getDouble(0), mm.getDouble(1), mm.getLong(2))
-      val w = (hi - lo) / bins
-      val histo = li
-        .select(least(floor((col("v") - lit(lo)) / lit(w)), lit(bins - 1))
-          .cast("long").as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as("c"))
-      val cum = histo.withColumn("cum",
-        sum("c").over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)))
-      val targets = Seq(0.5, 0.9, 0.99)
-      targets.map { q =>
-        val r = math.ceil(q * n).toLong
-        cum.where(col("cum") >= r).orderBy("bin").limit(1)
-          .select(lit(q).as("q"), (lit(lo) + col("bin") * lit(w)).as("est"))
-      }.reduce(_ unionByName _)
+      // bounded-state approximate quantiles (see Sketches.histQuantiles
+      // for the algorithm and the degenerate-edge guarantees)
+      graft.ops.Sketches.histQuantiles(
+        t(s, dir, "lineitem"), "l_extendedprice", Seq(0.5, 0.9, 0.99))
     },
     "quantiles_exact" -> { (s, dir) =>
       // EXACT distributed quantiles: total-order the values (one range

@@ -49,6 +49,42 @@ object Sketches {
       .orderBy("term")
   }
 
+  /** Approximate quantiles with BOUNDED state — the scale path beside
+    * an exact full-sort pick: one min/max/count pass fixes `bins`
+    * equal-width bins, one histogram aggregation (cardinality ≤ bins
+    * however large the input), and each quantile estimate is the lower
+    * edge of the bin where the cumulative count crosses ceil(q·n) —
+    * error ≤ one bin width. Every step is IEEE double arithmetic any
+    * engine computes identically. The cumulative window runs over
+    * ≤ `bins` rows, not the data. Degenerate edges: empty input → no
+    * rows; all-equal input (zero bin width) → every estimate is that
+    * value (NaN bins would otherwise diverge between engines). */
+  def histQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      qs: Seq[Double],
+      bins: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    val mm = df.agg(min(v).as("lo"), max(v).as("hi"), count(lit(1)).as("n")).head()
+    if (mm.isNullAt(0)) return Seq.empty[(Double, Double)].toDF("q", "est")
+    val (lo, hi, n) = (mm.getDouble(0), mm.getDouble(1), mm.getLong(2))
+    if (hi == lo) return qs.map(q => (q, lo)).toDF("q", "est")
+    val w = (hi - lo) / bins
+    val histo = df
+      .select(least(floor((v - lit(lo)) / lit(w)), lit(bins - 1)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val cum = histo.withColumn("cum",
+      sum("c").over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)))
+    qs.map { q =>
+      val r = math.ceil(q * n).toLong
+      cum.where(col("cum") >= r).orderBy("bin").limit(1)
+        .select(lit(q).as("q"), (lit(lo) + col("bin") * lit(w)).as("est"))
+    }.reduce(_ unionByName _)
+  }
+
   /** KMV distinct-count estimate over a column of uniform `bits`-bit
     * hashes: one pass, bounded state (≤ k longs per partition cross the
     * shuffle — never a distinct exchange). Returns a single row

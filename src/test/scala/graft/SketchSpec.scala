@@ -90,4 +90,26 @@ class SketchSpec extends SparkSpec {
     val row = ops.Sketches.kmvDistinct(five, "h", k = 256, bits = 44).collect().head
     assert(row.getLong(0) == 31L && row.getLong(1) == 5L)
   }
+
+  test("histogram quantiles: empty input yields no rows, not an NPE") {
+    val empty = spark.range(0).select(col("id").cast("double").as("v"))
+    assert(ops.Sketches.histQuantiles(empty, "v", Seq(0.5, 0.9)).count() == 0)
+  }
+
+  test("histogram quantiles: all-equal input yields that value, not NaN bins") {
+    val const = spark.range(100).select(lit(42.5).as("v"))
+    val got = ops.Sketches.histQuantiles(const, "v", Seq(0.5, 0.99))
+      .orderBy("q").as[(Double, Double)].collect().toSeq
+    assert(got == Seq((0.5, 42.5), (0.99, 42.5)))
+  }
+
+  test("histogram quantiles: exact on integer-width bins") {
+    // values 0..4096 with bins=4096 → width exactly 1, every value its
+    // own bin: the lower-edge estimate IS the exact quantile pick
+    // (rank ceil(0.5·4097) = 2049 → value 2048)
+    val vals = spark.range(4097).select(col("id").cast("double").as("v"))
+    val got = ops.Sketches.histQuantiles(vals, "v", Seq(0.5))
+      .as[(Double, Double)].collect().head
+    assert(got == ((0.5, 2048.0)))
+  }
 }

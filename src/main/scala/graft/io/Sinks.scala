@@ -49,6 +49,37 @@ object Sinks {
       .sortBy(keyCols.head, keyCols.tail: _*)
       .saveAsTable(table)
 
+  /** Write hive-partitioned parquet (`path/col=value/…` directories) —
+    * the directory layout that turns a predicate on the partition
+    * column into LISTING-level pruning: a day filter over a
+    * 100 TB/year events table reads 1/365th of the files, decided
+    * before any footer is opened (`PartitionFilters` in the scan, vs
+    * `PushedFilters` which still visits every file's stats). Partition
+    * columns should be low-cardinality (directories are metadata). */
+  def writeHivePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Compact a parquet directory to `targetFiles` files — the
+    * small-file remedy: a streaming or per-batch ingest leaves
+    * thousands of KB-sized files whose per-file open/footer/task cost
+    * dominates scans; periodic compaction rewrites them into
+    * scan-sized files. Round-robin repartition (no shuffle key needed
+    * — data is reorganized, never changed). */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    val tmp = path.stripSuffix("/") + ".compacting"
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(tmp), new Path(path))
+  }
+
   /** Morton (Z-order) interleave of two columns, each equal-width
     * bucketed into 2^`bitsPerCol` cells between its [lo, hi] bounds —
     * 2·bits codegen'd shift/mask ops, no UDF. Rows close in Z are

@@ -52,6 +52,33 @@ object BloomJoin {
     * copied all `words`·8 bytes into EVERY probe output row — a
     * 75 GB row-materialization tax at sf0.1. Literals are referenced,
     * not copied.) */
+  /** Rows of `big` that might match `small.smallKey`, by the cheapest
+    * reduction Catalyst's own statistics justify: a build side small
+    * enough to broadcast as rows gets an EXACT broadcast semi-join
+    * (no false positives at all); anything larger gets the bloom
+    * bitmap (fixed `words`·8 bytes at ANY build size). The same
+    * size-estimate-driven choice Spark's planner makes between
+    * broadcast and shuffle joins, applied to semi-join reduction —
+    * callers that follow with the exact join get identical results on
+    * either path, so the choice is pure physical planning. */
+  def prunedProbe(
+      big: DataFrame,
+      bigKey: Column,
+      small: DataFrame,
+      smallKey: Column,
+      d: Int = 3,
+      words: Int = 16384): DataFrame = {
+    val threshold = big.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      .stripSuffix("b").trim.toLongOption.getOrElse(10485760L)
+    val buildBytes = small.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && buildBytes <= threshold)
+      big.join(broadcast(small.select(smallKey.as("__probe_key"))),
+        bigKey === col("__probe_key"), "left_semi")
+    else
+      mightMatch(big, bigKey, small, smallKey, d, words)
+  }
+
   def mightMatch(
       big: DataFrame,
       bigKey: Column,

@@ -51,6 +51,25 @@ class BloomSpec extends SparkSpec {
     assert(m(3) == Long.MinValue) // bit 255
   }
 
+  test("prunedProbe picks broadcast semi-join for small builds, bloom for large") {
+    val li = io.Tables(spark, sf, "lineitem")
+    val urgent = io.Tables(spark, sf, "orders")
+      .where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val smallPlan = BloomJoin.prunedProbe(li, col("l_orderkey"), urgent, col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastHashJoin") && smallPlan.contains("LeftSemi"),
+      s"small build should broadcast:\n$smallPlan")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try {
+      val bigPlan = BloomJoin.prunedProbe(li, col("l_orderkey"), urgent, col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(!bigPlan.contains("Join"), s"large build should take the bloom path:\n$bigPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // both paths feed the same exact join → same final result; the
+    // bloom path is a superset of the semi-join, checked elsewhere
+  }
+
   test("probe plan is a scan-direct filter: no exchange, no join, no row-widening") {
     val li = io.Tables(spark, sf, "lineitem")
     val urgent = io.Tables(spark, sf, "orders")

@@ -157,6 +157,30 @@ object BenchScale {
         f"[scale] ivf_lists f=$f%-3d mean=${mean}%9.1f max trained=$trained untrained=$untrained")
       (f, mean, trained, untrained)
     }
+    // incremental-ingest slope: the NEW batch is FIXED at 1× while the
+    // existing corpus (and its pre-materialized index — cached untimed,
+    // the from-ingest-to-ingest artifact) inflates ×f. Only the screen
+    // is timed. Affine copies never match the batch, so true pairs are
+    // CONSTANT in f; the timed cost should grow only with the
+    // shuffle-free scan of the bigger index, far below the ×f of a
+    // from-scratch self-join.
+    val incr = factors.map { f =>
+      val scope = new graft.util.CacheScope
+      val newIdx = ext.Dedup.dedupIndex(docs0, "doc_id", "text", scope = scope)
+      val oldIdx = ext.Dedup.dedupIndex(
+        inflateDocs(docs0, f).select(
+          (col("doc_id") + lit(2000000000000L)).as("doc_id"), col("text")),
+        "doc_id", "text", scope = scope)
+      newIdx._1.count(); newIdx._2.count(); oldIdx._1.count(); oldIdx._2.count() // untimed
+      val t0 = System.nanoTime()
+      val rows = ext.Dedup.screenAgainstIndex(newIdx, oldIdx, "doc_id").count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      scope.close()
+      spark.catalog.clearCache()
+      System.err.println(f"[scale] dedup_incremental_screen f=$f%-3d ${sec}%8.2f s  rows=$rows")
+      (f, sec, rows)
+    }
+    secs("dedup_incremental_screen") = incr
     val qJson = secs.map { case (n, runs) =>
       "\"" + n + "\":{" + runs.map { case (f, s, _) => "\"" + f + "\":" + s }.mkString(",") + "}"
     }.mkString("{", ",", "}")

@@ -246,6 +246,53 @@ object Dedup {
     * corpus. Candidates cross corpora by construction (no id ordering
     * needed); exact verification on the shingle sets decides, as
     * everywhere in the dedup family. */
+  /** The persistable dedup index of one corpus: the cached
+    * (id, shingle-hash-set) relation and the (id, band, bh) LSH band
+    * relation — what a production deployment materializes at ingest
+    * time and keeps from batch to batch (`nearDupPairsAgainst` rebuilds
+    * it per call only because oracle queries must stand alone). */
+  def dedupIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numPerms: Int = 128,
+      bands: Int = 64,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): (DataFrame, DataFrame) = {
+    val sh = scope.cache(docs
+      .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
+      .where(size(col("ws")) > 0))
+    val bandsDf = scope.cache(lshBands(
+      sh.select(col(idCol), minHashSignature(col("ws"), numPerms).as("sig")),
+      idCol, "sig", bands, numPerms / bands))
+    (sh, bandsDf)
+  }
+
+  /** Screen a new batch's index against an existing corpus's index:
+    * candidates from shared LSH buckets, exact Jaccard verify. The
+    * batch side is small, so its bands broadcast and the corpus index
+    * is STREAMED map-side — no shuffle of the existing corpus, per
+    * ingest cost = one scan of the index + work proportional to the
+    * batch's bucket occupancy. */
+  def screenAgainstIndex(
+      newIndex: (DataFrame, DataFrame),
+      oldIndex: (DataFrame, DataFrame),
+      idCol: String,
+      threshold: Double = 0.6): DataFrame = {
+    val (shNew, bandsNew) = newIndex
+    val (shOld, bandsOld) = oldIndex
+    val cands = broadcast(bandsNew.withColumnRenamed(idCol, "id_new"))
+      .join(bandsOld.withColumnRenamed(idCol, "id_old"), Seq("band", "bh"))
+      .select("id_new", "id_old")
+      .distinct()
+    cands
+      .join(broadcast(shNew.select(col(idCol).as("id_new"), col("ws").as("ws_n"))), "id_new")
+      .join(shOld.select(col(idCol).as("id_old"), col("ws").as("ws_o")), "id_old")
+      .select(col("id_new"), col("id_old"),
+        jaccard(col("ws_n"), col("ws_o")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   def nearDupPairsAgainst(
       newDocs: DataFrame,
       oldDocs: DataFrame,
@@ -255,26 +302,11 @@ object Dedup {
       numPerms: Int = 128,
       bands: Int = 64,
       threshold: Double = 0.6,
-      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
-    def shingled(df: DataFrame) = scope.cache(df
-      .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
-      .where(size(col("ws")) > 0))
-    def index(sh: DataFrame) = lshBands(
-      sh.select(col(idCol), minHashSignature(col("ws"), numPerms).as("sig")),
-      idCol, "sig", bands, numPerms / bands)
-    val shNew = shingled(newDocs)
-    val shOld = shingled(oldDocs)
-    val cands = index(shNew).withColumnRenamed(idCol, "id_new")
-      .join(index(shOld).withColumnRenamed(idCol, "id_old"), Seq("band", "bh"))
-      .select("id_new", "id_old")
-      .distinct()
-    cands
-      .join(shNew.select(col(idCol).as("id_new"), col("ws").as("ws_n")), "id_new")
-      .join(shOld.select(col(idCol).as("id_old"), col("ws").as("ws_o")), "id_old")
-      .select(col("id_new"), col("id_old"),
-        jaccard(col("ws_n"), col("ws_o")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
-  }
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame =
+    screenAgainstIndex(
+      dedupIndex(newDocs, idCol, textCol, shingleN, numPerms, bands, scope),
+      dedupIndex(oldDocs, idCol, textCol, shingleN, numPerms, bands, scope),
+      idCol, threshold)
 
   /** Connected components over a near-dup pair graph: every document
     * that appears in at least one pair gets the minimum doc id of its

@@ -292,6 +292,26 @@ object ExtQueries {
     // and the estimate is exact integral division — DuckDB rebuilds the
     // identical sketch from scratch (order-limit over distinct hashes;
     // its k-size doubles as the exact count while the sketch isn't full)
+    // per-language KMV rebuilt from scratch: per-lang distinct hashes,
+    // 256 smallest per lang via a partitioned row_number, identical
+    // estimator arithmetic
+    "sketch_distinct_by_lang" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT lang, unnest($shingleSql) AS g FROM toks WHERE len(tk) >= 3),
+         |h AS (
+         |  SELECT DISTINCT lang, CAST(concat('0x', substring(md5(g), 1, 11)) AS BIGINT) AS h FROM sh),
+         |r AS (
+         |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+         |agg AS (
+         |  SELECT lang, CAST(max(h) AS BIGINT) AS kth_min, count(*) AS k_sz
+         |  FROM r WHERE rn <= 256 GROUP BY lang)
+         |SELECT lang, kth_min,
+         |       CAST(CASE WHEN k_sz < 256 THEN k_sz
+         |                 ELSE (255 * 17592186044416) // kth_min END AS BIGINT) AS est
+         |FROM agg
+         |ORDER BY lang""".stripMargin,
     "sketch_distinct_shingles" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $tokSql AS tk FROM documents),
@@ -624,6 +644,19 @@ object ExtQueries {
         |ORDER BY user_id, start_s""".stripMargin,
     // the streaming twin of q12_events_hourly: same windows, same sums,
     // continuous execution — so the oracle is the batch SQL verbatim
+    // sliding windows rebuilt batch-side: each event unioned into its
+    // two covering 2-hour windows (starts at trunc(ts) and trunc(ts)−1h)
+    "stream_events_sliding" ->
+      """WITH w AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type, value FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |       count(*) AS n,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |FROM w
+        |GROUP BY ws, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
     "stream_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,
         |       count(*) AS n,
@@ -897,6 +930,20 @@ object ExtQueries {
           col("n_events").cast("long").as("n_events"))
         .orderBy("user_id", "start_s")
     },
+    "stream_events_sliding" -> { (s, dir) =>
+      // 2-hour windows sliding by 1 hour: every event contributes to
+      // two overlapping windows — the moving-average shape; same
+      // decimal-exact sums and bounded per-window state
+      val windowed = StreamOps.slidingCounts(StreamOps.readEvents(s, dir))
+      StreamOps
+        .runToMemory(windowed, "stream_events_sliding_sink",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"),
+          round(col("total_value"), 2).cast("double").as("total_value"))
+        .orderBy("window_start", "event_type")
+    },
     "stream_events_hourly" -> { (s, dir) =>
       // q12 executed as a Structured Streaming query over the bounded
       // events table, drained through the memory sink; complete mode
@@ -911,6 +958,18 @@ object ExtQueries {
           col("event_type"), col("n"),
           round(col("total_value"), 2).cast("double").as("total_value"))
         .orderBy("hour_ts", "event_type")
+    },
+    "sketch_distinct_by_lang" -> { (s, dir) =>
+      // the KMV sketch as a GROUPED aggregator: one bounded sketch per
+      // language in a single hash aggregation — "distinct shingles per
+      // stratum" over 100 TB with ≤ 256 longs per (lang, partition)
+      // shuffled, vs a per-group distinct exchange of every hash
+      graft.ops.Sketches.kmvDistinctBy(
+          t(s, dir, "documents")
+            .select(col("lang"), explode(
+              graft.functions.ShingleMd5Hashes.shingleMd5(TextOps.tokens(col("text")), 3)).as("h")),
+          "lang", "h", k = 256, bits = 44)
+        .orderBy("lang")
     },
     "sketch_distinct_shingles" -> { (s, dir) =>
       // one pass, bounded state: the KMV aggregator keeps <= 256 hash

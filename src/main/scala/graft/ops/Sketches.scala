@@ -96,17 +96,36 @@ object Sketches {
     * Exact-vs-estimate accuracy is asserted in `SketchSpec`; shipping an
     * exact `countDistinct` beside the sketch would pay the very shuffle
     * the sketch exists to avoid. */
-  def kmvDistinct(hashes: DataFrame, hashCol: String, k: Int, bits: Int): DataFrame = {
+  def kmvDistinct(hashes: DataFrame, hashCol: String, k: Int, bits: Int): DataFrame =
+    hashes
+      .agg(udaf(Aggregators.KMinValues(k)).apply(col(hashCol)).as("mins"))
+      .select(kmvEstimate(k, bits): _*)
+
+  /** Grouped KMV: one bounded sketch PER KEY — "how many distinct X per
+    * group" over 100 TB as a single hash aggregation whose shuffled
+    * state is ≤ k longs per key per partition, where the exact answer
+    * (`count(DISTINCT …) GROUP BY key`) shuffles every distinct value.
+    * Same estimator and edges as the global form. */
+  def kmvDistinctBy(
+      hashes: DataFrame,
+      keyCol: String,
+      hashCol: String,
+      k: Int,
+      bits: Int): DataFrame =
+    hashes
+      .groupBy(keyCol)
+      .agg(udaf(Aggregators.KMinValues(k)).apply(col(hashCol)).as("mins"))
+      .select(col(keyCol) +: kmvEstimate(k, bits): _*)
+
+  private def kmvEstimate(k: Int, bits: Int): Seq[Column] = {
     require(bits < 63 && k > 1, s"need 1 < k and bits < 63, got k=$k bits=$bits")
     require((k - 1).toLong <= (Long.MaxValue >> bits), s"(k-1)*2^$bits overflows int64")
     val space = 1L << bits
-    hashes
-      .agg(udaf(Aggregators.KMinValues(k)).apply(col(hashCol)).as("mins"))
-      .select(
-        when(size(col("mins")) > 0, element_at(col("mins"), size(col("mins"))))
-          .as("kth_min"),
-        when(size(col("mins")) < k, size(col("mins")).cast("long"))
-          .otherwise(expr(s"(${(k - 1).toLong * space}L) div element_at(mins, $k)"))
-          .cast("long").as("est"))
+    Seq(
+      when(size(col("mins")) > 0, element_at(col("mins"), size(col("mins"))))
+        .as("kth_min"),
+      when(size(col("mins")) < k, size(col("mins")).cast("long"))
+        .otherwise(expr(s"(${(k - 1).toLong * space}L) div element_at(mins, $k)"))
+        .cast("long").as("est"))
   }
 }

@@ -60,6 +60,25 @@ object StreamOps {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Sliding-window aggregation: every event lands in len/slide
+    * overlapping windows (here 2 — the moving-average shape tumbling
+    * windows can't express). State is still bounded: one row per open
+    * (window, event_type), windows close as the watermark passes. */
+  def slidingCounts(
+      events: DataFrame,
+      windowLen: String = "2 hours",
+      slide: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
   case class Session(user_id: Long, start_s: Long, end_s: Long, n_events: Int, total_value: Double)

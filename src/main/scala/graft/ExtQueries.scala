@@ -292,6 +292,17 @@ object ExtQueries {
     // and the estimate is exact integral division — DuckDB rebuilds the
     // identical sketch from scratch (order-limit over distinct hashes;
     // its k-size doubles as the exact count while the sketch isn't full)
+    // per-bucket centroids rebuilt from scratch: same ×1000 rounding,
+    // same truncating integer mean, coordinates reassembled by position
+    "emb_centroids" ->
+      """WITH q AS (
+        |  SELECT vec_id % 8 AS bucket, i - 1 AS pos,
+        |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qx
+        |  FROM embeddings, range(1, 65) r(i))
+        |SELECT bucket, CAST(pos AS BIGINT) AS pos,
+        |       CAST(sum(qx) // count(*) AS BIGINT) AS qc
+        |FROM q GROUP BY bucket, pos
+        |ORDER BY bucket, pos""".stripMargin,
     // per-language KMV rebuilt from scratch: per-lang distinct hashes,
     // 256 smallest per lang via a partitioned row_number, identical
     // estimator arithmetic
@@ -958,6 +969,24 @@ object ExtQueries {
           col("event_type"), col("n"),
           round(col("total_value"), 2).cast("double").as("total_value"))
         .orderBy("hour_ts", "event_type")
+    },
+    "emb_centroids" -> { (s, dir) =>
+      // the k-means/IVF recenter primitive as a standalone query:
+      // per-bucket mean embedding in quantized int64 arithmetic — one
+      // (bucket, pos)-keyed hash agg with partial combine, truncating
+      // integer mean (Spark `div` == DuckDB `//`), coordinates
+      // reassembled in order. At 100 TB this is how every centroid /
+      // per-cluster-mean job should run: no floats in the shuffle, no
+      // order sensitivity.
+      // output is (bucket, pos, qc) rows — the driver's compare sorts
+      // scalar columns; an array-valued column would defeat it
+      t(s, dir, "embeddings")
+        .select(pmod(col("vec_id"), lit(8)).as("bucket"),
+          posexplode(transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))))
+        .groupBy("bucket", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .select(col("bucket"), col("pos").cast("long").as("pos"), expr("s div n").as("qc"))
+        .orderBy("bucket", "pos")
     },
     "sketch_distinct_by_lang" -> { (s, dir) =>
       // the KMV sketch as a GROUPED aggregator: one bounded sketch per

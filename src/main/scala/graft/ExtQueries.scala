@@ -848,7 +848,9 @@ object ExtQueries {
     },
     "text_qscore" -> { (s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("qscore"))
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          TextAnalysis.qualityScoreFromTokens(col("text"), col("tk")).as("qscore"))
         .orderBy("doc_id")
     },
     "text_langid" -> { (s, dir) =>
@@ -1237,7 +1239,7 @@ object ExtQueries {
         .select(col("doc_id"),
           TextAnalysis.langIdFromTokens(col("tk")).as("lang"),
           size(col("tk")).cast("long").as("n_tokens"),
-          TextAnalysis.qualityScore(col("text")).as("qscore"))
+          TextAnalysis.qualityScoreFromTokens(col("text"), col("tk")).as("qscore"))
         .where(col("lang") === "en" && col("qscore") >= 0.5)
         .select("doc_id", "n_tokens", "qscore")
         .orderBy("doc_id")

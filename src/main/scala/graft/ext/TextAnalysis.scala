@@ -64,14 +64,22 @@ object TextAnalysis {
     when(length(text) === 0, lit(0.0)).otherwise(
       regexp_count(text, lit("\\p{Punct}")).cast("double") / length(text))
 
+  /** Composite quality score over a precomputed token array (the raw
+    * text is still needed for the punctuation term). Multi-metric
+    * pipelines that already project `tokens(text)` save two full
+    * regex tokenizations per row vs the raw-text form. */
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
+    val nt = size(toks).cast("double")
+    val lenTerm = least(nt / 100.0, lit(1.0))
+    lenTerm * 0.5 + stopwordRatioFromTokens(toks) * 0.3 +
+      (lit(1.0) - punctRatio(text)) * 0.2
+  }
+
   /** Composite quality score in [0,1]-ish: favors mid-length documents
     * with some stopword structure and little punctuation noise. Pure
     * arithmetic on deterministic terms. */
-  def qualityScore(text: Column): Column = {
-    val nt = nTokens(text).cast("double")
-    val lenTerm = least(nt / 100.0, lit(1.0))
-    lenTerm * 0.5 + stopwordRatio(text) * 0.3 + (lit(1.0) - punctRatio(text)) * 0.2
-  }
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, TextOps.tokens(text))
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),

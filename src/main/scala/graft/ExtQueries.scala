@@ -292,6 +292,17 @@ object ExtQueries {
     // and the estimate is exact integral division — DuckDB rebuilds the
     // identical sketch from scratch (order-limit over distinct hashes;
     // its k-size doubles as the exact count while the sketch isn't full)
+    // redaction rebuilt from scratch: same dialect-neutral patterns
+    // (classes + bounded quantifiers only) with RE2 'g' replacement
+    "text_redact" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(
+        |        regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |        '[0-9][0-9 -]{5,}[0-9]', '<NUMBER>', 'g')) AS redacted_md5,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9][0-9 -]{5,}[0-9]')) AS BIGINT) AS n_numbers
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // per-bucket centroids rebuilt from scratch: same ×1000 rounding,
     // same truncating integer mean, coordinates reassembled by position
     "emb_centroids" ->
@@ -971,6 +982,19 @@ object ExtQueries {
           col("event_type"), col("n"),
           round(col("total_value"), 2).cast("double").as("total_value"))
         .orderBy("hour_ts", "event_type")
+    },
+    "text_redact" -> { (s, dir) =>
+      // pre-training PII scrub: e-mails and long digit runs tagged out,
+      // with per-doc audit counts; output carries the redacted text's
+      // md5 so the oracle checks the full scrub byte-for-byte without
+      // hauling text through the compare
+      val (emails, numbers) = TextAnalysis.piiCounts(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(TextAnalysis.redact(col("text")).cast("binary")).as("redacted_md5"),
+          emails.cast("long").as("n_emails"),
+          numbers.cast("long").as("n_numbers"))
+        .orderBy("doc_id")
     },
     "emb_centroids" -> { (s, dir) =>
       // the k-means/IVF recenter primitive as a standalone query:

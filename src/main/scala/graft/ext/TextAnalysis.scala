@@ -140,6 +140,25 @@ object TextAnalysis {
       .withColumn("dup_permille", expr("(n_dup * 1000) div n_grams"))
   }
 
+  // Patterns chosen to mean the same thing in Java regex and RE2 —
+  // character classes and bounded quantifiers only, no lookarounds
+  private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val longDigitsRe = "[0-9][0-9 -]{5,}[0-9]"
+
+  /** PII-style scrub (the standard pre-training redaction pass):
+    * e-mail addresses and long digit runs (phone/account/card shapes)
+    * replaced with fixed tags. Map-only, shuffle-free — at 100 TB this
+    * is a pure scan that fuses into whatever projection follows. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailRe, "<EMAIL>"),
+      longDigitsRe, "<NUMBER>")
+
+  /** How many of each PII shape a document carries — the audit metric
+    * next to the scrub. */
+  def piiCounts(text: Column): (Column, Column) =
+    (regexp_count(text, lit(emailRe)), regexp_count(text, lit(longDigitsRe)))
+
   /** Adjacent token pairs of a token array — map-only (two slices
     * zipped), never the self-join-on-position a naive bigram
     * extraction would shuffle for. */

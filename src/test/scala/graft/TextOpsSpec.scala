@@ -59,6 +59,16 @@ class TextOpsSpec extends SparkSpec {
     assert(got == 3)
   }
 
+  test("PII redaction tags emails and digit runs (corpus has none — oracle only proves identity)") {
+    val df = Seq("mail jane.doe+x@example.co.uk or call 555-123 4567, ext 9").toDF("text")
+    val r = df.select(
+      ext.TextAnalysis.redact(col("text")).as("t"),
+      ext.TextAnalysis.piiCounts(col("text"))._1.as("e"),
+      ext.TextAnalysis.piiCounts(col("text"))._2.as("n")).head()
+    assert(r.getString(0) == "mail <EMAIL> or call <NUMBER>, ext 9")
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1)
+  }
+
   test("bigram LM: deterministic continuations score 10^6, split ones the exact ratio") {
     // corpus: "a b" x3 and one "a c" — p(b|a) = 3/4, p(c|a) = 1/4;
     // doc 4 "x y x y" has p(y|x)=1 and p(x|y)=1 bigrams → mean 10^6

@@ -57,6 +57,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BloomOr fold/merge equals the reference bitset on random data and splits") {
+    val words = 4
+    val agg = ops.Aggregators.BloomOr(words)
+    val rnd = new scala.util.Random(13)
+    (0 until 200).foreach { _ =>
+      val rows = Seq.fill(rnd.nextInt(30))(
+        Seq.fill(3)(rnd.nextInt(words * 64).toLong))
+      val expected = {
+        val b = new Array[Long](words)
+        rows.flatten.foreach(p => b((p >>> 6).toInt) |= 1L << (p & 63))
+        b.toSeq
+      }
+      val folded = rows.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(folded.clone) == expected)
+      val cut = if (rows.isEmpty) 0 else rnd.nextInt(rows.length + 1)
+      val (l, r) = rows.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == expected, s"rows=$rows cut=$cut")
+    }
+  }
+
+  test("CountMin fold/merge never undercounts and is split-invariant on random data") {
+    val (d, w) = (3, 16)
+    val agg = ops.Aggregators.CountMin(d, w)
+    val dig = (t: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def positions(t: String): Seq[Long] =
+      (0 until d).map(i => java.lang.Long.parseLong(dig(t).substring(4 * i, 4 * i + 4), 16) % w)
+    val rnd = new scala.util.Random(17)
+    (0 until 100).foreach { _ =>
+      val terms = Seq.fill(rnd.nextInt(50))(s"t${rnd.nextInt(8)}")
+      val rows = terms.map(positions)
+      val cut = if (rows.isEmpty) 0 else rnd.nextInt(rows.length + 1)
+      val (l, r) = rows.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val folded = rows.foldLeft(agg.zero)(agg.reduce)
+      assert(merged.toSeq == folded.toSeq, "split-invariance")
+      terms.distinct.foreach { t =>
+        val est = positions(t).zipWithIndex.map { case (p, i) => folded(i * w + p.toInt) }.min
+        assert(est >= terms.count(_ == t), s"undercount for $t")
+      }
+    }
+  }
+
   test("RangeJoin (binned) equals the naive non-equi join on random data") {
     val rnd = new scala.util.Random(23)
     val left = (1 to 300).map(i => (rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong - 200, i.toLong))

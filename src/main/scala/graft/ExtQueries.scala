@@ -359,6 +359,27 @@ object ExtQueries {
       """SELECT event_id, event_type, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey
         |ORDER BY event_id""".stripMargin,
+    // grouped histogram quantiles rebuilt from scratch: per-group
+    // bounds, per-group 1024 bins, per-group cumulative crossing
+    "quantiles_by_group" ->
+      """WITH mm AS (
+        |  SELECT l_returnflag AS grp, min(l_extendedprice) AS lo,
+        |         max(l_extendedprice) AS hi, count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |b AS (
+        |  SELECT mm.grp,
+        |         CASE WHEN mm.hi = mm.lo THEN 0
+        |              ELSE least(floor((l_extendedprice - mm.lo) / ((mm.hi - mm.lo) / 1024)), 1023) END AS bin
+        |  FROM lineitem JOIN mm ON l_returnflag = mm.grp),
+        |h AS (SELECT grp, bin, count(*) AS c FROM b GROUP BY grp, bin),
+        |cum AS (SELECT grp, bin, sum(c) OVER (PARTITION BY grp ORDER BY bin) AS cum FROM h)
+        |SELECT cum.grp, CAST(t.q AS DOUBLE) AS q,
+        |       mm.lo + min(cum.bin) * ((mm.hi - mm.lo) / 1024) AS est
+        |FROM (VALUES (0.5), (0.9), (0.99)) t(q), cum
+        |JOIN mm ON cum.grp = mm.grp
+        |WHERE cum.cum >= ceil(t.q * mm.n)
+        |GROUP BY cum.grp, t.q, mm.lo, mm.hi
+        |ORDER BY cum.grp, q""".stripMargin,
     // histogram quantiles rebuilt from scratch: same 4096 equal-width
     // bins, same IEEE double arithmetic, lower-edge estimate at the
     // cumulative crossing
@@ -1087,6 +1108,13 @@ object ExtQueries {
         .select("event_id", "event_type", "c_mktsegment")
       StreamOps.runToMemory(joined, "stream_enrich_sink")
         .orderBy("event_id")
+    },
+    "quantiles_by_group" -> { (s, dir) =>
+      // grouped quantile sketch, zero driver state: per-group bounds
+      // broadcast back, per-group bins, per-group cumulative crossing
+      graft.ops.Sketches.histQuantilesBy(
+          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", Seq(0.5, 0.9, 0.99))
+        .orderBy("grp", "q")
     },
     "quantiles_hist" -> { (s, dir) =>
       // bounded-state approximate quantiles (see Sketches.histQuantiles

@@ -117,6 +117,46 @@ object Sketches {
       .agg(udaf(Aggregators.KMinValues(k)).apply(col(hashCol)).as("mins"))
       .select(col(keyCol) +: kmvEstimate(k, bits): _*)
 
+  /** Per-group histogram quantiles — the grouped form of
+    * `histQuantiles` with NO driver round-trip at all: per-group
+    * bounds come from a first aggregation joined back (broadcast —
+    * group cardinality is bounded), rows bin against THEIR group's
+    * bounds, and the cumulative window runs per group over ≤ `bins`
+    * rows. Groups of one value (zero bin width) estimate that value.
+    * Output: (grp, q, est), error ≤ one per-group bin width. */
+  def histQuantilesBy(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      qs: Seq[Double],
+      bins: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    val mm = df.groupBy(col(keyCol).as("grp"))
+      .agg(min(v).as("lo"), max(v).as("hi"), count(lit(1)).as("n"))
+    val binned = df.select(col(keyCol).as("grp"), v.as("v"))
+      .join(broadcast(mm), "grp")
+      .select(col("grp"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / bins)),
+            lit(bins - 1L)))
+          .as("bin"))
+    val h = binned.groupBy("grp", "bin").agg(count(lit(1)).as("c"))
+    val cum = h.withColumn("cum",
+      sum("c").over(Window.partitionBy("grp").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    cum.join(broadcast(mm), "grp")
+      .crossJoin(broadcast(qs.toDF("q")))
+      .where(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("grp", "q", "lo", "hi")
+      .agg(min(col("bin")).as("bin"))
+      .select(col("grp"), col("q"),
+        (col("lo") + col("bin") * ((col("hi") - col("lo")) / bins)).as("est"))
+  }
+
   private def kmvEstimate(k: Int, bits: Int): Seq[Column] = {
     require(bits < 63 && k > 1, s"need 1 < k and bits < 63, got k=$k bits=$bits")
     require((k - 1).toLong <= (Long.MaxValue >> bits), s"(k-1)*2^$bits overflows int64")

@@ -103,6 +103,18 @@ class SketchSpec extends SparkSpec {
     assert(got == Seq((0.5, 42.5), (0.99, 42.5)))
   }
 
+  test("grouped histogram quantiles: per-group bounds, constant groups hit exactly") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 7.0), ("b", 7.0), ("b", 7.0)).toDF("k", "v")
+    val got = ops.Sketches.histQuantilesBy(df, "k", "v", Seq(0.5), bins = 1024)
+      .orderBy("grp").as[(String, Double, Double)].collect().toSeq
+    // group a: rank ceil(0.5*4)=2 → value 2.0, within one bin width below
+    assert(got(1) == (("b", 0.5, 7.0)))
+    val (g, q, est) = got(0)
+    assert(g == "a" && q == 0.5 && est <= 2.0 && 2.0 - est <= 3.0 / 1024)
+  }
+
   test("histogram quantiles: exact on integer-width bins") {
     // values 0..4096 with bins=4096 → width exactly 1, every value its
     // own bin: the lower-edge estimate IS the exact quantile pick

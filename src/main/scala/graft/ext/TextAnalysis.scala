@@ -189,11 +189,17 @@ object TextAnalysis {
     * hash agg. No driver state, no broadcast of the (unbounded)
     * vocabulary. */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the (id, w1, w2) relation feeds three consumers (pair counts,
+    // prefix counts via c2, and the scoring join) — cache it or the
+    // corpus is re-tokenized and re-grammed per consumer (the same
+    // multi-consumer rule as dupNgramStats; Verify/Bench clear per
+    // query)
     val bg = docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
       .where(size(col("tk")) >= 2)
       .select(col(idCol), explode(bigrams(col("tk"))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .cache()
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
     val c1 = c2.groupBy("w1").agg(sum("n2").as("n1"))
     bg.join(c2, Seq("w1", "w2"))

@@ -441,6 +441,18 @@ object ExtQueries {
         |  FROM h)
         |SELECT lang, doc_id FROM r WHERE rn <= 10
         |ORDER BY lang, doc_id""".stripMargin,
+    // containment rebuilt from scratch: exact |A∩B|/|A| over all
+    // ordered pairs — the truth the prefix filter only finds faster
+    "dedup_containment" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $shingleSql AS ws FROM toks WHERE len(tk) >= 3)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       len(list_intersect(a.ws, b.ws))*1.0 / len(a.ws) AS containment
+         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+         |WHERE len(list_intersect(a.ws, b.ws))*1.0 / len(a.ws) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
     // incremental screening rebuilt from scratch: exact Jaccard between
     // every new-batch doc and every existing doc (the O(n·m) truth the
     // banded index only approximates candidates for)
@@ -1160,6 +1172,13 @@ object ExtQueries {
       graft.plans.TopKPerKey(docs, Seq("lang"), Seq(("h", true), ("doc_id", true)), 10)
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
+    },
+    "dedup_containment" -> { (s, dir) =>
+      // asymmetric doc-inside-doc detection: prefix-filtered (PPJoin
+      // family) candidates — a guaranteed superset, so exact verify
+      // equals the O(n²) ground truth — at containment ≥ 0.9
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")
     },
     "dedup_incremental" -> { (s, dir) =>
       // incremental ingest screening: the "new batch" (20% of docs by

@@ -308,6 +308,61 @@ object Dedup {
       dedupIndex(oldDocs, idCol, textCol, shingleN, numPerms, bands, scope),
       idCol, threshold)
 
+  /** Containment pairs (id_a, id_b, containment = |A∩B|/|A| ≥ t, a≠b)
+    * — the ASYMMETRIC dedup signal Jaccard misses: a document quoted
+    * wholesale inside a much larger one has high containment but low
+    * Jaccard, so MinHash-LSH (which approximates Jaccard) structurally
+    * cannot index it. Prefix filtering (the PPJoin family) can, and
+    * EXACTLY: order each doc's shingles by global rarity; if B holds
+    * ≥ t·|A| of A's shingles it must hold one of A's
+    * ⌊(1−t)·|A|⌋+1 rarest — so joining only those prefix shingles
+    * against the corpus posting lists yields a guaranteed superset of
+    * true pairs, and exact verification equals ground truth.
+    *
+    * Scale shape: posting lists are touched only for shingles in some
+    * prefix (the rare end of the frequency spectrum — short lists by
+    * construction; a hot shingle reaches a prefix only for docs made
+    * of nothing but boilerplate). The per-doc rarity ranking window is
+    * bounded by doc size. Everything else is hash joins and one
+    * distinct on ids. */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.9,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = scope.cache(docs
+      .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
+      .where(size(col("ws")) > 0))
+    val posts = sh.select(col(idCol).as("id_b"), explode(col("ws")).as("h"))
+    val dfreq = posts.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = sh
+      .select(col(idCol).as("id_a"), size(col("ws")).as("sz"), explode(col("ws")).as("h"))
+      .join(dfreq, "h")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("id_a").orderBy("df", "h")))
+      // the bound is ⌊(1−t)·|A|⌋+1, but (1−t) in floating point can
+      // round DOWN across an integer boundary (0.0999…·30 → ⌊2.999…⌋
+      // = 2) and silently break the no-false-negative guarantee; ceil
+      // +1 is ≥ the exact bound for every rounding direction and only
+      // admits a few extra candidates
+      .where(col("rn") <= ceil((lit(1.0) - threshold) * col("sz")) + 1)
+      .select("id_a", "h")
+    val cands = prefix.join(posts, "h")
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("ws").as("ws_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("ws").as("ws_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
+          size(col("ws_a"))).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** Connected components over a near-dup pair graph: every document
     * that appears in at least one pair gets the minimum doc id of its
     * component as `cluster_id` — the step that turns pairwise matches

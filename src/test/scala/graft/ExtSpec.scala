@@ -175,6 +175,30 @@ class ExtSpec extends SparkSpec {
     assert(r.getDouble(2) == 17.0 / 6.0)
   }
 
+  test("prefix-filtered containment equals brute force (incl. a doc-inside-doc pair LSH misses)") {
+    val docs = io.Tables(spark, sf, "documents")
+    // a small doc quoted inside a much larger host: containment 1.0,
+    // Jaccard tiny — exactly the pair the Jaccard-LSH family cannot see
+    val small = "the quick brown fox jumps over the lazy dog again and again"
+    val host = small + " " + Seq.tabulate(120)(i => s"filler$i token$i").mkString(" ")
+    val augmented = docs.select("doc_id", "text")
+      .unionByName(Seq((900001L, small), (900002L, host)).toDF("doc_id", "text"))
+    val got = Dedup.containmentPairs(augmented, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sh = augmented
+      .select(col("doc_id"), Dedup.shingleHashSet(col("text"), 3).as("ws"))
+      .where(size(col("ws")) > 0)
+    val brute = sh.as("a").crossJoin(sh.as("b"))
+      .where(col("a.doc_id") =!= col("b.doc_id") &&
+        size(array_intersect(col("a.ws"), col("b.ws"))).cast("double") /
+          size(col("a.ws")) >= 0.9)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(got.contains((900001L, 900002L)), "the quoted doc must be found inside its host")
+    assert(!got.contains((900002L, 900001L)), "containment is asymmetric")
+    spark.catalog.clearCache()
+  }
+
   test("incremental screening equals the cross-corpus slice of the full self-join") {
     val docs = io.Tables(spark, sf, "documents")
     val isNew = (id: Long) => id % 5 == 0

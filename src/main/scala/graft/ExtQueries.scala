@@ -35,6 +35,47 @@ object ExtQueries {
   private def qdotIntSql(a: String, b: String) =
     s"CAST(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT)"
 
+  // DuckDB replay of the Lloyd-trained IVF coarse quantizer (64 seed
+  // centroids from the smallest md5 id-hashes, one training round over
+  // the 4096-smallest-hash sample, id-broken argmax, truncating integer
+  // means — matching Similarity.ivfCentroids defaults exactly). Shared
+  // CTE prefix for ann_ivf_topk and emb_semdedup; ends with
+  // `assign` = (vec_id, list_id) over the whole corpus.
+  private val ivfAssignSql =
+    s"""qv AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
+       |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM embeddings),
+       |samp AS (SELECT vec_id AS sid, q AS sq FROM qv ORDER BY h, vec_id LIMIT 4096),
+       |seeds AS (
+       |  SELECT cent_id, cv, ${qdotIntSql("cv", "cv")} AS nrm FROM (
+       |    SELECT vec_id AS cent_id, q AS cv FROM qv ORDER BY h, vec_id LIMIT 64) s0),
+       |sasgn AS (
+       |  SELECT sid, sq, list_id FROM (
+       |    SELECT s.sid, s.sq, c.cent_id AS list_id,
+       |           row_number() OVER (PARTITION BY s.sid
+       |             ORDER BY 2*${qdotIntSql("s.sq", "c.cv")} - c.nrm DESC, c.cent_id) AS rn
+       |    FROM samp s CROSS JOIN seeds c) a
+       |  WHERE rn = 1),
+       |newc AS (
+       |  SELECT list_id AS cent_id, list(qc ORDER BY dim) AS cv FROM (
+       |    SELECT list_id, i AS dim, CAST(sum(sq[i]) AS BIGINT) // count(*) AS qc
+       |    FROM sasgn, range(1, 65) r(i)
+       |    GROUP BY list_id, i) m
+       |  GROUP BY list_id),
+       |cents AS (
+       |  SELECT cent_id, cv, ${qdotIntSql("cv", "cv")} AS nrm FROM (
+       |    SELECT s.cent_id, coalesce(n.cv, s.cv) AS cv
+       |    FROM seeds s LEFT JOIN newc n USING (cent_id)) c0),
+       |assign AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT e.vec_id, c.cent_id AS list_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY 2*${qdotIntSql("e.q", "c.cv")} - c.nrm DESC, c.cent_id) AS rn
+       |    FROM qv e CROSS JOIN cents c) a
+       |  WHERE rn = 1)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT count(*) AS n_total, count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')))) AS n_unique
@@ -128,39 +169,7 @@ object ExtQueries {
     // truncating-integer-division mean (Spark `div` == DuckDB `//`),
     // empty list keeps its seed
     "ann_ivf_topk" ->
-      s"""WITH qv AS (
-         |  SELECT vec_id,
-         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
-         |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-         |  FROM embeddings),
-         |samp AS (SELECT vec_id AS sid, q AS sq FROM qv ORDER BY h, vec_id LIMIT 4096),
-         |seeds AS (
-         |  SELECT cent_id, cv, ${qdotIntSql("cv", "cv")} AS nrm FROM (
-         |    SELECT vec_id AS cent_id, q AS cv FROM qv ORDER BY h, vec_id LIMIT 64) s0),
-         |sasgn AS (
-         |  SELECT sid, sq, list_id FROM (
-         |    SELECT s.sid, s.sq, c.cent_id AS list_id,
-         |           row_number() OVER (PARTITION BY s.sid
-         |             ORDER BY 2*${qdotIntSql("s.sq", "c.cv")} - c.nrm DESC, c.cent_id) AS rn
-         |    FROM samp s CROSS JOIN seeds c) a
-         |  WHERE rn = 1),
-         |newc AS (
-         |  SELECT list_id AS cent_id, list(qc ORDER BY dim) AS cv FROM (
-         |    SELECT list_id, i AS dim, CAST(sum(sq[i]) AS BIGINT) // count(*) AS qc
-         |    FROM sasgn, range(1, 65) r(i)
-         |    GROUP BY list_id, i) m
-         |  GROUP BY list_id),
-         |cents AS (
-         |  SELECT cent_id, cv, ${qdotIntSql("cv", "cv")} AS nrm FROM (
-         |    SELECT s.cent_id, coalesce(n.cv, s.cv) AS cv
-         |    FROM seeds s LEFT JOIN newc n USING (cent_id)) c0),
-         |assign AS (
-         |  SELECT vec_id, list_id FROM (
-         |    SELECT e.vec_id, c.cent_id AS list_id,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY 2*${qdotIntSql("e.q", "c.cv")} - c.nrm DESC, c.cent_id) AS rn
-         |    FROM qv e CROSS JOIN cents c) a
-         |  WHERE rn = 1),
+      s"""WITH $ivfAssignSql,
          |probes AS (SELECT vec_id AS probe_id, q AS pe FROM qv WHERE vec_id < 10),
          |pl AS (
          |  SELECT probe_id, list_id FROM (
@@ -314,6 +323,42 @@ object ExtQueries {
         |       CAST(sum(qx) // count(*) AS BIGINT) AS qc
         |FROM q GROUP BY bucket, pos
         |ORDER BY bucket, pos""".stripMargin,
+    // SemDeDup rebuilt from scratch: identical quantizer training +
+    // assignment (shared CTE), then within-list pairs above the
+    // threshold and the keep-first anti-join
+    "emb_semdedup" ->
+      s"""WITH $ivfAssignSql,
+         |pairs AS (
+         |  SELECT a2.vec_id AS id_b
+         |  FROM assign a1
+         |  JOIN assign a2 ON a1.list_id = a2.list_id AND a1.vec_id < a2.vec_id
+         |  JOIN qv e1 ON e1.vec_id = a1.vec_id
+         |  JOIN qv e2 ON e2.vec_id = a2.vec_id
+         |  WHERE ${qdotIntSql("e1.q", "e2.q")} >= 450000)
+         |SELECT a.vec_id, a.list_id FROM assign a
+         |WHERE a.vec_id NOT IN (SELECT id_b FROM pairs)
+         |ORDER BY a.vec_id""".stripMargin,
+    // contamination screen rebuilt from scratch: distinct word-5-grams
+    // per doc as 44-bit md5 hashes, benchmark slice = doc_id ≡ 0 mod 7
+    "decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+4], ' ') FOR i IN range(1, len(tk) - 3)])) AS g
+         |  FROM toks WHERE len(tk) >= 5),
+         |h AS (
+         |  SELECT doc_id, CAST(concat('0x', substring(md5(g), 1, 11)) AS BIGINT) AS h FROM sh),
+         |bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 7 = 0)
+         |SELECT doc_id, count(*) AS n_hits FROM h JOIN bench USING (h)
+         |WHERE doc_id % 7 <> 0 GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "corpus_source_cap" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) r
+        |WHERE rn <= 10
+        |ORDER BY source, doc_id""".stripMargin,
     // per-language KMV rebuilt from scratch: per-lang distinct hashes,
     // 256 smallest per lang via a partitioned row_number, identical
     // estimator arithmetic
@@ -1028,6 +1073,36 @@ object ExtQueries {
           emails.cast("long").as("n_emails"),
           numbers.cast("long").as("n_numbers"))
         .orderBy("doc_id")
+    },
+    "emb_semdedup" -> { (s, dir) =>
+      // SemDeDup: the trained coarse quantizer confines the all-pairs
+      // cosine check to one inverted list per vector (n² → Σ m²);
+      // keep-first inside each cluster, kept (vec_id, list_id) out
+      Similarity.semDedupKeep(t(s, dir, "embeddings"), "vec_id", "embedding",
+          minQdot = 450000L)
+        .orderBy("vec_id")
+    },
+    "decontaminate" -> { (s, dir) =>
+      // benchmark-decontamination screen: corpus docs sharing any word
+      // 5-gram with the held-out benchmark slice (doc_id ≡ 0 mod 7);
+      // the tiny bench hash set is broadcast, so the corpus grams
+      // never shuffle — only per-doc hit counts do
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contaminationScreen(
+        docs.where(col("doc_id") % 7 =!= 0),
+        docs.where(col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    },
+    "corpus_source_cap" -> { (s, dir) =>
+      // per-source document cap (the web-pipeline per-domain cap):
+      // first 10 docs per source by doc_id through the bounded-heap
+      // TopKPerKey operator — ≤ 10 rows per source per input partition
+      // cross the shuffle, never a full per-source sort
+      graft.plans.TopKPerKey(
+        t(s, dir, "documents").select("source", "doc_id"),
+        Seq("source"), Seq(("doc_id", true)), k = 10)
+        .orderBy("source", "doc_id")
     },
     "emb_centroids" -> { (s, dir) =>
       // the k-means/IVF recenter primitive as a standalone query:

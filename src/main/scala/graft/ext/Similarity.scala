@@ -394,6 +394,54 @@ object Similarity {
     rankTopK(rescored, idCol, k)
   }
 
+  /** SemDeDup-style semantic deduplication (embedding-space near-dup
+    * pruning): cluster the corpus with the SAME Lloyd-trained coarse
+    * quantizer the IVF index uses, compare pairs only WITHIN a
+    * cluster, and drop every vector that has a smaller-id neighbor at
+    * or above the similarity threshold. Returns the kept rows
+    * (id, list_id) — the keep-first rule over semantic duplicates.
+    *
+    * Scale shape: this is the practical answer to "embedding near-dup
+    * at 100 TB" — the all-pairs comparison that is O(n²) globally
+    * (`nearDupPairsCrossJoin`) is confined to one inverted list, whose
+    * size the trained quantizer bounds (the balance metric
+    * `ivfListSizes` reports). Per-list work is O(m²) in list size m
+    * with K lists running in parallel; each vector crosses the shuffle
+    * once (keyed by list), the centroid relation is a constant-size
+    * broadcast, and the anti-join ships only the dropped-id sliver.
+    * Semantic duplicates sit close in embedding space, so co-clustering
+    * captures them; a pair split across cluster boundaries is missed —
+    * the standard SemDeDup recall trade, bought for the n² → Σm² cost
+    * drop. All arithmetic is the int64 quantized dot with id-broken
+    * argmax, so an external engine replays training, assignment, and
+    * the drop set bit-for-bit (full hash oracle). */
+  def semDedupKeep(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minQdot: Long,
+      numCentroids: Int = 64,
+      trainRounds: Int = 1,
+      trainSample: Int = 4096,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, numCentroids, trainRounds, trainSample, scope)
+    // (id, vec, list_id): consumed by both sides of the within-list
+    // self-join and by the final anti-join — cache for the query's
+    // lifetime (Verify/Bench clear per query)
+    val lists = scope.cache(
+      corpus.select(col(idCol), col(vecCol))
+        .join(ivfAssign(corpus, idCol, vecCol, cents), Seq(idCol)))
+    val a = lists.select(col("list_id"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = lists.select(col("list_id"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val dropped = a.join(b, Seq("list_id"))
+      .where(col("id_a") < col("id_b"))
+      .where(quantizedDot(col("va"), col("vb")) >= minQdot)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    lists.select(col(idCol), col("list_id"))
+      .join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Per-probe top-k of a scored candidate relation through the
     * bounded-heap `TopKPerKey` operator (≤ k rows per probe per input
     * partition cross the shuffle — a probe whose inverted lists /

@@ -188,6 +188,41 @@ object TextAnalysis {
     * AQE-skew-safe) stats relations; the per-doc mean is one more
     * hash agg. No driver state, no broadcast of the (unbounded)
     * vocabulary. */
+  /** Benchmark-decontamination screen — the train/test-overlap check
+    * every published pre-training pipeline runs before training: flag
+    * corpus documents that share any word-n-gram with a held-out
+    * benchmark set, with the distinct-shared-gram count as the
+    * severity signal (verbatim contamination shares most of a doc's
+    * grams; chance overlap shares one or two).
+    *
+    * Grams travel as the native 44-bit md5 shingle hashes
+    * (`ShingleMd5Hashes` — one primitive pass per doc, per-doc
+    * distinct), so the benchmark side reduces to a distinct hash SET.
+    * Scale shape: benchmarks are tiny next to a 100 TB corpus, so the
+    * bench hashes are BROADCAST and the corpus side never shuffles its
+    * grams — the only exchange is the per-doc hit count (≤ 1 row per
+    * doc per partition after partial agg, and only for docs with ≥ 1
+    * hit). A corpus-side groupBy of raw grams would shuffle the whole
+    * corpus; this shuffles the contaminated sliver. */
+  def contaminationScreen(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    def grams(df: DataFrame) = df.select(
+      col(idCol),
+      explode(graft.functions.ShingleMd5Hashes.shingleMd5(
+        TextOps.tokens(col(textCol)), n)).as("h"))
+    val benchHashes = grams(bench).select("h").distinct()
+    grams(corpus)
+      .join(broadcast(benchHashes), "h")
+      // per-doc hashes are already distinct (ShingleMd5Hashes dedups),
+      // so this count IS the distinct shared-gram count
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // the (id, w1, w2) relation feeds three consumers (pair counts,
     // prefix counts via c2, and the scoring join) — cache it or the

@@ -219,4 +219,50 @@ class ExtSpec extends SparkSpec {
     assert(got == expected)
     spark.catalog.clearCache()
   }
+
+  test("contaminationScreen flags only docs sharing a 5-gram, counting distinct shared grams") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // one shared 5-gram ("alpha beta gamma delta epsilon"); its other
+      // two 5-grams are novel
+      (1L, "xx alpha beta gamma delta epsilon yy"),
+      // verbatim copy of the benchmark doc: shares BOTH its 5-grams
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationScreen(corpus, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("semDedupKeep drops the larger id of a co-clustered duplicate pair, keeps the rest") {
+    val vs = Seq(
+      (1L, Array.fill(4)(1.0f)), // identical to 2 → same list (id tie-break)
+      (2L, Array.fill(4)(1.0f)), // qdot(1,2) = 4e6 ≥ τ → dropped
+      (3L, Array(1.0f, -1.0f, 1.0f, -1.0f)),  // qdot vs 1/2 = 0
+      (4L, Array(-1.0f, 1.0f, -1.0f, 1.0f))). // qdot vs 3 = -4e6
+      toDF("vec_id", "embedding")
+    val kept = Similarity.semDedupKeep(vs, "vec_id", "embedding", minQdot = 3000000L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+    spark.catalog.clearCache()
+  }
+
+  test("semDedupKeep partitions the corpus and never drops a vector without a smaller-id near neighbor (sf0.001)") {
+    val emb = io.Tables(spark, sf, "embeddings")
+    val n = emb.count()
+    val kept = Similarity.semDedupKeep(emb, "vec_id", "embedding", minQdot = 450000L)
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    assert(keptIds.size == kept.count().toInt) // no dup rows
+    // soundness: every dropped id has a smaller-id neighbor above the
+    // threshold in the EXACT all-pairs relation (clustering can only
+    // shrink the drop set, never invent a drop)
+    val exactTargets = Similarity.nearDupPairsCrossJoin(emb, "vec_id", "embedding", 450000L)
+      .select("id_b").as[Long].collect().toSet
+    val dropped = emb.select("vec_id").as[Long].collect().toSet -- keptIds
+    assert(dropped.subsetOf(exactTargets), s"over-dropped: ${dropped -- exactTargets}")
+    assert(keptIds.size + dropped.size == n)
+    spark.catalog.clearCache()
+  }
 }

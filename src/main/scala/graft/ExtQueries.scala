@@ -1273,18 +1273,25 @@ object ExtQueries {
       // deterministic per-doc hash against a per-stratum per-mille
       // threshold — map-only and shuffle-free, so the sample is
       // reproducible at any partitioning and any scale
-      val rates = Map("en" -> 200L, "de" -> 500L, "es" -> 500L, "fr" -> 500L)
+      // rates as a broadcast relation, not a CASE expression: a
+      // lang-dependent filter predicate would be pushed below the
+      // projection and re-evaluate the whole langId tree a second time
+      // (no cross-operator CSE between FilterExec and ProjectExec) —
+      // the 4-row broadcast join is a barrier that keeps langId at ONE
+      // evaluation per doc, and reads as configuration
+      val rates = Seq(("en", 200L), ("de", 500L), ("es", 500L), ("fr", 500L))
+      import s.implicits._
+      val ratesDf = rates.toDF("lang", "rate")
       val h = pmod(
         conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
           .cast("long"),
         lit(1000L))
-      val thr = rates.foldRight(lit(50L): org.apache.spark.sql.Column) {
-        case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
-      }
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
         .select(col("doc_id"), TextAnalysis.langIdFromTokens(col("tk")).as("lang"))
-        .where(h < thr)
+        .join(broadcast(ratesDf), Seq("lang"), "left")
+        .where(h < coalesce(col("rate"), lit(50L)))
+        .select("doc_id", "lang")
         .orderBy("doc_id")
     },
     "text_lm_score" -> { (s, dir) =>

@@ -1387,13 +1387,23 @@ object ExtQueries {
         .withColumnRenamed("id", "doc_id")
       val canon = docs.join(clusters, Seq("doc_id"), "left")
         .where(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      // selection policy as a broadcast relation (lang, min quality),
+      // not a filter expression: a pushed-down `lang === … && qscore
+      // >= …` predicate re-evaluates the langId AND qualityScore trees
+      // a second time per row below the projection (no cross-operator
+      // CSE — the same trap sample_stratified hit); the 1-row join is
+      // a pushdown barrier and the per-language threshold reads as
+      // configuration
+      import s.implicits._
+      val policy = Seq(("en", 0.5)).toDF("lang", "min_qscore")
       canon
         .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"), col("text"))
         .select(col("doc_id"),
           TextAnalysis.langIdFromTokens(col("tk")).as("lang"),
           size(col("tk")).cast("long").as("n_tokens"),
           TextAnalysis.qualityScoreFromTokens(col("text"), col("tk")).as("qscore"))
-        .where(col("lang") === "en" && col("qscore") >= 0.5)
+        .join(broadcast(policy), Seq("lang"))
+        .where(col("qscore") >= col("min_qscore"))
         .select("doc_id", "n_tokens", "qscore")
         .orderBy("doc_id")
     },

@@ -118,7 +118,28 @@ object BenchScale {
       // equality (and cross-copy inequality) is preserved exactly: rows
       // and dup structure grow ×f by construction
       ("text_dup_ngrams", Int.MaxValue, f =>
-        ext.TextAnalysis.dupNgramStats(inflateDocs(docs0, f), "doc_id", "text")))
+        ext.TextAnalysis.dupNgramStats(inflateDocs(docs0, f), "doc_id", "text")),
+      // benchmark FIXED at the copy-0 slice while the corpus inflates
+      // ×f — the production shape (benchmarks don't grow with the
+      // crawl). True hits stay constant (ciphered copies share no
+      // grams with the original bench set); cost should grow only
+      // with the corpus-side gram extraction — linear, no shuffle of
+      // corpus grams at any f.
+      ("decontaminate_screen", Int.MaxValue, f =>
+        ext.TextAnalysis.contaminationScreen(
+          inflateDocs(docs0.where(pmod(col("doc_id"), lit(7)) =!= 0), f),
+          docs0.where(pmod(col("doc_id"), lit(7)) === 0),
+          "doc_id", "text", n = 5)),
+      // SemDeDup under the IVF occupancy rule: K grows as √n (the
+      // standard IVF heuristic), balancing O(n·K) assignment against
+      // O(n²/K) within-list pairs — both grow ~f^1.5. A FIXED K would
+      // put the pair side at f²; the probe measures the √n rule
+      // holding that off. True drops grow ×f (sign-flips preserve
+      // within-copy dots, cross-copy dots ≈ 0).
+      ("emb_semdedup", Int.MaxValue, f =>
+        ext.Similarity.semDedupKeep(inflateEmbeddings(emb0, f), "vec_id", "embedding",
+          minQdot = 450000L,
+          numCentroids = 64 * math.sqrt(f.toDouble).round.toInt)))
 
     val secs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Int, Double, Long)]]
     for ((name, cap, build) <- kernels) {

@@ -359,6 +359,29 @@ object ExtQueries {
         |  FROM documents) r
         |WHERE rn <= 10
         |ORDER BY source, doc_id""".stripMargin,
+    // chunking rebuilt from scratch: per-doc index range unnested,
+    // 1-based inclusive list slices, chunk text compared as md5
+    "corpus_chunks" ->
+      s"""WITH f AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |c AS (
+         |  SELECT doc_id, tk, unnest(range(0, ((len(tk) - 1) // 32) + 1)) AS chunk_id
+         |  FROM f WHERE len(tk) >= 1),
+         |s AS (
+         |  SELECT doc_id, chunk_id, tk[chunk_id*32+1 : chunk_id*32+32] AS ck FROM c)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |       CAST(len(ck) AS BIGINT) AS n_tok,
+         |       md5(array_to_string(ck, ' ')) AS chunk_md5
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    // mixture rebalancer rebuilt from scratch: identical integer rate
+    // arithmetic and md5-permille keep decision
+    "sample_balanced" ->
+      """WITH stats AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+        |tot AS (SELECT count(*) AS n, count(DISTINCT source) AS n_src FROM documents),
+        |rates AS (
+        |  SELECT source, least(1000, (n * 400) // (n_src * n_s)) AS w FROM stats, tot)
+        |SELECT doc_id, source FROM documents JOIN rates USING (source)
+        |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < w
+        |ORDER BY doc_id""".stripMargin,
     // per-language KMV rebuilt from scratch: per-lang distinct hashes,
     // 256 smallest per lang via a partitioned row_number, identical
     // estimator arithmetic
@@ -1103,6 +1126,46 @@ object ExtQueries {
         t(s, dir, "documents").select("source", "doc_id"),
         Seq("source"), Seq(("doc_id", true)), k = 10)
         .orderBy("source", "doc_id")
+    },
+    "corpus_chunks" -> { (s, dir) =>
+      // context-window chunking: each doc split into fixed 32-token
+      // training sequences — map-only (explode of a per-doc index
+      // range), zero shuffles before the display sort; at 100 TB this
+      // is a pure scan→write. Chunk text travels as md5 so the
+      // compare stays scalar.
+      val L = 32
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 0)
+        .select(col("doc_id"), col("tk"),
+          explode(expr(s"sequence(0, (size(tk) - 1) div $L)")).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          slice(col("tk"), col("chunk_id") * lit(L) + lit(1), lit(L)).as("ck"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ck")).cast("long").as("n_tok"),
+          md5(array_join(col("ck"), " ").cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    "sample_balanced" -> { (s, dir) =>
+      // self-tuning mixture rebalancer: per-source keep rates DERIVED
+      // from corpus stats (a 40% doc budget spread evenly across
+      // sources, capped at keep-everything) in exact integer
+      // arithmetic, applied by the deterministic md5-permille hash.
+      // Two tiny aggs feed a broadcast; the corpus pass is map-only —
+      // the rates relation is O(sources) however big the corpus is.
+      val docs = t(s, dir, "documents")
+      val stats = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val totals = docs.agg(count(lit(1)).as("n"), countDistinct("source").as("n_src"))
+      val rates = stats.crossJoin(broadcast(totals))
+        .select(col("source"), least(lit(1000L), expr("(n * 400) div (n_src * n_s)")).as("w"))
+      val h = pmod(
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long"),
+        lit(1000L))
+      docs.join(broadcast(rates), "source")
+        .where(h < col("w"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     },
     "emb_centroids" -> { (s, dir) =>
       // the k-means/IVF recenter primitive as a standalone query:

@@ -249,6 +249,46 @@ class ExtSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("contaminationScreen plans a broadcast join — the corpus grams never shuffle") {
+    val docs = io.Tables(spark, sf, "documents")
+    val plan = ext.TextAnalysis.contaminationScreen(
+        docs.where(pmod(col("doc_id"), lit(7)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(7)) === 0),
+        "doc_id", "text", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("corpus_chunks reassembles every doc exactly: concatenated chunks == token stream") {
+    val docs = io.Tables(spark, sf, "documents")
+    val chunks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        explode(expr("sequence(0, (size(tk) - 1) div 32)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("tk"), col("chunk_id") * lit(32) + lit(1), lit(32)).as("ck"))
+    // per-doc: chunk sizes sum to the token count, all chunks but the
+    // last are exactly 32, and re-concatenation restores the stream
+    val re = chunks
+      .groupBy("doc_id")
+      .agg(
+        sum(size(col("ck"))).as("n_re"),
+        max(col("chunk_id")).as("last"),
+        sum(when(size(col("ck")) =!= 32, 1).otherwise(0)).as("n_short"),
+        concat_ws(" ", flatten(array_sort(
+          collect_list(struct(col("chunk_id"), col("ck")))).getField("ck"))).as("glued"))
+    val orig = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).as("n_tok"),
+      concat_ws(" ", TextOps.tokens(col("text"))).as("stream"))
+    val bad = re.join(orig, "doc_id")
+      .where(col("n_re") =!= col("n_tok") || col("n_short") > 1 ||
+        col("glued") =!= col("stream"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("semDedupKeep partitions the corpus and never drops a vector without a smaller-id near neighbor (sf0.001)") {
     val emb = io.Tables(spark, sf, "embeddings")
     val n = emb.count()

@@ -323,6 +323,46 @@ object ExtQueries {
         |       CAST(sum(qx) // count(*) AS BIGINT) AS qc
         |FROM q GROUP BY bucket, pos
         |ORDER BY bucket, pos""".stripMargin,
+    // PQ codebook rebuilt from scratch: same seed ranks, same per-
+    // subspace Lloyd round, same truncating means and id-broken argmins
+    "emb_pq_codes" -> {
+      def d(a: String, b: String) =
+        s"CAST(list_sum(list_transform(list_zip($a, $b), p -> (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT)) * (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT)))) AS BIGINT)"
+      s"""WITH qv AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
+         |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM embeddings),
+         |samp AS (SELECT vec_id AS sid, q FROM qv ORDER BY h, vec_id LIMIT 4096),
+         |sd0 AS (
+         |  SELECT q, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+         |  FROM (SELECT * FROM qv ORDER BY h, vec_id LIMIT 16) z),
+         |seeds AS (SELECT sub, code, q[sub*8+1 : sub*8+8] AS cv FROM sd0, range(0, 8) r(sub)),
+         |ssub AS (SELECT sid, sub, q[sub*8+1 : sub*8+8] AS sv FROM samp, range(0, 8) r(sub)),
+         |sasgn AS (
+         |  SELECT sub, code, sv FROM (
+         |    SELECT s.sid, s.sub, c.code, s.sv,
+         |           row_number() OVER (PARTITION BY s.sid, s.sub
+         |             ORDER BY ${d("s.sv", "c.cv")}, c.code) AS rn
+         |    FROM ssub s JOIN seeds c ON s.sub = c.sub) a
+         |  WHERE rn = 1),
+         |newc AS (
+         |  SELECT sub, code, list(qc ORDER BY i) AS cv FROM (
+         |    SELECT sub, code, i, CAST(sum(sv[i]) AS BIGINT) // count(*) AS qc
+         |    FROM sasgn, range(1, 9) r(i) GROUP BY sub, code, i) m
+         |  GROUP BY sub, code),
+         |cents AS (
+         |  SELECT s.sub, s.code, coalesce(n.cv, s.cv) AS cv
+         |  FROM seeds s LEFT JOIN newc n ON s.sub = n.sub AND s.code = n.code),
+         |esub AS (SELECT vec_id, sub, q[sub*8+1 : sub*8+8] AS sv FROM qv, range(0, 8) r(sub))
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, code, qerr FROM (
+         |  SELECT e.vec_id, e.sub, c.code, ${d("e.sv", "c.cv")} AS qerr,
+         |         row_number() OVER (PARTITION BY e.vec_id, e.sub
+         |           ORDER BY ${d("e.sv", "c.cv")}, c.code) AS rn
+         |  FROM esub e JOIN cents c ON e.sub = c.sub) z
+         |WHERE rn = 1
+         |ORDER BY vec_id, sub""".stripMargin
+    },
     // SemDeDup rebuilt from scratch: identical quantizer training +
     // assignment (shared CTE), then within-list pairs above the
     // threshold and the keep-first anti-join
@@ -1096,6 +1136,13 @@ object ExtQueries {
           emails.cast("long").as("n_emails"),
           numbers.cast("long").as("n_numbers"))
         .orderBy("doc_id")
+    },
+    "emb_pq_codes" -> { (s, dir) =>
+      // product quantization: 64 floats → 8 codebook ids + per-
+      // subspace reconstruction error; codebook trained in the same
+      // deterministic integer Lloyd scheme as the IVF quantizer
+      Similarity.pqEncode(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id", "sub")
     },
     "emb_semdedup" -> { (s, dir) =>
       // SemDeDup: the trained coarse quantizer confines the all-pairs

@@ -442,6 +442,93 @@ object Similarity {
       .join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Product-quantization encoder — the storage half of the IVF-PQ
+    * design every billion-vector ANN deployment runs: each vector is
+    * split into `numSub` subvectors and each subvector replaced by the
+    * id of its nearest codebook centroid, compressing dim floats to
+    * `numSub` small codes (64 × 4 B → 8 × 1 B here) plus a shared
+    * `numSub · codebook` codebook. Returns one row per (vector,
+    * subspace): (id, sub, code, qerr) with qerr = ‖x_sub − c_code‖²
+    * in quantized int64 units — the reconstruction-error audit column.
+    *
+    * Training mirrors `ivfCentroids`: seeds are the `codebook`
+    * smallest-md5-hash sample vectors (codes = their hash rank), one
+    * deterministic Lloyd round per subspace over the bounded
+    * `trainSample`, truncating-integer-division means, every argmin
+    * id-broken — an external engine replays the whole codebook
+    * bit-for-bit (full hash oracle).
+    *
+    * Scale shape: the codebook is `numSub·codebook` rows broadcast
+    * once; encoding is a map-side broadcast join + partial-aggregable
+    * min_by (≤ 1 row per (vector, subspace) reaches the shuffle), so
+    * the encode pass is O(n · numSub · codebook) dot products of
+    * length dim/numSub — linear in corpus size with a constant
+    * codebook, like the IVF coarse pass above it. */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int = 64,
+      numSub: Int = 8,
+      codebook: Int = 16,
+      trainSample: Int = 4096,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")
+    val subDim = dim / numSub
+    val idHash = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    def qvT(c: Column) = transform(c, x => round(x.cast("double") * 1000).cast("long"))
+    // exact integer squared Euclidean distance between quantized
+    // subvectors, from three native int64 dots
+    def dist(x: Column, c: Column) =
+      quantizedDot(x, x) - lit(2L) * quantizedDot(x, c) + quantizedDot(c, c)
+    def subspaces(df: DataFrame, vec: String): DataFrame = df
+      .withColumn("sub", explode(sequence(lit(0), lit(numSub - 1))))
+      .withColumn("sv", slice(col(vec), col("sub") * lit(subDim) + lit(1), lit(subDim)))
+      .drop(vec)
+    val ranked = corpus
+      .select(col(idCol).as("sid"), qvT(col(vecCol)).as("q"), idHash.as("__h"))
+      .orderBy(asc("__h"), asc("sid"))
+      .limit(trainSample)
+    // cached: both sides of the Lloyd round read the sample
+    val sample = scope.cache(ranked.select("sid", "q"))
+    // codes 0..codebook-1 = hash rank of the seed vectors (the window
+    // sees ≤ codebook rows — driver-trivial, not a data window)
+    val seeds = subspaces(
+      ranked.limit(codebook)
+        .withColumn("code",
+          row_number().over(Window.orderBy(asc("__h"), asc("sid"))).cast("long") - 1)
+        .select("code", "q"),
+      "q").select(col("sub"), col("code"), col("sv").as("cv"))
+    val sasgn = subspaces(sample, "q")
+      .join(broadcast(seeds), Seq("sub"))
+      .select(col("sid"), col("sub"), col("sv"), col("code"),
+        dist(col("sv"), col("cv")).as("d"))
+      .groupBy("sid", "sub")
+      .agg(min_by(struct(col("code"), col("sv")), struct(col("d"), col("code"))).as("best"))
+      .select(col("sub"), col("best.code").as("code"), col("best.sv").as("sv"))
+    val trained = sasgn
+      .select(col("sub"), col("code"), posexplode(col("sv")))
+      .groupBy("sub", "code", "pos")
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .select(col("sub"), col("code"), col("pos"), expr("s div n").as("qc"))
+      .groupBy("sub", "code")
+      .agg(array_sort(collect_list(struct(col("pos"), col("qc")))).as("arr"))
+      .select(col("sub"), col("code"), transform(col("arr"), e => e.getField("qc")).as("cv"))
+    // cached: the codebook is broadcast into the corpus-wide encode
+    val cents = scope.cache(
+      seeds.select(col("sub"), col("code"), col("cv").as("cv0"))
+        .join(trained, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"), coalesce(col("cv"), col("cv0")).as("cv")))
+    subspaces(corpus.select(col(idCol), qvT(col(vecCol)).as("q")), "q")
+      .join(broadcast(cents), Seq("sub"))
+      .select(col(idCol), col("sub"), col("code"), dist(col("sv"), col("cv")).as("d"))
+      .groupBy(idCol, "sub")
+      .agg(min_by(struct(col("code"), col("d")), struct(col("d"), col("code"))).as("best"))
+      .select(col(idCol), col("sub").cast("long").as("sub"),
+        col("best.code").as("code"), col("best.d").as("qerr"))
+  }
+
   /** Per-probe top-k of a scored candidate relation through the
     * bounded-heap `TopKPerKey` operator (≤ k rows per probe per input
     * partition cross the shuffle — a probe whose inverted lists /

@@ -64,15 +64,22 @@ object Bench {
     // the passes that did succeed
     val (ok, failed) = names.partition(n => times.getOrElse(n, Nil).nonEmpty)
     val med = ok.map(n => n -> median(times(n)))
-    val qs = med.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val mins = ok.map(n => "\"" + n + "\":" + times(n).min).mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = med.map(_._2).sum
+    // stdout gets a COMPACT line (3-decimal medians, no per-query min
+    // map): the r4 driver capture kept only a bounded stdout tail and
+    // the full-precision line's head — metric/value and the first ~30
+    // per-query numbers — fell off the front. Halving the line keeps
+    // the whole thing inside the tail window; the file keeps full
+    // precision plus the min map.
+    def r3(v: Double): String = f"$v%.3f"
+    val qsShort = med.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"passes":$passes,"failed":$failedJson,"sf":"$sfDir"}""")
+    val qs = med.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val mins = ok.map(n => "\"" + n + "\":" + times(n).min).mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"passes":$passes,"failed":$failedJson,"sf":"$sfDir"}"""
-    println(line)
-    // the r3 driver artifact truncated the stdout tail and lost six
-    // per-query numbers — persist the whole line to a file as well
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     spark.stop()

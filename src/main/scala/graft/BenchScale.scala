@@ -99,11 +99,11 @@ object BenchScale {
     val kernels: Seq[(String, Int, Int => DataFrame)] = Seq(
       ("dedup_neardup_pairs", Int.MaxValue, f =>
         ext.Dedup.nearDupPairs(inflateDocs(docs0, f), "doc_id", "text",
-          shingleN = 3, numPerms = 128, bands = 64, threshold = 0.6)),
+          shingleN = 3, threshold = 0.6)),
       ("dedup_clusters", Int.MaxValue, f =>
         ext.Dedup.connectedComponents(
           ext.Dedup.nearDupPairs(inflateDocs(docs0, f), "doc_id", "text",
-            shingleN = 3, numPerms = 128, bands = 64, threshold = 0.6),
+            shingleN = 3, threshold = 0.6),
           "id_a", "id_b")),
       ("ann_lsh_topk", Int.MaxValue, f =>
         ext.Similarity.lshTopK(inflateEmbeddings(emb0, f), "vec_id", "embedding",
@@ -158,10 +158,13 @@ object BenchScale {
       }
       secs(name) = runs
     }
-    // inverted-list balance of the IVF quantizer, trained (1 Lloyd
-    // round) vs untrained (the raw hashed-sample seeds): max list size
-    // bounds the worst probe-side task, so this is the number training
-    // exists to improve
+    // inverted-list balance of the IVF quantizer, trained (the default
+    // schedule: defaultTrainRounds Lloyd rounds over the
+    // defaultTrainSample-bounded sample — chosen from a measured grid;
+    // sampling noise, not round count, was the binding constraint) vs
+    // untrained (the raw hashed-sample seeds): max list size bounds
+    // the worst probe-side task, so this is the number training exists
+    // to improve
     val balance = factors.map { f =>
       val infl = inflateEmbeddings(emb0, f)
       def maxList(rounds: Int): Long = {
@@ -171,7 +174,7 @@ object BenchScale {
         spark.catalog.clearCache()
         mx
       }
-      val trained = maxList(1)
+      val trained = maxList(ext.Similarity.defaultTrainRounds)
       val untrained = maxList(0)
       val mean = emb0.count().toDouble * f / 64
       System.err.println(

@@ -35,48 +35,168 @@ object ExtQueries {
   private def qdotIntSql(a: String, b: String) =
     s"CAST(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT)"
 
-  // DuckDB replay of the Lloyd-trained IVF coarse quantizer (64 seed
-  // centroids from the smallest md5 id-hashes, one training round over
-  // the 4096-smallest-hash sample, id-broken argmax, truncating integer
-  // means — matching Similarity.ivfCentroids defaults exactly). Shared
-  // CTE prefix for ann_ivf_topk and emb_semdedup; ends with
-  // `assign` = (vec_id, list_id) over the whole corpus.
-  private val ivfAssignSql =
-    s"""qv AS (
-       |  SELECT vec_id,
-       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
-       |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-       |  FROM embeddings),
-       |samp AS (SELECT vec_id AS sid, q AS sq FROM qv ORDER BY h, vec_id LIMIT 4096),
-       |seeds AS (
-       |  SELECT cent_id, cv, ${qdotIntSql("cv", "cv")} AS nrm FROM (
-       |    SELECT vec_id AS cent_id, q AS cv FROM qv ORDER BY h, vec_id LIMIT 64) s0),
-       |sasgn AS (
-       |  SELECT sid, sq, list_id FROM (
-       |    SELECT s.sid, s.sq, c.cent_id AS list_id,
-       |           row_number() OVER (PARTITION BY s.sid
-       |             ORDER BY 2*${qdotIntSql("s.sq", "c.cv")} - c.nrm DESC, c.cent_id) AS rn
-       |    FROM samp s CROSS JOIN seeds c) a
+  // exact integer squared Euclidean distance over already-quantized
+  // BIGINT lists (the PQ subspace metric)
+  private def pqDistSql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), p -> (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT)) * (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT)))) AS BIGINT)"
+
+  // DuckDB replay of the PQ codebook trainer (Similarity.pqCodebook:
+  // seeds = the 16 smallest-hash vectors with codes = hash rank, one
+  // id-broken Lloyd round per subspace over the bounded sample,
+  // truncating integer means). ASSUMES a `qv` CTE (vec_id, q, h) is in
+  // scope; ends with `pqcents` = (sub, code, cv). Shared by
+  // emb_pq_codes and ann_ivfpq_topk.
+  private val pqCentsSql =
+    s"""pqsamp AS (SELECT vec_id AS sid, q FROM qv ORDER BY h, vec_id LIMIT ${ext.Similarity.defaultTrainSample}),
+       |pqsd0 AS (
+       |  SELECT q, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+       |  FROM (SELECT * FROM qv ORDER BY h, vec_id LIMIT 16) z0),
+       |pqseeds AS (SELECT sub, code, q[sub*8+1 : sub*8+8] AS cv FROM pqsd0, range(0, 8) r(sub)),
+       |pqssub AS (SELECT sid, sub, q[sub*8+1 : sub*8+8] AS sv FROM pqsamp, range(0, 8) r(sub)),
+       |pqsasgn AS (
+       |  SELECT sub, code, sv FROM (
+       |    SELECT s.sid, s.sub, c.code, s.sv,
+       |           row_number() OVER (PARTITION BY s.sid, s.sub
+       |             ORDER BY ${pqDistSql("s.sv", "c.cv")}, c.code) AS rn
+       |    FROM pqssub s JOIN pqseeds c ON s.sub = c.sub) a
        |  WHERE rn = 1),
-       |newc AS (
-       |  SELECT list_id AS cent_id, list(qc ORDER BY dim) AS cv FROM (
-       |    SELECT list_id, i AS dim, CAST(sum(sq[i]) AS BIGINT) // count(*) AS qc
-       |    FROM sasgn, range(1, 65) r(i)
-       |    GROUP BY list_id, i) m
-       |  GROUP BY list_id),
-       |cents AS (
-       |  SELECT cent_id, cv, ${qdotIntSql("cv", "cv")} AS nrm FROM (
-       |    SELECT s.cent_id, coalesce(n.cv, s.cv) AS cv
-       |    FROM seeds s LEFT JOIN newc n USING (cent_id)) c0),
-       |assign AS (
-       |  SELECT vec_id, list_id FROM (
-       |    SELECT e.vec_id, c.cent_id AS list_id,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY 2*${qdotIntSql("e.q", "c.cv")} - c.nrm DESC, c.cent_id) AS rn
-       |    FROM qv e CROSS JOIN cents c) a
-       |  WHERE rn = 1)""".stripMargin
+       |pqnewc AS (
+       |  SELECT sub, code, list(qc ORDER BY i) AS cv FROM (
+       |    SELECT sub, code, i, CAST(sum(sv[i]) AS BIGINT) // count(*) AS qc
+       |    FROM pqsasgn, range(1, 9) r(i) GROUP BY sub, code, i) m
+       |  GROUP BY sub, code),
+       |pqcents AS (
+       |  SELECT s.sub, s.code, coalesce(n.cv, s.cv) AS cv
+       |  FROM pqseeds s LEFT JOIN pqnewc n ON s.sub = n.sub AND s.code = n.code)""".stripMargin
+
+  // DuckDB replay of the corpus-count-derived hyperplane geometry
+  // (Similarity.rhpGeometry: planes = smallest p in [3,16] with
+  // 2^p·64 ≥ n, tables = 8 + 2·max(0, planes−6)) and the md5-derived
+  // plane family itself — shared prefix of the two RHP-LSH oracles.
+  // Ends with `planes` = (t, p, i, w) rows for the derived geometry.
+  private val rhpGeoSql =
+    s"""nv AS (SELECT count(*) AS n FROM embeddings),
+       |geo AS (
+       |  SELECT np, 8 + 2*greatest(0, np - 6) AS nt FROM (
+       |    SELECT coalesce(min(q), 16) AS np FROM range(3, 17) r(q), nv
+       |    WHERE (CAST(1 AS BIGINT) << q) * 64 >= n) g),
+       |planes AS (
+       |  SELECT t, p, i,
+       |         (CAST(concat('0x', substring(md5(concat(t, ':', p, ':', i)), 1, 15)) AS BIGINT) % 17) - 8 AS w
+       |  FROM geo, range(0, 28) r1(t), range(0, 16) r2(p), range(0, 64) r3(i)
+       |  WHERE t < nt AND p < np)""".stripMargin
+
+  // DuckDB replay of the Lloyd-trained IVF coarse quantizer (64 seed
+  // centroids from the smallest md5 id-hashes,
+  // `Similarity.defaultTrainRounds` Lloyd rounds — unrolled, one CTE
+  // trio per round — over the 4096-smallest-hash sample, id-broken
+  // argmax, truncating integer means: matching Similarity.ivfCentroids
+  // defaults exactly). Shared CTE prefix for ann_ivf_topk and
+  // emb_semdedup; ends with `assign` = (vec_id, list_id) over the
+  // whole corpus.
+  private val ivfAssignSql: String = {
+    val rounds = Similarity.defaultTrainRounds
+    val head =
+      s"""qv AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
+         |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM embeddings),
+         |samp AS (SELECT vec_id AS sid, q AS sq FROM qv ORDER BY h, vec_id LIMIT ${ext.Similarity.defaultTrainSample}),
+         |cents0 AS (
+         |  SELECT cent_id, cv, ${qdotIntSql("cv", "cv")} AS nrm FROM (
+         |    SELECT vec_id AS cent_id, q AS cv FROM qv ORDER BY h, vec_id LIMIT 64) s0)""".stripMargin
+    val roundCtes = (1 to rounds).map { k =>
+      s"""sasgn$k AS (
+         |  SELECT sid, sq, list_id FROM (
+         |    SELECT s.sid, s.sq, c.cent_id AS list_id,
+         |           row_number() OVER (PARTITION BY s.sid
+         |             ORDER BY 2*${qdotIntSql("s.sq", "c.cv")} - c.nrm DESC, c.cent_id) AS rn
+         |    FROM samp s CROSS JOIN cents${k - 1} c) a
+         |  WHERE rn = 1),
+         |newc$k AS (
+         |  SELECT list_id AS cent_id, list(qc ORDER BY dim) AS cv FROM (
+         |    SELECT list_id, i AS dim, CAST(sum(sq[i]) AS BIGINT) // count(*) AS qc
+         |    FROM sasgn$k, range(1, 65) r(i)
+         |    GROUP BY list_id, i) m$k
+         |  GROUP BY list_id),
+         |cents$k AS (
+         |  SELECT cent_id, cv, ${qdotIntSql("cv", "cv")} AS nrm FROM (
+         |    SELECT s.cent_id, coalesce(n.cv, s.cv) AS cv
+         |    FROM cents${k - 1} s LEFT JOIN newc$k n USING (cent_id)) c$k)""".stripMargin
+    }
+    val tail =
+      s"""cents AS (SELECT * FROM cents$rounds),
+         |assign AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT e.vec_id, c.cent_id AS list_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY 2*${qdotIntSql("e.q", "c.cv")} - c.nrm DESC, c.cent_id) AS rn
+         |    FROM qv e CROSS JOIN cents c) a
+         |  WHERE rn = 1)""".stripMargin
+    (Seq(head) ++ roundCtes :+ tail).mkString(",\n")
+  }
+
+  // DuckDB replay of the deterministic greedy BPE trainer
+  // (ext.Bpe.trainMerges): one CTE pair per merge round — pair counts
+  // over the in-vocab segmentations, the (count DESC, lhs, rhs) argmax,
+  // and the left-scan merge application as a list_reduce — unrolled
+  // `Bpe.defaultMerges` times. MATERIALIZED is load-bearing: each
+  // round's CTE is referenced twice downstream and DuckDB inlines CTEs
+  // by default, which would square the tree per round. Ends with
+  // `w<rounds>` = (word, freq, in_vocab, pieces) over every distinct
+  // corpus word, and `b<k>` = round k's chosen pair.
+  private def bpeChainSql: String = {
+    val rounds = ext.Bpe.defaultMerges
+    val head =
+      s"""wf AS (
+         |  SELECT w AS word, count(*) AS freq FROM (
+         |    SELECT unnest($tokSql) AS w FROM documents) tws
+         |  GROUP BY w),
+         |w0 AS MATERIALIZED (
+         |  SELECT word, freq,
+         |         row_number() OVER (ORDER BY freq DESC, word) <= ${ext.Bpe.defaultVocabWords} AS in_vocab,
+         |         [substring(word, CAST(j AS INT), 1) FOR j IN range(1, length(word) + 1)] AS pieces
+         |  FROM wf)""".stripMargin
+    val roundCtes = (1 to rounds).map { k =>
+      s"""pc$k AS (
+         |  SELECT p[1] AS l, p[2] AS r, sum(freq) AS c FROM (
+         |    SELECT freq, unnest([[pieces[j], pieces[j+1]] FOR j IN range(1, len(pieces))]) AS p
+         |    FROM w${k - 1} WHERE in_vocab) x$k
+         |  GROUP BY l, r),
+         |b$k AS MATERIALIZED (SELECT l, r, l || r AS m FROM pc$k ORDER BY c DESC, l, r LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT word, freq, in_vocab,
+         |         list_reduce(
+         |           list_prepend([], list_transform(pieces, x -> [x])),
+         |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
+         |                            THEN list_append(acc[:len(acc)-1], b.m)
+         |                            ELSE list_concat(acc, x) END) AS pieces
+         |  FROM w${k - 1} LEFT JOIN b$k b ON TRUE)""".stripMargin
+    }
+    (head +: roundCtes).mkString(",\n")
+  }
 
   val sql: Map[String, String] = Map(
+    // BPE merge table rebuilt from scratch: the unrolled training chain,
+    // each round's chosen pair stamped with its rank
+    "bpe_merges" -> {
+      val rounds = ext.Bpe.defaultMerges
+      s"""WITH $bpeChainSql,
+         |mm AS (
+         |${(1 to rounds).map(k => s"  SELECT CAST(${k - 1} AS BIGINT) AS merge_rank, l AS lhs, r AS rhs FROM b$k").mkString("\n  UNION ALL\n")})
+         |SELECT * FROM mm ORDER BY merge_rank""".stripMargin
+    },
+    // BPE token counts rebuilt from scratch: the same trained merge
+    // table applied to every distinct word (the chain's final
+    // segmentation), occurrences joined back by word
+    "text_tokens_bpe" ->
+      s"""WITH $bpeChainSql,
+         |dw AS (SELECT doc_id, unnest($tokSql) AS word FROM documents)
+         |SELECT doc_id, count(*) AS n_tokens, CAST(sum(len(p.pieces)) AS BIGINT) AS n_pieces
+         |FROM dw JOIN w${ext.Bpe.defaultMerges} p USING (word)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT count(*) AS n_total, count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')))) AS n_unique
         |FROM documents""".stripMargin,
@@ -193,13 +313,12 @@ object ExtQueries {
          |ORDER BY probe_id, rn""".stripMargin,
     // full hash oracle for the LSH ANN scale path: the hyperplane family
     // is engine-independent (md5-derived small-int weights, integer dot
-    // sign — see functions/RhpBuckets.planeWeight), so DuckDB recomputes
-    // the exact buckets, candidate set, and ranking from scratch
+    // sign — see functions/RhpBuckets.planeWeight) and the geometry is
+    // derived from count(*) exactly as Similarity.rhpGeometry derives
+    // it, so DuckDB recomputes the exact buckets, candidate set, and
+    // ranking from scratch
     "ann_lsh_topk" ->
-      s"""WITH planes AS (
-         |  SELECT t, p, i,
-         |         (CAST(concat('0x', substring(md5(concat(t, ':', p, ':', i)), 1, 15)) AS BIGINT) % 17) - 8 AS w
-         |  FROM range(0, 8) r1(t), range(0, 6) r2(p), range(0, 64) r3(i)),
+      s"""WITH $rhpGeoSql,
          |qv AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
          |  FROM embeddings),
@@ -325,44 +444,74 @@ object ExtQueries {
         |ORDER BY bucket, pos""".stripMargin,
     // PQ codebook rebuilt from scratch: same seed ranks, same per-
     // subspace Lloyd round, same truncating means and id-broken argmins
-    "emb_pq_codes" -> {
-      def d(a: String, b: String) =
-        s"CAST(list_sum(list_transform(list_zip($a, $b), p -> (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT)) * (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT)))) AS BIGINT)"
+    "emb_pq_codes" ->
       s"""WITH qv AS (
          |  SELECT vec_id,
          |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
          |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
          |  FROM embeddings),
-         |samp AS (SELECT vec_id AS sid, q FROM qv ORDER BY h, vec_id LIMIT 4096),
-         |sd0 AS (
-         |  SELECT q, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
-         |  FROM (SELECT * FROM qv ORDER BY h, vec_id LIMIT 16) z),
-         |seeds AS (SELECT sub, code, q[sub*8+1 : sub*8+8] AS cv FROM sd0, range(0, 8) r(sub)),
-         |ssub AS (SELECT sid, sub, q[sub*8+1 : sub*8+8] AS sv FROM samp, range(0, 8) r(sub)),
-         |sasgn AS (
-         |  SELECT sub, code, sv FROM (
-         |    SELECT s.sid, s.sub, c.code, s.sv,
-         |           row_number() OVER (PARTITION BY s.sid, s.sub
-         |             ORDER BY ${d("s.sv", "c.cv")}, c.code) AS rn
-         |    FROM ssub s JOIN seeds c ON s.sub = c.sub) a
-         |  WHERE rn = 1),
-         |newc AS (
-         |  SELECT sub, code, list(qc ORDER BY i) AS cv FROM (
-         |    SELECT sub, code, i, CAST(sum(sv[i]) AS BIGINT) // count(*) AS qc
-         |    FROM sasgn, range(1, 9) r(i) GROUP BY sub, code, i) m
-         |  GROUP BY sub, code),
-         |cents AS (
-         |  SELECT s.sub, s.code, coalesce(n.cv, s.cv) AS cv
-         |  FROM seeds s LEFT JOIN newc n ON s.sub = n.sub AND s.code = n.code),
+         |$pqCentsSql,
          |esub AS (SELECT vec_id, sub, q[sub*8+1 : sub*8+8] AS sv FROM qv, range(0, 8) r(sub))
          |SELECT vec_id, CAST(sub AS BIGINT) AS sub, code, qerr FROM (
-         |  SELECT e.vec_id, e.sub, c.code, ${d("e.sv", "c.cv")} AS qerr,
+         |  SELECT e.vec_id, e.sub, c.code, ${pqDistSql("e.sv", "c.cv")} AS qerr,
          |         row_number() OVER (PARTITION BY e.vec_id, e.sub
-         |           ORDER BY ${d("e.sv", "c.cv")}, c.code) AS rn
-         |  FROM esub e JOIN cents c ON e.sub = c.sub) z
+         |           ORDER BY ${pqDistSql("e.sv", "c.cv")}, c.code) AS rn
+         |  FROM esub e JOIN pqcents c ON e.sub = c.sub) z
          |WHERE rn = 1
-         |ORDER BY vec_id, sub""".stripMargin
-    },
+         |ORDER BY vec_id, sub""".stripMargin,
+    // IVF-PQ search rebuilt from scratch: coarse-quantizer training +
+    // assignment (shared ivf CTEs), PQ codebook training + encode
+    // (shared pq CTEs), the ADC table, the (adc, vec_id)-ordered
+    // shortlist of `refine` = 40, and the exact re-rank — every argmin
+    // and rank id-broken, so the full pipeline replays bit-for-bit
+    "ann_ivfpq_topk" ->
+      s"""WITH $ivfAssignSql,
+         |$pqCentsSql,
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT e.vec_id, e.sub, c.code,
+         |           row_number() OVER (PARTITION BY e.vec_id, e.sub
+         |             ORDER BY ${pqDistSql("e.sv", "c.cv")}, c.code) AS rn
+         |    FROM (SELECT vec_id, sub, q[sub*8+1 : sub*8+8] AS sv FROM qv, range(0, 8) r(sub)) e
+         |    JOIN pqcents c ON e.sub = c.sub) z
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, q AS pe FROM qv WHERE vec_id < 10),
+         |pl AS (
+         |  SELECT probe_id, list_id FROM (
+         |    SELECT p.probe_id, c.cent_id AS list_id,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY 2*${qdotIntSql("p.pe", "c.cv")} - c.nrm DESC, c.cent_id) AS pr
+         |    FROM probes p CROSS JOIN cents c) b
+         |  WHERE pr <= 4),
+         |adc AS (
+         |  SELECT ps.probe_id, ps.sub, c.code, ${pqDistSql("ps.sv", "c.cv")} AS d
+         |  FROM (SELECT probe_id, sub, pe[sub*8+1 : sub*8+8] AS sv FROM probes, range(0, 8) r(sub)) ps
+         |  JOIN pqcents c ON ps.sub = c.sub),
+         |cand AS (
+         |  SELECT pl.probe_id, a.vec_id, sum(adc.d) AS ad
+         |  FROM pl
+         |  JOIN assign a ON a.list_id = pl.list_id
+         |  JOIN codes co ON co.vec_id = a.vec_id
+         |  JOIN adc ON adc.probe_id = pl.probe_id AND adc.sub = co.sub AND adc.code = co.code
+         |  WHERE a.vec_id <> pl.probe_id
+         |  GROUP BY pl.probe_id, a.vec_id),
+         |short AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id ORDER BY ad, vec_id) AS sr
+         |    FROM cand) s
+         |  WHERE sr <= 40),
+         |scored AS (
+         |  SELECT sh.probe_id, sh.vec_id, ${qdotIntSql("p.pe", "e.q")} AS qdot
+         |  FROM short sh
+         |  JOIN probes p ON p.probe_id = sh.probe_id
+         |  JOIN qv e ON e.vec_id = sh.vec_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, qdot,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
+         |ORDER BY probe_id, rn""".stripMargin,
     // SemDeDup rebuilt from scratch: identical quantizer training +
     // assignment (shared CTE), then within-list pairs above the
     // threshold and the keep-first anti-join
@@ -379,15 +528,19 @@ object ExtQueries {
          |WHERE a.vec_id NOT IN (SELECT id_b FROM pairs)
          |ORDER BY a.vec_id""".stripMargin,
     // contamination screen rebuilt from scratch: distinct word-5-grams
-    // per doc as 44-bit md5 hashes, benchmark slice = doc_id ≡ 0 mod 7
+    // per doc as 44-bit md5 hashes, benchmark slice = doc_id ≡ 0 mod 7.
+    // Dedup happens POST-hash (DISTINCT doc_id, h) exactly like the
+    // engine (ShingleMd5Hashes dedups the 44-bit hashes, not the gram
+    // strings) — two grams colliding in 44 bits must count once in both
+    // engines or the bit-for-bit contract breaks.
     "decontaminate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $tokSql AS tk FROM documents),
          |sh AS (
-         |  SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+4], ' ') FOR i IN range(1, len(tk) - 3)])) AS g
+         |  SELECT doc_id, unnest([array_to_string(tk[i:i+4], ' ') FOR i IN range(1, len(tk) - 3)]) AS g
          |  FROM toks WHERE len(tk) >= 5),
          |h AS (
-         |  SELECT doc_id, CAST(concat('0x', substring(md5(g), 1, 11)) AS BIGINT) AS h FROM sh),
+         |  SELECT DISTINCT doc_id, CAST(concat('0x', substring(md5(g), 1, 11)) AS BIGINT) AS h FROM sh),
          |bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 7 = 0)
          |SELECT doc_id, count(*) AS n_hits FROM h JOIN bench USING (h)
          |WHERE doc_id % 7 <> 0 GROUP BY doc_id
@@ -536,6 +689,31 @@ object ExtQueries {
          |FROM g JOIN c USING (h)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    // duplicate-span removal rebuilt from scratch: same 1-based window
+    // starts, same 60-bit gram hashes, corpus-wide ≥2 counts, and the
+    // same keep rule (token j survives iff no duplicated window starts
+    // in (j−8, j]) — the rewritten text compared as md5
+    "corpus_strip_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i AS INT) AS i,
+         |         CAST(concat('0x', substring(md5(array_to_string(tk[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+         |        FROM toks WHERE len(tk) >= 8) gi),
+         |c AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+         |st AS (SELECT doc_id, list(i ORDER BY i) AS starts FROM g JOIN c USING (h) GROUP BY doc_id),
+         |k AS (
+         |  SELECT t.doc_id, t.tk, coalesce(s.starts, []) AS starts
+         |  FROM toks t LEFT JOIN st s USING (doc_id)),
+         |kept AS (
+         |  SELECT doc_id, len(tk) AS n_tokens,
+         |         [tk[j] FOR j IN range(1, len(tk) + 1) IF len(list_filter(starts, s -> j >= s AND j < s + 8)) = 0] AS kt
+         |  FROM k)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(n_tokens - len(kt) AS BIGINT) AS n_removed,
+         |       md5(coalesce(array_to_string(kt, ' '), '')) AS stripped_md5
+         |FROM kept
+         |ORDER BY doc_id""".stripMargin,
     // per-stratum sample rebuilt from scratch: same md5 hash ranking,
     // row_number per language
     "sample_per_key" ->
@@ -654,13 +832,11 @@ object ExtQueries {
          |GROUP BY tp.term
          |ORDER BY tp.term""".stripMargin,
     // LSH-bucketed embedding near-dup: DuckDB rebuilds the hyperplane
-    // buckets (same md5-derived family as ann_lsh_topk), the candidate
-    // set, and the exact verification from scratch
+    // buckets (same md5-derived family AND the same count-derived
+    // geometry as ann_lsh_topk), the candidate set, and the exact
+    // verification from scratch
     "emb_neardup_lsh" ->
-      s"""WITH planes AS (
-         |  SELECT t, p, i,
-         |         (CAST(concat('0x', substring(md5(concat(t, ':', p, ':', i)), 1, 15)) AS BIGINT) % 17) - 8 AS w
-         |  FROM range(0, 8) r1(t), range(0, 6) r2(p), range(0, 64) r3(i)),
+      s"""WITH $rhpGeoSql,
          |qv AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
          |  FROM embeddings),
@@ -909,6 +1085,27 @@ object ExtQueries {
   )
 
   val plans: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges" -> { (s, dir) =>
+      // the trained merge table as a relation: training is one
+      // wordcount agg + a bounded TakeOrdered (driver state =
+      // vocabulary metadata, the bloom-bitmap budget), the greedy loop
+      // runs on that table in microseconds
+      import s.implicits._
+      ext.Bpe.trainMerges(t(s, dir, "documents"), "text")
+        .zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l, r) }
+        .toDF("merge_rank", "lhs", "rhs")
+        .orderBy("merge_rank")
+    },
+    "text_tokens_bpe" -> { (s, dir) =>
+      // corpus-trained BPE piece counts: the real-tokenizer upgrade of
+      // text_tokens' regex heuristic — segmentation runs once per
+      // DISTINCT word, occurrences pay one vocabulary-keyed hash join
+      val docs = t(s, dir, "documents")
+      ext.Bpe.tokenCounts(docs, "doc_id", "text",
+          ext.Bpe.trainMerges(docs, "text"))
+        .orderBy("doc_id")
+    },
     "dedup_exact" -> { (s, dir) =>
       // exact dedup = hash-groupBy on a stable fingerprint; the summary
       // row keeps the oracle O(n)
@@ -919,14 +1116,14 @@ object ExtQueries {
     },
     "dedup_neardup_pairs" -> { (s, dir) =>
       Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleN = 3, numPerms = 128, bands = 64, threshold = 0.6)
+          shingleN = 3, threshold = 0.6)
         .orderBy("id_a", "id_b")
     },
     "dedup_clusters" -> { (s, dir) =>
       // MinHash-LSH pairs (exact-verified) → component labels: the full
       // "find duplicates, group them, keep one per group" pipeline
       val pairs = Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, numPerms = 128, bands = 64, threshold = 0.6)
+        shingleN = 3, threshold = 0.6)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
@@ -938,7 +1135,7 @@ object ExtQueries {
       // `where(doc_id === canonical_id)`.
       val docs = t(s, dir, "documents")
       val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
-        shingleN = 3, numPerms = 128, bands = 64, threshold = 0.6)
+        shingleN = 3, threshold = 0.6)
       val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
         .withColumnRenamed("id", "doc_id")
       docs.select("doc_id")
@@ -1024,6 +1221,15 @@ object ExtQueries {
       // coarse quantize → inverted lists → probe nprobe lists → exact
       // re-score: the other canonical ANN scale path next to LSH
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 10)
+        .orderBy("probe_id", "rn")
+    },
+    "ann_ivfpq_topk" -> { (s, dir) =>
+      // the consumer of emb_pq_codes: coarse-probe the trained
+      // inverted lists, score candidates by ADC over their 8-code
+      // representation (no raw vectors in the candidate pass), exact
+      // re-rank of the 40-deep shortlist
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10)
         .orderBy("probe_id", "rn")
     },
@@ -1344,6 +1550,14 @@ object ExtQueries {
       TextAnalysis.dupNgramStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
+    "corpus_strip_spans" -> { (s, dir) =>
+      // the operational half of substring dedup (Lee et al. 2022):
+      // every token covered by a corpus-duplicated 8-token window is
+      // removed and the doc rewritten — dupNgramStats scores the
+      // signal, this applies it
+      TextAnalysis.stripDupSpans(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
     "sample_per_key" -> { (s, dir) =>
       // bounded deterministic per-stratum sample (eval-set carving):
       // the 10 smallest md5 id hashes per language, ranked through the
@@ -1492,7 +1706,7 @@ object ExtQueries {
       // threshold — dedup + langid + quality composed end-to-end
       val docs = t(s, dir, "documents")
       val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
-        shingleN = 3, numPerms = 128, bands = 64, threshold = 0.6)
+        shingleN = 3, threshold = 0.6)
       val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
         .withColumnRenamed("id", "doc_id")
       val canon = docs.join(clusters, Seq("doc_id"), "left")

@@ -39,6 +39,39 @@ final case class DedupPipeline(
 
 object Dedup {
 
+  /** Corpus-size-derived MinHash-LSH geometry: (rowsPerBand, bands).
+    *
+    * Fixed geometry goes superlinear as the corpus grows: the band
+    * collision probability of a SUB-threshold pair at similarity s is
+    * s^r, a constant — so candidate volume carries an n²·s^r term that
+    * a 100× corpus turns into the dominant cost (measured: the 64×
+    * scale probe's last octave ran 5.2× the time of 4× the data on the
+    * fixed r=2 × b=64 defaults). Growing r with the corpus drives the
+    * sub-threshold collision rate down geometrically; b then grows
+    * with r to hold recall at the threshold.
+    *
+    * Schedule (deterministic in the corpus count n — callers pass the
+    * count of one pre-pass, the same AQE-style probe precedent as the
+    * adaptive hot-bucket salting below):
+    *   r = 2 + one step per 4× beyond 100k docs (cap 6)
+    *   b = smallest multiple of 16 with (1 − t^r)^b ≤ 1e-9, floor 64
+    * so a true pair at the threshold is missed with probability ≤ 1e-9
+    * at ANY corpus size, while the n²-coefficient s^r of a
+    * half-threshold pair (s = t/2) falls 10× per r step. At n ≤ 100k
+    * this reproduces the r=2 × b=64 defaults exactly. The DuckDB
+    * oracles for the dedup family are the exact O(n²) Jaccard joins —
+    * geometry-independent — so the schedule can never affect
+    * correctness, only candidate cost. */
+  def lshGeometry(n: Long, threshold: Double = 0.6): (Int, Int) = {
+    val octaves =
+      math.ceil(math.log(math.max(n, 1L).toDouble / 100000.0) / math.log(4.0)).toInt
+    val r = math.min(6, 2 + math.max(0, octaves))
+    val pBand = math.pow(threshold, r)
+    val needed = math.ceil(math.log(1e-9) / math.log1p(-pBand)).toInt
+    val b = math.max(64, ((needed + 15) / 16) * 16)
+    (r, b)
+  }
+
   /** Composed production pipeline: materialize the verified near-dup
     * pair graph ONCE and feed every consumer from it.
     *
@@ -57,8 +90,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      numPerms: Int = 128,
-      bands: Int = 64,
+      numPerms: Int = 0,
+      bands: Int = 0,
       threshold: Double = 0.6,
       salts: Int = 4,
       hotThreshold: Int = 1024,
@@ -205,8 +238,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      numPerms: Int = 128,
-      bands: Int = 64,
+      numPerms: Int = 0,
+      bands: Int = 0,
       threshold: Double = 0.6,
       salts: Int = 4,
       hotThreshold: Int = 1024,
@@ -214,7 +247,16 @@ object Dedup {
     val sh = scope.cache(df
       .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
       .where(size(col("ws")) > 0))
-    val sigs = sh.select(col(idCol), minHashSignature(col("ws"), numPerms).as("sig"))
+    // bands/numPerms = 0 → derive the geometry from a count of the
+    // (already-cached, reused-anyway) shingle relation: one O(1)-result
+    // pre-pass, the same shape as the hot-bucket probe below
+    val (perms, bandsN) =
+      if (bands > 0 && numPerms > 0) (numPerms, bands)
+      else {
+        val (r, b) = lshGeometry(sh.count(), threshold)
+        (r * b, b)
+      }
+    val sigs = sh.select(col(idCol), minHashSignature(col("ws"), perms).as("sig"))
     // the bands relation is consumed up to five times downstream (skew
     // probe + both join sides, each splitting into hot/cold branches) and
     // every evaluation would redo the MinHash signatures — the single
@@ -222,7 +264,7 @@ object Dedup {
     // bh) rows (ids-only, ~tens of bytes per row) so signatures are
     // computed exactly once; at cluster scale this materialization is
     // the pre-bucketed index a production deployment would persist.
-    val bandsDf = scope.cache(lshBands(sigs, idCol, "sig", bands, numPerms / bands))
+    val bandsDf = scope.cache(lshBands(sigs, idCol, "sig", bandsN, perms / bandsN))
     val cands = candidatePairs(bandsDf, idCol, salts, hotThreshold)
     val wsA = sh.select(col(idCol).as("id_a"), col("ws").as("ws_a"))
     val wsB = sh.select(col(idCol).as("id_b"), col("ws").as("ws_b"))
@@ -256,15 +298,24 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      numPerms: Int = 128,
-      bands: Int = 64,
+      numPerms: Int = 0,
+      bands: Int = 0,
       scope: graft.util.CacheScope = new graft.util.CacheScope): (DataFrame, DataFrame) = {
     val sh = scope.cache(docs
       .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
       .where(size(col("ws")) > 0))
+    // auto-geometry from this corpus's own count; indexes that will be
+    // screened AGAINST each other must share one explicit geometry
+    // (nearDupPairsAgainst derives it once, from the corpus side)
+    val (perms, bandsN) =
+      if (bands > 0 && numPerms > 0) (numPerms, bands)
+      else {
+        val (r, b) = lshGeometry(sh.count())
+        (r * b, b)
+      }
     val bandsDf = scope.cache(lshBands(
-      sh.select(col(idCol), minHashSignature(col("ws"), numPerms).as("sig")),
-      idCol, "sig", bands, numPerms / bands))
+      sh.select(col(idCol), minHashSignature(col("ws"), perms).as("sig")),
+      idCol, "sig", bandsN, perms / bandsN))
     (sh, bandsDf)
   }
 
@@ -299,14 +350,24 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      numPerms: Int = 128,
-      bands: Int = 64,
+      numPerms: Int = 0,
+      bands: Int = 0,
       threshold: Double = 0.6,
-      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame =
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    // ONE geometry decision for both indexes (band hashes must line up
+    // across the join), derived from the EXISTING corpus — the side
+    // whose size dictates candidate volume; the new batch is small
+    val (perms, bandsN) =
+      if (bands > 0 && numPerms > 0) (numPerms, bands)
+      else {
+        val (r, b) = lshGeometry(oldDocs.count(), threshold)
+        (r * b, b)
+      }
     screenAgainstIndex(
-      dedupIndex(newDocs, idCol, textCol, shingleN, numPerms, bands, scope),
-      dedupIndex(oldDocs, idCol, textCol, shingleN, numPerms, bands, scope),
+      dedupIndex(newDocs, idCol, textCol, shingleN, perms, bandsN, scope),
+      dedupIndex(oldDocs, idCol, textCol, shingleN, perms, bandsN, scope),
       idCol, threshold)
+  }
 
   /** Containment pairs (id_a, id_b, containment = |A∩B|/|A| ≥ t, a≠b)
     * — the ASYMMETRIC dedup signal Jaccard misses: a document quoted

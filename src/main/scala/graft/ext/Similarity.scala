@@ -14,6 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Lloyd rounds of the IVF coarse quantizer — ONE constant shared by
+    * the engine defaults (`ivfTopK`, `semDedupKeep`, `ivfListSizes`)
+    * and the DuckDB oracle generator (ExtQueries unrolls exactly this
+    * many round-CTEs), so changing the schedule can never desync the
+    * two engines. */
+  val defaultTrainRounds = 2
+
+  /** Training-sample bound of the IVF coarse quantizer — shared with
+    * the DuckDB oracle generator (the oracle's LIMIT) like
+    * `defaultTrainRounds`. Sample selection is a distributed
+    * TakeOrdered of md5-hash-ranked rows; raising it buys centroid
+    * accuracy (sampling noise is the measured balance limiter) at
+    * O(sample·K·rounds) training cost, constant in corpus size. */
+  val defaultTrainSample = 32768
+
   /** Quantized int64 dot product of two array<float> columns — the native
     * codegen'd Catalyst expression (tight primitive loop inside
     * whole-stage codegen). */
@@ -179,6 +194,28 @@ object Similarity {
       .where(col("qdot") >= minQdot)
   }
 
+  /** Corpus-size-derived hyperplane geometry: (planes, tables).
+    *
+    * Per-table candidate volume is Σ n_b² over buckets ≈ n²/2^planes
+    * when balanced, so fixed planes (the old planes=6 → 64
+    * buckets/table) turns quadratic as the corpus grows — the
+    * measured 5.2×-time-for-4×-data last octave of the 64× scale
+    * probe. The schedule holds bucket OCCUPANCY constant instead:
+    * planes = smallest p with 2^p·64 ≥ n (floor 3, cap 16), making
+    * candidate work ≈ n·64 per table — linear at any corpus size.
+    * More planes cost per-table recall (a true neighbor must agree on
+    * every sign bit), so tables grows with the schedule — 2 per plane
+    * beyond the old default — buying recall back at linear (not
+    * exponential) cost.
+    *
+    * Deterministic in the corpus count n, integer arithmetic only, so
+    * the DuckDB oracles replay the derivation from their own
+    * count(*) and the full hash oracles survive at any sf. */
+  def rhpGeometry(n: Long): (Int, Int) = {
+    val p = (3 to 16).find(q => (1L << q) * 64L >= n).getOrElse(16)
+    (p, 8 + 2 * math.max(0, p - 6))
+  }
+
   /** Single-table random-hyperplane bucket id built from Column
     * expressions only — the didactic/validation form of
     * `functions.RhpBuckets` (which does all tables in one native loop
@@ -206,25 +243,27 @@ object Similarity {
     *
     * Scaling knob: candidate work per table is Σ n_b² over buckets —
     * about n²/2^planes when buckets are balanced — so `planes` must
-    * grow with the corpus (≈ log₂(n/target-occupancy)) to keep
-    * per-bucket occupancy, and with it the candidate volume per row,
-    * bounded. More planes trades recall per table; add `tables` to buy
-    * it back. */
+    * grow with the corpus to keep per-bucket occupancy, and with it
+    * the candidate volume per row, bounded. planes/tables = 0 (the
+    * default) derives both from a corpus-count pre-pass via
+    * `rhpGeometry` — constant occupancy at any corpus size. */
   def lshNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       minQdot: Long,
       dim: Int,
-      tables: Int = 8,
-      planes: Int = 6): DataFrame = {
+      tables: Int = 0,
+      planes: Int = 0): DataFrame = {
+    val (planesN, tablesN) =
+      if (planes > 0 && tables > 0) (planes, tables) else rhpGeometry(df.count())
     // candidate generation carries ONLY ids — the bucket self-join and
     // pair dedup would otherwise shuffle both float vectors per
     // candidate row; vectors are re-attached afterwards by two joins
     // against the (small per bucket-key group) corpus
     val buckets = df
       .select(col(idCol),
-        posexplode(graft.functions.RhpBuckets.rhpBuckets(col(vecCol), dim, planes, tables)))
+        posexplode(graft.functions.RhpBuckets.rhpBuckets(col(vecCol), dim, planesN, tablesN)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bkt")
     val a = buckets.select(col("tbl"), col("bkt"), col(idCol).as("id_a"))
@@ -305,9 +344,18 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("qc")))).as("arr"))
         .select(col("list_id").as("cent_id"),
           transform(col("arr"), e => e.getField("qc")).as("cv"))
+      // localCheckpoint each round's (tiny, ≤ numCentroids rows)
+      // centroid relation: the next round references it twice
+      // (assignment + keep-previous fallback), so an open lineage
+      // DOUBLES per round — 2^rounds logical-plan branches that the
+      // analyzer re-walks even when execution would hit a cache (a
+      // multi-round probe measured 2 GB plan strings). The checkpoint
+      // truncates the plan to a leaf, the same trick the
+      // connectedComponents loop uses.
       cents = cents.select(col("cent_id"), col("cv").as("cv0"))
         .join(trained, Seq("cent_id"), "left")
         .select(col("cent_id"), coalesce(col("cv"), col("cv0")).as("cv"))
+        .localCheckpoint(true)
     }
     // cached: the trained relation is broadcast at least twice (corpus
     // assignment + probe-list selection) and its plan re-runs the whole
@@ -338,8 +386,8 @@ object Similarity {
       idCol: String,
       vecCol: String,
       numCentroids: Int = 64,
-      trainRounds: Int = 1,
-      trainSample: Int = 4096,
+      trainRounds: Int = defaultTrainRounds,
+      trainSample: Int = defaultTrainSample,
       scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
     val cents = ivfCentroids(corpus, idCol, vecCol, numCentroids, trainRounds, trainSample, scope)
     ivfAssign(corpus, idCol, vecCol, cents)
@@ -368,8 +416,8 @@ object Similarity {
       k: Int,
       numCentroids: Int = 64,
       nprobe: Int = 4,
-      trainRounds: Int = 1,
-      trainSample: Int = 4096,
+      trainRounds: Int = defaultTrainRounds,
+      trainSample: Int = defaultTrainSample,
       scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
     val cents = ivfCentroids(corpus, idCol, vecCol, numCentroids, trainRounds, trainSample, scope)
     val lists = ivfAssign(corpus, idCol, vecCol, cents)
@@ -421,8 +469,8 @@ object Similarity {
       vecCol: String,
       minQdot: Long,
       numCentroids: Int = 64,
-      trainRounds: Int = 1,
-      trainSample: Int = 4096,
+      trainRounds: Int = defaultTrainRounds,
+      trainSample: Int = defaultTrainSample,
       scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
     val cents = ivfCentroids(corpus, idCol, vecCol, numCentroids, trainRounds, trainSample, scope)
     // (id, vec, list_id): consumed by both sides of the within-list
@@ -464,28 +512,39 @@ object Similarity {
     * the encode pass is O(n · numSub · codebook) dot products of
     * length dim/numSub — linear in corpus size with a constant
     * codebook, like the IVF coarse pass above it. */
-  def pqEncode(
+  private def qvT(c: Column) = transform(c, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer squared Euclidean distance between quantized int64
+    * vectors, from three native dots. */
+  private def qdist(x: Column, c: Column) =
+    quantizedDot(x, x) - lit(2L) * quantizedDot(x, c) + quantizedDot(c, c)
+
+  /** Explode each row's quantized vector column `vec` into `numSub`
+    * (sub, sv) subvector rows. */
+  private def pqSubspaces(df: DataFrame, vec: String, numSub: Int, subDim: Int): DataFrame = df
+    .withColumn("sub", explode(sequence(lit(0), lit(numSub - 1))))
+    .withColumn("sv", slice(col(vec), col("sub") * lit(subDim) + lit(1), lit(subDim)))
+    .drop(vec)
+
+  /** The trained PQ codebook: (sub, code, cv) — `numSub · codebook`
+    * rows, cached into `scope`. Training mirrors `ivfCentroids`: seeds
+    * are the `codebook` smallest-md5-hash sample vectors (codes =
+    * their hash rank), one deterministic Lloyd round per subspace over
+    * the bounded `trainSample`, truncating-integer-division means,
+    * every argmin id-broken. */
+  def pqCodebook(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       dim: Int = 64,
       numSub: Int = 8,
       codebook: Int = 16,
-      trainSample: Int = 4096,
+      trainSample: Int = defaultTrainSample,
       scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
     require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")
     val subDim = dim / numSub
     val idHash = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
       .cast("long")
-    def qvT(c: Column) = transform(c, x => round(x.cast("double") * 1000).cast("long"))
-    // exact integer squared Euclidean distance between quantized
-    // subvectors, from three native int64 dots
-    def dist(x: Column, c: Column) =
-      quantizedDot(x, x) - lit(2L) * quantizedDot(x, c) + quantizedDot(c, c)
-    def subspaces(df: DataFrame, vec: String): DataFrame = df
-      .withColumn("sub", explode(sequence(lit(0), lit(numSub - 1))))
-      .withColumn("sv", slice(col(vec), col("sub") * lit(subDim) + lit(1), lit(subDim)))
-      .drop(vec)
     val ranked = corpus
       .select(col(idCol).as("sid"), qvT(col(vecCol)).as("q"), idHash.as("__h"))
       .orderBy(asc("__h"), asc("sid"))
@@ -494,16 +553,16 @@ object Similarity {
     val sample = scope.cache(ranked.select("sid", "q"))
     // codes 0..codebook-1 = hash rank of the seed vectors (the window
     // sees ≤ codebook rows — driver-trivial, not a data window)
-    val seeds = subspaces(
+    val seeds = pqSubspaces(
       ranked.limit(codebook)
         .withColumn("code",
           row_number().over(Window.orderBy(asc("__h"), asc("sid"))).cast("long") - 1)
         .select("code", "q"),
-      "q").select(col("sub"), col("code"), col("sv").as("cv"))
-    val sasgn = subspaces(sample, "q")
+      "q", numSub, subDim).select(col("sub"), col("code"), col("sv").as("cv"))
+    val sasgn = pqSubspaces(sample, "q", numSub, subDim)
       .join(broadcast(seeds), Seq("sub"))
       .select(col("sid"), col("sub"), col("sv"), col("code"),
-        dist(col("sv"), col("cv")).as("d"))
+        qdist(col("sv"), col("cv")).as("d"))
       .groupBy("sid", "sub")
       .agg(min_by(struct(col("code"), col("sv")), struct(col("d"), col("code"))).as("best"))
       .select(col("sub"), col("best.code").as("code"), col("best.sv").as("sv"))
@@ -516,17 +575,121 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("qc")))).as("arr"))
       .select(col("sub"), col("code"), transform(col("arr"), e => e.getField("qc")).as("cv"))
     // cached: the codebook is broadcast into the corpus-wide encode
-    val cents = scope.cache(
+    scope.cache(
       seeds.select(col("sub"), col("code"), col("cv").as("cv0"))
         .join(trained, Seq("sub", "code"), "left")
         .select(col("sub"), col("code"), coalesce(col("cv"), col("cv0")).as("cv")))
-    subspaces(corpus.select(col(idCol), qvT(col(vecCol)).as("q")), "q")
+  }
+
+  /** Encode the corpus under a trained codebook: (id, sub, code, qerr)
+    * — a map-side broadcast join + partial-aggregable min_by, ≤ 1 row
+    * per (vector, subspace) reaches the shuffle. */
+  def pqCodes(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: DataFrame,
+      numSub: Int,
+      subDim: Int): DataFrame =
+    pqSubspaces(corpus.select(col(idCol), qvT(col(vecCol)).as("q")), "q", numSub, subDim)
       .join(broadcast(cents), Seq("sub"))
-      .select(col(idCol), col("sub"), col("code"), dist(col("sv"), col("cv")).as("d"))
+      .select(col(idCol), col("sub"), col("code"), qdist(col("sv"), col("cv")).as("d"))
       .groupBy(idCol, "sub")
       .agg(min_by(struct(col("code"), col("d")), struct(col("d"), col("code"))).as("best"))
       .select(col(idCol), col("sub").cast("long").as("sub"),
         col("best.code").as("code"), col("best.d").as("qerr"))
+
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int = 64,
+      numSub: Int = 8,
+      codebook: Int = 16,
+      trainSample: Int = defaultTrainSample,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    val cents = pqCodebook(corpus, idCol, vecCol, dim, numSub, codebook, trainSample, scope)
+    pqCodes(corpus, idCol, vecCol, cents, numSub, dim / numSub)
+  }
+
+  /** IVF-PQ approximate top-k — the search path that consumes
+    * `pqEncode`'s codes, composing the two trained quantizers every
+    * billion-vector ANN deployment pairs: the Lloyd-trained COARSE
+    * quantizer routes each probe to its `nprobe` nearest inverted
+    * lists, the PQ codebook turns each candidate into `numSub` small
+    * codes, and candidates are scored by ADC (asymmetric distance
+    * computation — the probe's exact subvector against each
+    * candidate's code centroid, summed from a per-(probe, sub, code)
+    * lookup table). The best `refine` candidates per probe by ADC are
+    * then re-scored EXACTLY and ranked.
+    *
+    * PQ here encodes raw vectors, not coarse residuals — the
+    * no-residual IVFADC variant (residual encoding couples the two
+    * codebooks; raw-vector PQ keeps both trainers independently
+    * replayable, which is what gives this query a full hash oracle).
+    *
+    * Scale shape: the candidate pass touches ONLY the codes relation
+    * (numSub small ints per vector — the compressed store that is the
+    * point of PQ), keyed by list id; the ADC table is
+    * probes·numSub·codebook rows broadcast once; raw vectors are
+    * fetched for just the ≤ refine·probes shortlist. All arithmetic
+    * int64, every argmin/rank id-broken — bit-reproducible. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      numCentroids: Int = 64,
+      nprobe: Int = 4,
+      dim: Int = 64,
+      numSub: Int = 8,
+      codebook: Int = 16,
+      refine: Int = 40,
+      trainRounds: Int = defaultTrainRounds,
+      trainSample: Int = defaultTrainSample,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    val subDim = dim / numSub
+    val coarse = ivfCentroids(corpus, idCol, vecCol, numCentroids, trainRounds, trainSample, scope)
+    val lists = ivfAssign(corpus, idCol, vecCol, coarse)
+    val book = pqCodebook(corpus, idCol, vecCol, dim, numSub, codebook, trainSample, scope)
+    val codes = pqCodes(corpus, idCol, vecCol, book, numSub, subDim)
+      .select(col(idCol), col("sub"), col("code"))
+    val probes = corpus.where(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
+    val wp = Window.partitionBy("probe_id").orderBy(desc("cd"), asc("cent_id"))
+    val probeLists = probes.crossJoin(broadcast(coarse))
+      .select(col("probe_id"), col("cent_id"),
+        (lit(2L) * quantizedDot(col("pe"), col("cv")) - col("nrm")).as("cd"))
+      .withColumn("pr", row_number().over(wp))
+      .where(col("pr") <= nprobe)
+      .select(col("probe_id"), col("cent_id").as("list_id"))
+    // ADC lookup table: probes × numSub × codebook distances — tiny,
+    // broadcast into the code-keyed candidate join
+    val adc = pqSubspaces(probes.select(col("probe_id"), qvT(col("pe")).as("q")),
+        "q", numSub, subDim)
+      .join(broadcast(book), Seq("sub"))
+      .select(col("probe_id"), col("sub").cast("long").as("sub"), col("code"),
+        qdist(col("sv"), col("cv")).as("d"))
+    // candidates carry CODES only (8 small ints), never raw vectors:
+    // each (probe, candidate) sums its numSub table distances
+    val cand = probeLists.join(lists, "list_id")
+      .where(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol))
+      .join(codes, idCol)
+      .join(broadcast(adc), Seq("probe_id", "sub", "code"))
+      .groupBy("probe_id", idCol)
+      .agg(sum(col("d")).as("adc"))
+    // ADC shortlist (bounded heap), then exact re-rank of ≤ refine rows
+    val short = graft.plans.TopKPerKey(
+      cand, Seq("probe_id"), Seq(("adc", true), (idCol, true)), refine)
+      .select(col("probe_id"), col(idCol))
+    val rescored = short
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(probes), "probe_id")
+      .select(col("probe_id"), col(idCol),
+        quantizedDot(col("pe"), col(vecCol)).as("qdot"))
+    rankTopK(rescored, idCol, k)
   }
 
   /** Per-probe top-k of a scored candidate relation through the
@@ -549,9 +712,10 @@ object Similarity {
     * Recall depends on data geometry (multi-table probing raises it;
     * uniform-random corpora are the worst case); results are always a
     * subset of the exact ranking because re-scoring is exact. The same
-    * occupancy rule as `lshNearDupPairs` applies: grow `planes` with
-    * the corpus so a probe's candidate set (≈ n/2^planes per table)
-    * stays bounded. */
+    * occupancy rule as `lshNearDupPairs` applies: planes/tables = 0
+    * (the default) derives both from a corpus-count pre-pass via
+    * `rhpGeometry`, keeping a probe's candidate set (≈ n/2^planes per
+    * table) bounded at any corpus size. */
   def lshTopK(
       corpus: DataFrame,
       idCol: String,
@@ -559,18 +723,20 @@ object Similarity {
       probeFilter: Column,
       k: Int,
       dim: Int,
-      tables: Int = 8,
-      planes: Int = 6): DataFrame = {
+      tables: Int = 0,
+      planes: Int = 0): DataFrame = {
+    val (planesN, tablesN) =
+      if (planes > 0 && tables > 0) (planes, tables) else rhpGeometry(corpus.count())
     // ids-only candidate generation (see lshNearDupPairs), vectors
     // re-attached before the exact re-score
     val buckets = corpus
       .select(col(idCol),
-        posexplode(graft.functions.RhpBuckets.rhpBuckets(col(vecCol), dim, planes, tables)))
+        posexplode(graft.functions.RhpBuckets.rhpBuckets(col(vecCol), dim, planesN, tablesN)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bkt")
     val probeBuckets = corpus.where(probeFilter)
       .select(col(idCol).as("probe_id"),
-        posexplode(graft.functions.RhpBuckets.rhpBuckets(col(vecCol), dim, planes, tables)))
+        posexplode(graft.functions.RhpBuckets.rhpBuckets(col(vecCol), dim, planesN, tablesN)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bkt")
     val cands = probeBuckets

@@ -140,6 +140,63 @@ object TextAnalysis {
       .withColumn("dup_permille", expr("(n_dup * 1000) div n_grams"))
   }
 
+  /** Duplicate-SPAN removal — the operational half of Lee et al. 2022
+    * substring dedup that `dupNgramStats` only scores: rewrite each
+    * document with every token covered by a corpus-duplicated n-token
+    * window (a window occurring ≥ 2× across the whole corpus) removed.
+    * Returns (id, n_tokens, n_removed, stripped_md5) — the rewritten
+    * text travels as its md5 so the cross-engine compare stays scalar.
+    *
+    * Dataflow: tokenize once (cached — consumed by gram extraction and
+    * the final rewrite), extract every window WITH its start position
+    * (map-only explode), count occurrences of the 60-bit md5 gram hash
+    * corpus-wide (one hash agg — the same gram relation dupNgramStats
+    * shuffles), and ship each doc ONLY its duplicated-window start
+    * list (the contaminated sliver, not the gram universe) back
+    * through a groupBy + left join. The rewrite itself is a per-row
+    * array filter: token i survives iff no duplicated window starts in
+    * (i−n, i] — O(len·|dup starts|) per doc, zero additional shuffle.
+    * At 100 TB: two gram-keyed exchanges (count + start-list) and a
+    * map-only rewrite — the same shape as dupNgramStats plus a
+    * doc-keyed join of the (sparse) removal lists. */
+  def stripDupSpans(docs: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame =
+    stripDupSpansKept(docs, idCol, textCol, n)
+      .select(col(idCol),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), " ").cast("binary")).as("stripped_md5"))
+
+  /** The rewrite half of `stripDupSpans` with the surviving token
+    * array exposed: (id, tk, kept) — the spec's invariant checks run
+    * on `kept` directly. */
+  private[graft] def stripDupSpansKept(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
+      .cache()
+    val grams = toks
+      .select(col(idCol), posexplode(TextOps.wordNgramsFromTokens(col("tk"), n)))
+      .select(col(idCol), col("pos"),
+        conv(substring(md5(col("col").cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
+      .cache()
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= 2)
+      .select("h")
+    val starts = grams.join(dup, "h")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    toks.join(starts, Seq(idCol), "left")
+      .select(col(idCol), col("tk"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .withColumn("kept", transform(
+        filter(
+          transform(col("tk"), (t, i) => struct(t.as("t"), i.as("i"))),
+          p => !exists(col("starts"),
+            s => p.getField("i") >= s && p.getField("i") < s + n)),
+        p => p.getField("t")))
+      .select(col(idCol), col("tk"), col("kept"))
+  }
+
   // Patterns chosen to mean the same thing in Java regex and RE2 —
   // character classes and bounded quantifiers only, no lookarounds
   private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"

@@ -289,6 +289,66 @@ class ExtSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("stripDupSpans removes exactly the tokens under corpus-duplicated windows") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta unique1 tail1"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta unique2 tail2"),
+      (3L, "totally different words here nothing repeats at all okay")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripDupSpans(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect()
+    // docs 1/2 share ONE 8-token window (their other windows differ in
+    // the unique suffix) → its 8 tokens removed from both; doc 3 intact
+    assert(out(0).getAs[Long]("n_removed") == 8)
+    assert(out(1).getAs[Long]("n_removed") == 8)
+    assert(out(2).getAs[Long]("n_removed") == 0)
+    val kept = TextAnalysis.stripDupSpansKept(docs, "doc_id", "text", 8)
+      .orderBy("doc_id").select("kept").as[Seq[String]].collect()
+    assert(kept(0) == Seq("unique1", "tail1"))
+    assert(kept(1) == Seq("unique2", "tail2"))
+    assert(kept(2).size == 9)
+    spark.catalog.clearCache()
+  }
+
+  test("stripDupSpans invariant: no corpus-duplicated window survives in any stripped doc (sf0.001)") {
+    val docs = io.Tables(spark, sf, "documents")
+    val n = 8
+    // the duplicated-gram set of the ORIGINAL corpus
+    val dupGrams = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(explode(TextOps.wordNgramsFromTokens(col("tk"), n)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+      .select("g").as[String].collect().toSet
+    assert(dupGrams.nonEmpty)
+    // windows of the STRIPPED corpus never hit that set
+    val survivors = TextAnalysis.stripDupSpansKept(docs, "doc_id", "text", n)
+      .select(col("doc_id"), explode(TextOps.wordNgramsFromTokens(col("kept"), n)).as("g"))
+      .as[(Long, String)].collect()
+      .filter { case (_, g) => dupGrams.contains(g) }
+    assert(survivors.isEmpty, s"surviving duplicated windows: ${survivors.take(5).toSeq}")
+    spark.catalog.clearCache()
+  }
+
+  test("pqEncode: identical vectors get identical codes, zero qerr on a seed vector") {
+    // 4 distinct 16-dim vectors (dim divisible by numSub=8 → subDim 2),
+    // duplicated ids 10/11 → identical codes per subspace
+    val base = (0 until 16).map(i => (i % 5) * 0.25f - 0.5f).toArray
+    val vs = Seq(
+      (10L, base), (11L, base),
+      (12L, base.map(x => -x)),
+      (13L, Array.fill(16)(0.125f))).toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(vs, "vec_id", "embedding",
+        dim = 16, numSub = 8, codebook = 2, trainSample = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(codes.size == 4 * 8)
+    (0L until 8L).foreach { s =>
+      assert(codes((10L, s)) == codes((11L, s)), s"sub $s codes differ for identical vectors")
+    }
+    // every qerr is a squared distance → non-negative
+    assert(codes.values.forall(_._2 >= 0L))
+    spark.catalog.clearCache()
+  }
+
   test("semDedupKeep partitions the corpus and never drops a vector without a smaller-id near neighbor (sf0.001)") {
     val emb = io.Tables(spark, sf, "embeddings")
     val n = emb.count()

@@ -11,8 +11,9 @@ import graft.ops.TextOps
   * the "BPE-ish regex" piece count with a real, deterministic,
   * engine-replayable merge-table tokenizer.
   *
-  * Training is the classic greedy BPE (Sennrich et al. 2016 — see
-  * PAPERS.md) made bit-reproducible: integer pair counts weighted by
+  * Training is the classic greedy BPE (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units")
+  * made bit-reproducible: integer pair counts weighted by
   * word frequency over the top-`vocabWords` word-frequency table, the
   * most frequent pair merged each round with ties broken by (lhs, rhs)
   * string order, for exactly `numMerges` rounds (stopping early only

@@ -298,24 +298,23 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      numPerms: Int = 0,
-      bands: Int = 0,
+      numPerms: Int = 128,
+      bands: Int = 64,
       scope: graft.util.CacheScope = new graft.util.CacheScope): (DataFrame, DataFrame) = {
+    // geometry is EXPLICIT here on purpose, never count-derived: an
+    // index is a persisted artifact screened against OTHER indexes,
+    // and two indexes only join if their band hashes were built with
+    // the same (perms, bands) — a per-corpus auto derivation would
+    // silently desync a 1× batch from a 64× corpus and the band join
+    // would find nothing. `nearDupPairsAgainst` derives ONE geometry
+    // (from the corpus side) and pins it on both indexes; a production
+    // deployment versions the geometry with the index.
     val sh = scope.cache(docs
       .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
       .where(size(col("ws")) > 0))
-    // auto-geometry from this corpus's own count; indexes that will be
-    // screened AGAINST each other must share one explicit geometry
-    // (nearDupPairsAgainst derives it once, from the corpus side)
-    val (perms, bandsN) =
-      if (bands > 0 && numPerms > 0) (numPerms, bands)
-      else {
-        val (r, b) = lshGeometry(sh.count())
-        (r * b, b)
-      }
     val bandsDf = scope.cache(lshBands(
-      sh.select(col(idCol), minHashSignature(col("ws"), perms).as("sig")),
-      idCol, "sig", bandsN, perms / bandsN))
+      sh.select(col(idCol), minHashSignature(col("ws"), numPerms).as("sig")),
+      idCol, "sig", bands, numPerms / bands))
     (sh, bandsDf)
   }
 

@@ -349,6 +349,56 @@ class ExtSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivfPqTopK with full probe width and full refine equals the exact brute force (sf0.001)") {
+    // nprobe = numCentroids makes the coarse stage a no-op (every list
+    // scanned) and refine >= corpus makes the ADC shortlist total, so
+    // the exact re-rank must reproduce bruteForceTopK bit-for-bit —
+    // the PQ approximation can only ever act through the SHORTLIST cut
+    val emb = io.Tables(spark, sf, "embeddings")
+    val n = emb.count().toInt
+    val probes = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val exact = Similarity
+      .bruteForceTopK(emb, probes, "vec_id", "embedding", "probe_id", "pe", 5)
+      .select("probe_id", "vec_id", "qdot", "rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val pq = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 5,
+        numCentroids = 8, nprobe = 8, refine = n)
+      .select("probe_id", "vec_id", "qdot", "rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pq == exact)
+    assert(exact.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("BPE: merges apply left-to-right, segmentation reassembles the word, counts monotone") {
+    // left-scan semantics on the classic alternating case
+    assert(graft.ext.Bpe.applyMerge(Array("a", "b", "a", "b", "a"), "a", "b").toSeq
+      == Seq("ab", "ab", "a"))
+    // identical-pair case merges non-overlapping from the left
+    assert(graft.ext.Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq
+      == Seq("aa", "a"))
+    val docs = io.Tables(spark, sf, "documents")
+    val merges = graft.ext.Bpe.trainMerges(docs, "text")
+    assert(merges.nonEmpty && merges.size <= graft.ext.Bpe.defaultMerges)
+    import graft.ops.TextOps
+    val words = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .distinct().as[String].collect()
+    for (w <- words) {
+      val pieces = graft.ext.Bpe.encode(w, merges)
+      assert(pieces.mkString == w, s"pieces of '$w' don't reassemble")
+      assert(pieces.length >= 1 && pieces.length <= w.length)
+    }
+    // each successive merge never increases any word's piece count
+    for (w <- words.take(5)) {
+      val counts = merges.inits.toSeq.reverse.map(ms => graft.ext.Bpe.encode(w, ms).length)
+      assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+        s"piece count not monotone for '$w': $counts")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("semDedupKeep partitions the corpus and never drops a vector without a smaller-id near neighbor (sf0.001)") {
     val emb = io.Tables(spark, sf, "embeddings")
     val n = emb.count()

@@ -197,6 +197,28 @@ object ExtQueries {
          |FROM dw JOIN w${ext.Bpe.defaultMerges} p USING (word)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    // BPE chunking rebuilt from scratch: the in-order piece stream per
+    // doc (ordinality-keyed join + ordered flatten), then the same
+    // 32-slice chunking as corpus_chunks, boundaries in PIECE space
+    "corpus_chunks_bpe" ->
+      s"""WITH $bpeChainSql,
+         |toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |dw AS (
+         |  SELECT doc_id, i, tk[i] AS word
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM toks) x),
+         |dp AS (
+         |  SELECT doc_id, flatten(list(p.pieces ORDER BY i)) AS ps
+         |  FROM dw JOIN w${ext.Bpe.defaultMerges} p USING (word)
+         |  GROUP BY doc_id),
+         |c AS (
+         |  SELECT doc_id, ps, unnest(range(0, ((len(ps) - 1) // 32) + 1)) AS chunk_id
+         |  FROM dp WHERE len(ps) >= 1),
+         |s AS (
+         |  SELECT doc_id, chunk_id, ps[chunk_id*32+1 : chunk_id*32+32] AS ck FROM c)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |       CAST(len(ck) AS BIGINT) AS n_pieces,
+         |       md5(coalesce(array_to_string(ck, ' '), '')) AS chunk_md5
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "dedup_exact" ->
       """SELECT count(*) AS n_total, count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')))) AS n_unique
         |FROM documents""".stripMargin,
@@ -1105,6 +1127,16 @@ object ExtQueries {
       ext.Bpe.tokenCounts(docs, "doc_id", "text",
           ext.Bpe.trainMerges(docs, "text"))
         .orderBy("doc_id")
+    },
+    "corpus_chunks_bpe" -> { (s, dir) =>
+      // context windows measured in trained BPE pieces (the budget a
+      // model actually has), not whitespace tokens: per-distinct-word
+      // segmentation, one ordered doc-keyed reassembly, map-only
+      // chunk slicing
+      val docs = t(s, dir, "documents")
+      ext.Bpe.pieceChunks(docs, "doc_id", "text",
+          ext.Bpe.trainMerges(docs, "text"))
+        .orderBy("doc_id", "chunk_id")
     },
     "dedup_exact" -> { (s, dir) =>
       // exact dedup = hash-groupBy on a stable fingerprint; the summary

@@ -104,6 +104,42 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Context-window chunking in PIECE space: each document's in-order
+    * BPE piece stream cut into fixed `chunk`-piece training sequences
+    * — the model-token twin of `corpus_chunks`' whitespace version
+    * (a context window is a piece budget, not a word budget).
+    * Segmentation still runs once per DISTINCT word; the in-order
+    * stream is reassembled by one doc-keyed ordered aggregation
+    * (position-sorted collect + flatten), then chunking is the same
+    * map-only slice explode. At 100 TB: one vocabulary-keyed join +
+    * one doc-keyed exchange — the minimum any chunker that must see
+    * a document's pieces in order pays. */
+  def pieceChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      chunk: Int = 32): DataFrame = {
+    val words = docs
+      .select(col(idCol), posexplode(TextOps.tokens(col(textCol))))
+      .toDF(idCol, "i", "w")
+    val pieces = words.select("w").distinct()
+      .select(col("w"), graft.functions.BpePieces.pieces(col("w"), merges).as("ps"))
+    words.join(pieces, "w")
+      .groupBy(idCol)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("i"), col("ps")))),
+        e => e.getField("ps"))).as("ps"))
+      .where(size(col("ps")) >= 1)
+      .select(col(idCol), col("ps"),
+        explode(expr(s"sequence(0, (size(ps) - 1) div $chunk)")).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("ps"), col("chunk_id") * lit(chunk) + lit(1), lit(chunk)).as("ck"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("ck")).cast("long").as("n_pieces"),
+        md5(array_join(col("ck"), " ").cast("binary")).as("chunk_md5"))
+  }
+
   /** Per-document BPE token counts: (id, n_tokens, n_pieces). The
     * segmentation runs once per DISTINCT word; occurrences pay a hash
     * join. */

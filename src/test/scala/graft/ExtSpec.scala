@@ -372,6 +372,54 @@ class ExtSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivfPqTopK plans bounded-heap ranking and keeps the exact re-rank off the candidate pass") {
+    val emb = io.Tables(spark, sf, "embeddings")
+    val plan = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 5, numCentroids = 8)
+      .queryExecution.executedPlan.toString
+    // the ADC shortlist and the final ranking both run through the
+    // bounded-heap operator — never a full window sort over candidates
+    assert(plan.contains("TopKPerKey"), plan.take(2000))
+    // the ADC table reaches the code-keyed candidate join as a
+    // broadcast, so candidate rows never shuffle vectors or distances
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    spark.catalog.clearCache()
+  }
+
+  test("BPE piece chunks reassemble every doc's piece stream exactly") {
+    val docs = io.Tables(spark, sf, "documents")
+    val merges = graft.ext.Bpe.trainMerges(docs, "text")
+    import graft.ops.TextOps
+    // expected piece stream per doc, computed independently in Scala
+    val expected = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, tk) => id -> tk.flatMap(w => graft.ext.Bpe.encode(w, merges)) }
+      .toMap
+    val got = graft.ext.Bpe.pieceChunks(docs, "doc_id", "text", merges)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "n_pieces", "chunk_md5")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1)
+    for ((id, chunks) <- got) {
+      val stream = expected(id)
+      // chunk sizes tile the stream: all 32 except possibly the last
+      val sizes = chunks.sortBy(_._2).map(_._3)
+      assert(sizes.init.forall(_ == 32L) || sizes.length == 1)
+      assert(sizes.sum == stream.length, s"doc $id piece count")
+      // each chunk's md5 matches the corresponding stream slice
+      chunks.sortBy(_._2).zipWithIndex.foreach { case ((_, cid, _, m), ix) =>
+        assert(cid == ix)
+        val slice = stream.slice(ix * 32, ix * 32 + 32).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(slice.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+        assert(md == m, s"doc $id chunk $cid md5")
+      }
+    }
+    assert(got.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("BPE: merges apply left-to-right, segmentation reassembles the word, counts monotone") {
     // left-scan semantics on the classic alternating case
     assert(graft.ext.Bpe.applyMerge(Array("a", "b", "a", "b", "a"), "a", "b").toSeq

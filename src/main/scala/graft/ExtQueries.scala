@@ -824,6 +824,36 @@ object ExtQueries {
         |  CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
         |FROM orders
         |ORDER BY rnk""".stripMargin,
+    // deterministic training-order shuffle rebuilt from scratch: rank
+    // over the same md5 hash order
+    "corpus_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |             doc_id) AS BIGINT) AS shuffle_pos
+        |FROM documents
+        |ORDER BY shuffle_pos""".stripMargin,
+    // concat-and-split packing rebuilt from scratch: same per-doc BPE
+    // piece counts (shared training chain), exclusive running sum over
+    // doc order, same integer pack arithmetic
+    "corpus_pack" ->
+      s"""WITH $bpeChainSql,
+         |dw AS (SELECT doc_id, unnest($tokSql) AS word FROM documents),
+         |pc AS (
+         |  SELECT doc_id, CAST(sum(len(p.pieces)) AS BIGINT) AS n_pieces
+         |  FROM dw JOIN w${ext.Bpe.defaultMerges} p USING (word)
+         |  GROUP BY doc_id),
+         |c AS (
+         |  SELECT doc_id, n_pieces,
+         |         CAST(coalesce(sum(n_pieces) OVER (
+         |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+         |  FROM pc)
+         |SELECT doc_id, n_pieces, start,
+         |       start // 256 AS pack_id,
+         |       start % 256 AS pack_offset,
+         |       ((start + n_pieces - 1) // 256) - (start // 256) + 1 AS n_packs
+         |FROM c
+         |ORDER BY doc_id""".stripMargin,
     // the bloom prefilter has no false negatives, so the engine result
     // is byte-identical to the plain join — the oracle IS the plain
     // join; the bitmap only changes WHERE rows are dropped (before the
@@ -1656,6 +1686,41 @@ object ExtQueries {
       // jobs, one scoring join — the classic perplexity-style signal
       // with no float drift for the oracle to trip on
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    "corpus_shuffle" -> { (s, dir) =>
+      // deterministic training-order shuffle: every training run reads
+      // the corpus in the same pseudorandom order (md5 hash of the id,
+      // id tie-break) at any partitioning — through the distributed
+      // rank machinery, never an Exchange SinglePartition
+      val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+      graft.ops.GlobalSort.globalRank(
+          t(s, dir, "documents").select(col("doc_id"), h.as("h")),
+          Seq(col("h").asc, col("doc_id").asc),
+          parts = s.conf.get("spark.sql.shuffle.partitions").toInt,
+          rankCol = "shuffle_pos")
+        .select("doc_id", "shuffle_pos")
+        .orderBy("shuffle_pos")
+    },
+    "corpus_pack" -> { (s, dir) =>
+      // GPT-style sequence packing (concatenate-and-split): the corpus
+      // piece stream in doc order cut into fixed 256-piece packs; each
+      // doc's placement = the exclusive prefix sum of piece counts —
+      // the distributed globalPrefixSum primitive (range partition +
+      // O(parts) driver offsets), never a single-partition window
+      val docs = t(s, dir, "documents")
+      val counts = ext.Bpe.tokenCounts(docs, "doc_id", "text",
+          ext.Bpe.trainMerges(docs, "text"))
+        .select(col("doc_id"), col("n_pieces"))
+      graft.ops.GlobalSort.globalPrefixSum(
+          counts, Seq(col("doc_id").asc), "n_pieces",
+          parts = s.conf.get("spark.sql.shuffle.partitions").toInt,
+          cumCol = "start")
+        .select(col("doc_id"), col("n_pieces"), col("start"),
+          expr("start div 256").as("pack_id"),
+          expr("start % 256").as("pack_offset"),
+          expr("((start + n_pieces - 1) div 256) - (start div 256) + 1").as("n_packs"))
         .orderBy("doc_id")
     },
     "sort_global_rank" -> { (s, dir) =>

@@ -41,4 +41,48 @@ object GlobalSort {
     }
     spark.createDataFrame(ranked, ranged.schema.add(rankCol, LongType, nullable = false))
   }
+
+  /** Distributed EXCLUSIVE prefix sum of `valueCol` over the total
+    * order `sortExprs` — the generalization of `globalRank` from
+    * "count of earlier rows" to "sum of earlier values", and the
+    * primitive behind concat-and-split sequence packing.
+    *
+    * Same two-pass shape as zipWithIndex: range-partition + sort, one
+    * metadata job sums each partition (`parts` longs to the driver —
+    * the rank-offset budget), scanLeft turns them into partition
+    * starting offsets, and one map pass stamps offset + running local
+    * sum. `cumCol` = sum of `valueCol` over all rows strictly BEFORE
+    * this row. One data shuffle total; the caller must make
+    * `sortExprs` a TOTAL order or tied rows' sums are
+    * placement-dependent. */
+  def globalPrefixSum(
+      df: DataFrame,
+      sortExprs: Seq[Column],
+      valueCol: String,
+      parts: Int,
+      cumCol: String = "cum"): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = df
+      .repartitionByRange(parts, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+    val vIdx = ranged.schema.fieldIndex(valueCol)
+    val rdd = ranged.rdd
+    val partSums = rdd
+      .mapPartitionsWithIndex { (p, it) =>
+        var s = 0L
+        while (it.hasNext) s += it.next().getLong(vIdx)
+        Iterator((p, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val stamped = rdd.mapPartitionsWithIndex { (p, it) =>
+      var acc = offsets(p)
+      it.map { row =>
+        val out = Row.fromSeq(row.toSeq :+ acc)
+        acc += row.getLong(vIdx)
+        out
+      }
+    }
+    spark.createDataFrame(stamped, ranged.schema.add(cumCol, LongType, nullable = false))
+  }
 }

@@ -30,6 +30,33 @@ class GlobalSortSpec extends SparkSpec {
     assert(ranks.toSeq == (1L to 10000L))
   }
 
+  test("globalPrefixSum matches the window running sum over the same total order") {
+    val o = io.Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), (pmod(col("o_orderkey"), lit(97)) + 1).as("v"))
+    val got = GlobalSort.globalPrefixSum(
+        o, Seq(col("o_orderkey").asc), "v", parts = 4, cumCol = "start")
+      .select("o_orderkey", "start").as[(Long, Long)].collect().toMap
+    val want = o
+      .withColumn("start",
+        coalesce(sum(col("v")).over(
+          Window.orderBy(col("o_orderkey").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("o_orderkey", "start").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("globalPrefixSum is exclusive: first row 0, last row total minus its value") {
+    val df = (1L to 5000L).map(i => (i, i % 13 + 1)).toDF("k", "v").repartition(8)
+    val cum = GlobalSort.globalPrefixSum(df, Seq(col("k").asc), "v", parts = 8)
+      .orderBy("k").select("k", "v", "cum").as[(Long, Long, Long)].collect()
+    assert(cum.head._3 == 0L)
+    val total = cum.map(_._2).sum
+    assert(cum.last._3 == total - cum.last._2)
+    // running invariant: cum(i+1) == cum(i) + v(i)
+    cum.sliding(2).foreach { case Array(a, b) => assert(b._3 == a._3 + a._2) }
+  }
+
   test("histogram quantile estimates are within one bin width of the exact values") {
     val exact = SparkEntry.queries("quantiles_exact")(spark, sf)
       .select("v").as[Double].collect().sorted

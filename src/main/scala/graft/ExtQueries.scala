@@ -736,6 +736,43 @@ object ExtQueries {
          |       md5(coalesce(array_to_string(kt, ' '), '')) AS stripped_md5
          |FROM kept
          |ORDER BY doc_id""".stripMargin,
+    // Gopher repetition rules rebuilt from scratch: same per-doc token
+    // and bigram counts, same (count DESC, token) argmaxes, same
+    // integer per-mille floor division
+    "text_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |wc AS (
+         |  SELECT doc_id, w, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(tk) AS w FROM toks WHERE len(tk) >= 1) x
+         |  GROUP BY doc_id, w),
+         |ws AS (
+         |  SELECT doc_id, sum(c) AS n_tokens, sum(c * length(w)) AS n_chars,
+         |         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_tokens
+         |  FROM wc GROUP BY doc_id),
+         |tw AS (
+         |  SELECT doc_id, c * length(w) AS top_word_chars FROM (
+         |    SELECT doc_id, w, c,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w) AS rn
+         |    FROM wc) r WHERE rn = 1),
+         |bgc AS (
+         |  SELECT doc_id, w1, w2, count(*) AS c FROM (
+         |    SELECT doc_id,
+         |           unnest([tk[i] FOR i IN range(1, len(tk))]) AS w1,
+         |           unnest([tk[i+1] FOR i IN range(1, len(tk))]) AS w2
+         |    FROM toks WHERE len(tk) >= 2) b
+         |  GROUP BY doc_id, w1, w2),
+         |tb AS (
+         |  SELECT doc_id, c * (length(w1) + length(w2)) AS top_bigram_chars FROM (
+         |    SELECT doc_id, w1, w2, c,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w1, w2) AS rn
+         |    FROM bgc) r WHERE rn = 1)
+         |SELECT ws.doc_id,
+         |       (1000 * tw.top_word_chars) // ws.n_chars AS top_word_permille,
+         |       (1000 * coalesce(tb.top_bigram_chars, 0)) // ws.n_chars AS top_bigram_permille,
+         |       (1000 * ws.dup_tokens) // ws.n_tokens AS dup_word_permille
+         |FROM ws JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
+         |ORDER BY ws.doc_id""".stripMargin,
     // per-stratum sample rebuilt from scratch: same md5 hash ranking,
     // row_number per language
     "sample_per_key" ->
@@ -1610,6 +1647,13 @@ object ExtQueries {
       // hashes, so even a collision (overcount) reproduces
       // byte-for-byte. Shared with the scale probe via dupNgramStats.
       TextAnalysis.dupNgramStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    "text_repetition" -> { (s, dir) =>
+      // Gopher-style repetition filters: within-doc boilerplate
+      // signals (top-word / top-bigram char fractions, duplicate-word
+      // fraction) — two wordcount-shaped aggs, no corpus-wide state
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
     "corpus_strip_spans" -> { (s, dir) =>

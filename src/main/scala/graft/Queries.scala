@@ -71,6 +71,12 @@ object Queries {
         |FROM customer
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "mr_orc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS balance
+        |FROM supplier
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
     "mr_kv_roundtrip" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' ')) AS word
@@ -159,6 +165,24 @@ object Queries {
       io.Sinks.readJsonLines(s, out)
         .select(col("c_mktsegment"), col("n").cast("long").as("n"), col("balance"))
         .orderBy("c_mktsegment")
+    },
+    "mr_orc_roundtrip" -> { (s, dir) =>
+      // columnar interchange beyond parquet: the aggregate written as
+      // ORC (Spark's other native vectorized columnar format — schema
+      // carried in the file, no read-back inference) and re-read; the
+      // oracle computes the same aggregate straight from parquet, so
+      // the ORC codec round trip must be lossless for longs, doubles,
+      // and grouping keys
+      val out = java.nio.file.Files.createTempDirectory("orcrt").toString
+      val agg = t(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(dec(col("s_acctbal"))), 2).cast("double").as("balance"))
+      io.Sinks.writeOrc(agg, out)
+      io.Sinks.readOrc(s, out)
+        .select(col("s_nationkey"), col("n"), col("balance"))
+        .orderBy("s_nationkey")
     },
     "mr_kv_roundtrip" -> { (s, dir) =>
       // full reference job shape incl. the sink: wordcount → R

@@ -216,6 +216,53 @@ object TextAnalysis {
   def piiCounts(text: Column): (Column, Column) =
     (regexp_count(text, lit(emailRe)), regexp_count(text, lit(longDigitsRe)))
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher" repetition filters), the
+    * within-document complement of the corpus-wide `dupNgramStats`:
+    *
+    *   - top_word_permille: characters under the most frequent token
+    *     (count × length, ties by token string) per mille of all
+    *     token characters — boilerplate keyword spam;
+    *   - top_bigram_permille: same for the most frequent word bigram
+    *     — templated phrase spam;
+    *   - dup_word_permille: tokens whose token occurs ≥ 2× in the doc
+    *     per mille of all tokens — low lexical diversity.
+    *
+    * All integer per-mille arithmetic (truncating div), argmaxes
+    * tie-broken by token string, so any engine reproduces the bytes.
+    * Dataflow: one (doc, token)-keyed and one (doc, bigram)-keyed
+    * count agg (both partial-aggregated), folded to per-doc stats —
+    * the wordcount shape twice, no corpus-wide state at all. Docs
+    * with < 2 tokens report bigram 0. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) > 0)
+      .cache()
+    val wc = toks.select(col(idCol), explode(col("tk")).as("w"))
+      .groupBy(idCol, "w").agg(count(lit(1)).as("c"))
+    // min_by over (−count, token): largest count, smallest token on
+    // ties — the id-broken-argmax pattern, string edition
+    val wstats = wc.groupBy(idCol).agg(
+      sum(col("c")).as("n_tokens"),
+      sum(col("c") * length(col("w"))).as("n_chars"),
+      min_by(col("c") * length(col("w")),
+        struct((col("c") * -1).as("nc"), col("w"))).as("top_word_chars"),
+      sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_tokens"))
+    val bc = toks.where(size(col("tk")) >= 2)
+      .select(col(idCol), explode(bigrams(col("tk"))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(idCol, "w1", "w2").agg(count(lit(1)).as("c"))
+    val bstats = bc.groupBy(idCol).agg(
+      min_by(col("c") * (length(col("w1")) + length(col("w2"))),
+        struct((col("c") * -1).as("nc"), col("w1"), col("w2"))).as("top_bigram_chars"))
+    wstats.join(bstats, Seq(idCol), "left")
+      .select(col(idCol),
+        expr("(1000 * top_word_chars) div n_chars").as("top_word_permille"),
+        expr("(1000 * coalesce(top_bigram_chars, 0)) div n_chars").as("top_bigram_permille"),
+        expr("(1000 * dup_tokens) div n_tokens").as("dup_word_permille"))
+  }
+
   /** Adjacent token pairs of a token array — map-only (two slices
     * zipped), never the self-join-on-position a naive bigram
     * extraction would shuffle for. */

@@ -144,4 +144,13 @@ object Sinks {
 
   def readJsonLines(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  /** ORC — the other columnar interchange format Spark ships a native
+    * vectorized reader for; schema travels in the file (no inference
+    * on read-back, unlike CSV/JSON). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

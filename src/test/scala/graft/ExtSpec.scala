@@ -289,6 +289,22 @@ class ExtSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("repetitionStats: hand-checked top-word/top-bigram/dup fractions") {
+    // "aa aa aa b": tokens 4, chars 2+2+2+1 = 7; top word "aa" (3×2=6
+    // chars) → 1000*6/7 = 857; top bigram "aa aa" (2 occurrences × 4
+    // chars = 8) → 1000*8/7 = 1142; dup tokens 3 → 1000*3/4 = 750
+    val docs = Seq((1L, "aa aa aa b"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "top_word_permille", "top_bigram_permille", "dup_word_permille")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got(0) == ((1L, 857L, 1142L, 750L)))
+    // all-distinct doc: top word = any 1-char token (1000*1/3 = 333),
+    // every bigram unique (2 chars → 666), no dup tokens
+    assert(got(1) == ((2L, 333L, 666L, 0L)))
+    spark.catalog.clearCache()
+  }
+
   test("stripDupSpans removes exactly the tokens under corpus-duplicated windows") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta unique1 tail1"),

@@ -35,6 +35,21 @@ object ExtQueries {
   private def qdotIntSql(a: String, b: String) =
     s"CAST(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT)"
 
+  // exact O(n·m) cross-corpus Jaccard truth (the 20% id-hash batch vs
+  // the rest) — the oracle for BOTH the batch incremental screen and
+  // its streaming twin
+  private lazy val incrementalScreenSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokSql AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, $shingleSql AS ws FROM toks WHERE len(tk) >= 3),
+       |nw AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+       |ol AS (SELECT * FROM sh WHERE doc_id % 5 <> 0)
+       |SELECT nw.doc_id AS id_new, ol.doc_id AS id_old,
+       |       len(list_intersect(nw.ws, ol.ws))*1.0 / len(list_distinct(list_concat(nw.ws, ol.ws))) AS jaccard
+       |FROM nw JOIN ol ON len(list_intersect(nw.ws, ol.ws))*1.0 / len(list_distinct(list_concat(nw.ws, ol.ws))) >= 0.6
+       |ORDER BY id_new, id_old""".stripMargin
+
   // exact integer squared Euclidean distance over already-quantized
   // BIGINT lists (the PQ subspace metric)
   private def pqDistSql(a: String, b: String) =
@@ -801,17 +816,11 @@ object ExtQueries {
     // incremental screening rebuilt from scratch: exact Jaccard between
     // every new-batch doc and every existing doc (the O(n·m) truth the
     // banded index only approximates candidates for)
-    "dedup_incremental" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, $tokSql AS tk FROM documents),
-         |sh AS (
-         |  SELECT doc_id, $shingleSql AS ws FROM toks WHERE len(tk) >= 3),
-         |nw AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
-         |ol AS (SELECT * FROM sh WHERE doc_id % 5 <> 0)
-         |SELECT nw.doc_id AS id_new, ol.doc_id AS id_old,
-         |       len(list_intersect(nw.ws, ol.ws))*1.0 / len(list_distinct(list_concat(nw.ws, ol.ws))) AS jaccard
-         |FROM nw JOIN ol ON len(list_intersect(nw.ws, ol.ws))*1.0 / len(list_distinct(list_concat(nw.ws, ol.ws))) >= 0.6
-         |ORDER BY id_new, id_old""".stripMargin,
+    "dedup_incremental" -> incrementalScreenSql,
+    // the streaming twin screens the SAME batch against the SAME corpus
+    // through the same pinned-geometry index — the oracle is the same
+    // exact cross-corpus truth
+    "stream_neardup" -> incrementalScreenSql,
     // stratified sample rebuilt from scratch: langid CASE + md5 hash
     // per-mille against per-language thresholds (en 20%, de/es/fr 50%,
     // und 5%)
@@ -1597,6 +1606,22 @@ object ExtQueries {
         ev.where(col("event_type") === "purchase"))
       StreamOps.runToMemory(joined, "stream_join_sink")
         .orderBy("click_id", "purchase_id")
+    },
+    "stream_neardup" -> { (s, dir) =>
+      // continuous ingest screening: the arriving 20%-of-docs stream
+      // screened for near-dups against the static corpus LSH index —
+      // identical pairs to the batch nearDupPairsAgainst (same pinned
+      // geometry, same exact verification), oracle = the exact O(n·m)
+      // cross-corpus Jaccard truth
+      val docs = t(s, dir, "documents")
+      val streamSide = StreamOps.readTable(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(5)) === 0)
+      StreamOps.runToMemory(
+          StreamOps.nearDupScreen(
+            streamSide, docs.where(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text"),
+          "stream_neardup_sink",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy("id_new", "id_old")
     },
     "stream_enrich" -> { (s, dir) =>
       // stream-static join: every micro-batch of the event stream is

@@ -165,6 +165,57 @@ object StreamOps {
       .select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
   }
 
+  /** Streaming near-dup ingest screen — the continuous version of
+    * `Dedup.nearDupPairsAgainst`: arriving documents are screened
+    * against the EXISTING corpus's pre-materialized LSH index without
+    * ever self-joining the corpus. The stream side is pure per-row
+    * expressions (shingle hash set, MinHash signature, band explode —
+    * no stream-side shuffle before the join); candidates come from a
+    * stream-static equi-join on (band, bh) against the static band
+    * index, are verified with the exact Jaccard against the static
+    * shingle relation, and multi-band hits collapse to one row per
+    * pair in a bounded-state aggregation (state = one row per TRUE
+    * pair). Geometry is pinned explicitly — the index contract
+    * (`Dedup.dedupIndex`); a production deployment versions it with
+    * the index and refreshes the static side per ingest epoch. */
+  def nearDupScreen(
+      streamDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numPerms: Int = 128,
+      bands: Int = 64,
+      threshold: Double = 0.6,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    import graft.ext.Dedup
+    val (shOld, bandsOld) =
+      Dedup.dedupIndex(corpus, idCol, textCol, shingleN, numPerms, bands, scope)
+    val rows = numPerms / bands
+    val s1 = streamDocs
+      .select(col(idCol).as("id_new"),
+        Dedup.shingleHashSet(col(textCol), shingleN).as("ws_n"))
+      .where(size(col("ws_n")) > 0)
+      .withColumn("sig", Dedup.minHashSignature(col("ws_n"), numPerms))
+    // band explode inline (lshBands drops payload columns; the verify
+    // needs ws_n carried through — a streaming side cannot re-join
+    // itself to fetch it back)
+    val bandArr = transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), hash(slice(col("sig"), b * rows + 1, lit(rows))).as("bh")))
+    val sBands = s1
+      .select(col("id_new"), col("ws_n"), explode(bandArr).as("bb"))
+      .select(col("id_new"), col("ws_n"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    sBands
+      .join(bandsOld.withColumnRenamed(idCol, "id_old"), Seq("band", "bh"))
+      .join(shOld.select(col(idCol).as("id_old"), col("ws").as("ws_o")), "id_old")
+      .select(col("id_new"), col("id_old"),
+        Dedup.jaccard(col("ws_n"), col("ws_o")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .groupBy("id_new", "id_old")
+      .agg(max(col("jaccard")).as("jaccard"))
+  }
+
   /** Run a streaming DataFrame to completion against the (bounded) input
     * and return the materialized result — batch-driven smoke execution
     * via the memory sink.

@@ -119,6 +119,17 @@ object BenchScale {
       // and dup structure grow ×f by construction
       ("text_dup_ngrams", Int.MaxValue, f =>
         ext.TextAnalysis.dupNgramStats(inflateDocs(docs0, f), "doc_id", "text")),
+      // the rewrite half on top of the same gram relation: adds the
+      // doc-keyed duplicated-start-list join + per-row array filter;
+      // rows ×f (every doc emits one row)
+      ("corpus_strip_spans", Int.MaxValue, f =>
+        ext.TextAnalysis.stripDupSpans(inflateDocs(docs0, f), "doc_id", "text")),
+      // IVF-PQ search: candidate pass over the 8-code representation;
+      // const k output — cost should track the coarse+codebook
+      // trainings (constant) plus the linear encode
+      ("ann_ivfpq_topk", Int.MaxValue, f =>
+        ext.Similarity.ivfPqTopK(inflateEmbeddings(emb0, f), "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 10)),
       // benchmark FIXED at the copy-0 slice while the corpus inflates
       // ×f — the production shape (benchmarks don't grow with the
       // crawl). True hits stay constant (ciphered copies share no

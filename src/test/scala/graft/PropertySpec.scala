@@ -103,6 +103,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BPE encode reassembles arbitrary words under arbitrary merge tables") {
+    val rnd = new scala.util.Random(23)
+    def randWord(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(4)).toChar).mkString
+    (0 until 300).foreach { _ =>
+      // random merge table over a tiny alphabet: high collision rate
+      // exercises chained merges (merged outputs feeding later rules)
+      var merges = List.empty[(String, String)]
+      var pieces = Set("a", "b", "c", "d")
+      (0 until rnd.nextInt(12)).foreach { _ =>
+        val l = pieces.toSeq(rnd.nextInt(pieces.size))
+        val r = pieces.toSeq(rnd.nextInt(pieces.size))
+        merges :+= ((l, r))
+        pieces += (l + r)
+      }
+      val w = randWord(1 + rnd.nextInt(14))
+      val out = ext.Bpe.encode(w, merges)
+      assert(out.mkString == w, s"w=$w merges=$merges out=${out.toSeq}")
+      assert(out.nonEmpty && out.length <= w.length)
+      // idempotence: re-applying the same merges changes nothing
+      val again = merges.foldLeft(out) { case (ps, (l, r)) => ext.Bpe.applyMerge(ps, l, r) }
+      assert(again.toSeq == out.toSeq, s"not idempotent: w=$w merges=$merges")
+    }
+  }
+
   test("RangeJoin (binned) equals the naive non-equi join on random data") {
     val rnd = new scala.util.Random(23)
     val left = (1 to 300).map(i => (rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong - 200, i.toLong))

@@ -38,3 +38,22 @@ object AuditR5 {
     spark.stop()
   }
 }
+
+/** Formatted-plan dump of the round-5 operators — eyeball that the ADC
+  * joins broadcast, the shortlists run through TopKPerKey, the strip
+  * rewrite stays map-only after its two gram exchanges, and the prefix
+  * sum never plans a SinglePartition exchange. */
+object AuditR5Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = GraftSession.local(cores = 8, shufflePartitions = 8, appName = "audit-r5")
+    for (name <- Seq("ann_ivfpq_topk", "corpus_strip_spans", "corpus_chunks_bpe",
+        "corpus_pack", "corpus_shuffle", "text_repetition", "multimodal_dedup")) {
+      println(s"\n=== $name ===")
+      println(SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

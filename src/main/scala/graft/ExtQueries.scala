@@ -582,6 +582,13 @@ object ExtQueries {
          |SELECT doc_id, count(*) AS n_hits FROM h JOIN bench USING (h)
          |WHERE doc_id % 7 <> 0 GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    // media content dedup rebuilt from scratch: the synthetic payload
+    // is the text's bytes, so DuckDB hashes the text directly
+    "multimodal_dedup" ->
+      """SELECT min(doc_id) AS keeper, md5(text) AS payload_md5, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY keeper""".stripMargin,
     "corpus_source_cap" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,
@@ -1348,6 +1355,18 @@ object ExtQueries {
       Dedup.exactKeepFirst(t(s, dir, "documents"), "text", "doc_id")
         .select("doc_id")
         .orderBy("doc_id")
+    },
+    "multimodal_dedup" -> { (s, dir) =>
+      // exact media dedup by CONTENT hash of the opaque binary payload
+      // (the first pass of every multimodal pipeline — identical bytes
+      // re-crawled under different ids): hash groupBy, deterministic
+      // min-id keeper, copy count; one partial-aggregated exchange of
+      // (16-byte digest, id, count) — payloads never shuffle
+      Multimodal.syntheticMedia(s, dir)
+        .groupBy(md5(col("payload")).as("payload_md5"))
+        .agg(min(col("media_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .select("keeper", "payload_md5", "n_copies")
+        .orderBy("keeper")
     },
     "multimodal_features" -> { (s, dir) =>
       // binary payload → codec batch (one instance per partition, no

@@ -352,8 +352,11 @@ object Similarity {
       // multi-round probe measured 2 GB plan strings). The checkpoint
       // truncates the plan to a leaf, the same trick the
       // connectedComponents loop uses.
+      // trained is ≤ numCentroids rows by construction but sits behind
+      // an aggregation (no size stats) — without the hint the planner
+      // sort-merges two 64-row relations
       cents = cents.select(col("cent_id"), col("cv").as("cv0"))
-        .join(trained, Seq("cent_id"), "left")
+        .join(broadcast(trained), Seq("cent_id"), "left")
         .select(col("cent_id"), coalesce(col("cv"), col("cv0")).as("cv"))
         .localCheckpoint(true)
     }
@@ -577,7 +580,7 @@ object Similarity {
     // cached: the codebook is broadcast into the corpus-wide encode
     scope.cache(
       seeds.select(col("sub"), col("code"), col("cv").as("cv0"))
-        .join(trained, Seq("sub", "code"), "left")
+        .join(broadcast(trained), Seq("sub", "code"), "left")
         .select(col("sub"), col("code"), coalesce(col("cv"), col("cv0")).as("cv")))
   }
 

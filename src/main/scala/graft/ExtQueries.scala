@@ -877,6 +877,25 @@ object ExtQueries {
         |  CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
         |FROM orders
         |ORDER BY rnk""".stripMargin,
+    // token-budget selection rebuilt from scratch: same qscore
+    // arithmetic, same (qscore DESC, doc_id) order, same exclusive
+    // running sum and < budget cut
+    "corpus_budget_select" ->
+      s"""WITH f AS (SELECT doc_id, $tokSql AS tk, text FROM documents),
+         |q AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    least(len(tk) / 100.0, 1.0) * 0.5
+         |    + (CASE WHEN len(tk) = 0 THEN 0.0 ELSE len(list_filter(tk, x -> list_contains(['the','a','an','of','to','and','in','is','it','for','on','with'], x)))*1.0 / len(tk) END) * 0.3
+         |    + (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[[:punct:]]'))*1.0 / length(text) END) * 0.2 AS qscore
+         |  FROM f),
+         |c AS (
+         |  SELECT doc_id, n_tokens, qscore,
+         |         CAST(coalesce(sum(n_tokens) OVER (
+         |           ORDER BY qscore DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM q)
+         |SELECT doc_id, n_tokens, qscore, cum_before
+         |FROM c WHERE cum_before < 10000
+         |ORDER BY doc_id""".stripMargin,
     // deterministic training-order shuffle rebuilt from scratch: rank
     // over the same md5 hash order
     "corpus_shuffle" ->
@@ -1774,6 +1793,29 @@ object ExtQueries {
       // jobs, one scoring join — the classic perplexity-style signal
       // with no float drift for the oracle to trip on
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    "corpus_budget_select" -> { (s, dir) =>
+      // data-constrained corpus building: keep the highest-quality
+      // documents until a fixed token budget fills — order by (qscore
+      // DESC, doc_id), exclusive prefix-sum the token counts through
+      // the distributed primitive, keep docs whose span STARTS inside
+      // the budget (the greedy rule: the doc crossing the boundary is
+      // kept, the next is not). qscore is the deterministic composite
+      // the text_qscore oracle already hash-verifies, so the order —
+      // and with it the cut — replays exactly.
+      val budget = 10000L
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"), col("text"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          TextAnalysis.qualityScoreFromTokens(col("text"), col("tk")).as("qscore"))
+      graft.ops.GlobalSort.globalPrefixSum(
+          scored, Seq(col("qscore").desc, col("doc_id").asc), "n_tokens",
+          parts = s.conf.get("spark.sql.shuffle.partitions").toInt,
+          cumCol = "cum_before")
+        .where(col("cum_before") < budget)
+        .select("doc_id", "n_tokens", "qscore", "cum_before")
         .orderBy("doc_id")
     },
     "corpus_shuffle" -> { (s, dir) =>

@@ -58,14 +58,15 @@ object ExtQueries {
   // DuckDB replay of the PQ codebook trainer (Similarity.pqCodebook:
   // seeds = the 16 smallest-hash vectors with codes = hash rank, one
   // id-broken Lloyd round per subspace over the bounded sample,
-  // truncating integer means). ASSUMES a `qv` CTE (vec_id, q, h) is in
-  // scope; ends with `pqcents` = (sub, code, cv). Shared by
-  // emb_pq_codes and ann_ivfpq_topk.
-  private val pqCentsSql =
-    s"""pqsamp AS (SELECT vec_id AS sid, q FROM qv ORDER BY h, vec_id LIMIT ${ext.Similarity.defaultTrainSample}),
+  // truncating integer means). `src` names a CTE of shape
+  // (vec_id, q, h) — `qv` for raw-vector PQ, a residual relation for
+  // IVFADC; ends with `pqcents` = (sub, code, cv). Shared by
+  // emb_pq_codes, ann_ivfpq_topk, and ann_ivfpq_res_topk.
+  private def pqCentsSql(src: String = "qv") =
+    s"""pqsamp AS (SELECT vec_id AS sid, q FROM $src ORDER BY h, vec_id LIMIT ${ext.Similarity.defaultTrainSample}),
        |pqsd0 AS (
        |  SELECT q, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
-       |  FROM (SELECT * FROM qv ORDER BY h, vec_id LIMIT 16) z0),
+       |  FROM (SELECT * FROM $src ORDER BY h, vec_id LIMIT 16) z0),
        |pqseeds AS (SELECT sub, code, q[sub*8+1 : sub*8+8] AS cv FROM pqsd0, range(0, 8) r(sub)),
        |pqssub AS (SELECT sid, sub, q[sub*8+1 : sub*8+8] AS sv FROM pqsamp, range(0, 8) r(sub)),
        |pqsasgn AS (
@@ -382,6 +383,70 @@ object ExtQueries {
          |  FROM scored)
          |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
          |ORDER BY probe_id, rn""".stripMargin,
+    // residual IVF-PQ (true IVFADC) rebuilt from scratch: the shared
+    // coarse chain, residuals as exact int64 differences, the PQ chain
+    // retargeted at the residual relation, per-(probe, list) ADC
+    // tables, shortlist, exact re-rank — every step id-broken
+    "ann_ivfpq_res_topk" ->
+      s"""WITH $ivfAssignSql,
+         |rqv AS (
+         |  SELECT e.vec_id,
+         |         list_transform(list_zip(e.q, c.cv), p -> CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT)) AS q,
+         |         e.h
+         |  FROM qv e JOIN assign a ON a.vec_id = e.vec_id JOIN cents c ON c.cent_id = a.list_id),
+         |${pqCentsSql("rqv")},
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT e.vec_id, e.sub, c.code,
+         |           row_number() OVER (PARTITION BY e.vec_id, e.sub
+         |             ORDER BY ${pqDistSql("e.sv", "c.cv")}, c.code) AS rn
+         |    FROM (SELECT vec_id, sub, q[sub*8+1 : sub*8+8] AS sv FROM rqv, range(0, 8) r(sub)) e
+         |    JOIN pqcents c ON e.sub = c.sub) z
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, q AS pe FROM qv WHERE vec_id < 10),
+         |pl AS (
+         |  SELECT probe_id, list_id FROM (
+         |    SELECT p.probe_id, c.cent_id AS list_id,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY 2*${qdotIntSql("p.pe", "c.cv")} - c.nrm DESC, c.cent_id) AS pr
+         |    FROM probes p CROSS JOIN cents c) b
+         |  WHERE pr <= 4),
+         |prs AS (
+         |  SELECT pl.probe_id, pl.list_id,
+         |         list_transform(list_zip(p.pe, lc.cv), x -> CAST(x[1] AS BIGINT) - CAST(x[2] AS BIGINT)) AS q
+         |  FROM pl JOIN probes p ON p.probe_id = pl.probe_id
+         |  JOIN cents lc ON lc.cent_id = pl.list_id),
+         |padc AS (
+         |  SELECT ps.probe_id, ps.list_id, ps.sub, c.code, ${pqDistSql("ps.sv", "c.cv")} AS d
+         |  FROM (SELECT probe_id, list_id, sub, q[sub*8+1 : sub*8+8] AS sv
+         |        FROM prs, range(0, 8) r(sub)) ps
+         |  JOIN pqcents c ON ps.sub = c.sub),
+         |cand AS (
+         |  SELECT pl.probe_id, a.vec_id, sum(padc.d) AS ad
+         |  FROM pl
+         |  JOIN assign a ON a.list_id = pl.list_id
+         |  JOIN codes co ON co.vec_id = a.vec_id
+         |  JOIN padc ON padc.probe_id = pl.probe_id AND padc.list_id = pl.list_id
+         |           AND padc.sub = co.sub AND padc.code = co.code
+         |  WHERE a.vec_id <> pl.probe_id
+         |  GROUP BY pl.probe_id, a.vec_id),
+         |short AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id ORDER BY ad, vec_id) AS sr
+         |    FROM cand) s
+         |  WHERE sr <= 40),
+         |scored AS (
+         |  SELECT sh.probe_id, sh.vec_id, ${qdotIntSql("p.pe", "e.q")} AS qdot
+         |  FROM short sh
+         |  JOIN probes p ON p.probe_id = sh.probe_id
+         |  JOIN qv e ON e.vec_id = sh.vec_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, qdot,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
+         |ORDER BY probe_id, rn""".stripMargin,
     // streaming twin of the canonical word count: same tokenization,
     // continuous execution, complete-mode memory sink
     "stream_wordcount" ->
@@ -487,7 +552,7 @@ object ExtQueries {
          |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
          |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
          |  FROM embeddings),
-         |$pqCentsSql,
+         |${pqCentsSql()},
          |esub AS (SELECT vec_id, sub, q[sub*8+1 : sub*8+8] AS sv FROM qv, range(0, 8) r(sub))
          |SELECT vec_id, CAST(sub AS BIGINT) AS sub, code, qerr FROM (
          |  SELECT e.vec_id, e.sub, c.code, ${pqDistSql("e.sv", "c.cv")} AS qerr,
@@ -503,7 +568,7 @@ object ExtQueries {
     // and rank id-broken, so the full pipeline replays bit-for-bit
     "ann_ivfpq_topk" ->
       s"""WITH $ivfAssignSql,
-         |$pqCentsSql,
+         |${pqCentsSql()},
          |codes AS (
          |  SELECT vec_id, sub, code FROM (
          |    SELECT e.vec_id, e.sub, c.code,
@@ -1364,6 +1429,15 @@ object ExtQueries {
       // representation (no raw vectors in the candidate pass), exact
       // re-rank of the 40-deep shortlist
       Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 10)
+        .orderBy("probe_id", "rn")
+    },
+    "ann_ivfpq_res_topk" -> { (s, dir) =>
+      // true IVFADC: the PQ codebook trained on RESIDUALS against the
+      // coarse centroids (exact int64 differences), per-(probe, list)
+      // ADC tables — the coupled-quantizer variant ann_ivfpq_topk
+      // deliberately decouples
+      Similarity.ivfPqResidualTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10)
         .orderBy("probe_id", "rn")
     },

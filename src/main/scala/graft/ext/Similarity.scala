@@ -545,11 +545,25 @@ object Similarity {
       trainSample: Int = defaultTrainSample,
       scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
     require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")
-    val subDim = dim / numSub
+    pqCodebookFromQ(corpus.select(col(idCol), qvT(col(vecCol)).as("q")),
+      idCol, numSub, dim / numSub, codebook, trainSample, scope)
+  }
+
+  /** `pqCodebook` over an ALREADY-quantized (id, q: array<long>)
+    * relation — the entry point residual encoding needs (residuals
+    * are int64 differences, never floats). */
+  private[ext] def pqCodebookFromQ(
+      qdf: DataFrame,
+      idCol: String,
+      numSub: Int,
+      subDim: Int,
+      codebook: Int,
+      trainSample: Int,
+      scope: graft.util.CacheScope): DataFrame = {
     val idHash = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
       .cast("long")
-    val ranked = corpus
-      .select(col(idCol).as("sid"), qvT(col(vecCol)).as("q"), idHash.as("__h"))
+    val ranked = qdf
+      .select(col(idCol).as("sid"), col("q"), idHash.as("__h"))
       .orderBy(asc("__h"), asc("sid"))
       .limit(trainSample)
     // cached: both sides of the Lloyd round read the sample
@@ -594,7 +608,16 @@ object Similarity {
       cents: DataFrame,
       numSub: Int,
       subDim: Int): DataFrame =
-    pqSubspaces(corpus.select(col(idCol), qvT(col(vecCol)).as("q")), "q", numSub, subDim)
+    pqCodesFromQ(corpus.select(col(idCol), qvT(col(vecCol)).as("q")),
+      idCol, cents, numSub, subDim)
+
+  private[ext] def pqCodesFromQ(
+      qdf: DataFrame,
+      idCol: String,
+      cents: DataFrame,
+      numSub: Int,
+      subDim: Int): DataFrame =
+    pqSubspaces(qdf, "q", numSub, subDim)
       .join(broadcast(cents), Seq("sub"))
       .select(col(idCol), col("sub"), col("code"), qdist(col("sv"), col("cv")).as("d"))
       .groupBy(idCol, "sub")
@@ -684,6 +707,129 @@ object Similarity {
       .groupBy("probe_id", idCol)
       .agg(sum(col("d")).as("adc"))
     // ADC shortlist (bounded heap), then exact re-rank of ≤ refine rows
+    val short = graft.plans.TopKPerKey(
+      cand, Seq("probe_id"), Seq(("adc", true), (idCol, true)), refine)
+      .select(col("probe_id"), col(idCol))
+    val rescored = short
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(probes), "probe_id")
+      .select(col("probe_id"), col(idCol),
+        quantizedDot(col("pe"), col(vecCol)).as("qdot"))
+    rankTopK(rescored, idCol, k)
+  }
+
+  /** Residual IVF-PQ top-k — true IVFADC (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search"): PQ encodes
+    * each vector's RESIDUAL against its coarse centroid (x − c), not
+    * the raw vector. Residuals concentrate near the origin, so a
+    * shared codebook spends its 16 codes per subspace on much smaller
+    * displacements — the reconstruction-error win that is the reason
+    * production IVFADC couples the two quantizers. The coupling is
+    * what `ivfPqTopK` deliberately avoids; here it is paid in full
+    * and kept replayable: residuals are exact int64 differences of
+    * already-quantized vectors, so training, encode, and the
+    * per-(probe, list) ADC tables (the probe's residual against EACH
+    * probed list's centroid) all replay in the oracle.
+    *
+    * Scale shape matches `ivfPqTopK`: candidates carry codes only,
+    * the ADC relation grows to probes·nprobe·numSub·codebook rows
+    * (still a broadcast), raw vectors appear only in the ≤ refine
+    * shortlist re-rank. */
+  /** The coupled residual quantizer's parts: (coarse centroids, list
+    * assignment, residual-trained PQ codebook, residual codes). */
+  private def residualParts(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int,
+      dim: Int,
+      numSub: Int,
+      codebook: Int,
+      trainRounds: Int,
+      trainSample: Int,
+      scope: graft.util.CacheScope): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val subDim = dim / numSub
+    val coarse = ivfCentroids(corpus, idCol, vecCol, numCentroids, trainRounds, trainSample, scope)
+    // cached: consumed by the residual computation AND candidate
+    // generation
+    val lists = scope.cache(ivfAssign(corpus, idCol, vecCol, coarse))
+    val resid = scope.cache(corpus
+      .select(col(idCol), qvT(col(vecCol)).as("q"))
+      .join(lists, idCol)
+      .join(broadcast(coarse.select(col("cent_id").as("list_id"), col("cv"))), "list_id")
+      .select(col(idCol), zip_with(col("q"), col("cv"), (a, b) => a - b).as("q")))
+    val book = pqCodebookFromQ(resid, idCol, numSub, subDim, codebook, trainSample, scope)
+    (coarse, lists, book, pqCodesFromQ(resid, idCol, book, numSub, subDim))
+  }
+
+  /** Residual PQ codes (id, sub, code, qerr) — what an IVFADC
+    * deployment stores: each vector's residual against its coarse
+    * centroid, quantized under the residual-trained codebook. qerr is
+    * the residual reconstruction error; `ExtSpec` asserts it beats
+    * raw-vector `pqEncode`'s — the measured justification for
+    * coupling the quantizers. */
+  def pqEncodeResidual(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 64,
+      dim: Int = 64,
+      numSub: Int = 8,
+      codebook: Int = 16,
+      trainRounds: Int = defaultTrainRounds,
+      trainSample: Int = defaultTrainSample,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame =
+    residualParts(corpus, idCol, vecCol, numCentroids, dim, numSub, codebook,
+      trainRounds, trainSample, scope)._4
+
+  def ivfPqResidualTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      numCentroids: Int = 64,
+      nprobe: Int = 4,
+      dim: Int = 64,
+      numSub: Int = 8,
+      codebook: Int = 16,
+      refine: Int = 40,
+      trainRounds: Int = defaultTrainRounds,
+      trainSample: Int = defaultTrainSample,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    val subDim = dim / numSub
+    val (coarse, lists, book, codesFull) = residualParts(
+      corpus, idCol, vecCol, numCentroids, dim, numSub, codebook,
+      trainRounds, trainSample, scope)
+    val codes = codesFull.select(col(idCol), col("sub"), col("code"))
+    val probes = corpus.where(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
+    val wp = Window.partitionBy("probe_id").orderBy(desc("cd"), asc("cent_id"))
+    val probeLists = probes.crossJoin(broadcast(coarse))
+      .select(col("probe_id"), col("cent_id"),
+        (lit(2L) * quantizedDot(col("pe"), col("cv")) - col("nrm")).as("cd"))
+      .withColumn("pr", row_number().over(wp))
+      .where(col("pr") <= nprobe)
+      .select(col("probe_id"), col("cent_id").as("list_id"))
+    // the probe's residual differs PER PROBED LIST — the ADC table is
+    // keyed (probe, list, sub, code), still a tiny broadcast
+    val pres = probeLists
+      .join(broadcast(probes), "probe_id")
+      .join(broadcast(coarse.select(col("cent_id").as("list_id"), col("cv").as("lcv"))),
+        "list_id")
+      .select(col("probe_id"), col("list_id"),
+        zip_with(qvT(col("pe")), col("lcv"), (a, b) => a - b).as("q"))
+    val adc = pqSubspaces(pres, "q", numSub, subDim)
+      .join(broadcast(book), Seq("sub"))
+      .select(col("probe_id"), col("list_id"), col("sub").cast("long").as("sub"),
+        col("code"), qdist(col("sv"), col("cv")).as("d"))
+    val cand = probeLists.join(lists, "list_id")
+      .where(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col("list_id"), col(idCol))
+      .join(codes, idCol)
+      .join(broadcast(adc), Seq("probe_id", "list_id", "sub", "code"))
+      .groupBy("probe_id", idCol)
+      .agg(sum(col("d")).as("adc"))
     val short = graft.plans.TopKPerKey(
       cand, Seq("probe_id"), Seq(("adc", true), (idCol, true)), refine)
       .select(col("probe_id"), col(idCol))

@@ -436,6 +436,37 @@ class ExtSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivfPqResidualTopK with full probe width and full refine equals the exact brute force (sf0.001)") {
+    val emb = io.Tables(spark, sf, "embeddings")
+    val n = emb.count().toInt
+    val probes = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val exact = Similarity
+      .bruteForceTopK(emb, probes, "vec_id", "embedding", "probe_id", "pe", 5)
+      .select("probe_id", "vec_id", "qdot", "rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val pq = Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 5,
+        numCentroids = 8, nprobe = 8, refine = n)
+      .select("probe_id", "vec_id", "qdot", "rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pq == exact)
+    spark.catalog.clearCache()
+  }
+
+  test("residual PQ reconstructs better than raw-vector PQ (sf0.001)") {
+    // the entire point of coupling the quantizers: residuals
+    // concentrate near the origin, so the same 16 codes per subspace
+    // reconstruct with less total squared error
+    val emb = io.Tables(spark, sf, "embeddings")
+    val rawErr = Similarity.pqEncode(emb, "vec_id", "embedding")
+      .agg(sum(col("qerr"))).as[Long].head()
+    val resErr = Similarity.pqEncodeResidual(emb, "vec_id", "embedding")
+      .agg(sum(col("qerr"))).as[Long].head()
+    assert(resErr < rawErr, s"residual qerr $resErr !< raw qerr $rawErr")
+    spark.catalog.clearCache()
+  }
+
   test("BPE: merges apply left-to-right, segmentation reassembles the word, counts monotone") {
     // left-scan semantics on the classic alternating case
     assert(graft.ext.Bpe.applyMerge(Array("a", "b", "a", "b", "a"), "a", "b").toSeq

@@ -57,3 +57,25 @@ object AuditR5Plans {
     spark.stop()
   }
 }
+
+/** Band-count cost experiment at 64×: is the recall margin of b=96
+  * (miss ≤ 1e-9) worth its 288-perm signature cost vs b=64 at r=3
+  * (miss ≈ 2e-7)? */
+object AuditR5Geom {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(cores = 32, shufflePartitions = 32, appName = "audit-r5-geom")
+    val docs0 = io.Tables(spark, sfDir, "documents")
+    val infl = BenchScale.inflateDocs(docs0, 64)
+    ext.Dedup.nearDupPairs(docs0, "doc_id", "text", threshold = 0.6).count() // warmup
+    spark.catalog.clearCache()
+    for ((p, b) <- Seq((128, 64), (192, 64), (288, 96), (0, 0))) {
+      val t0 = System.nanoTime()
+      val rows = ext.Dedup.nearDupPairs(infl, "doc_id", "text",
+        numPerms = p, bands = b, threshold = 0.6).count()
+      println(f"perms=$p%-4d bands=$b%-3d rows=$rows%-6d ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

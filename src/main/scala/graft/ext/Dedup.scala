@@ -247,13 +247,18 @@ object Dedup {
     val sh = scope.cache(df
       .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
       .where(size(col("ws")) > 0))
-    // bands/numPerms = 0 → derive the geometry from a count of the
-    // (already-cached, reused-anyway) shingle relation: one O(1)-result
-    // pre-pass, the same shape as the hot-bucket probe below
+    // bands/numPerms = 0 → derive the geometry from the INPUT row
+    // count: one O(1)-result pre-pass, the same shape as the
+    // hot-bucket probe below. Counting `df` (column-pruned scan, no
+    // tokenization) rather than the shingle relation matters: an
+    // sh.count() pre-pass materializes the full tokenize+shingle
+    // projection as its own up-front job — measured +10 s at the 64×
+    // probe scale — while the log-scale schedule is indifferent to
+    // the few empty-shingle docs the input count over-counts.
     val (perms, bandsN) =
       if (bands > 0 && numPerms > 0) (numPerms, bands)
       else {
-        val (r, b) = lshGeometry(sh.count(), threshold)
+        val (r, b) = lshGeometry(df.count(), threshold)
         (r * b, b)
       }
     val sigs = sh.select(col(idCol), minHashSignature(col("ws"), perms).as("sig"))

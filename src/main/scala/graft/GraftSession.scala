@@ -26,10 +26,18 @@ object GraftSession {
   def local(
       cores: Int = 32,
       shufflePartitions: Int = 32,
-      appName: String = "graft"): SparkSession = {
+      appName: String = "graft",
+      taskMaxFailures: Int = 1): SparkSession = {
+    // local[N] never retries tasks; local[N, F] is how local mode gets the
+    // cluster's task-retry behavior (the reference's worker-failure
+    // re-dispatch, `w7/src/master/master.cc:31`). Production clusters get
+    // spark.task.maxFailures=4 by default — nothing to configure there.
+    val master =
+      if (taskMaxFailures > 1) s"local[$cores, $taskMaxFailures]"
+      else s"local[$cores]"
     val spark = SparkSession
       .builder()
-      .master(s"local[$cores]")
+      .master(master)
       .appName(appName)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

@@ -15,8 +15,10 @@ import graft.ops.TextOps
   *
   * Usage:
   *   graft.Main --input <dir|file> [--format text|parquet]
-  *              [--query wordcount|sql|custom|<named>] [--sql "SELECT ..."]
+  *              [--query wordcount|sql|custom|expr|<named>] [--sql "SELECT ..."]
   *              [--mapper-class FQCN --reducer-class FQCN]
+  *              [--mapper-expr "<array<struct<key,value>> expr>"]
+  *              [--reducer-expr "<aggregate over value>"]
   *              [--m M] [--r R] --output <dir> [--table documents --col text]
   *              [--key <col> --value <col>]
   *
@@ -24,6 +26,18 @@ import graft.ops.TextOps
   * (`w6/docs/design.md:66-74`): the named classes must implement
   * `graft.api.TextMapper` / `graft.api.TextReducer` and are instantiated
   * reflectively — no engine code changes, no SQL.
+  *
+  * `--query expr` is the same contract with no compiled code at all — the
+  * closest Spark spelling of the reference's "POST map.py/reduce.py at
+  * submit time" (`w6/docs/design.md:66-74`, client flags
+  * `w7/client.sh:28-29`). The mapper is a SQL expression over the input
+  * row producing `ARRAY<STRUCT<key, value>>` (one record → zero-or-more
+  * kv pairs, exactly `mapfunc`); the engine explodes it and hash-groups
+  * by `key`. The reducer is a SQL aggregate expression over column
+  * `value` (e.g. `sum(value)`, `count(distinct value)`); omitted → a
+  * map-only job emitting the raw kv pairs. Both expressions see the
+  * engine's native functions (qdot, minhash_sig, shingle_hashes, …) —
+  * they are registered by `GraftExtensions` on every session.
   *
   * `--m` sets the map-shard count for the input size (the reference's M,
   * via maxPartitionBytes); `--r` the number of reducers = output files.
@@ -99,6 +113,23 @@ object Main {
           graft.api.CustomJob.instantiate[graft.api.TextMapper](mc),
           graft.api.CustomJob.instantiate[graft.api.TextReducer](rc), r),
           prePartitioned = true)
+      case "expr" =>
+        import org.apache.spark.sql.functions.{explode, expr}
+        val me = opts.getOrElse("mapper-expr",
+          sys.error("--mapper-expr required with --query expr"))
+        // explode is map-side; the groupBy hash-partitions by key (the
+        // reference's hash(key) % R, `w7/src/worker/workerimpl.cc:254`).
+        // The sink's own repartition(r, key) then pins the out_<j> file
+        // contract — AQE may coalesce the groupBy exchange, so the
+        // aggregate's partitioning can't be trusted as the R layout; the
+        // re-shuffled relation is the already-reduced (small) one.
+        val kv = df
+          .select(explode(expr(me)).as("kv"))
+          .select(col("kv.key").as("key"), col("kv.value").as("value"))
+        opts.get("reducer-expr") match {
+          case Some(re) => sink(kv.groupBy("key").agg(expr(re).as("value")))
+          case None => sink(kv) // map-only job
+        }
       case name if SparkEntry.queries.contains(name) =>
         sink(SparkEntry.queries(name)(spark, input))
       case other => sys.error(s"unknown --query $other")

@@ -305,6 +305,34 @@ class ExtSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("repetitionStats argmax ties: (count DESC, token ASC) binary order, both engines") {
+    // Pins the min_by(struct(-c, w)) contract against the oracle's
+    // row_number() OVER (ORDER BY c DESC, w): on a count tie the
+    // lexicographically SMALLEST token wins, on a bigram tie the
+    // smallest (w1, w2). Each doc is built so the tie loser has a
+    // different char length — a wrong tie-break changes the permille.
+    val docs = Seq(
+      // doc 1: "bb" ×2 and "a" ×2 tie on count; "a" < "bb" → top word
+      // chars = 2×1 = 2 of 2+2+1+1+1 = 7 → 1000*2/7 = 285. Wrong
+      // winner ("bb") would give 2×2 = 4 → 571.
+      (1L, "bb bb a a c"),
+      // doc 2: bigrams ("a b") ×1, ("b a") ×1 … all bigrams of
+      // "a b a z" are (a b), (b a), (a z) — each once, tie on count;
+      // smallest is (a,b) → 2 chars → 1000*2/4 = 500 (chars 1+1+1+1).
+      (2L, "a b a z"),
+      // doc 3: prefix-vs-longer tie: "x" ×2, "xy" ×2 — binary order
+      // puts "x" < "xy" → top chars 2×1 → 1000*2/6 = 333, not 666.
+      (3L, "x xy x xy")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "top_word_permille", "top_bigram_permille", "dup_word_permille")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got(0)._2 == 285L, s"count-tie must pick smallest token: ${got(0)}")
+    assert(got(1)._3 == 500L, s"bigram tie must pick smallest (w1,w2): ${got(1)}")
+    assert(got(2)._2 == 333L, s"prefix tie must pick shorter token: ${got(2)}")
+    spark.catalog.clearCache()
+  }
+
   test("stripDupSpans removes exactly the tokens under corpus-duplicated windows") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta unique1 tail1"),

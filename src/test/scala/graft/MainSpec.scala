@@ -65,6 +65,48 @@ class MainSpec extends SparkSpec {
     assert(counts("fox") == 1L)
   }
 
+  test("CLI expr job: wordcount submitted purely as SQL expression strings") {
+    // the reference's "POST map.py/reduce.py at submit time"
+    // (`w6/docs/design.md:66-74`) with zero compiled code: the mapper is
+    // an ARRAY<STRUCT<key,value>> expression over the input line, the
+    // reducer an aggregate over `value` — map.py:9-18 / reduce.py:2-17
+    // as two CLI strings
+    val in = Files.createTempDirectory("cli_expr_in")
+    Files.writeString(in.resolve("a.txt"), "The quick brown fox\nthe lazy dog.\n")
+    Files.writeString(in.resolve("b.txt"), "THE end\n")
+    val out = Files.createTempDirectory("cli_expr_out").toString
+    Main.main(Array(
+      "--input", in.toString, "--output", out, "--r", "3",
+      "--query", "expr",
+      "--mapper-expr",
+      "transform(filter(split(regexp_replace(lower(value), '[\\\\p{Punct}]', ' '), ' '), w -> w != ''), w -> struct(w AS key, 1L AS value))",
+      "--reducer-expr", "sum(value)",
+      "--key", "key", "--value", "value"))
+    val files = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("out_"))
+    assert(files.sorted.toSeq == Seq("out_0", "out_1", "out_2"))
+    val back = io.KvText.read(spark, out)
+    import spark.implicits._
+    val counts = back.select($"key", $"value".cast("long"))
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("the" -> 3L, "quick" -> 1L, "brown" -> 1L, "fox" -> 1L,
+      "lazy" -> 1L, "dog" -> 1L, "end" -> 1L))
+  }
+
+  test("CLI expr job without a reducer is map-only: raw kv pairs out") {
+    val in = Files.createTempDirectory("cli_exprm_in")
+    Files.writeString(in.resolve("a.txt"), "ab\ncd\n")
+    val out = Files.createTempDirectory("cli_exprm_out").toString
+    Main.main(Array(
+      "--input", in.toString, "--output", out, "--r", "2",
+      "--query", "expr",
+      "--mapper-expr", "array(struct(value AS key, length(value) AS value))",
+      "--key", "key", "--value", "value"))
+    val back = io.KvText.read(spark, out)
+    import spark.implicits._
+    val rows = back.select($"key", $"value".cast("long")).as[(String, Long)].collect().toMap
+    assert(rows == Map("ab" -> 2L, "cd" -> 2L))
+  }
+
   test("CLI sql job runs arbitrary SQL with custom functions over the tables") {
     val out = Files.createTempDirectory("cli_sql_out").toString
     Main.main(Array(

@@ -63,6 +63,19 @@ def main():
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
             failures += 1
             continue
+        # The driver's hash compare is dtype-sensitive across the
+        # int/float divide (it normalizes int widths and datetime units,
+        # not int-vs-float): a DuckDB HUGEINT column (sum of BIGINT)
+        # reaching pandas as float64 hash-fails even when every value is
+        # integral. Mirror that here so the local gate catches it.
+        mixed = [c for c in g.columns
+                 if pd.api.types.is_integer_dtype(g[c]) != pd.api.types.is_integer_dtype(w[c])
+                 and pd.api.types.is_numeric_dtype(g[c]) and pd.api.types.is_numeric_dtype(w[c])]
+        if mixed:
+            print(f"FAIL {name}: int-vs-float dtype mismatch {[(c, str(g[c].dtype), str(w[c].dtype)) for c in mixed]}"
+                  " (driver hash would differ; CAST the oracle column)")
+            failures += 1
+            continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             failures += 1

@@ -674,17 +674,91 @@ object Similarity {
       refine: Int = 40,
       trainRounds: Int = defaultTrainRounds,
       trainSample: Int = defaultTrainSample,
-      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
-    val subDim = dim / numSub
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame =
+    probeIndex(
+      annIndex(corpus, idCol, vecCol, numCentroids, dim, numSub, codebook,
+        trainRounds, trainSample, scope),
+      corpus, idCol, vecCol, probeFilter, k, nprobe, numSub, dim / numSub, refine)
+
+  /** The persistable ANN index of one corpus — IVFADC's build-time half,
+    * the `dedupIndex` pattern for embeddings: the trained coarse
+    * centroids, the corpus's inverted-list assignment, the trained PQ
+    * codebook, and the corpus's PQ codes. `ivfPqTopK` rebuilds all four
+    * per call only because oracle queries must stand alone; a production
+    * deployment trains ONCE at build time, persists these four relations
+    * (`writeAnnIndex`/`readAnnIndex` — all-int64 columns, so the parquet
+    * round trip is exact), and serves every probe batch from them via
+    * `probeIndex`. The raw-vector relation is NOT part of the index: the
+    * candidate pass needs only codes (numSub small ints per vector — the
+    * compressed store that is the point of PQ); raw vectors are fetched
+    * from the corpus table for just the ≤ refine·probes shortlist. */
+  final case class AnnIndex(
+      coarse: DataFrame, // (cent_id, cv: array<long>, nrm)
+      lists: DataFrame,  // (id, list_id)
+      book: DataFrame,   // (sub, code, cv: array<long>)
+      codes: DataFrame)  // (id, sub, code)
+
+  /** Train both quantizers and encode the corpus — the once-per-corpus
+    * cost. Parameters mirror `ivfPqTopK`. */
+  def annIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 64,
+      dim: Int = 64,
+      numSub: Int = 8,
+      codebook: Int = 16,
+      trainRounds: Int = defaultTrainRounds,
+      trainSample: Int = defaultTrainSample,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): AnnIndex = {
     val coarse = ivfCentroids(corpus, idCol, vecCol, numCentroids, trainRounds, trainSample, scope)
-    val lists = ivfAssign(corpus, idCol, vecCol, coarse)
     val book = pqCodebook(corpus, idCol, vecCol, dim, numSub, codebook, trainSample, scope)
-    val codes = pqCodes(corpus, idCol, vecCol, book, numSub, subDim)
-      .select(col(idCol), col("sub"), col("code"))
+    AnnIndex(
+      coarse,
+      ivfAssign(corpus, idCol, vecCol, coarse),
+      book,
+      pqCodes(corpus, idCol, vecCol, book, numSub, dim / numSub)
+        .select(col(idCol), col("sub"), col("code")))
+  }
+
+  /** Persist the four index relations under `dir` (parquet). */
+  def writeAnnIndex(index: AnnIndex, dir: String): Unit = {
+    index.coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+    index.lists.write.mode("overwrite").parquet(s"$dir/lists")
+    index.book.write.mode("overwrite").parquet(s"$dir/book")
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  def readAnnIndex(spark: org.apache.spark.sql.SparkSession, dir: String): AnnIndex =
+    AnnIndex(
+      spark.read.parquet(s"$dir/coarse"),
+      spark.read.parquet(s"$dir/lists"),
+      spark.read.parquet(s"$dir/book"),
+      spark.read.parquet(s"$dir/codes"))
+
+  /** Serve one probe batch from a prebuilt index — the per-query cost a
+    * production IVFADC deployment actually pays: route each probe to its
+    * `nprobe` nearest lists (centroids broadcast), ADC-score candidates
+    * from their codes alone, exact re-rank of the `refine`-deep
+    * shortlist against raw corpus vectors. No training, no encode pass.
+    * `numSub`/`subDim` must match the index's build geometry (a
+    * persisted deployment versions them with the index, as
+    * `dedupIndex` does its LSH geometry). */
+  def probeIndex(
+      index: AnnIndex,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      nprobe: Int = 4,
+      numSub: Int = 8,
+      subDim: Int = 8,
+      refine: Int = 40): DataFrame = {
     val probes = corpus.where(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
     val wp = Window.partitionBy("probe_id").orderBy(desc("cd"), asc("cent_id"))
-    val probeLists = probes.crossJoin(broadcast(coarse))
+    val probeLists = probes.crossJoin(broadcast(index.coarse))
       .select(col("probe_id"), col("cent_id"),
         (lit(2L) * quantizedDot(col("pe"), col("cv")) - col("nrm")).as("cd"))
       .withColumn("pr", row_number().over(wp))
@@ -694,15 +768,15 @@ object Similarity {
     // broadcast into the code-keyed candidate join
     val adc = pqSubspaces(probes.select(col("probe_id"), qvT(col("pe")).as("q")),
         "q", numSub, subDim)
-      .join(broadcast(book), Seq("sub"))
+      .join(broadcast(index.book), Seq("sub"))
       .select(col("probe_id"), col("sub").cast("long").as("sub"), col("code"),
         qdist(col("sv"), col("cv")).as("d"))
     // candidates carry CODES only (8 small ints), never raw vectors:
     // each (probe, candidate) sums its numSub table distances
-    val cand = probeLists.join(lists, "list_id")
+    val cand = probeLists.join(index.lists, "list_id")
       .where(col(idCol) =!= col("probe_id"))
       .select(col("probe_id"), col(idCol))
-      .join(codes, idCol)
+      .join(index.codes, idCol)
       .join(broadcast(adc), Seq("probe_id", "sub", "code"))
       .groupBy("probe_id", idCol)
       .agg(sum(col("d")).as("adc"))

@@ -373,6 +373,25 @@ class ExtSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("persisted ANN index: parquet round trip serves probes identical to the inline path") {
+    // the production train-once shape: annIndex → writeAnnIndex →
+    // readAnnIndex → probeIndex must equal ivfPqTopK (which builds the
+    // same index inline per call) bit-for-bit — the index is all-int64,
+    // so persistence must be exact, not approximately-equal
+    val emb = io.Tables(spark, sf, "embeddings")
+    val pf = col("vec_id") < 5
+    val inline = Similarity.ivfPqTopK(emb, "vec_id", "embedding", pf, k = 10)
+      .orderBy("probe_id", "rn").collect()
+    val dir = java.nio.file.Files.createTempDirectory("ann_rt").toString
+    Similarity.writeAnnIndex(Similarity.annIndex(emb, "vec_id", "embedding"), dir)
+    val viaIndex = Similarity.probeIndex(Similarity.readAnnIndex(spark, dir),
+        emb, "vec_id", "embedding", pf, k = 10)
+      .orderBy("probe_id", "rn").collect()
+    assert(inline.nonEmpty)
+    assert(viaIndex.sameElements(inline))
+    spark.catalog.clearCache()
+  }
+
   test("pqEncode: identical vectors get identical codes, zero qerr on a seed vector") {
     // 4 distinct 16-dim vectors (dim divisible by numSub=8 → subDim 2),
     // duplicated ids 10/11 → identical codes per subspace

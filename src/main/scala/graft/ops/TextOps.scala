@@ -15,9 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** lowercase + punctuation→space (map.py:9-13). */
+  /** Document-length cap (characters) applied by `normalize`, and
+    * therefore by every tokenize/shingle/MinHash/n-gram kernel built on
+    * it: per-row scratch (token arrays, shingle hash sets, signature
+    * inputs) is O(cap), never O(document), so one pathological 100 MB
+    * document in a 100 TB crawl cannot become a straggler row or an
+    * executor OOM. 1 MiB of characters is ~150–250k tokens — far past
+    * any sane training document; production pipelines truncate at a
+    * length cap (C4/Gopher-style) rather than chunk for dedup purposes.
+    * The DuckDB oracles replay tokenization uncapped: the test corpora
+    * sit orders of magnitude below the cap, so capped == uncapped there
+    * by construction, and the cap is a documented policy divergence for
+    * pathological inputs only. */
+  val maxDocChars: Int = 1 << 20
+
+  /** lowercase + punctuation→space (map.py:9-13), after the
+    * `maxDocChars` truncation policy. */
   def normalize(c: Column): Column =
-    regexp_replace(lower(c), "\\p{Punct}", " ")
+    regexp_replace(lower(substring(c, 1, maxDocChars)), "\\p{Punct}", " ")
 
   /** Array of non-empty tokens (map.py:16-18 skips empty words). */
   def tokens(c: Column): Column =

@@ -86,21 +86,27 @@ object ExtQueries {
        |  FROM pqseeds s LEFT JOIN pqnewc n ON s.sub = n.sub AND s.code = n.code)""".stripMargin
 
   // DuckDB replay of the corpus-count-derived hyperplane geometry
-  // (Similarity.rhpGeometry: planes = smallest p in [3,16] with
-  // 2^p·64 ≥ n, tables = 8 + 2·max(0, planes−6)) and the md5-derived
-  // plane family itself — shared prefix of the two RHP-LSH oracles.
+  // (Similarity.rhpGeometry) and the md5-derived plane family itself —
+  // shared prefix of the two RHP-LSH oracles. Every schedule constant
+  // and enumeration bound interpolates from Similarity (like the
+  // train-round/sample constants), so changing the Scala schedule
+  // re-derives the oracle instead of silently desyncing it.
   // Ends with `planes` = (t, p, i, w) rows for the derived geometry.
-  private val rhpGeoSql =
+  private val rhpGeoSql = {
+    import ext.Similarity.{rhpMinPlanes, rhpMaxPlanes, rhpMaxTables,
+      rhpTargetBucketRows, rhpTableGrowthFrom, defaultDim}
     s"""nv AS (SELECT count(*) AS n FROM embeddings),
        |geo AS (
-       |  SELECT np, 8 + 2*greatest(0, np - 6) AS nt FROM (
-       |    SELECT coalesce(min(q), 16) AS np FROM range(3, 17) r(q), nv
-       |    WHERE (CAST(1 AS BIGINT) << q) * 64 >= n) g),
+       |  SELECT np, 8 + 2*greatest(0, np - $rhpTableGrowthFrom) AS nt FROM (
+       |    SELECT coalesce(min(q), $rhpMaxPlanes) AS np
+       |    FROM range($rhpMinPlanes, ${rhpMaxPlanes + 1}) r(q), nv
+       |    WHERE (CAST(1 AS BIGINT) << q) * $rhpTargetBucketRows >= n) g),
        |planes AS (
        |  SELECT t, p, i,
        |         (CAST(concat('0x', substring(md5(concat(t, ':', p, ':', i)), 1, 15)) AS BIGINT) % 17) - 8 AS w
-       |  FROM geo, range(0, 28) r1(t), range(0, 16) r2(p), range(0, 64) r3(i)
+       |  FROM geo, range(0, $rhpMaxTables) r1(t), range(0, $rhpMaxPlanes) r2(p), range(0, $defaultDim) r3(i)
        |  WHERE t < nt AND p < np)""".stripMargin
+  }
 
   // DuckDB replay of the Lloyd-trained IVF coarse quantizer (64 seed
   // centroids from the smallest md5 id-hashes,

@@ -59,10 +59,38 @@ object Bpe {
     out.toArray
   }
 
-  /** Segment one word: character pieces, then every merge in training
+  /** Initial segmentation: one piece per Unicode CODE POINT, not per
+    * UTF-16 unit — the oracle's `substring(word, j, 1)` walks code
+    * points, and splitting a surrogate pair into two broken half-pieces
+    * would desync every non-BMP word across engines. (Identical to a
+    * per-char split for BMP text, which is all the test corpora hold.) */
+  private[ext] def codePointPieces(word: String): Array[String] =
+    word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** UTF-8 byte-order comparison — the collation BOTH engines use for
+    * string ordering (Spark's UTF8String, DuckDB's binary VARCHAR).
+    * Scala's default String ordering is UTF-16 code units, which ranks
+    * supplementary-plane characters BELOW U+E000..U+FFFF (surrogates
+    * sort at 0xD800) while UTF-8 ranks them above — a driver-side
+    * argmin tie on a non-BMP pair would silently desync the merge
+    * table from the oracle's replay. */
+  private[ext] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Segment one word: code-point pieces, then every merge in training
     * order. */
   def encode(word: String, merges: Seq[(String, String)]): Array[String] = {
-    var pieces: Array[String] = word.map(_.toString).toArray
+    var pieces: Array[String] = codePointPieces(word)
     merges.foreach { case (l, r) => pieces = applyMerge(pieces, l, r) }
     pieces
   }
@@ -85,7 +113,7 @@ object Bpe {
       .limit(vocabWords)
       .as[(String, Long)].collect()
     var vocab: Array[(Array[String], Long)] =
-      freqs.map { case (w, c) => (w.map(_.toString).toArray, c) }
+      freqs.map { case (w, c) => (codePointPieces(w), c) }
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
@@ -96,7 +124,16 @@ object Bpe {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        val best = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        // (count DESC, lhs, rhs) with string ties in UTF-8 BYTE order —
+        // matching the engines' collation, not Scala's UTF-16 units
+        val best = counts.toSeq.min(new Ordering[((String, String), Long)] {
+          def compare(a: ((String, String), Long), b: ((String, String), Long)): Int = {
+            var d = java.lang.Long.compare(b._2, a._2)
+            if (d == 0) d = utf8Compare(a._1._1, b._1._1)
+            if (d == 0) d = utf8Compare(a._1._2, b._1._2)
+            d
+          }
+        })._1
         merges += best
         vocab = vocab.map { case (ps, c) => (applyMerge(ps, best._1, best._2), c) }
       }

@@ -244,6 +244,11 @@ object Dedup {
       salts: Int = 4,
       hotThreshold: Int = 1024,
       scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    // a half-specified override must fail loudly, not be silently
+    // replaced by the count-derived geometry the caller thought they
+    // pinned (same contract in Similarity.lshNearDupPairs)
+    require((numPerms > 0) == (bands > 0),
+      s"specify both numPerms and bands or neither, got numPerms=$numPerms bands=$bands")
     val sh = scope.cache(df
       .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
       .where(size(col("ws")) > 0))
@@ -361,6 +366,8 @@ object Dedup {
     // ONE geometry decision for both indexes (band hashes must line up
     // across the join), derived from the EXISTING corpus — the side
     // whose size dictates candidate volume; the new batch is small
+    require((numPerms > 0) == (bands > 0),
+      s"specify both numPerms and bands or neither, got numPerms=$numPerms bands=$bands")
     val (perms, bandsN) =
       if (bands > 0 && numPerms > 0) (numPerms, bands)
       else {

@@ -212,9 +212,24 @@ object Similarity {
     * the DuckDB oracles replay the derivation from their own
     * count(*) and the full hash oracles survive at any sf. */
   def rhpGeometry(n: Long): (Int, Int) = {
-    val p = (3 to 16).find(q => (1L << q) * 64L >= n).getOrElse(16)
-    (p, 8 + 2 * math.max(0, p - 6))
+    val p = (rhpMinPlanes to rhpMaxPlanes)
+      .find(q => (1L << q) * rhpTargetBucketRows >= n).getOrElse(rhpMaxPlanes)
+    (p, 8 + 2 * math.max(0, p - rhpTableGrowthFrom))
   }
+
+  /** The count-derived RHP schedule's constants — exposed (like
+    * `defaultTrainRounds`/`defaultTrainSample`) so the DuckDB oracle
+    * generator interpolates its enumeration bounds from HERE instead of
+    * hardcoding them; changing the schedule re-derives the oracle. */
+  val rhpMinPlanes: Int = 3
+  val rhpMaxPlanes: Int = 16
+  val rhpTargetBucketRows: Long = 64L
+  val rhpTableGrowthFrom: Int = 6
+  val rhpMaxTables: Int = 8 + 2 * (rhpMaxPlanes - rhpTableGrowthFrom)
+  /** Embedding dimensionality of the test tables — the `dim` default
+    * every ANN entry point uses and the oracle's plane-weight
+    * enumeration bound. */
+  val defaultDim: Int = 64
 
   /** Single-table random-hyperplane bucket id built from Column
     * expressions only — the didactic/validation form of
@@ -255,6 +270,10 @@ object Similarity {
       dim: Int,
       tables: Int = 0,
       planes: Int = 0): DataFrame = {
+    // a half-specified override must fail loudly, not be silently
+    // replaced by the derived geometry the caller thought they pinned
+    require((planes > 0) == (tables > 0),
+      s"specify both planes and tables or neither, got planes=$planes tables=$tables")
     val (planesN, tablesN) =
       if (planes > 0 && tables > 0) (planes, tables) else rhpGeometry(df.count())
     // candidate generation carries ONLY ids — the bucket self-join and

@@ -373,6 +373,51 @@ class ExtSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pqCodes argmin tie: equidistant codebook entries resolve to the smallest code") {
+    // hand-built codebook, 4-dim vectors as numSub=2 × subDim=2: the
+    // vector's sub-slices sit exactly midway between codes 0 and 1 in
+    // both subspaces → qerr ties → (qerr, code) ordering must pick 0.
+    // The asymmetric row pins that non-ties still pick the nearer code.
+    val book = Seq(
+      (0, 0L, Seq(1000L, 0L)), (0, 1L, Seq(-1000L, 0L)),
+      (1, 0L, Seq(0L, 0L)), (1, 1L, Seq(0L, 2000L)))
+      .toDF("sub", "code", "cv")
+    val vs = Seq(
+      (1L, Array(0f, 0f, 0f, 1f)),   // both subs equidistant → code 0
+      (2L, Array(0.5f, 0f, 0f, 1.9f)) // strict: sub0 → code 0 (500² < 1500²), sub1 → code 1 (100² < 1900²)
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.pqCodes(vs, "vec_id", "embedding", book, numSub = 2, subDim = 2)
+      .select("vec_id", "sub", "code").as[(Long, Long, Long)].collect()
+      .map { case (id, s, c) => (id, s) -> c }.toMap
+    assert(codes((1L, 0L)) == 0L && codes((1L, 1L)) == 0L,
+      s"equidistant ties must resolve to code 0, got $codes")
+    assert(codes((2L, 0L)) == 0L && codes((2L, 1L)) == 1L)
+    spark.catalog.clearCache()
+  }
+
+  test("ivfAssign tie: identical centroids cannot split the corpus") {
+    // every vector identical → the 2 seed centroids are identical → every
+    // assignment ties on score; the (score, −cent_id) max_by must send
+    // ALL rows to the same (smaller) cent_id — a nondeterministic
+    // tie-break would split them and desync the oracle's replay
+    val vs = (1L to 8L).map(i => (i, Array.fill(4)(0.5f))).toDF("vec_id", "embedding")
+    val sizes = Similarity.ivfListSizes(vs, "vec_id", "embedding",
+        numCentroids = 2, trainRounds = 0, trainSample = 8)
+      .as[(Long, Long)].collect()
+    assert(sizes.length == 1 && sizes.head._2 == 8L,
+      s"tied assignments must all land on one list, got ${sizes.toSeq}")
+    spark.catalog.clearCache()
+  }
+
+  test("exactKeepFirst tie contract: smallest id survives among byte-identical docs") {
+    val docs = Seq((5L, "same text here"), (2L, "same text here"),
+      (9L, "same text here"), (7L, "other text")).toDF("doc_id", "text")
+    val kept = Dedup.exactKeepFirst(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 7L), s"got $kept")
+    spark.catalog.clearCache()
+  }
+
   test("persisted ANN index: parquet round trip serves probes identical to the inline path") {
     // the production train-once shape: annIndex → writeAnnIndex →
     // readAnnIndex → probeIndex must equal ivfPqTopK (which builds the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Search, Similarity, TextAnalysis}
 import graft.io.Tables
 import graft.ops.TextOps
 import graft.streaming.StreamOps
@@ -1295,7 +1295,21 @@ object ExtQueries {
         |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rn
         |  FROM scored)
         |SELECT doc_id, word, score, rn FROM ranked WHERE rn <= 3
-        |ORDER BY doc_id, rn""".stripMargin
+        |ORDER BY doc_id, rn""".stripMargin,
+    // BM25-shaped retrieval rebuilt from scratch: same bin()-derived
+    // integer idf, same per-mille saturation/length-norm floor
+    // arithmetic, same (score DESC, id) cut — generated from the same
+    // constants as the engine so the two can never silently desync
+    "search_bm25" ->
+      Search.bm25OracleSql(tokSql, Search.defaultTerms, Search.defaultK),
+    // temperature mixture rebuilt from scratch: per-source counts,
+    // scaled-integer sqrt weights, floor-division rates, md5 threshold
+    "corpus_mix_temperature" ->
+      Sampling.temperatureMixtureOracleSql("source", Sampling.defaultMixBudget),
+    // priority sample rebuilt from scratch: same md5 uniform, same
+    // integer floor division, same (priority, id) order
+    "sample_weighted" ->
+      Sampling.prioritySampleOracleSql("n_chars", Sampling.defaultPriorityK)
   )
 
   val plans: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2094,6 +2108,29 @@ object ExtQueries {
         .withColumn("rn", row_number().over(w).cast("long"))
         .select("doc_id", "word", "score", "rn")
         .orderBy("doc_id", "rn")
+    },
+    "search_bm25" -> { (s, dir) =>
+      // BM25-shaped keyword retrieval (integer idf/tf-saturation — see
+      // ext.Search): one rare term + two common ones exercises the
+      // log2-idf spread; terms broadcast, corpus pass map-only, final
+      // cut TakeOrdered
+      Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          Search.defaultTerms, k = Search.defaultK)
+        .orderBy(desc("score"), col("doc_id"))
+    },
+    "corpus_mix_temperature" -> { (s, dir) =>
+      // α=1/2 temperature mixture over sources: derived per-source
+      // rates from scaled-integer sqrt weights, md5-per-mille keep
+      Sampling.temperatureMixture(t(s, dir, "documents"),
+          "doc_id", "source", budget = Sampling.defaultMixBudget)
+        .orderBy("doc_id")
+    },
+    "sample_weighted" -> { (s, dir) =>
+      // Duffield–Lund–Thorup priority sampling, weight = n_chars:
+      // k smallest u div w priorities win, map-only + TakeOrdered
+      Sampling.prioritySample(t(s, dir, "documents"),
+          "doc_id", "n_chars", k = Sampling.defaultPriorityK)
+        .orderBy("priority", "doc_id")
     }
   )
 

@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition sampling beyond the flat-rate schemes in the
+  * query surface (`sample_stratified`'s fixed per-language rates,
+  * `sample_balanced`'s equal-share rebalancer): the two policies real
+  * pre-training mixes are actually built with.
+  *
+  * Both are derived-rate + deterministic-hash designs like their
+  * siblings: tiny aggregations produce an O(groups) rate relation,
+  * broadcast back; the corpus pass is map-only; every keep decision is
+  * an md5-per-mille threshold, so the sample is identical at any
+  * partitioning, any cluster size, and in the DuckDB oracle's replay.
+  */
+object Sampling {
+
+  /** The shipped queries' parameters — shared by the plans and their
+    * oracle generators so they can never silently desync. The mix
+    * budget is half the sf0.01 corpus; at other SFs the rates derive
+    * from the actual counts, so the query stays well-defined (just a
+    * deeper down-sample). */
+  val defaultMixBudget: Long = 250L
+  val defaultPriorityK: Int = 100
+
+  /** The md5-derived 60-bit uniform used by every sampling query
+    * (split_assign et al.) — deterministic, engine-independent. */
+  private def md5Hash(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Temperature-scaled mixture sampling (exponent α = 1/2): the
+    * multilingual/multi-source rebalancing rule (XLM-R-style p_i^α
+    * smoothing) that up-samples low-resource sources without flattening
+    * the mix entirely. Target share of source i ∝ n_i^α; a total doc
+    * budget is then spread by those shares and converted to per-source
+    * per-mille keep rates.
+    *
+    * All arithmetic replays across engines: n_i^(1/2) is computed as
+    * floor(sqrt(n_i · 10^6)) — the input is an exact integer below
+    * 2^53 and IEEE-754 sqrt is correctly rounded, so the scaled root is
+    * the same BIGINT in Spark and DuckDB; everything after is integer
+    * floor arithmetic and the md5 keep decision.
+    *
+    * Scale shape: one count aggregation over the corpus (partial-
+    * aggregated, O(sources) rows), one O(sources) broadcast back, then
+    * a map-only filtered pass — the same two-pass budget as
+    * `sample_balanced`, at 100 TB a scan plus a scan.
+    */
+  def temperatureMixture(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      budget: Long): DataFrame = {
+    val counts = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_grp"))
+      .withColumn("w", floor(sqrt(col("n_grp") * 1000000L)).cast("long"))
+    // Σw as a 1-row broadcast against the O(sources) counts — no
+    // driver collect, no window over a single partition
+    val tot = counts.agg(sum(col("w")).cast("long").as("sum_w"))
+    // `div`, not `/`: Column `/` promotes to DOUBLE, whose 53-bit
+    // mantissa silently rounds what DuckDB's `//` computes exactly
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col(groupCol),
+        least(lit(1000L),
+          expr(s"(1000 * $budget * w) div (sum_w * n_grp)")).as("rate"))
+    docs
+      .join(broadcast(rates), Seq(groupCol))
+      .where(pmod(md5Hash(col(idCol)), lit(1000L)) < col("rate"))
+      .select(col(idCol), col(groupCol), col("rate"))
+  }
+
+  /** DuckDB replay of `temperatureMixture` over `documents` for the
+    * oracle generator — same scaled integer sqrt, same floor
+    * arithmetic, same md5 threshold. */
+  def temperatureMixtureOracleSql(groupCol: String, budget: Long): String =
+    s"""WITH counts AS (
+       |  SELECT $groupCol, count(*) AS n_grp,
+       |         CAST(floor(sqrt(count(*) * 1000000)) AS BIGINT) AS w
+       |  FROM documents GROUP BY $groupCol),
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM counts),
+       |rates AS (
+       |  SELECT $groupCol,
+       |         least(1000, CAST((1000 * $budget * w) // (sum_w * n_grp) AS BIGINT)) AS rate
+       |  FROM counts, tot)
+       |SELECT d.doc_id, d.$groupCol AS $groupCol, r.rate
+       |FROM documents d JOIN rates r USING ($groupCol)
+       |WHERE CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < r.rate
+       |ORDER BY doc_id""".stripMargin
+
+  /** Weighted sample without replacement by PRIORITY SAMPLING (Duffield,
+    * Lund & Thorup, JACM 2007): each row gets priority u/w — u a
+    * deterministic md5 uniform, w its weight — and the k smallest
+    * priorities win. Rows with k× the weight are ~k× as likely to be
+    * kept, heavy rows can't be picked twice (vs sampling WITH
+    * replacement), and the whole draw replays from the hash.
+    *
+    * Integer form: priority = u div w on the 60-bit uniform — floor
+    * division in both engines, ties broken by ascending id.
+    *
+    * Scale shape: priority is map-only; the k-smallest cut is
+    * TakeOrdered (≤ k rows per partition reach the final merge), never
+    * a global sort — the same bound as every top-k in the engine.
+    */
+  def prioritySample(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame =
+    docs
+      .where(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol).cast("long").as("weight"),
+        md5Hash(col(idCol)).as("u"))
+      // `div`, not `/`: the 60-bit uniform exceeds DOUBLE's 53-bit
+      // mantissa, so float division would round off exactly the low
+      // bits the priority order is decided by
+      .select(col(idCol), col("weight"),
+        expr("u div weight").as("priority"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+
+  /** DuckDB replay of `prioritySample` over `documents`. */
+  def prioritySampleOracleSql(weightCol: String, k: Int): String =
+    s"""SELECT doc_id, CAST($weightCol AS BIGINT) AS weight,
+       |       CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) // $weightCol AS BIGINT) AS priority
+       |FROM documents WHERE $weightCol > 0
+       |ORDER BY priority, doc_id LIMIT $k""".stripMargin
+}

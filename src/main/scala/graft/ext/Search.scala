@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+/** Keyword retrieval over the corpus — the inverted-index-shaped
+  * capability a training-data pipeline leans on for targeted corpus
+  * inspection, contamination triage, and eval-set curation (find every
+  * document about X). The reference's grep query (`w7/client.sh`
+  * `--query grep`) is the membership half of this; ranking is the part
+  * a corpus-scale user actually needs.
+  *
+  * Scoring is BM25-SHAPED but all-integer so the DuckDB oracle replays
+  * it bit-for-bit (the same reason `text_lm_score` retrains its LM in
+  * scaled integers): the two float inputs of real BM25 are replaced by
+  * deterministic integer twins with the same monotonic behavior —
+  *  - idf: `ln((N-df+.5)/(df+.5))` → `floor(log2(2N/df))`, computed as
+  *    `length(bin(2N div df)) - 1`; both engines print identical binary
+  *    strings for BIGINT, so the weight replays with zero float risk.
+  *    Rare terms still dominate (weight grows one unit per halving of
+  *    df) and terms in more than half the corpus bottom out at 1.
+  *  - tf saturation + length norm: `tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))`
+  *    in per-mille floor arithmetic (k1 = 1.2, b = 0.75 as
+  *    `k1X1000`/`bX1000`), `dl/avgdl` as `dl·N div Σdl`.
+  *
+  * Scale shape (the point): the query terms are a FIXED tiny set, so
+  *  - per-doc tf columns are map-only `size(filter(tokens, = term))`
+  *    expressions — the 100 TB corpus side never shuffles tokens, never
+  *    builds a posting list, never explodes a row;
+  *  - corpus statistics (N, Σdl, per-term df) are ONE partially
+  *    aggregated 1-row relation, broadcast back for scoring;
+  *  - the final ranking is top-k by (score, id) — TakeOrderedAndProject,
+  *    ≤ k rows per partition cross to the driver-side merge, never a
+  *    global sort.
+  * So the whole query is two passes over the corpus with O(terms)
+  * shuffled bytes — the same budget as `decontaminate`'s broadcast
+  * screen.
+  */
+object Search {
+
+  /** The shipped query's terms/k — shared by the `search_bm25` plan and
+    * its oracle generator (the same single-source-of-truth rule as
+    * `Similarity.defaultTrainRounds`): one rare term (`dup`, in ~5% of
+    * docs → idf 5) against two corpus-saturating ones (idf 1). */
+  val defaultTerms: Seq[String] = Seq("dup", "join", "vector")
+  val defaultK: Int = 25
+
+  /** Top-k documents for a bag-of-words query, BM25-shaped integer
+    * scoring, ties broken by ascending id. Emits (id, score, n_hits)
+    * where n_hits is the number of distinct query terms present. */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1X1000: Long = 1200L,
+      bX1000: Long = 750L): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 64,
+      s"query must carry 1..64 terms, got ${terms.size}")
+    val tfCols = terms.indices.map { i =>
+      size(filter(col("tk"), x => x === lit(terms(i)))).cast("long").as(s"tf_$i")
+    }
+    val base = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
+      .select(col(idCol) +: size(col("tk")).cast("long").as("dl") +: tfCols: _*)
+
+    // ONE 1-row stats relation: corpus size, token mass, per-term df —
+    // partial-aggregated, then broadcast back for map-only scoring
+    val statsAggs =
+      sum(col("dl")).as("sum_dl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), statsAggs: _*)
+
+    // integer BM25: idf = floor(log2(2N/df)) via bin(); tf term in
+    // per-mille floor arithmetic. `div` throughout, never Column `/`:
+    // the latter promotes to DOUBLE, whose rounding can disagree with
+    // DuckDB's exact `//` at the margins.
+    def idf(i: Int): Column =
+      (length(bin(expr(s"(2 * n_docs) div df_$i"))) - 1).cast("long")
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf_$i")
+      val satX1000 =
+        expr(s"(tf_$i * ${k1X1000 + 1000L} * 1000) div (tf_$i * 1000 + k_x1000)")
+      when(tf > 0 && col(s"df_$i") > 0, idf(i) * satX1000).otherwise(0L)
+    }
+    val nHits = terms.indices
+      .map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+
+    base.crossJoin(broadcast(stats))
+      .withColumn("k_x1000",
+        expr(s"($k1X1000 * ((1000 - $bX1000) + ($bX1000 * dl * n_docs) div sum_dl)) div 1000"))
+      .select(col(idCol),
+        terms.indices.map(termScore).reduce(_ + _).as("score"),
+        nHits.as("n_hits"))
+      .where(col("score") > 0)
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** The DuckDB replay of `bm25TopK` for the oracle generators: same
+    * floor arithmetic, same bin()-derived idf, same (score, id) cut.
+    * `tokSql` is the caller's token-array SQL for `text`. */
+  def bm25OracleSql(
+      tokSql: String,
+      terms: Seq[String],
+      k: Int,
+      k1X1000: Long = 1200L,
+      bX1000: Long = 750L): String = {
+    val tfDefs = terms.indices.map { i =>
+      s"len(list_filter(tk, x -> x = '${terms(i)}')) AS tf_$i"
+    }.mkString(",\n|         ")
+    val dfDefs = terms.indices.map { i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i"
+    }.mkString(",\n|         ")
+    val termScores = terms.indices.map { i =>
+      s"""CASE WHEN tf_$i > 0 AND df_$i > 0
+         |            THEN (length(bin(CAST((2*n_docs) // df_$i AS BIGINT))) - 1)
+         |                 * ((tf_$i * ${k1X1000 + 1000} * 1000) // (tf_$i * 1000 + k_x1000))
+         |            ELSE 0 END""".stripMargin
+    }.mkString(" +\n|       ")
+    val hitFlags = terms.indices
+      .map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, len(tk) AS dl,
+       |         $tfDefs
+       |  FROM (SELECT doc_id, $tokSql AS tk FROM documents)),
+       |stats AS (
+       |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+       |         $dfDefs
+       |  FROM base),
+       |scored AS (
+       |  SELECT doc_id,
+       |       $termScores AS score,
+       |       $hitFlags AS n_hits
+       |  FROM (SELECT base.*, stats.*,
+       |          ($k1X1000 * ((1000 - $bX1000) + ($bX1000 * dl * n_docs) // sum_dl)) // 1000 AS k_x1000
+       |        FROM base, stats))
+       |SELECT doc_id, CAST(score AS BIGINT) AS score, CAST(n_hits AS BIGINT) AS n_hits
+       |FROM scored WHERE score > 0
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+}

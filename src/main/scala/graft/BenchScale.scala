@@ -78,56 +78,71 @@ object BenchScale {
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,4,16,64")
       .split(",").map(_.trim.toInt).toSeq
     val quadMax = sys.env.getOrElse("SPARK_GRAFT_QUAD_MAX", "4").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    val docs0 = io.Tables(spark, sfDir, "documents")
-    val emb0 = io.Tables(spark, sfDir, "embeddings")
-    docs0.count(); emb0.count() // untimed cold-start warmup
+    // ONE FRESH SparkContext PER KERNEL. Round-6 audits (AuditR6/R6b)
+    // showed the long-lived probe JVM reads the heavy kernels ~2× above
+    // their isolated matched-conditions cost (64× neardup: 52–55 s
+    // in-probe vs 21–31 s isolated) while cheap kernels are unaffected;
+    // cache()-vs-count, inflation-plan analysis, and single-prior-run
+    // session poisoning were each tested and REJECTED as causes, so the
+    // remainder is cumulative JVM/host throughput decay over a sustained
+    // multi-kernel session. Recycling the context per kernel (a) drops
+    // the accumulated shuffle files and block-manager state with it and
+    // (b) makes the artifact reproduce the isolated numbers the repo's
+    // A/B protocol (AuditR5Geom-style) produces — which is the whole
+    // point of an artifact of record.
+    def withSession[T](body: (SparkSession, DataFrame, DataFrame) => T): T = {
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val docs0 = io.Tables(spark, sfDir, "documents")
+      val emb0 = io.Tables(spark, sfDir, "embeddings")
+      docs0.count(); emb0.count() // untimed cold-start warmup
+      try body(spark, docs0, emb0) finally spark.stop()
+    }
 
     // (name, factor-cap, inflated-input → result) — the result is
     // cache()+count()ed so every column materializes (a bare count
     // would let the optimizer prune the score columns)
-    val kernels: Seq[(String, Int, Int => DataFrame)] = Seq(
-      ("dedup_neardup_pairs", Int.MaxValue, f =>
+    val kernels: Seq[(String, Int, (DataFrame, DataFrame, Int) => DataFrame)] = Seq(
+      ("dedup_neardup_pairs", Int.MaxValue, (docs0, emb0, f) =>
         ext.Dedup.nearDupPairs(inflateDocs(docs0, f), "doc_id", "text",
           shingleN = 3, threshold = 0.6)),
-      ("dedup_clusters", Int.MaxValue, f =>
+      ("dedup_clusters", Int.MaxValue, (docs0, emb0, f) =>
         ext.Dedup.connectedComponents(
           ext.Dedup.nearDupPairs(inflateDocs(docs0, f), "doc_id", "text",
             shingleN = 3, threshold = 0.6),
           "id_a", "id_b")),
-      ("ann_lsh_topk", Int.MaxValue, f =>
+      ("ann_lsh_topk", Int.MaxValue, (docs0, emb0, f) =>
         ext.Similarity.lshTopK(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10, dim = 64)),
-      ("ann_ivf_topk", Int.MaxValue, f =>
+      ("ann_ivf_topk", Int.MaxValue, (docs0, emb0, f) =>
         ext.Similarity.ivfTopK(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10)),
-      ("emb_neardup_pairs", quadMax, f =>
+      ("emb_neardup_pairs", quadMax, (docs0, emb0, f) =>
         ext.Similarity.nearDupPairs(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           450000L, blocks = 16)),
       // the affine cipher is a bijection on tokens, so within-copy gram
       // equality (and cross-copy inequality) is preserved exactly: rows
       // and dup structure grow ×f by construction
-      ("text_dup_ngrams", Int.MaxValue, f =>
+      ("text_dup_ngrams", Int.MaxValue, (docs0, emb0, f) =>
         ext.TextAnalysis.dupNgramStats(inflateDocs(docs0, f), "doc_id", "text")),
       // the rewrite half on top of the same gram relation: adds the
       // doc-keyed duplicated-start-list join + per-row array filter;
       // rows ×f (every doc emits one row)
-      ("corpus_strip_spans", Int.MaxValue, f =>
+      ("corpus_strip_spans", Int.MaxValue, (docs0, emb0, f) =>
         ext.TextAnalysis.stripDupSpans(inflateDocs(docs0, f), "doc_id", "text")),
       // IVF-PQ search: candidate pass over the 8-code representation;
       // const k output — cost should track the coarse+codebook
       // trainings (constant) plus the linear encode
-      ("ann_ivfpq_topk", Int.MaxValue, f =>
+      ("ann_ivfpq_topk", Int.MaxValue, (docs0, emb0, f) =>
         ext.Similarity.ivfPqTopK(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10)),
       // benchmark FIXED at the copy-0 slice while the corpus inflates
@@ -136,7 +151,7 @@ object BenchScale {
       // grams with the original bench set); cost should grow only
       // with the corpus-side gram extraction — linear, no shuffle of
       // corpus grams at any f.
-      ("decontaminate_screen", Int.MaxValue, f =>
+      ("decontaminate_screen", Int.MaxValue, (docs0, emb0, f) =>
         ext.TextAnalysis.contaminationScreen(
           inflateDocs(docs0.where(pmod(col("doc_id"), lit(7)) =!= 0), f),
           docs0.where(pmod(col("doc_id"), lit(7)) === 0),
@@ -147,27 +162,28 @@ object BenchScale {
       // put the pair side at f²; the probe measures the √n rule
       // holding that off. True drops grow ×f (sign-flips preserve
       // within-copy dots, cross-copy dots ≈ 0).
-      ("emb_semdedup", Int.MaxValue, f =>
+      ("emb_semdedup", Int.MaxValue, (docs0, emb0, f) =>
         ext.Similarity.semDedupKeep(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           minQdot = 450000L,
           numCentroids = 64 * math.sqrt(f.toDouble).round.toInt)))
 
     val secs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Int, Double, Long)]]
     for ((name, cap, build) <- kernels) {
-      // untimed f=1 warmup per kernel: codegen/compile of the kernel's
-      // expressions otherwise lands on its first timed factor
-      build(1).count()
-      spark.catalog.clearCache()
-      val runs = factors.filter(_ <= cap).map { f =>
-        val t0 = System.nanoTime()
-        val df = build(f).cache()
-        val rows = df.count()
-        val sec = (System.nanoTime() - t0) / 1e9
+      secs(name) = withSession { (spark, docs0, emb0) =>
+        // untimed f=1 warmup per kernel: codegen/compile of the kernel's
+        // expressions otherwise lands on its first timed factor
+        build(docs0, emb0, 1).count()
         spark.catalog.clearCache()
-        System.err.println(f"[scale] $name%-22s f=$f%-3d ${sec}%8.2f s  rows=$rows")
-        (f, sec, rows)
+        factors.filter(_ <= cap).map { f =>
+          val t0 = System.nanoTime()
+          val df = build(docs0, emb0, f).cache()
+          val rows = df.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          System.err.println(f"[scale] $name%-22s f=$f%-3d ${sec}%8.2f s  rows=$rows")
+          (f, sec, rows)
+        }
       }
-      secs(name) = runs
     }
     // inverted-list balance of the IVF quantizer, trained (the default
     // schedule: defaultTrainRounds Lloyd rounds over the
@@ -176,7 +192,7 @@ object BenchScale {
     // untrained (the raw hashed-sample seeds): max list size bounds
     // the worst probe-side task, so this is the number training exists
     // to improve
-    val balance = factors.map { f =>
+    val balance = withSession { (spark, docs0, emb0) => factors.map { f =>
       val infl = inflateEmbeddings(emb0, f)
       def maxList(rounds: Int): Long = {
         val mx = ext.Similarity
@@ -191,7 +207,7 @@ object BenchScale {
       System.err.println(
         f"[scale] ivf_lists f=$f%-3d mean=${mean}%9.1f max trained=$trained untrained=$untrained")
       (f, mean, trained, untrained)
-    }
+    } }
     // incremental-ingest slope: the NEW batch is FIXED at 1× while the
     // existing corpus (and its pre-materialized index — cached untimed,
     // the from-ingest-to-ingest artifact) inflates ×f. Only the screen
@@ -199,7 +215,7 @@ object BenchScale {
     // CONSTANT in f; the timed cost should grow only with the
     // shuffle-free scan of the bigger index, far below the ×f of a
     // from-scratch self-join.
-    val incr = factors.map { f =>
+    val incr = withSession { (spark, docs0, emb0) => factors.map { f =>
       val scope = new graft.util.CacheScope
       val newIdx = ext.Dedup.dedupIndex(docs0, "doc_id", "text", scope = scope)
       val oldIdx = ext.Dedup.dedupIndex(
@@ -214,7 +230,7 @@ object BenchScale {
       spark.catalog.clearCache()
       System.err.println(f"[scale] dedup_incremental_screen f=$f%-3d ${sec}%8.2f s  rows=$rows")
       (f, sec, rows)
-    }
+    } }
     secs("dedup_incremental_screen") = incr
     // build-vs-probe split of the persisted ANN index (the production
     // IVFADC serving shape): the build — both quantizer trainings plus
@@ -226,7 +242,8 @@ object BenchScale {
     // the probe pays centroid routing (broadcast), ADC over ~nprobe/K
     // of the codes, and the refine re-rank — the same asymptotic slope
     // but a far smaller constant, and crucially none of the training.
-    val annSplit = factors.map { f =>
+    val (annSplit, embN) = withSession { (spark, docs0, emb0) =>
+      val runs = factors.map { f =>
       val scope = new graft.util.CacheScope
       val infl = inflateEmbeddings(emb0, f)
       val dir = java.nio.file.Files.createTempDirectory(s"ann_idx_$f").toString
@@ -245,10 +262,11 @@ object BenchScale {
       System.err.println(
         f"[scale] ann_index build f=$f%-3d ${buildSec}%8.2f s  probe ${probeSec}%8.2f s  rows=$rows")
       (f, buildSec, probeSec, rows)
+      }
+      (runs, emb0.count())
     }
     // build "rows" = the persisted codes relation (n · numSub codes —
     // the compressed store the build exists to produce)
-    val embN = emb0.count()
     secs("ann_index_build") = annSplit.map { case (f, b, _, _) => (f, b, embN * 8 * f) }
     secs("ann_index_probe") = annSplit.map { case (f, _, p, r) => (f, p, r) }
     val qJson = secs.map { case (n, runs) =>
@@ -266,6 +284,5 @@ object BenchScale {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale.json")),
       line + "\n")
-    spark.stop()
   }
 }

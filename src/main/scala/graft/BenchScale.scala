@@ -123,6 +123,12 @@ object BenchScale {
       ("ann_lsh_topk", Int.MaxValue, (docs0, emb0, f) =>
         ext.Similarity.lshTopK(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10, dim = 64)),
+      // the multiprobe contrast: constant 8 tables (corpus index rows
+      // LINEAR in n) vs lshTopK's count-grown table schedule — the
+      // growth-curve difference is the point of this kernel
+      ("ann_lsh_mp_topk", Int.MaxValue, (docs0, emb0, f) =>
+        ext.Similarity.lshTopKMp(inflateEmbeddings(emb0, f), "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 10, dim = 64)),
       ("ann_ivf_topk", Int.MaxValue, (docs0, emb0, f) =>
         ext.Similarity.ivfTopK(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10)),

@@ -92,12 +92,12 @@ object ExtQueries {
   // train-round/sample constants), so changing the Scala schedule
   // re-derives the oracle instead of silently desyncing it.
   // Ends with `planes` = (t, p, i, w) rows for the derived geometry.
-  private val rhpGeoSql = {
+  private def rhpGeoSqlWith(ntExpr: String): String = {
     import ext.Similarity.{rhpMinPlanes, rhpMaxPlanes, rhpMaxTables,
-      rhpTargetBucketRows, rhpTableGrowthFrom, defaultDim}
+      rhpTargetBucketRows, defaultDim}
     s"""nv AS (SELECT count(*) AS n FROM embeddings),
        |geo AS (
-       |  SELECT np, 8 + 2*greatest(0, np - $rhpTableGrowthFrom) AS nt FROM (
+       |  SELECT np, $ntExpr AS nt FROM (
        |    SELECT coalesce(min(q), $rhpMaxPlanes) AS np
        |    FROM range($rhpMinPlanes, ${rhpMaxPlanes + 1}) r(q), nv
        |    WHERE (CAST(1 AS BIGINT) << q) * $rhpTargetBucketRows >= n) g),
@@ -107,6 +107,11 @@ object ExtQueries {
        |  FROM geo, range(0, $rhpMaxTables) r1(t), range(0, $rhpMaxPlanes) r2(p), range(0, $defaultDim) r3(i)
        |  WHERE t < nt AND p < np)""".stripMargin
   }
+  private val rhpGeoSql =
+    rhpGeoSqlWith(s"8 + 2*greatest(0, np - ${ext.Similarity.rhpTableGrowthFrom})")
+  // the multiprobe schedule: same plane rule, CONSTANT table count
+  private val rhpGeoMpSql =
+    rhpGeoSqlWith(ext.Similarity.rhpMpTables.toString)
 
   // DuckDB replay of the Lloyd-trained IVF coarse quantizer (64 seed
   // centroids from the smallest md5 id-hashes,
@@ -435,6 +440,43 @@ object ExtQueries {
          |  SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id
          |  FROM bkt pb JOIN bkt cb ON pb.t = cb.t AND pb.bkt = cb.bkt
          |  WHERE pb.vec_id < 10 AND cb.vec_id <> pb.vec_id),
+         |scored AS (
+         |  SELECT c.probe_id, c.vec_id, ${qdotSql("p.embedding", "e.embedding")} AS qdot
+         |  FROM cand c
+         |  JOIN embeddings p ON p.vec_id = c.probe_id
+         |  JOIN embeddings e ON e.vec_id = c.vec_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, qdot,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
+         |ORDER BY probe_id, rn""".stripMargin,
+    // multiprobe RHP-LSH rebuilt from scratch: same plane family over
+    // the fixed-table geometry, probe buckets = home + every Hamming-1
+    // flip (xor of one plane bit), candidate join, exact re-score
+    "ann_lsh_mp_topk" ->
+      s"""WITH $rhpGeoMpSql,
+         |qv AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |dots AS (
+         |  SELECT vec_id, t, p, sum(q[i + 1] * w) AS dot
+         |  FROM qv CROSS JOIN planes
+         |  GROUP BY vec_id, t, p),
+         |bkt AS (
+         |  SELECT vec_id, t,
+         |         CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bkt
+         |  FROM dots GROUP BY vec_id, t),
+         |pbkt AS (
+         |  SELECT b.vec_id, b.t,
+         |         CASE WHEN f = 0 THEN b.bkt
+         |              ELSE xor(b.bkt, CAST(1 AS BIGINT) << (f - 1)) END AS bkt
+         |  FROM bkt b, geo, range(0, ${ext.Similarity.rhpMaxPlanes + 1}) r(f)
+         |  WHERE b.vec_id < 10 AND f <= np),
+         |cand AS (
+         |  SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id
+         |  FROM pbkt pb JOIN bkt cb ON pb.t = cb.t AND pb.bkt = cb.bkt
+         |  WHERE cb.vec_id <> pb.vec_id),
          |scored AS (
          |  SELECT c.probe_id, c.vec_id, ${qdotSql("p.embedding", "e.embedding")} AS qdot
          |  FROM cand c
@@ -1452,6 +1494,14 @@ object ExtQueries {
       // buckets (multi-probe over 8 tables), exact re-score inside the
       // bucket — corpus scan per probe replaced by a bucket equi-join
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 10, dim = 64)
+        .orderBy("probe_id", "rn")
+    },
+    "ann_lsh_mp_topk" -> { (s, dir) =>
+      // the 100 TB-shaped LSH: constant table count (corpus index rows
+      // LINEAR in n), recall bought back probe-side by also joining
+      // every Hamming-1 bucket flip — Lv et al. 2007 multiprobe
+      Similarity.lshTopKMp(t(s, dir, "embeddings"), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10, dim = 64)
         .orderBy("probe_id", "rn")
     },

@@ -231,6 +231,30 @@ object Similarity {
     * enumeration bound. */
   val defaultDim: Int = 64
 
+  /** Multiprobe table count — CONSTANT, the point of the multiprobe
+    * schedule (see `rhpMpGeometry`). */
+  val rhpMpTables: Int = 8
+
+  /** Multiprobe RHP schedule (Lv et al., VLDB 2007): planes from the
+    * same constant-occupancy rule as `rhpGeometry`, but the table count
+    * FIXED at `rhpMpTables` — recall lost to the longer codes is bought
+    * back by also probing, per table, every bucket at Hamming distance
+    * 1 from the probe's home bucket (a PROBE-side enumeration of
+    * `planes` flipped keys; the probe set is tiny). Corpus-side index
+    * work becomes n·8 bucket rows — truly LINEAR in the corpus — where
+    * `rhpGeometry`'s +2-tables-per-plane made it n·(8+2·(log₂(n/64)−6)),
+    * the measured superlinear last octave of `ann_lsh_topk` in
+    * `BENCH_scale.json`. For a close pair with per-plane agreement p,
+    * per-table hit probability rises from p^m to p^m + m·p^(m−1)(1−p);
+    * at p=0.9, m=13 that is 0.25 → 0.62, so 8 multiprobe tables
+    * out-recall 22 home-bucket tables (miss 8·10⁻⁴ vs 1.5·10⁻³) while
+    * shuffling 2.75× fewer corpus index rows. */
+  def rhpMpGeometry(n: Long): (Int, Int) = {
+    val p = (rhpMinPlanes to rhpMaxPlanes)
+      .find(q => (1L << q) * rhpTargetBucketRows >= n).getOrElse(rhpMaxPlanes)
+    (p, rhpMpTables)
+  }
+
   /** Single-table random-hyperplane bucket id built from Column
     * expressions only — the didactic/validation form of
     * `functions.RhpBuckets` (which does all tables in one native loop
@@ -981,6 +1005,62 @@ object Similarity {
         posexplode(graft.functions.RhpBuckets.rhpBuckets(col(vecCol), dim, planesN, tablesN)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bkt")
+    val cands = probeBuckets
+      .join(buckets, Seq("tbl", "bkt"))
+      .where(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol))
+      .distinct()
+    val probesVec = corpus.where(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
+    val cv = corpus.select(col(idCol), col(vecCol))
+    val scored = cands
+      .join(broadcast(probesVec), "probe_id")
+      .join(cv, idCol)
+      .select(col("probe_id"), col(idCol), quantizedDot(col("pe"), col(vecCol)).as("qdot"))
+    rankTopK(scored, idCol, k)
+  }
+
+  /** Multiprobe LSH top-k (Lv et al., VLDB 2007 — the step-wise probing
+    * sequence restricted to Hamming distance ≤ 1, which keeps the
+    * enumeration deterministic and oracle-replayable): the corpus is
+    * indexed into a CONSTANT `rhpMpTables` tables (n·8 index rows —
+    * linear at any corpus size, vs `lshTopK`'s corpus-count-grown table
+    * count), and each probe joins against its home bucket PLUS the
+    * `planes` buckets that differ in exactly one hyperplane sign — the
+    * buckets a near neighbor that narrowly missed one sign test lands
+    * in. The flip enumeration is probe-side only: probes·tables·(1+m)
+    * bucket keys against the corpus's n·tables, so the extra recall is
+    * bought with O(probes·m) work, not O(n·m). Exact re-score and
+    * bounded-heap ranking as `lshTopK`. */
+  def lshTopKMp(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      dim: Int,
+      tables: Int = 0,
+      planes: Int = 0): DataFrame = {
+    require((planes > 0) == (tables > 0),
+      s"specify both planes and tables or neither, got planes=$planes tables=$tables")
+    val (planesN, tablesN) =
+      if (planes > 0 && tables > 0) (planes, tables) else rhpMpGeometry(corpus.count())
+    val buckets = corpus
+      .select(col(idCol),
+        posexplode(graft.functions.RhpBuckets.rhpBuckets(col(vecCol), dim, planesN, tablesN)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bkt")
+    // home bucket + one key per flipped plane; flips are pairwise
+    // distinct (bkt ⊕ 2^a ≠ bkt ⊕ 2^b), so no within-probe dedup needed
+    val probeBuckets = corpus.where(probeFilter)
+      .select(col(idCol).as("probe_id"),
+        posexplode(graft.functions.RhpBuckets.rhpBuckets(col(vecCol), dim, planesN, tablesN)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bkt")
+      .select(col("probe_id"), col("tbl"),
+        explode(array(
+          col("bkt") +: (0 until planesN).map(j =>
+            col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
     val cands = probeBuckets
       .join(buckets, Seq("tbl", "bkt"))
       .where(col(idCol) =!= col("probe_id"))

@@ -130,4 +130,55 @@ class IoLshSpec extends SparkSpec {
     assert(hits == pairsChecked, "LSH re-scores must match exact scores")
     assert(hits > 0, "recall@10 must be nonzero")
   }
+
+  test("multiprobe LSH: recall at least plain LSH's with a quarter of the tables") {
+    val emb = io.Tables(spark, sf, "embeddings")
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val bruteSet = Similarity
+      .bruteForceTopK(emb, probes, "vec_id", "embedding", "probe_id", "pe", 10)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Int = {
+      val r = df.select("probe_id", "vec_id").as[(Long, Long)].collect()
+        .count(bruteSet.contains)
+      spark.catalog.clearCache(); r
+    }
+    // equal planes; multiprobe runs 2 tables against plain LSH's 8 —
+    // the Hamming-1 flips must buy back at least what 4x tables bought
+    val plain = recallOf(Similarity.lshTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 10, k = 10, dim = 64, tables = 8, planes = 8))
+    val mp = recallOf(Similarity.lshTopKMp(emb, "vec_id", "embedding",
+      col("vec_id") < 10, k = 10, dim = 64, tables = 2, planes = 8))
+    assert(mp >= plain, s"multiprobe recall $mp below plain $plain")
+    assert(mp > 0)
+  }
+
+  test("multiprobe LSH at equal geometry is a candidate superset of plain LSH") {
+    // same (planes, tables): every home-bucket match is also a
+    // multiprobe match (f = 0 is the home key), so the top-k sets can
+    // only improve toward brute force
+    val emb = io.Tables(spark, sf, "embeddings")
+    val plain = Similarity.lshTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 10, dim = 64, tables = 4, planes = 10)
+      .select("probe_id", "vec_id", "qdot").as[(Long, Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    val mp = Similarity.lshTopKMp(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 10, dim = 64, tables = 4, planes = 10)
+      .select("probe_id", "vec_id", "qdot").as[(Long, Long, Long)].collect()
+    spark.catalog.clearCache()
+    // per-probe, positionwise: the multiprobe j-th best score >= the
+    // plain j-th best (a superset candidate pool dominates at every
+    // rank; robust to probes with fewer than k candidates)
+    val plainSorted = plain.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSeq.sorted(Ordering[Long].reverse)).toMap
+    val mpSorted = mp.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSeq.sorted(Ordering[Long].reverse)).toMap
+    for ((p, ps) <- plainSorted) {
+      val ms = mpSorted.getOrElse(p, Seq.empty)
+      assert(ms.size >= ps.size, s"probe $p: multiprobe kept fewer rows")
+      ps.zip(ms).zipWithIndex.foreach { case ((pv, mv), j) =>
+        assert(mv >= pv, s"probe $p rank $j: multiprobe $mv below plain $pv")
+      }
+    }
+  }
 }

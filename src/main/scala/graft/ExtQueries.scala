@@ -1087,6 +1087,18 @@ object ExtQueries {
          |FROM tp LEFT JOIN cnt ON cnt.d = tp.d AND cnt.p = tp.p
          |GROUP BY tp.term
          |ORDER BY tp.term""".stripMargin,
+    // exact heavy hitters: the engine's MG-candidate pass is only a
+    // pruning device — the OUTPUT contract is the plain all-integer
+    // threshold (1000·cnt ≥ n·φ), which DuckDB states directly
+    "sketch_heavy_hitters" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |words AS (SELECT unnest(tk) AS word FROM toks),
+         |nt AS (SELECT count(*) AS n FROM words)
+         |SELECT word, count(*) AS cnt
+         |FROM words, nt
+         |GROUP BY word, nt.n
+         |HAVING 1000 * count(*) >= nt.n * 5
+         |ORDER BY word""".stripMargin,
     // LSH-bucketed embedding near-dup: DuckDB rebuilds the hyperplane
     // buckets (same md5-derived family AND the same count-derived
     // geometry as ann_lsh_topk), the candidate set, and the exact
@@ -1799,6 +1811,18 @@ object ExtQueries {
       graft.ops.Sketches.cmsTermFreq(
         t(s, dir, "documents").select(explode(TextOps.tokens(col("text"))).as("word")),
         "word", graft.ops.Sketches.trackedTerms)
+    },
+    "sketch_heavy_hitters" -> { (s, dir) =>
+      // exact ≥ 5‰-frequency words with NO full-vocabulary shuffle:
+      // one scan → bounded Misra–Gries candidates (+ total count),
+      // one scan → exact counts of the broadcast candidate set only;
+      // the MG superset guarantee + exact second pass make the output
+      // identical to a plain groupBy/HAVING at any partitioning
+      graft.ops.Sketches.heavyHittersExact(
+        t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("word")),
+        "word", phiPermille = 5)
+        .orderBy("word")
     },
     "emb_neardup_lsh" -> { (s, dir) =>
       // the scale path for embedding near-dup (emb_neardup_pairs'

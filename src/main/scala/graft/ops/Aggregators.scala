@@ -202,9 +202,50 @@ object Aggregators {
     def outputEncoder: Encoder[Seq[Long]] = ExprEnc.longSeq
   }
 
+  /** Misra–Gries frequent-items summary (Misra & Gries 1982) with the
+    * mergeable-summaries combine step (Agarwal et al., PODS 2012):
+    * at most `m` (item, counter) entries per buffer; an unseen item
+    * either takes a free slot or triggers a decrement-all round, and
+    * two buffers merge by summing counters then subtracting the
+    * (m+1)-th largest count and dropping non-positives — which
+    * preserves the MG bound, so after ANY merge tree every item with
+    * true count > n/(m+1) still holds a slot. The candidate SET is
+    * merge-order-dependent (only the guaranteed-superset property is
+    * not), so consumers must treat the output as candidates for an
+    * exact second pass, never as the answer — see
+    * `Sketches.heavyHittersExact`. Decrement rounds cost O(m) but
+    * retire m+1 count units each, so total work stays O(n). */
+  final case class MisraGries(m: Int)
+      extends Aggregator[String, Map[String, Long], Seq[String]] {
+    require(m > 0, s"MisraGries needs m > 0, got $m")
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], w: String): Map[String, Long] =
+      b.get(w) match {
+        case Some(c)            => b.updated(w, c + 1)
+        case None if b.size < m => b.updated(w, 1L)
+        case None =>
+          b.collect { case (k, c) if c > 1 => k -> (c - 1) }
+      }
+    def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
+      val sum = b2.foldLeft(b1) { case (acc, (k, c)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + c)
+      }
+      if (sum.size <= m) sum
+      else {
+        val v = sum.valuesIterator.toArray.sorted(Ordering[Long].reverse).apply(m)
+        sum.collect { case (k, c) if c > v => k -> (c - v) }
+      }
+    }
+    def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
+    def bufferEncoder: Encoder[Map[String, Long]] = ExprEnc.stringLongMap
+    def outputEncoder: Encoder[Seq[String]] = ExprEnc.stringSeq
+  }
+
   private object ExprEnc {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val longArray: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
     val longSeq: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+    val stringSeq: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+    val stringLongMap: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
   }
 }

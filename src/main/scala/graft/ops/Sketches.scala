@@ -49,6 +49,44 @@ object Sketches {
       .orderBy("term")
   }
 
+  /** EXACT heavy hitters — every word whose count clears the φ‰
+    * frequency threshold (all-integer contract: 1000·cnt ≥ n·φ) —
+    * found WITHOUT ever shuffling the full vocabulary. Pass 1 is one
+    * scan into a bounded Misra–Gries candidate summary (capacity
+    * 2·1000/φ+1, double the 1/φ the superset guarantee needs, so the
+    * guarantee survives the counter-subtracting merge tree) alongside
+    * the total count; pass 2 re-scans with a broadcast semi-filter on
+    * the ≤ m candidates and counts exactly, so only candidate keys —
+    * never the vocabulary — reach a hash aggregate. The candidates are
+    * merge-order-dependent; the OUTPUT is not: the MG bound makes the
+    * candidate set a guaranteed superset of the true heavy hitters,
+    * and the second pass is exact, so the result equals a plain
+    * groupBy + HAVING at any partitioning. At 100 TB: a trillion-token
+    * vocabulary-frequency question answered with per-partition state
+    * of m entries and a broadcast of m words — the full-vocabulary
+    * groupBy this replaces shuffles distinct-words-per-partition rows
+    * (millions per partition in web text). The wordcount-with-
+    * threshold shape the reference chains by hand
+    * (`w7/src/python/reduce.py:2-17` + a client-side filter). */
+  def heavyHittersExact(
+      words: DataFrame,
+      wordCol: String,
+      phiPermille: Int): DataFrame = {
+    require(phiPermille >= 1 && phiPermille <= 1000,
+      s"phiPermille must be in [1, 1000], got $phiPermille")
+    val m = 2 * 1000 / phiPermille + 1
+    val cand = words
+      .agg(
+        count(lit(1)).as("n"),
+        udaf(Aggregators.MisraGries(m)).apply(col(wordCol)).as("cand"))
+      .select(col("n"), explode(col("cand")).as(wordCol))
+    words.join(broadcast(cand), wordCol)
+      .groupBy(col(wordCol), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * 1000 >= col("n") * phiPermille)
+      .select(col(wordCol), col("cnt"))
+  }
+
   /** Approximate quantiles with BOUNDED state — the scale path beside
     * an exact full-sort pick: one min/max/count pass fixes `bins`
     * equal-width bins, one histogram aggregation (cardinality ≤ bins

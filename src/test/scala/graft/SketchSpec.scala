@@ -124,4 +124,59 @@ class SketchSpec extends SparkSpec {
       .as[(Double, Double)].collect().head
     assert(got == ((0.5, 2048.0)))
   }
+
+  // Zipf-ish random words: uniform draw from a per-row modulus cycling
+  // 1..100, so word j's count ~ n/100·Σ_{k>j} 1/k — a heavy head (w0
+  // ≈ 5% of all rows) over a vocabulary larger than the MG capacity
+  // used below, so the candidate pruning actually fires; md5-derived
+  // so it's deterministic
+  private def zipfWords(n: Int) =
+    spark.range(n).select(
+      concat(lit("w"),
+        (conv(substring(md5(col("id").cast("string")), 1, 11), 16, 10)
+          .cast("long") % (col("id") % 100 + 1))).as("word"))
+
+  test("MisraGries candidates are a superset of every > n/(m+1) item, any partitioning") {
+    val n = 20000
+    val m = 50
+    val words = zipfWords(n)
+    val exact = words.groupBy("word").count()
+      .where(col("count") > n.toLong / (m + 1))
+      .as[(String, Long)].collect().map(_._1).toSet
+    assert(exact.nonEmpty, "test data must contain true heavy items")
+    for (parts <- Seq(1, 4, 13)) {
+      val cand = words.repartition(parts)
+        .agg(udaf(ops.Aggregators.MisraGries(m)).apply(col("word")))
+        .as[Seq[String]].collect().head.toSet
+      assert(cand.size <= m, s"capacity $m exceeded: ${cand.size}")
+      assert(exact.subsetOf(cand),
+        s"parts=$parts lost heavy items: ${exact.diff(cand)}")
+    }
+  }
+
+  test("heavyHittersExact equals plain groupBy + HAVING at any partitioning") {
+    val words = zipfWords(20000)
+    val phi = 5
+    val expect = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .crossJoin(words.agg(count(lit(1)).as("n")))
+      .where(col("cnt") * 1000 >= col("n") * phi)
+      .select("word", "cnt").as[(String, Long)].collect().toSet
+    assert(expect.nonEmpty)
+    for (parts <- Seq(1, 7)) {
+      val got = ops.Sketches.heavyHittersExact(words.repartition(parts), "word", phi)
+        .as[(String, Long)].collect().toSet
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("heavyHittersExact: empty input yields no rows; plan broadcasts the candidates") {
+    val empty = spark.range(0).select(col("id").cast("string").as("word"))
+    assert(ops.Sketches.heavyHittersExact(empty, "word", 10).count() == 0)
+    val df = ops.Sketches.heavyHittersExact(zipfWords(5000), "word", 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate filter must be a broadcast join, not a shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "no shuffled join in the verify pass")
+  }
 }

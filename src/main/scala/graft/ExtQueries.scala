@@ -23,6 +23,20 @@ object ExtQueries {
   // DuckDB token array for documents.text, matching TextOps.tokens
   private val tokSql =
     "list_filter(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' '), x -> x <> '')"
+  // DuckDB language-ID fragments GENERATED from TextAnalysis's marker
+  // lists (same order = same alphabetical argmax tie-break as
+  // langIdFromTokens' foldRight), so adding a language or marker
+  // re-derives every langid oracle instead of silently desyncing it.
+  // langScoreSql expects a token array column `tk` in scope.
+  private val langScoreSql = ext.TextAnalysis.langMarkers.map { case (l, ms) =>
+    s"len(list_filter(tk, x -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], x))) AS s_$l"
+  }.mkString(", ")
+  private val langCaseSql = {
+    val all = ext.TextAnalysis.langMarkers.map("s_" + _._1).mkString(", ")
+    ext.TextAnalysis.langMarkers.map { case (l, _) =>
+      s"WHEN s_$l = greatest($all) AND s_$l > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+  }
   // DuckDB distinct word-3-gram shingles, matching Dedup.shingles(_, 3)
   private val shingleSql =
     s"list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)])"
@@ -1099,6 +1113,19 @@ object ExtQueries {
          |GROUP BY word, nt.n
          |HAVING 1000 * count(*) >= nt.n * 5
          |ORDER BY word""".stripMargin,
+    // per-language exact heavy hitters: same plain-HAVING contract,
+    // thresholded against each language's own token total; the langid
+    // fragment is generated from the engine's marker lists
+    "sketch_heavy_hitters_by_lang" ->
+      s"""WITH f AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |s AS (SELECT tk, $langScoreSql FROM f),
+         |lw AS (SELECT $langCaseSql AS lang, unnest(tk) AS word FROM s),
+         |nt AS (SELECT lang, count(*) AS n FROM lw GROUP BY lang)
+         |SELECT lw.lang, lw.word, count(*) AS cnt
+         |FROM lw JOIN nt USING (lang)
+         |GROUP BY lw.lang, lw.word, nt.n
+         |HAVING 1000 * count(*) >= nt.n * 10
+         |ORDER BY lang, word""".stripMargin,
     // LSH-bucketed embedding near-dup: DuckDB rebuilds the hyperplane
     // buckets (same md5-derived family AND the same count-derived
     // geometry as ann_lsh_topk), the candidate set, and the exact
@@ -1299,19 +1326,8 @@ object ExtQueries {
          |ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       s"""WITH f AS (SELECT doc_id, $tokSql AS tk FROM documents),
-         |s AS (
-         |  SELECT doc_id,
-         |    len(list_filter(tk, x -> list_contains(['der','die','das','und','nicht','ist'], x))) AS s_de,
-         |    len(list_filter(tk, x -> list_contains(['the','a','of','to','and','is'], x))) AS s_en,
-         |    len(list_filter(tk, x -> list_contains(['el','la','los','que','y','es'], x))) AS s_es,
-         |    len(list_filter(tk, x -> list_contains(['le','la','les','et','est','que'], x))) AS s_fr
-         |  FROM f)
-         |SELECT doc_id,
-         |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) AND s_de > 0 THEN 'de'
-         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) AND s_en > 0 THEN 'en'
-         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) AND s_es > 0 THEN 'es'
-         |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) AND s_fr > 0 THEN 'fr'
-         |       ELSE 'und' END AS pred_lang
+         |s AS (SELECT doc_id, $langScoreSql FROM f)
+         |SELECT doc_id, $langCaseSql AS pred_lang
          |FROM s
          |ORDER BY doc_id""".stripMargin,
     "dedup_simhash_pairs" ->
@@ -1823,6 +1839,18 @@ object ExtQueries {
           .select(explode(TextOps.tokens(col("text"))).as("word")),
         "word", phiPermille = 5)
         .orderBy("word")
+    },
+    "sketch_heavy_hitters_by_lang" -> { (s, dir) =>
+      // per-language boilerplate words: language-ID feeds the KEYED
+      // two-pass heavy hitter — pass 1's per-(partition, lang) state
+      // is a bounded MG buffer, pass 2 exact-counts only the broadcast
+      // lang-candidate pairs; threshold is each language's OWN total
+      val words = t(s, dir, "documents")
+        .select(TextOps.tokens(col("text")).as("tk"))
+        .select(TextAnalysis.langIdFromTokens(col("tk")).as("lang"),
+          explode(col("tk")).as("word"))
+      graft.ops.Sketches.heavyHittersExactByKey(words, "lang", "word", phiPermille = 10)
+        .orderBy("lang", "word")
     },
     "emb_neardup_lsh" -> { (s, dir) =>
       // the scale path for embedding near-dup (emb_neardup_pairs'

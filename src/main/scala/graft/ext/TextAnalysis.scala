@@ -81,7 +81,11 @@ object TextAnalysis {
   def qualityScore(text: Column): Column =
     qualityScoreFromTokens(text, TextOps.tokens(text))
 
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  /** Marker word lists per language — `private[graft]` so the DuckDB
+    * oracle generator derives its langid SQL from the SAME list
+    * (adding a language or marker re-derives every langid oracle
+    * instead of silently desyncing it). */
+  private[graft] val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
     "en" -> Seq("the", "a", "of", "to", "and", "is"),
     "es" -> Seq("el", "la", "los", "que", "y", "es"),

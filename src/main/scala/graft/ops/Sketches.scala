@@ -87,6 +87,36 @@ object Sketches {
       .select(col(wordCol), col("cnt"))
   }
 
+  /** Per-key exact heavy hitters — every (key, word) whose count
+    * clears φ‰ OF ITS KEY'S total (1000·cnt ≥ n_key·φ). Same two-pass
+    * shape as `heavyHittersExact` with the MG summary keyed: pass 1's
+    * hash aggregate carries ≤ m-entry buffers per (partition, key) —
+    * never the vocabulary — and pass 2 exact-counts behind a broadcast
+    * of the ≤ keys·m candidates. Made for pipeline dimensions of
+    * BOUNDED cardinality (language, source, split — the broadcast is
+    * keys·m rows); an unbounded key domain should range-partition the
+    * keys and run the ungrouped variant per range instead. */
+  def heavyHittersExactByKey(
+      words: DataFrame,
+      keyCol: String,
+      wordCol: String,
+      phiPermille: Int): DataFrame = {
+    require(phiPermille >= 1 && phiPermille <= 1000,
+      s"phiPermille must be in [1, 1000], got $phiPermille")
+    val m = 2 * 1000 / phiPermille + 1
+    val cand = words
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        udaf(Aggregators.MisraGries(m)).apply(col(wordCol)).as("cand"))
+      .select(col(keyCol), col("n"), explode(col("cand")).as(wordCol))
+    words.join(broadcast(cand), Seq(keyCol, wordCol))
+      .groupBy(col(keyCol), col(wordCol), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * 1000 >= col("n") * phiPermille)
+      .select(col(keyCol), col(wordCol), col("cnt"))
+  }
+
   /** Approximate quantiles with BOUNDED state — the scale path beside
     * an exact full-sort pick: one min/max/count pass fixes `bins`
     * equal-width bins, one histogram aggregation (cardinality ≤ bins

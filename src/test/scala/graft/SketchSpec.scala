@@ -169,6 +169,24 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("heavyHittersExactByKey equals per-key groupBy + HAVING, per-key thresholds") {
+    // two keys with DIFFERENT totals, so a word can clear one key's
+    // threshold and miss the other's — the per-key contract
+    val words = zipfWords(16000).withColumn("k",
+      when(col("word").substr(2, 1).cast("int") % 3 === 0, "a").otherwise("b"))
+    val phi = 8
+    val totals = words.groupBy("k").agg(count(lit(1)).as("n"))
+    val expect = words.groupBy("k", "word").agg(count(lit(1)).as("cnt"))
+      .join(totals, "k")
+      .where(col("cnt") * 1000 >= col("n") * phi)
+      .select("k", "word", "cnt").as[(String, String, Long)].collect().toSet
+    assert(expect.nonEmpty)
+    assert(expect.map(_._1).size == 2, "both keys must contribute hitters")
+    val got = ops.Sketches.heavyHittersExactByKey(words.repartition(7), "k", "word", phi)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == expect)
+  }
+
   test("heavyHittersExact: empty input yields no rows; plan broadcasts the candidates") {
     val empty = spark.range(0).select(col("id").cast("string").as("word"))
     assert(ops.Sketches.heavyHittersExact(empty, "word", 10).count() == 0)

@@ -23,6 +23,28 @@ object ExtQueries {
   // DuckDB token array for documents.text, matching TextOps.tokens
   private val tokSql =
     "list_filter(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' '), x -> x <> '')"
+  // Winnowing oracle fragments derived from the SAME constants the
+  // Scala kernel uses (TextAnalysis.winnowPos*/winnowHashHex and the
+  // default k/w geometry), so the packed-key arithmetic cannot desync.
+  private val winnowPackSql = ext.TextAnalysis.winnowPosMask + 1
+  private val winnowMaskSql = ext.TextAnalysis.winnowPosMask
+  private val winnowCteSql: String = {
+    val k = ext.TextAnalysis.winnowK
+    val w = ext.TextAnalysis.winnowW
+    val hex = ext.TextAnalysis.winnowHashHex
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+       |pk AS (
+       |  SELECT doc_id,
+       |         [CAST(concat('0x', substring(md5(array_to_string(tk[i:i+${k - 1}], ' ')), 1, $hex)) AS BIGINT) * $winnowPackSql
+       |            + ($winnowMaskSql - i)
+       |          FOR i IN range(1, len(tk) - ${k - 2})] AS pk
+       |  FROM toks),
+       |sel AS (
+       |  SELECT doc_id,
+       |         list_distinct([list_min(pk[i:i+${w - 1}]) FOR i IN range(1, greatest(len(pk) - ${w - 2}, 2))]) AS keys
+       |  FROM pk WHERE len(pk) >= 1),
+       |fp0 AS (SELECT doc_id, unnest(keys) AS key FROM sel)""".stripMargin
+  }
   // DuckDB language-ID fragments GENERATED from TextAnalysis's marker
   // lists (same order = same alphabetical argmax tie-break as
   // langIdFromTokens' foldRight), so adding a language or marker
@@ -1157,6 +1179,40 @@ object ExtQueries {
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // winnowing rebuilt from scratch: same 40-bit md5 gram hashes,
+    // same h·2^20+(2^20−1−pos) packing (so list_min IS the min-hash/
+    // rightmost-pos argmin), same per-window selection and distinct.
+    // Geometry constants interpolated from TextAnalysis so the packing
+    // cannot silently desync.
+    "text_winnow" ->
+      s"""$winnowCteSql
+         |SELECT doc_id,
+         |       CAST($winnowMaskSql - (key % $winnowPackSql) AS BIGINT) AS pos,
+         |       CAST(key // $winnowPackSql AS BIGINT) AS h
+         |FROM fp0
+         |ORDER BY doc_id, pos""".stripMargin,
+    // winnow pair detection rebuilt from scratch: distinct per-doc
+    // hashes, document-frequency cap BETWEEN 2 AND maxDf before the
+    // candidate join, full (pre-cap) fingerprint counts as the
+    // overlap denominator, integer permille floor division
+    "dedup_winnow_pairs" ->
+      s"""$winnowCteSql,
+         |fp AS (SELECT DISTINCT doc_id, key // $winnowPackSql AS h FROM fp0),
+         |sizes AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY doc_id),
+         |shareable AS (SELECT h FROM fp GROUP BY h HAVING count(*) BETWEEN 2 AND ${Dedup.winnowMaxDf}),
+         |keyed AS (SELECT fp.h, fp.doc_id FROM fp JOIN shareable USING (h)),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+         |  FROM keyed x JOIN keyed y USING (h)
+         |  WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.a, p.b, CAST(p.shared AS BIGINT) AS shared,
+         |       CAST((1000 * p.shared) // least(sa.nfp, sb.nfp) AS BIGINT) AS share_permille
+         |FROM pairs p
+         |JOIN sizes sa ON p.a = sa.doc_id
+         |JOIN sizes sb ON p.b = sb.doc_id
+         |WHERE (1000 * p.shared) // least(sa.nfp, sb.nfp) >= ${Dedup.winnowMinSharePermille}
+         |ORDER BY a, b""".stripMargin,
     // rolling fingerprint: same recurrence rebuilt in DuckDB via
     // list_reduce over code points (== bytes on this ASCII corpus)
     "text_rollhash" ->
@@ -1476,6 +1532,18 @@ object ExtQueries {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    },
+    "text_winnow" -> { (s, dir) =>
+      // winnowing fingerprints (MOSS): per-doc selected (pos, hash)
+      // set — map-only extraction, oracle replays the packed argmin
+      TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "pos")
+    },
+    "dedup_winnow_pairs" -> { (s, dir) =>
+      // position-aware near-dup: docs sharing ≥ half the smaller
+      // side's winnowed fingerprints (df-capped candidate join)
+      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("a", "b")
     },
     "text_rollhash" -> { (s, dir) =>
       t(s, dir, "documents")

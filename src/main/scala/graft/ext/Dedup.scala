@@ -594,4 +594,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
   }
+
+  /** Winnowing-fingerprint pair detection — the pair-join consumer of
+    * `TextAnalysis.winnowFingerprints` (MOSS, Schleimer et al. 2003):
+    * documents sharing ≥ `minSharePermille`‰ of the smaller side's
+    * distinct fingerprint hashes. Position-aware complement to
+    * MinHash (set resemblance) and SimHash (profile distance): a
+    * shared fingerprint certifies a shared LOCAL span, so this family
+    * finds partial copies that whole-document signatures dilute away.
+    *
+    * Scale shape: fingerprints are already a 2/(w+1) winnow of the
+    * gram stream; the candidate join is an equi-join on the 40-bit
+    * hash with document frequency capped at `maxDf` (boilerplate
+    * fingerprints shared by more than `maxDf` docs are dropped BEFORE
+    * the join — the same hot-bucket discipline as `nearDupPairs`, so
+    * per-hash fanout is ≤ maxDf² and no skewed key can quadratic the
+    * stage). Only (id, h) pairs ever shuffle — ids and 8-byte
+    * hashes, never text. The overlap denominator stays the FULL
+    * per-doc fingerprint count (computed before the df-cap filter),
+    * so the cap can only lose candidates, never inflate a score. */
+  /** Default winnow-pair knobs, shared with the oracle generator. */
+  private[graft] val winnowMaxDf = 64
+  private[graft] val winnowMinSharePermille = 500
+
+  def winnowPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = TextAnalysis.winnowK,
+      w: Int = TextAnalysis.winnowW,
+      maxDf: Int = winnowMaxDf,
+      minSharePermille: Int = winnowMinSharePermille,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    val fp = scope.cache(
+      TextAnalysis.winnowFingerprints(docs, idCol, textCol, k, w)
+        .select(col(idCol).as("id"), col("h")).distinct())
+    val sizes = fp.groupBy("id").agg(count(lit(1)).as("nfp"))
+    val shareable = fp.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+      .select("h")
+    val keyed = fp.join(shareable, "h")
+    val pairs = keyed.select(col("h"), col("id").as("a"))
+      .join(keyed.select(col("h"), col("id").as("b")), "h")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("id").as("a"), col("nfp").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("nfp").as("nb")), "b")
+      .withColumn("share_permille", expr("(1000 * shared) div least(na, nb)"))
+      .where(col("share_permille") >= minSharePermille)
+      .select(col("a"), col("b"), col("shared"), col("share_permille"))
+  }
 }

@@ -353,4 +353,58 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"),
         expr("sum(s) div count(1)").cast("long").as("lm_score"))
   }
+
+  /** Winnowing geometry, shared with the DuckDB oracle generator so
+    * the packing arithmetic cannot desync (the `defaultTrainRounds`
+    * precedent). Positions occupy the low `winnowPosBits`; a
+    * 40-bit gram hash occupies the high bits, so packed keys stay
+    * inside signed int64 (40 + 20 = 60 bits). `maxDocChars` (2²⁰
+    * chars) caps tokens at 2¹⁹ — positions always fit. */
+  private[graft] val winnowPosBits = 20
+  private[graft] val winnowPosMask: Long = (1L << winnowPosBits) - 1
+  private[graft] val winnowHashHex = 10 // 40-bit md5-prefix gram hash
+  private[graft] val winnowK = 4 // tokens per gram
+  private[graft] val winnowW = 4 // grams per winnow window
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash
+    * every k-token gram, slide a w-gram window, and keep each
+    * window's minimum hash (rightmost on ties). Guarantees: any
+    * shared token run of ≥ w+k−1 tokens between two documents yields
+    * ≥ 1 shared fingerprint, and expected density is 2/(w+1) of the
+    * grams — a POSITION-AWARE near-dup family complementing MinHash
+    * (whole-doc set resemblance) and SimHash (weighted profile):
+    * it localizes WHICH spans overlap, the plagiarism/partial-copy
+    * detector the reference's text pipeline has no answer to.
+    *
+    * Both the (min hash, rightmost position) argmin and the
+    * cross-engine replay ride one trick: pack hash and position into
+    * a single int64 key h·2²⁰ + (2²⁰−1−pos), so `array_min` IS the
+    * argmin with the declared tie-break, in Spark and DuckDB alike —
+    * no struct ordering, no window-function tie semantics to match.
+    *
+    * Scale shape: extraction is MAP-ONLY (tokenize → gram-hash →
+    * O(m·w) per-row window scan over the packed array, all inside
+    * whole-stage codegen, per-row scratch bounded by `maxDocChars`);
+    * the only data movement is whatever the consumer does with the
+    * emitted (id, pos, h) rows — ~2/(w+1) the size of the gram
+    * stream that substring-dedup (`dupNgramStats`) already shuffles
+    * at full density. Returns (id, pos, h), pos 1-based gram start. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = winnowK, w: Int = winnowW): DataFrame = {
+    val grams = TextOps.wordNgramsFromTokens(TextOps.tokens(col(textCol)), k)
+    val packed = transform(grams, (g, i) =>
+      conv(substring(md5(g.cast("binary")), 1, winnowHashHex), 16, 10).cast("long")
+        * lit(winnowPosMask + 1)
+        + (lit(winnowPosMask) - i.cast("long") - 1L))
+    val keys = when(size(col("pk")) === 0, array().cast("array<long>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), greatest(lit(1), size(col("pk")) - (w - 1))),
+        i => array_min(slice(col("pk"), i, lit(w))))))
+    docs.select(col(idCol), packed.as("pk"))
+      .select(col(idCol), explode(keys).as("key"))
+      .select(col(idCol),
+        (lit(winnowPosMask) - pmod(col("key"), lit(winnowPosMask + 1))).as("pos"),
+        expr(s"key div ${winnowPosMask + 1}").as("h"))
+  }
 }

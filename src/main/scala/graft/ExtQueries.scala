@@ -352,6 +352,19 @@ object ExtQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.ws, b.ws))*1.0 / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+    // exact Jaccard self-join: the oracle IS the definition — O(n²)
+    // ground truth at the same threshold; the Spark side must reproduce
+    // it exactly or the prefix filter dropped a true pair
+    "dedup_jaccard_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $shingleSql AS ws FROM toks WHERE len(tk) >= 3)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       len(list_intersect(a.ws, b.ws))*1.0 / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.ws, b.ws))*1.0 / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
     // near-dup clusters: connected components of the exact-Jaccard pair
     // graph, component id = min doc id; DuckDB recomputes reachability
     // from scratch with a recursive CTE
@@ -1040,6 +1053,43 @@ object ExtQueries {
          |SELECT doc_id, count(*) AS n_bigrams,
          |       CAST(sum(s) // count(*) AS BIGINT) AS lm_score
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // CCNet bucketing rebuilt from scratch: same bigram-LM chain, same
+    // per-language distinct-score histogram, same strictly-higher
+    // integer thresholds
+    "corpus_ccnet_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |         unnest([tk[i] FOR i IN range(1, len(tk))]) AS w1,
+         |         unnest([tk[i+1] FOR i IN range(1, len(tk))]) AS w2
+         |  FROM toks WHERE len(tk) >= 2),
+         |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
+         |sc AS (
+         |  SELECT bg.doc_id, (c2.n2 * 1000000) // c1.n1 AS s
+         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+         |lm AS (
+         |  SELECT doc_id, CAST(sum(s) // count(*) AS BIGINT) AS lm_score
+         |  FROM sc GROUP BY doc_id),
+         |sl AS (
+         |  SELECT d.doc_id, d.lang, lm.lm_score
+         |  FROM lm JOIN documents d USING (doc_id)),
+         |hist AS (SELECT lang, lm_score, count(*) AS c FROM sl GROUP BY lang, lm_score),
+         |cum AS (
+         |  SELECT lang, lm_score,
+         |         coalesce(sum(c) OVER (PARTITION BY lang ORDER BY lm_score DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS higher,
+         |         sum(c) OVER (PARTITION BY lang) AS n
+         |  FROM hist),
+         |b AS (
+         |  SELECT lang, lm_score,
+         |         CAST(CASE WHEN higher*3 < n THEN 1
+         |                   WHEN higher*3 < n*2 THEN 2
+         |                   ELSE 3 END AS INTEGER) AS bucket
+         |  FROM cum)
+         |SELECT sl.doc_id, sl.lang, sl.lm_score, b.bucket
+         |FROM sl JOIN b USING (lang, lm_score)
+         |ORDER BY sl.doc_id""".stripMargin,
     "sort_global_rank" ->
       """SELECT o_orderkey, o_totalprice,
         |  CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
@@ -2045,6 +2095,15 @@ object ExtQueries {
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("id_a", "id_b")
     },
+    "dedup_jaccard_pairs" -> { (s, dir) =>
+      // EXACT Jaccard threshold self-join (AllPairs/PPJoin prefix +
+      // length filters): deterministic ground truth, no LSH miss floor;
+      // threshold 0.5 deliberately below the MinHash query's 0.6 to
+      // exercise the band the approximate path is least reliable in
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
     "dedup_incremental" -> { (s, dir) =>
       // incremental ingest screening: the "new batch" (20% of docs by
       // id hash) checked for near-dups against the existing corpus via
@@ -2090,6 +2149,14 @@ object ExtQueries {
       // jobs, one scoring join — the classic perplexity-style signal
       // with no float drift for the oracle to trip on
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    "corpus_ccnet_buckets" -> { (s, dir) =>
+      // CCNet head/middle/tail selection: LM-score each doc, bucket by
+      // per-language score thresholds off the distinct-score histogram
+      // (never a per-document sort) — buckets are (lang, score)
+      // functions, ties share a bucket, all-integer
+      TextAnalysis.ccnetBuckets(t(s, dir, "documents"), "doc_id", "text", "lang")
         .orderBy("doc_id")
     },
     "corpus_budget_select" -> { (s, dir) =>

@@ -435,6 +435,65 @@ object Dedup {
       .where(col("containment") >= threshold)
   }
 
+  /** EXACT n-gram-Jaccard threshold self-join (id_a < id_b, jaccard ≥ t)
+    * — the deterministic complement of `nearDupPairs`: no MinHash, no
+    * probabilistic miss floor; the result IS ground truth, not an
+    * LSH-candidate set verified against it. The price of exactness is
+    * paid with the AllPairs/PPJoin prefix filter instead of O(n²):
+    *
+    *   - J(A,B) ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|) ≥ ⌈t·|X|⌉
+    *     for each side X, so under one global shingle order (rarity,
+    *     then hash) the ⌊(1−t)·|X|⌋+1 rarest shingles of BOTH sides
+    *     must intersect — joining prefix-to-prefix (not prefix to full
+    *     posting lists, the containment variant's shape) yields a
+    *     guaranteed candidate superset.
+    *   - Length filter: min ≥ ⌈t·max⌉ is implied, pruned with
+    *     floor(t·max) (floor absorbs upward float rounding — errs only
+    *     toward admitting a candidate, never dropping a true pair).
+    *   - Exact verify on the cached full hash sets equals ground truth.
+    *
+    * Scale shape: the prefix relation is a (1−t) fraction of the gram
+    * universe biased to RARE grams (short posting lists), the
+    * prefix-prefix equi-join shuffles ids+sizes only, and the verify
+    * join is candidate-sized. Reference twin: the same "shuffle a
+    * derived key, verify exactly" discipline as the word-count
+    * pipeline's hash partition (`w7/src/worker/worker.h:114-160`). */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = scope.cache(docs
+      .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
+      .where(size(col("ws")) > 0))
+    val posts = sh.select(col(idCol).as("id"), size(col("ws")).as("sz"),
+      explode(col("ws")).as("h"))
+    val dfreq = posts.groupBy("h").agg(count(lit(1)).as("df"))
+    // ceil((1−t)·sz)+1 ≥ the exact ⌊(1−t)·sz⌋+1 bound for every float
+    // rounding direction (same guard as containmentPairs)
+    val prefix = posts
+      .join(dfreq, "h")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("id").orderBy("df", "h")))
+      .where(col("rn") <= ceil((lit(1.0) - threshold) * col("sz")) + 1)
+      .select("id", "sz", "h")
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")) >=
+            floor(lit(threshold) * greatest(col("a.sz"), col("b.sz"))))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("ws").as("ws_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("ws").as("ws_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("ws_a"), col("ws_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Connected components over a near-dup pair graph: every document
     * that appears in at least one pair gets the minimum doc id of its
     * component as `cluster_id` — the step that turns pairwise matches

@@ -354,6 +354,46 @@ object TextAnalysis {
         expr("sum(s) div count(1)").cast("long").as("lm_score"))
   }
 
+  /** CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    * each scored document lands in head/middle/tail (1/2/3) of its
+    * language by bigram-LM score. Production CCNet cuts on score
+    * THRESHOLDS derived from the corpus distribution, not on per-row
+    * ranks — reproduced here exactly: the bucket is a function of
+    * (lang, score) alone, computed on the per-language DISTINCT-SCORE
+    * histogram (≤ 10⁶ rows per language by score construction), so no
+    * per-document global sort ever happens. A document is head when
+    * strictly-higher-scored documents are < n/3 of its language, tail
+    * when ≥ 2n/3 — ties share a bucket by definition, integer
+    * arithmetic end to end.
+    *
+    * Scale shape: score once (bigramLmScore's two hash-aggs + one
+    * join), aggregate the histogram (tiny), window over the histogram
+    * (per-lang, bounded), broadcast-join the (lang, score → bucket)
+    * map back. The 100 TB cost is the scoring pass; the bucketing
+    * itself is O(distinct scores). */
+  def ccnetBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLmScore(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    val hist = scored.groupBy(langCol, "lm_score").agg(count(lit(1)).as("c"))
+    val above = Window.partitionBy(langCol).orderBy(col("lm_score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = hist
+      .withColumn("higher", coalesce(sum(col("c")).over(above), lit(0L)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(langCol)))
+      .select(col(langCol), col("lm_score"),
+        when(col("higher") * 3 < col("n"), 1)
+          .when(col("higher") * 3 < col("n") * 2, 2)
+          .otherwise(3).as("bucket"))
+    scored
+      .join(broadcast(buckets), Seq(langCol, "lm_score"))
+      .select(col(idCol), col(langCol), col("lm_score"), col("bucket"))
+  }
+
   /** Winnowing geometry, shared with the DuckDB oracle generator so
     * the packing arithmetic cannot desync (the `defaultTrainRounds`
     * precedent). Positions occupy the low `winnowPosBits`; a

@@ -17,16 +17,21 @@ object Tables {
 
   /** Load one named parquet table from a scale-factor directory.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses to read as a timestamp; read it as raw nanos and truncate to
+    * Some generator versions write `events.ts` as parquet
+    * TIMESTAMP(NANOS), which Spark 4 refuses to read as a timestamp;
+    * detect that case and read it as raw nanos, truncating to
     * microseconds with integer division (`div`, not `/` — double division
-    * would lose precision above 2^53). */
+    * would lose precision above 2^53). Newer generators write a plain
+    * TIMESTAMP(MICROS) that needs no fix-up. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -35,10 +35,16 @@ object StreamOps {
   }
 
   /** Streaming view of the events table with the same schema fix-ups as
-    * the batch reader (nanosecond timestamps → microseconds). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    readTable(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    * the batch reader (legacy nanosecond-long timestamps → microseconds;
+    * a native timestamp column passes through untouched). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val raw = readTable(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
 
   /** Tumbling-window count/sum per event type with a watermark: the
     * streaming equivalent of the batch hourly aggregation (q12). Late

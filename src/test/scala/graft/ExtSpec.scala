@@ -199,6 +199,29 @@ class ExtSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("exact-Jaccard PPJoin equals brute force, including boundary-threshold pairs") {
+    val docs = io.Tables(spark, sf, "documents")
+    // two docs engineered to land EXACTLY on the 0.5 boundary: shingle
+    // sets of sizes 12 and 12 sharing 8 shingles → J = 8/16 = 0.5 —
+    // the pair a float-unsafe prefix/length bound drops first
+    val base = Seq.tabulate(14)(i => s"w$i").mkString(" ")   // shingles w0..w11 (12)
+    val shifted = (Seq.tabulate(10)(i => s"w${i + 4}") ++ Seq.tabulate(4)(i => s"x$i")).mkString(" ")
+    val augmented = docs.select("doc_id", "text")
+      .unionByName(Seq((900001L, base), (900002L, shifted)).toDF("doc_id", "text"))
+    val got = Dedup.jaccardPairs(augmented, "doc_id", "text", shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sh = augmented
+      .select(col("doc_id"), Dedup.shingleHashSet(col("text"), 3).as("ws"))
+      .where(size(col("ws")) > 0)
+    val brute = sh.as("a").crossJoin(sh.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id") &&
+        Dedup.jaccard(col("a.ws"), col("b.ws")) >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(got.contains((900001L, 900002L)), "the exact-boundary J=0.5 pair must survive")
+    spark.catalog.clearCache()
+  }
+
   test("incremental screening equals the cross-corpus slice of the full self-join") {
     val docs = io.Tables(spark, sf, "documents")
     val isNew = (id: Long) => id % 5 == 0

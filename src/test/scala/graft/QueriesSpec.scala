@@ -20,4 +20,23 @@ class QueriesSpec extends SparkSpec {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracle entries without queries: $unknown")
   }
+
+  test("events ts predicates push down to the parquet scan (native-timestamp reader)") {
+    import org.apache.spark.sql.functions._
+    // with a native TIMESTAMP(MICROS) ts column the reader applies no
+    // withColumn rewrite, so a ts filter must reach the scan as a
+    // pushed filter (a rewrite would strand it above the projection —
+    // at 100 TB that is the difference between pruning row groups at
+    // the source and decoding every page); legacy nanos-long inputs
+    // legitimately keep the rewrite and are exempt
+    val ev = io.Tables(spark, sf, "events")
+    if (ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType &&
+        !ev.queryExecution.analyzed.toString.contains("timestamp_micros")) {
+      val q = ev.where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      q.count()
+      val scan = q.queryExecution.executedPlan.toString
+      assert(scan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+        s"ts filter did not reach the scan:\n$scan")
+    }
+  }
 }

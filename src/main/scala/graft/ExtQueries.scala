@@ -817,6 +817,50 @@ object ExtQueries {
          |                 ELSE (255 * 17592186044416) // kth_min END AS BIGINT) AS est
          |FROM agg
          |ORDER BY lang""".stripMargin,
+    // KMV overlap matrix rebuilt from scratch: same per-source k-min
+    // lists (row_number replay), same merged-union k-min, same
+    // inclusion-exclusion in exact integer arithmetic
+    "sketch_source_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT source, unnest($shingleSql) AS g FROM toks WHERE len(tk) >= 3),
+         |h AS (
+         |  SELECT DISTINCT source, CAST(concat('0x', substring(md5(g), 1, 11)) AS BIGINT) AS h FROM sh),
+         |r AS (
+         |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+         |sk AS (SELECT source, h FROM r WHERE rn <= 256),
+         |ka AS (
+         |  SELECT source, count(*) AS sz, CAST(max(h) AS BIGINT) AS kth FROM sk GROUP BY source),
+         |srcs AS (SELECT DISTINCT source FROM documents),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b
+         |  FROM srcs a JOIN srcs b ON a.source < b.source),
+         |uh AS (
+         |  SELECT DISTINCT p.src_a, p.src_b, s.h
+         |  FROM pairs p JOIN sk s ON s.source IN (p.src_a, p.src_b)),
+         |ru AS (
+         |  SELECT src_a, src_b, h,
+         |         row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+         |  FROM uh),
+         |ku AS (
+         |  SELECT src_a, src_b, count(*) AS sz, CAST(max(h) AS BIGINT) AS kth
+         |  FROM ru WHERE rn <= 256 GROUP BY src_a, src_b),
+         |e AS (
+         |  SELECT p.src_a, p.src_b,
+         |         CAST(CASE WHEN a.sz < 256 THEN a.sz ELSE (255 * 17592186044416) // a.kth END AS BIGINT) AS est_a,
+         |         CAST(CASE WHEN b.sz < 256 THEN b.sz ELSE (255 * 17592186044416) // b.kth END AS BIGINT) AS est_b,
+         |         CAST(CASE WHEN u.sz < 256 THEN u.sz ELSE (255 * 17592186044416) // u.kth END AS BIGINT) AS est_union
+         |  FROM pairs p
+         |  JOIN ka a ON a.source = p.src_a
+         |  JOIN ka b ON b.source = p.src_b
+         |  JOIN ku u ON u.src_a = p.src_a AND u.src_b = p.src_b)
+         |SELECT src_a, src_b, est_a, est_b, est_union,
+         |       CAST(greatest(est_a + est_b - est_union, 0) AS BIGINT) AS est_inter,
+         |       CAST(CASE WHEN est_union = 0 THEN 0
+         |                 ELSE (greatest(est_a + est_b - est_union, 0) * 1000) // est_union END AS BIGINT) AS jaccard_milli
+         |FROM e
+         |ORDER BY src_a, src_b""".stripMargin,
     "sketch_distinct_shingles" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $tokSql AS tk FROM documents),
@@ -1053,6 +1097,33 @@ object ExtQueries {
          |SELECT doc_id, count(*) AS n_bigrams,
          |       CAST(sum(s) // count(*) AS BIGINT) AS lm_score
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // DSIR selection rebuilt from scratch: same single-pass bigram
+    // stats (target count as a conditional sum), same add-one integer
+    // micro-ratio, same (score DESC, id) top-100 cut
+    "corpus_dsir_select" ->
+      s"""WITH toks AS (SELECT doc_id, lang = 'en' AS tgt, $tokSql AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tgt,
+         |         unnest([tk[i] FOR i IN range(1, len(tk))]) AS w1,
+         |         unnest([tk[i+1] FOR i IN range(1, len(tk))]) AS w2
+         |  FROM toks WHERE len(tk) >= 2),
+         |st AS (
+         |  SELECT w1, w2, count(*) AS n_all,
+         |         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_tgt
+         |  FROM bg GROUP BY w1, w2),
+         |sc AS (
+         |  SELECT bg.doc_id, ((st.n_tgt + 1) * 1000000) // (st.n_all + 1) AS r
+         |  FROM bg JOIN st USING (w1, w2)),
+         |d AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |         CAST(sum(r) // count(*) AS BIGINT) AS dsir_score
+         |  FROM sc GROUP BY doc_id),
+         |rk AS (
+         |  SELECT doc_id, n_bigrams, dsir_score,
+         |         row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rn
+         |  FROM d)
+         |SELECT doc_id, n_bigrams, dsir_score FROM rk WHERE rn <= 100
+         |ORDER BY doc_id""".stripMargin,
     // CCNet bucketing rebuilt from scratch: same bigram-LM chain, same
     // per-language distinct-score histogram, same strictly-higher
     // integer thresholds
@@ -1919,6 +1990,18 @@ object ExtQueries {
           "lang", "h", k = 256, bits = 44)
         .orderBy("lang")
     },
+    "sketch_source_overlap" -> { (s, dir) =>
+      // pairwise source-overlap matrix from the SAME bounded per-source
+      // KMV sketches: union sketch by merge, intersection by
+      // inclusion-exclusion — the corpus-overlap report an LLM-data
+      // pipeline runs across its crawl sources, with the data read once
+      graft.ops.Sketches.kmvOverlapPairs(
+          t(s, dir, "documents")
+            .select(col("source"), explode(
+              graft.functions.ShingleMd5Hashes.shingleMd5(TextOps.tokens(col("text")), 3)).as("h")),
+          "source", "h", k = 256, bits = 44)
+        .orderBy("src_a", "src_b")
+    },
     "sketch_distinct_shingles" -> { (s, dir) =>
       // one pass, bounded state: the KMV aggregator keeps <= 256 hash
       // values per partition and merges — the whole point is that NO
@@ -1962,11 +2045,16 @@ object ExtQueries {
       // per-language boilerplate words: language-ID feeds the KEYED
       // two-pass heavy hitter — pass 1's per-(partition, lang) state
       // is a bounded MG buffer, pass 2 exact-counts only the broadcast
-      // lang-candidate pairs; threshold is each language's OWN total
+      // lang-candidate pairs; threshold is each language's OWN total.
+      // langId MUST be projected to an attribute BEFORE the explode:
+      // ExtractGenerator leaves non-attribute project expressions in a
+      // Project evaluated per OUTPUT row, turning the 5-language marker
+      // scan into O(tokens) evaluations per doc (measured 37.9 s →
+      // ~1 s at sf0.1 — the dupNgramStats projection rule again)
       val words = t(s, dir, "documents")
         .select(TextOps.tokens(col("text")).as("tk"))
-        .select(TextAnalysis.langIdFromTokens(col("tk")).as("lang"),
-          explode(col("tk")).as("word"))
+        .select(TextAnalysis.langIdFromTokens(col("tk")).as("lang"), col("tk"))
+        .select(col("lang"), explode(col("tk")).as("word"))
       graft.ops.Sketches.heavyHittersExactByKey(words, "lang", "word", phiPermille = 10)
         .orderBy("lang", "word")
     },
@@ -2157,6 +2245,19 @@ object ExtQueries {
       // (never a per-document sort) — buckets are (lang, score)
       // functions, ties share a bucket, all-integer
       TextAnalysis.ccnetBuckets(t(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    },
+    "corpus_dsir_select" -> { (s, dir) =>
+      // DSIR selection: importance-score every doc against the
+      // English-documents target distribution, keep the global top 100
+      // by (score DESC, id) through the bounded-heap top-k operator
+      // (map-side heaps, one tiny final heap — never a global sort)
+      val scored = TextAnalysis.dsirScores(
+          t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+        .withColumn("g", lit(0))
+      graft.plans.TopKPerKey(scored, Seq("g"),
+          Seq(("dsir_score", false), ("doc_id", true)), 100)
+        .select("doc_id", "n_bigrams", "dsir_score")
         .orderBy("doc_id")
     },
     "corpus_budget_select" -> { (s, dir) =>

@@ -354,6 +354,43 @@ object TextAnalysis {
         expr("sum(s) div count(1)").cast("long").as("lm_score"))
   }
 
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each raw
+    * document by how target-like its bigram distribution is. DSIR's
+    * log-ratio of hashed-n-gram LMs is reproduced as an exact integer
+    * micro-ratio (the bigramLmScore convention — no float log for the
+    * cross-engine oracle to drift on): per bigram g,
+    * r(g) = ((n_target(g)+1)·10⁶) div (n_corpus(g)+1) (add-one keeps
+    * never-in-target grams finite), per doc the mean of r over its
+    * bigrams. Target membership is any boolean column expression —
+    * "looks like wikipedia", "is English", a quality bit.
+    *
+    * Scale shape: one map-only bigram pass feeds BOTH distributions
+    * (the target count is a conditional sum in the same hash agg —
+    * no second scan of the corpus), one gram-keyed scoring join, one
+    * per-doc agg. Identical dataflow cost to bigramLmScore. */
+  def dsirScores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column): DataFrame = {
+    val bg = docs
+      .select(col(idCol), isTarget.as("tgt"), TextOps.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col(idCol), col("tgt"), explode(bigrams(col("tk"))).as("bg"))
+      .select(col(idCol), col("tgt"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .cache()
+    val stats = bg.groupBy("w1", "w2").agg(
+      count(lit(1)).as("n_all"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("n_tgt"))
+    bg.join(stats, Seq("w1", "w2"))
+      .select(col(idCol), expr("((n_tgt + 1) * 1000000) div (n_all + 1)").as("r"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        expr("sum(r) div count(1)").cast("long").as("dsir_score"))
+  }
+
   /** CCNet-style per-language quality bucketing (Wenzek et al. 2020):
     * each scored document lands in head/middle/tail (1/2/3) of its
     * language by bigram-LM score. Production CCNet cuts on score
@@ -423,15 +460,33 @@ object TextAnalysis {
     * argmin with the declared tie-break, in Spark and DuckDB alike —
     * no struct ordering, no window-function tie semantics to match.
     *
-    * Scale shape: extraction is MAP-ONLY (tokenize → gram-hash →
-    * O(m·w) per-row window scan over the packed array, all inside
-    * whole-stage codegen, per-row scratch bounded by `maxDocChars`);
+    * Scale shape: extraction is MAP-ONLY (tokenize → one-pass native
+    * `WinnowKeys` expression: gram-hash + monotonic-deque sliding
+    * minima, O(grams) per row, per-row scratch bounded by
+    * `maxDocChars`);
     * the only data movement is whatever the consumer does with the
     * emitted (id, pos, h) rows — ~2/(w+1) the size of the gram
     * stream that substring-dedup (`dupNgramStats`) already shuffles
     * at full density. Returns (id, pos, h), pos 1-based gram start. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int = winnowK, w: Int = winnowW): DataFrame = {
+                         k: Int = winnowK, w: Int = winnowW): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(graft.functions.WinnowKeys.winnowKeys(
+          TextOps.tokens(col(textCol)), k, w, winnowPosBits)).as("key"))
+      .select(col(idCol),
+        (lit(winnowPosMask) - pmod(col("key"), lit(winnowPosMask + 1))).as("pos"),
+        expr(s"key div ${winnowPosMask + 1}").as("h"))
+
+  /** The interpreted higher-order-function formulation `WinnowKeys`
+    * replaced — kept as the value-parity witness (`WinnowSpec` asserts
+    * set equality per document): md5+conv per gram, then an
+    * array_min over every w-slice, then array_distinct. O(grams·w)
+    * interpreted lambdas per row — measured at 8.9 s (text_winnow,
+    * sf0.1) vs ~1 s native. */
+  private[graft] def winnowFingerprintsHof(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = winnowK, w: Int = winnowW): DataFrame = {
     val grams = TextOps.wordNgramsFromTokens(TextOps.tokens(col(textCol)), k)
     val packed = transform(grams, (g, i) =>
       conv(substring(md5(g.cast("binary")), 1, winnowHashHex), 16, 10).cast("long")

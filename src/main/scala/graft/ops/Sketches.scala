@@ -185,6 +185,45 @@ object Sketches {
       .agg(udaf(Aggregators.KMinValues(k)).apply(col(hashCol)).as("mins"))
       .select(col(keyCol) +: kmvEstimate(k, bits): _*)
 
+  /** Pairwise corpus-overlap matrix from per-group KMV sketches (Beyer
+    * et al. 2007 multi-set KMV): every group keeps ONE bounded k-min
+    * sketch; a pair's union sketch is the k smallest of the two
+    * merged min-lists (exactly what a KMV of the concatenated corpora
+    * would hold), and the intersection follows by inclusion–exclusion
+    * est_inter = est_a + est_b − est_union (clamped at 0). "How much do
+    * source A and source B overlap" across all pairs costs one hash
+    * aggregation over the data plus an all-pairs join of ≤ |groups|
+    * sketch ROWS (never of the data) — 100 TB in, |groups|²·k longs
+    * out. All arithmetic is exact int64 (same estimator row shape as
+    * `kmvDistinct`), so an external engine replays it bit-for-bit. */
+  def kmvOverlapPairs(
+      hashes: DataFrame,
+      keyCol: String,
+      hashCol: String,
+      k: Int,
+      bits: Int): DataFrame = {
+    require(bits < 63 && k > 1, s"need 1 < k and bits < 63, got k=$k bits=$bits")
+    require((k - 1).toLong <= (Long.MaxValue >> bits), s"(k-1)*2^$bits overflows int64")
+    val num = (k - 1).toLong * (1L << bits)
+    val sk = hashes
+      .groupBy(keyCol)
+      .agg(udaf(Aggregators.KMinValues(k)).apply(col(hashCol)).as("mins"))
+    def est(mins: String): Column =
+      expr(s"IF(size($mins) < $k, size($mins), ${num}L div element_at($mins, $k))")
+        .cast("long")
+    sk.select(col(keyCol).as("src_a"), col("mins").as("ma"))
+      .join(broadcast(
+        sk.select(col(keyCol).as("src_b"), col("mins").as("mb"))),
+        col("src_a") < col("src_b"))
+      .withColumn("mu", slice(array_sort(array_union(col("ma"), col("mb"))), 1, k))
+      .select(col("src_a"), col("src_b"),
+        est("ma").as("est_a"), est("mb").as("est_b"), est("mu").as("est_union"))
+      .withColumn("est_inter",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .withColumn("jaccard_milli",
+        expr("IF(est_union = 0, 0L, (est_inter * 1000) div est_union)"))
+  }
+
   /** Per-group histogram quantiles — the grouped form of
     * `histQuantiles` with NO driver round-trip at all: per-group
     * bounds come from a first aggregation joined back (broadcast —

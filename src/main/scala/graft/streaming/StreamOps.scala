@@ -35,13 +35,18 @@ object StreamOps {
   }
 
   /** Streaming view of the events table with the same schema fix-ups as
-    * the batch reader (legacy nanosecond-long timestamps → microseconds;
-    * a native timestamp column passes through untouched). */
+    * the batch reader (legacy nanosecond-long timestamps → microseconds)
+    * plus one streaming-only rule: tz-less parquet timestamps read back
+    * as TIMESTAMP_NTZ, which `withWatermark` rejects — cast to session-tz
+    * TIMESTAMP (an identity on the stored micros under the UTC session
+    * the engine pins), so event-time semantics match the batch twin. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val raw = readTable(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -91,6 +91,34 @@ class SketchSpec extends SparkSpec {
     assert(row.getLong(0) == 31L && row.getLong(1) == 5L)
   }
 
+  test("KMV overlap: non-full sketches give EXACT inclusion-exclusion; estimates track truth when full") {
+    // three groups with engineered overlap: A = 0..99, B = 50..149
+    // (|A∩B| = 50), C = 1000..1099 (disjoint from both); < k distinct
+    // per group and per union, so every estimate is exact by the
+    // non-full-sketch contract
+    val rows = (0L to 99L).map(("A", _)) ++ (50L to 149L).map(("B", _)) ++
+      (1000L to 1099L).map(("C", _))
+    val df = rows.toDF("src", "v")
+      // spread values over the hash space like real md5-slice hashes
+      .select(col("src"), pmod(xxhash64(col("v")), lit(1L << 44)).as("h"))
+    val got = ops.Sketches.kmvOverlapPairs(df, "src", "h", k = 256, bits = 44)
+      .orderBy("src_a", "src_b")
+      .select("src_a", "src_b", "est_a", "est_b", "est_inter")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", "B", 100L, 100L, 50L), ("A", "C", 100L, 100L, 0L),
+      ("B", "C", 100L, 100L, 0L)))
+
+    // full sketches: two 10k-value groups sharing half their values —
+    // k=256 KMV has ~1/sqrt(k) ≈ 6% sigma; assert within 5 sigma
+    val big = (0L until 10000L).map(("X", _)) ++ (5000L until 15000L).map(("Y", _))
+    val bigDf = big.toDF("src", "v")
+      .select(col("src"), pmod(xxhash64(col("v")), lit(1L << 44)).as("h"))
+    val est = ops.Sketches.kmvOverlapPairs(bigDf, "src", "h", k = 256, bits = 44)
+      .select("est_union", "est_inter").as[(Long, Long)].collect().head
+    assert(math.abs(est._1 - 15000L) < 4500, s"union est ${est._1} too far from 15000")
+    assert(math.abs(est._2 - 5000L) < 4500, s"inter est ${est._2} too far from 5000")
+  }
+
   test("histogram quantiles: empty input yields no rows, not an NPE") {
     val empty = spark.range(0).select(col("id").cast("double").as("v"))
     assert(ops.Sketches.histQuantiles(empty, "v", Seq(0.5, 0.9)).count() == 0)

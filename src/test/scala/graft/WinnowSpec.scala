@@ -82,6 +82,15 @@ class WinnowSpec extends SparkSpec {
     assert(density > 0.15 && density < 0.75, s"density $density")
   }
 
+  test("native WinnowKeys equals the interpreted HOF formulation on the real corpus") {
+    val docs = io.Tables(spark, sf, "documents")
+    val native = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val hof = TextAnalysis.winnowFingerprintsHof(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(native == hof)
+  }
+
   test("extraction is map-only: no exchange in the fingerprint plan") {
     val plan = TextAnalysis
       .winnowFingerprints(io.Tables(spark, sf, "documents"), "doc_id", "text")

@@ -171,7 +171,23 @@ object BenchScale {
       ("emb_semdedup", Int.MaxValue, (docs0, emb0, f) =>
         ext.Similarity.semDedupKeep(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           minQdot = 450000L,
-          numCentroids = 64 * math.sqrt(f.toDouble).round.toInt)))
+          numCentroids = 64 * math.sqrt(f.toDouble).round.toInt)),
+      // winnowing pair detection (round-7 native WinnowKeys kernel):
+      // extraction is map-only O(grams) per row, the pair join keys on
+      // shared fingerprints with the hot-fingerprint df cap — the
+      // cipher preserves within-copy fingerprints exactly, so true
+      // pairs grow ×f while cross-copy fingerprints stay disjoint
+      ("dedup_winnow_pairs", Int.MaxValue, (docs0, emb0, f) =>
+        ext.Dedup.winnowPairs(inflateDocs(docs0, f), "doc_id", "text")),
+      // exact-Jaccard PPJoin (round 7): the prefix relation is the
+      // rare tail of each copy's gram spectrum; copies share no grams,
+      // so candidate pairs grow ×f and the rarity-ordered prefix join
+      // should hold the growth near-linear — the probe watches for the
+      // prefix-to-prefix join going superlinear on a merged frequency
+      // spectrum (each gram's df stays constant as copies multiply)
+      ("dedup_jaccard_pairs", Int.MaxValue, (docs0, emb0, f) =>
+        ext.Dedup.jaccardPairs(inflateDocs(docs0, f), "doc_id", "text",
+          shingleN = 3, threshold = 0.5)))
 
     val secs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Int, Double, Long)]]
     for ((name, cap, build) <- kernels) {

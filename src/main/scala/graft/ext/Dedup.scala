@@ -404,24 +404,28 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.9,
       scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = scope.cache(docs
       .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
       .where(size(col("ws")) > 0))
     val posts = sh.select(col(idCol).as("id_b"), explode(col("ws")).as("h"))
     val dfreq = posts.groupBy("h").agg(count(lit(1)).as("df"))
+    // the bound is ⌊(1−t)·|A|⌋+1, but (1−t) in floating point can
+    // round DOWN across an integer boundary (0.0999…·30 → ⌊2.999…⌋
+    // = 2) and silently break the no-false-negative guarantee; ceil
+    // +1 is ≥ the exact bound for every rounding direction and only
+    // admits a few extra candidates. Rarity ranking via hash agg +
+    // per-row bounded sort, not a row_number window — the window form
+    // externally sorts the whole gram relation and goes superlinear on
+    // spill (measured on the jaccardPairs twin: 22 s → 230 s at 64×)
     val prefix = sh
       .select(col(idCol).as("id_a"), size(col("ws")).as("sz"), explode(col("ws")).as("h"))
       .join(dfreq, "h")
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("id_a").orderBy("df", "h")))
-      // the bound is ⌊(1−t)·|A|⌋+1, but (1−t) in floating point can
-      // round DOWN across an integer boundary (0.0999…·30 → ⌊2.999…⌋
-      // = 2) and silently break the no-false-negative guarantee; ceil
-      // +1 is ≥ the exact bound for every rounding direction and only
-      // admits a few extra candidates
-      .where(col("rn") <= ceil((lit(1.0) - threshold) * col("sz")) + 1)
-      .select("id_a", "h")
+      .groupBy(col("id_a"), col("sz"))
+      .agg(collect_list(struct(col("df"), col("h"))).as("dh"))
+      .select(col("id_a"),
+        explode(slice(array_sort(col("dh")), lit(1),
+          (ceil((lit(1.0) - threshold) * col("sz")) + 1).cast("int"))).as("dh"))
+      .select(col("id_a"), col("dh.h").as("h"))
     val cands = prefix.join(posts, "h")
       .where(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b")
@@ -465,28 +469,55 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.5,
       scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = scope.cache(docs
       .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
       .where(size(col("ws")) > 0))
+    // Prefix EXTENSION (PPJoin-family positional extension, Δ = 3): a
+    // prefix of ⌈(1−t)·sz⌉+Δ rarest grams guarantees a true pair shares
+    // ≥ Δ prefix grams, not just one — pigeonhole on the Δ-th smallest
+    // shared gram s_Δ: at least α−Δ shared grams rank after it in each
+    // doc, so rank(s_Δ) ≤ sz − α + Δ in both. The min-match filter this
+    // buys (m ≥ Δ, clamped by floor(t·max) for tiny docs where the
+    // required overlap itself is < Δ) is what makes t = 0.5 tractable:
+    // measured at the 16× probe factor, 1-shared-gram candidates were
+    // 5.1M rows for 4 096 true pairs, and every candidate row ships two
+    // multi-KB shingle arrays through the verify join — the whole
+    // kernel cost was the verify shuffle.
+    val delta = 3
     val posts = sh.select(col(idCol).as("id"), size(col("ws")).as("sz"),
       explode(col("ws")).as("h"))
     val dfreq = posts.groupBy("h").agg(count(lit(1)).as("df"))
-    // ceil((1−t)·sz)+1 ≥ the exact ⌊(1−t)·sz⌋+1 bound for every float
-    // rounding direction (same guard as containmentPairs)
+    // ceil((1−t)·sz)+Δ ≥ the exact ⌊(1−t)·sz⌋+Δ bound for every float
+    // rounding direction (same guard as containmentPairs). The per-doc
+    // rarity ranking is a hash agg + per-ROW sort of that doc's (df, h)
+    // list — bounded by doc size — NOT a row_number window: the window
+    // form externally sorts the whole gram relation inside the fixed
+    // partition count and went 10× superlinear in the probe's last
+    // octave (22 s → 230 s at 64×) purely on sort spill
     val prefix = posts
       .join(dfreq, "h")
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("id").orderBy("df", "h")))
-      .where(col("rn") <= ceil((lit(1.0) - threshold) * col("sz")) + 1)
-      .select("id", "sz", "h")
+      .groupBy(col("id"), col("sz"))
+      .agg(collect_list(struct(col("df"), col("h"))).as("dh"))
+      .select(col("id"), col("sz"),
+        explode(slice(array_sort(col("dh")), lit(1),
+          (ceil((lit(1.0) - threshold) * col("sz")) + delta).cast("int"))).as("dh"))
+      .select(col("id"), col("sz"), col("dh.h").as("h"))
+    // candidate = pair passing the length filter with ≥ the required
+    // number of shared EXTENDED-prefix grams; the count aggregation
+    // replaces the bare distinct at identical shuffle cost (ids-only
+    // rows), and only survivors touch the full shingle arrays
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           least(col("a.sz"), col("b.sz")) >=
             floor(lit(threshold) * greatest(col("a.sz"), col("b.sz"))))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("m"))
+      .where(col("m") >= greatest(lit(1), least(lit(delta),
+        floor(lit(threshold) * greatest(col("sz_a"), col("sz_b"))))))
+      .select("id_a", "id_b")
     cands
       .join(sh.select(col(idCol).as("id_a"), col("ws").as("ws_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("ws").as("ws_b")), "id_b")

@@ -1468,6 +1468,23 @@ object ExtQueries {
         |FROM w
         |GROUP BY ws, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+    // streaming windowed KMV rebuilt from scratch: per-hour distinct
+    // user hashes, k smallest, same integer estimator
+    "stream_distinct_sketch" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hr,
+        |         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 11)) AS BIGINT) AS h
+        |  FROM events),
+        |d AS (SELECT DISTINCT hr, h FROM h),
+        |r AS (SELECT hr, h, row_number() OVER (PARTITION BY hr ORDER BY h) AS rn FROM d),
+        |agg AS (
+        |  SELECT hr, CAST(max(h) AS BIGINT) AS kth_min, count(*) AS sz
+        |  FROM r WHERE rn <= 256 GROUP BY hr)
+        |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts, kth_min,
+        |       CAST(CASE WHEN sz < 256 THEN sz
+        |                 ELSE (255 * 17592186044416) // kth_min END AS BIGINT) AS est
+        |FROM agg
+        |ORDER BY hour_ts""".stripMargin,
     "stream_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,
         |       count(*) AS n,
@@ -1854,6 +1871,20 @@ object ExtQueries {
           col("event_type"), col("n"),
           round(col("total_value"), 2).cast("double").as("total_value"))
         .orderBy("window_start", "event_type")
+    },
+    "stream_distinct_sketch" -> { (s, dir) =>
+      // distinct users per hour as a STREAMING KMV sketch: bounded
+      // (≤ k longs) mergeable state per open window instead of every
+      // distinct value in the state store; the md5-slice hash family
+      // lets the oracle replay the exact per-window estimates
+      val w = StreamOps.distinctSketchWindows(StreamOps.readEvents(s, dir))
+      StreamOps
+        .runToMemory(w, "stream_distinct_sketch_sink",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          col("kth_min"), col("est"))
+        .orderBy("hour_ts")
     },
     "stream_events_hourly" -> { (s, dir) =>
       // q12 executed as a Structured Streaming query over the bounded

@@ -71,6 +71,39 @@ object StreamOps {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Windowed distinct-count SKETCH: the KMV aggregator as streaming
+    * window state — "distinct users per hour" over an unbounded stream
+    * with ≤ k longs of state per open window, where an exact
+    * `approx_count_distinct`-free answer would hold every distinct
+    * value in the state store. The same mergeable buffer the batch
+    * sketches use IS the streaming partial-agg state, so arrival order
+    * and micro-batch boundaries cannot change the result: the k
+    * smallest distinct hashes of a multiset are merge-order-invariant.
+    * Hashes are the engine-independent md5-slice family (44 bits), so
+    * the DuckDB oracle replays the exact estimates per window. */
+  def distinctSketchWindows(
+      events: DataFrame,
+      k: Int = 256,
+      bits: Int = 44,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    require(bits < 63 && k > 1, s"need 1 < k and bits < 63, got k=$k bits=$bits")
+    val num = (k - 1).toLong * (1L << bits)
+    events
+      .select(col("ts"),
+        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 11), 16, 10)
+          .cast("long").as("h"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(udaf(graft.ops.Aggregators.KMinValues(k)).apply(col("h")).as("mins"))
+      .select(col("window.start").as("window_start"),
+        when(size(col("mins")) > 0, element_at(col("mins"), size(col("mins"))))
+          .as("kth_min"),
+        when(size(col("mins")) < k, size(col("mins")).cast("long"))
+          .otherwise(expr(s"${num}L div element_at(mins, $k)"))
+          .cast("long").as("est"))
+  }
+
   /** Sliding-window aggregation: every event lands in len/slide
     * overlapping windows (here 2 — the moving-average shape tumbling
     * windows can't express). State is still bounded: one row per open

@@ -82,4 +82,43 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq(
       (1L, 1L, 750000L), (2L, 1L, 750000L), (3L, 3L, 666666L), (4L, 3L, 1000000L)))
   }
+
+  test("CCNet buckets: thresholds are (lang, score) functions — ties share a bucket") {
+    // six docs in one language with scores s1 > s2 = s2 > s3: the two
+    // tied middle docs must land in the SAME bucket even though a
+    // per-row ntile would split them across the 1/3 boundary
+    val docs = Seq(
+      // "a b" repeated → p(b|a)=1 within these, but scores come from
+      // the corpus-trained LM — engineer ranks via distinct texts
+      (1L, "a b a b"), (2L, "a b a b"), // deterministic pairs, top score
+      (3L, "a c x y"), (4L, "a c x y"), // identical docs → identical score
+      (5L, "c a y x"), (6L, "c a y x")
+    ).toDF("doc_id", "text")
+    val got = ext.TextAnalysis.ccnetBuckets(docs.withColumn("lang", lit("en")),
+        "doc_id", "text", "lang")
+      .orderBy("doc_id")
+      .select("doc_id", "lm_score", "bucket")
+      .as[(Long, Long, Int)].collect().toSeq
+    // identical texts must always share score AND bucket
+    assert(got(2)._2 == got(3)._2 && got(2)._3 == got(3)._3)
+    assert(got(4)._2 == got(5)._2 && got(4)._3 == got(5)._3)
+    // buckets are non-decreasing as score decreases
+    val byScore = got.sortBy(r => (-r._2, r._1)).map(_._3)
+    assert(byScore == byScore.sorted)
+  }
+
+  test("DSIR: add-one integer ratios — never-in-target grams score > 0, target-only grams highest") {
+    // target = docs 1,2 ("en"); doc 3 shares gram (a,b) with the
+    // target, doc 4's gram (x,y) never appears in the target
+    val docs = Seq(
+      (1L, "a b", "en"), (2L, "a b", "en"), (3L, "a b", "de"), (4L, "x y", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = ext.TextAnalysis.dsirScores(docs, "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // (a,b): n_all=3, n_tgt=2 → (3·10^6) div 4 = 750000 for docs 1-3;
+    // (x,y): n_all=1, n_tgt=0 → (1·10^6) div 2 = 500000 — finite, not 0
+    assert(got == Seq(
+      (1L, 1L, 750000L), (2L, 1L, 750000L), (3L, 1L, 750000L), (4L, 1L, 500000L)))
+  }
 }

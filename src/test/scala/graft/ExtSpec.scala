@@ -222,6 +222,26 @@ class ExtSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("round-7 plan guards: no window sort in PPJoin kernels; CCNet bucket map broadcasts") {
+    val docs = io.Tables(spark, sf, "documents")
+    // the PPJoin prefix selection must never plan a Window (the global
+    // gram sort spilled 10x superlinear at the 64x probe factor) —
+    // per-doc ranking is a hash agg + per-row bounded array_sort
+    for ((name, df) <- Seq(
+      ("jaccardPairs", ext.Dedup.jaccardPairs(docs, "doc_id", "text")),
+      ("containmentPairs", ext.Dedup.containmentPairs(docs, "doc_id", "text")))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name plans a window sort:\n$plan")
+    }
+    spark.catalog.clearCache()
+    // the (lang, score) -> bucket map joins back as a broadcast — the
+    // corpus side never shuffles for the bucketing step
+    val ccnet = ext.TextAnalysis.ccnetBuckets(docs, "doc_id", "text", "lang")
+    assert(ccnet.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "ccnet bucket map must broadcast")
+    spark.catalog.clearCache()
+  }
+
   test("incremental screening equals the cross-corpus slice of the full self-join") {
     val docs = io.Tables(spark, sf, "documents")
     val isNew = (id: Long) => id % 5 == 0

@@ -42,6 +42,8 @@ object AuditRecall {
     // IVF-PQ's second knob: on isotropic data the 8×16 codebook's ADC
     // ordering is noisy, so the refine (exact re-rank) depth — not the
     // coarse probe — caps recall
+    // (16, 160) is the shipped default since round 8 — the grid keeps
+    // the cheaper points so the recall-vs-cost trade stays measured
     for ((np, rf) <- Seq((4, 40), (16, 40), (16, 160)))
       report(s"ann_ivfpq_topk np=$np rf=$rf",
         ext.Similarity.ivfPqTopK(emb, "vec_id", "embedding", pf, 10, nprobe = np, refine = rf))

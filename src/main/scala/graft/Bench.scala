@@ -7,31 +7,52 @@ import org.apache.spark.sql.SparkSession
   * materialized through the noop sink (a bare count() would let the
   * optimizer prune projections/sorts and under-measure).
   *
-  * Noise defense: every query runs `SPARK_GRAFT_BENCH_PASSES` (default
-  * 3) times in INTERLEAVED full passes and the reported number is the
-  * per-query MEDIAN (per-query minima are emitted alongside). A
+  * Noise defense #1: every query runs `SPARK_GRAFT_BENCH_PASSES`
+  * (default 3) times in INTERLEAVED passes and the reported number is
+  * the per-query MEDIAN (per-query minima are emitted alongside). A
   * single-shot bench once recorded a 2.3×-wrong total because transient
   * machine load inflated the alphabetically-early queries; a median of
-  * interleaved passes can't be corrupted by load that comes and goes. */
+  * interleaved passes can't be corrupted by load that comes and goes.
+  *
+  * Noise defense #2 (round 8): ONE FRESH SparkContext PER QUERY GROUP
+  * (default 12 queries — `SPARK_GRAFT_BENCH_GROUP`). Round-6 audits
+  * (AuditR6/R6b, SURVEY §9) showed a long-lived single-JVM probe reads
+  * shuffle-heavy kernels ~2× above their isolated matched-conditions
+  * cost — cumulative JVM/block-manager decay over a sustained session —
+  * and the round-7 driver artifact reproduced exactly that signature in
+  * THIS main (126 queries × 3 passes in one JVM: 10× spikes on
+  * `skew_salted_agg`-class queries vs the quiet-host committed run).
+  * `BenchScale` already recycles per kernel; this applies the same fix
+  * at group granularity, bounding any session to ~36 query executions.
+  * The interleaved-pass median is kept WITHIN each group, which is
+  * where it matters (adjacent queries see the same transient load).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: touch every table once so the first measured query
-    // doesn't absorb JVM/codegen/parquet-footer cold-start (profiled at
-    // ~5 s — it made whichever query sorted first look 5× slower)
-    io.Tables.all.foreach(t => io.Tables(spark, sfDir, t).count())
+    val groupSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUP", "12").toInt
+
+    def newSession(): SparkSession = {
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      // untimed warmup: touch every table once so the first measured query
+      // doesn't absorb JVM/codegen/parquet-footer cold-start (profiled at
+      // ~5 s — it made whichever query sorted first look 5× slower)
+      io.Tables.all.foreach(t => io.Tables(spark, sfDir, t).count())
+      spark
+    }
+
     // optional comma-separated name filter for targeted local runs
     // (attribution experiments); the driver sets no env → full suite
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -39,22 +60,26 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (_ <- 1 to passes; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      // a FAILED pass records no time: a fast-failing query would
-      // otherwise deflate its median (and the headline total) while only
-      // the `failed` array flagged it
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    for (group <- names.grouped(groupSize)) {
+      val spark = newSession()
+      for (_ <- 1 to passes; name <- group) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        // a FAILED pass records no time: a fast-failing query would
+        // otherwise deflate its median (and the headline total) while only
+        // the `failed` array flagged it
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        // caches opened while building a query must not leak into the
+        // next measurement (or accumulate over passes × group queries)
+        spark.catalog.clearCache()
       }
-      // caches opened while building a query must not leak into the
-      // next measurement (or accumulate over passes × 71 queries)
-      spark.catalog.clearCache()
+      spark.stop()
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
@@ -82,6 +107,5 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"passes":$passes,"failed":$failedJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
-    spark.stop()
   }
 }

@@ -98,6 +98,7 @@ object BenchScale {
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.extensions", "graft.functions.GraftExtensions")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

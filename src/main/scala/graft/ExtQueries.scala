@@ -202,7 +202,7 @@ object ExtQueries {
 
   // The full IVF-PQ search replay (coarse training + assignment via the
   // shared ivf CTEs, PQ codebook + encode via the shared pq CTEs, ADC,
-  // refine-40 shortlist, exact re-rank), parameterized on the probe
+  // defaultRefine-deep shortlist, exact re-rank), parameterized on the probe
   // predicate: ann_ivfpq_topk runs it over one probe batch with
   // everything built inline; ann_index_probe runs a second batch that
   // the ENGINE answers from a persisted index — same SQL truth, because
@@ -226,7 +226,7 @@ object ExtQueries {
        |           row_number() OVER (PARTITION BY p.probe_id
        |             ORDER BY 2*${qdotIntSql("p.pe", "c.cv")} - c.nrm DESC, c.cent_id) AS pr
        |    FROM probes p CROSS JOIN cents c) b
-       |  WHERE pr <= 4),
+       |  WHERE pr <= ${Similarity.defaultNprobe}),
        |adc AS (
        |  SELECT ps.probe_id, ps.sub, c.code, ${pqDistSql("ps.sv", "c.cv")} AS d
        |  FROM (SELECT probe_id, sub, pe[sub*8+1 : sub*8+8] AS sv FROM probes, range(0, 8) r(sub)) ps
@@ -244,7 +244,7 @@ object ExtQueries {
        |    SELECT probe_id, vec_id,
        |           row_number() OVER (PARTITION BY probe_id ORDER BY ad, vec_id) AS sr
        |    FROM cand) s
-       |  WHERE sr <= 40),
+       |  WHERE sr <= ${Similarity.defaultRefine}),
        |scored AS (
        |  SELECT sh.probe_id, sh.vec_id, ${qdotIntSql("p.pe", "e.q")} AS qdot
        |  FROM short sh
@@ -564,7 +564,7 @@ object ExtQueries {
          |           row_number() OVER (PARTITION BY p.probe_id
          |             ORDER BY 2*${qdotIntSql("p.pe", "c.cv")} - c.nrm DESC, c.cent_id) AS pr
          |    FROM probes p CROSS JOIN cents c) b
-         |  WHERE pr <= 4),
+         |  WHERE pr <= ${Similarity.defaultNprobe}),
          |prs AS (
          |  SELECT pl.probe_id, pl.list_id,
          |         list_transform(list_zip(p.pe, lc.cv), x -> CAST(x[1] AS BIGINT) - CAST(x[2] AS BIGINT)) AS q
@@ -589,7 +589,7 @@ object ExtQueries {
          |    SELECT probe_id, vec_id,
          |           row_number() OVER (PARTITION BY probe_id ORDER BY ad, vec_id) AS sr
          |    FROM cand) s
-         |  WHERE sr <= 40),
+         |  WHERE sr <= ${Similarity.defaultRefine}),
          |scored AS (
          |  SELECT sh.probe_id, sh.vec_id, ${qdotIntSql("p.pe", "e.q")} AS qdot
          |  FROM short sh
@@ -718,7 +718,7 @@ object ExtQueries {
     // IVF-PQ search rebuilt from scratch: coarse-quantizer training +
     // assignment (shared ivf CTEs), PQ codebook training + encode
     // (shared pq CTEs), the ADC table, the (adc, vec_id)-ordered
-    // shortlist of `refine` = 40, and the exact re-rank — every argmin
+    // `defaultRefine`-deep shortlist, and the exact re-rank — every argmin
     // and rank id-broken, so the full pipeline replays bit-for-bit
     "ann_ivfpq_topk" -> ivfPqSql("vec_id < 10"),
     // the SAME pipeline with a different probe batch: the engine side

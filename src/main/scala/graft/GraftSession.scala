@@ -44,6 +44,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Some fixture generators write TIMESTAMP(NANOS) parquet, which
+      // Spark 4 refuses to read unless this flag maps it to Long;
+      // io.Tables then truncates nanos→micros. Set once at construction
+      // so library reads never mutate a shared session's conf.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -15,10 +15,11 @@ import graft.ops.TextOps
   *
   * Usage:
   *   graft.Main --input <dir|file> [--format text|parquet]
-  *              [--query wordcount|sql|custom|expr|<named>] [--sql "SELECT ..."]
+  *              [--query wordcount|sql|custom|expr|py|<named>] [--sql "SELECT ..."]
   *              [--mapper-class FQCN --reducer-class FQCN]
   *              [--mapper-expr "<array<struct<key,value>> expr>"]
   *              [--reducer-expr "<aggregate over value>"]
+  *              [--mapper-py map.py] [--reducer-py reduce.py]
   *              [--m M] [--r R] --output <dir> [--table documents --col text]
   *              [--key <col> --value <col>]
   *
@@ -26,6 +27,12 @@ import graft.ops.TextOps
   * (`w6/docs/design.md:66-74`): the named classes must implement
   * `graft.api.TextMapper` / `graft.api.TextReducer` and are instantiated
   * reflectively — no engine code changes, no SQL.
+  *
+  * `--query py` is the reference's contract to the LETTER: two `.py`
+  * files (`mapfunc(in_file)` / `reducefunc(in_file)` returning dicts,
+  * `w6/docs/design.md:66-74`) run UNMODIFIED via `RDD.pipe` through a
+  * stdin→file shim (`graft.api.PyJob`) — slow path by construction,
+  * kept for submission parity; `expr`/`custom` are the fast equivalents.
   *
   * `--query expr` is the same contract with no compiled code at all — the
   * closest Spark spelling of the reference's "POST map.py/reduce.py at
@@ -113,6 +120,15 @@ object Main {
           graft.api.CustomJob.instantiate[graft.api.TextMapper](mc),
           graft.api.CustomJob.instantiate[graft.api.TextReducer](rc), r),
           prePartitioned = true)
+      case "py" =>
+        val mp = opts.getOrElse("mapper-py",
+          sys.error("--mapper-py required with --query py"))
+        import spark.implicits._
+        val lines = df.select(textCol.cast("string")).na.drop().as[String]
+        val result = graft.api.PyJob.run(lines, mp, opts.get("reducer-py"), r)
+        // the reduce form arrives hash(key)%r partitioned (PyJob's own
+        // exchange); map-only output has no reduce partitioning yet
+        sink(result, prePartitioned = opts.contains("reducer-py"))
       case "expr" =>
         import org.apache.spark.sql.functions.{explode, expr}
         val me = opts.getOrElse("mapper-expr",

@@ -51,6 +51,15 @@ object Queries {
         |WHERE word <> ''
         |GROUP BY word
         |ORDER BY word""".stripMargin,
+    // same ground truth as mr_wordcount: the .py submission path must
+    // produce bit-identical counts to the native one
+    "mr_py_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' ')) AS word
+        |      FROM documents) tok
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY word""".stripMargin,
     "mr_wordcount_topk" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' ')) AS word
@@ -121,9 +130,62 @@ object Queries {
         |LIMIT 10""".stripMargin
   )
 
+  // The .py-submission wordcount scripts (graft.api.PyJob). Authored
+  // HERE, at "submit time" — the engine never sees them until the query
+  // runs, which is the point: arbitrary user Python, the reference's
+  // design-doc job contract (`w6/docs/design.md:66-74`). Tokenization
+  // matches the reference mapper's semantics (`w7/src/python/map.py:
+  // 9-18`: strip, lower, punctuation→space, split, skip empties) and
+  // therefore the mr_wordcount oracle.
+  private val wordcountMapperPy =
+    """import string
+      |
+      |def mapfunc(in_file):
+      |    counts = {}
+      |    table = str.maketrans(string.punctuation, " " * len(string.punctuation))
+      |    with open(in_file, "r", encoding="utf-8") as f:
+      |        for line in f:
+      |            for word in line.strip().lower().translate(table).split(" "):
+      |                if word:
+      |                    counts[word] = counts.get(word, 0) + 1
+      |    return counts
+      |""".stripMargin
+
+  private val wordcountReducerPy =
+    """def reducefunc(in_file):
+      |    totals = {}
+      |    with open(in_file, "r", encoding="utf-8") as f:
+      |        for line in f:
+      |            line = line.rstrip("\n")
+      |            if not line:
+      |                continue
+      |            key, value = line.rsplit(":", 1)
+      |            totals[key] = totals.get(key, 0) + int(value)
+      |    return totals
+      |""".stripMargin
+
+  /** Write the two wordcount scripts to a fresh temp dir → (map, reduce)
+    * paths. Exposed to MainSpec, which submits them through the CLI. */
+  private[graft] def writeWordcountScripts(): (String, String) = {
+    val d = java.nio.file.Files.createTempDirectory("graft_py")
+    val m = d.resolve("map.py"); val r = d.resolve("reduce.py")
+    java.nio.file.Files.writeString(m, wordcountMapperPy)
+    java.nio.file.Files.writeString(r, wordcountReducerPy)
+    (m.toString, r.toString)
+  }
+
   val plans: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mr_wordcount" -> { (s, dir) =>
       TextOps.wordCount(t(s, dir, "documents"), col("text")).orderBy("word")
+    },
+    "mr_py_wordcount" -> { (s, dir) =>
+      import s.implicits._
+      val (mapPy, redPy) = writeWordcountScripts()
+      val lines = t(s, dir, "documents")
+        .select(col("text").cast("string")).na.drop().as[String]
+      graft.api.PyJob.run(lines, mapPy, Some(redPy), r = 8)
+        .select(col("key").as("word"), col("value").cast("long").as("cnt"))
+        .orderBy("word")
     },
     "mr_wordcount_topk" -> { (s, dir) =>
       TextOps

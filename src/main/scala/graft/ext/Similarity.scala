@@ -29,6 +29,21 @@ object Similarity {
     * O(sample·K·rounds) training cost, constant in corpus size. */
   val defaultTrainSample = 32768
 
+  /** IVF-PQ serving defaults — the measured operating point, not the
+    * cheapest one. `AuditRecall` (SURVEY §9) on the isotropic sf0.1
+    * embeddings (coarse quantization's worst case, so these are floor
+    * numbers): nprobe=4/refine=40 → recall@10 0.26, with the ADC
+    * shortlist — not the coarse probe — as the binding cap (nprobe 16
+    * alone → 0.34; refine 40→160 at nprobe 16 → 0.57). Defaults sit
+    * at that 0.57 point; candidate cost is linear in nprobe and the
+    * exact re-rank linear in refine, so callers trading recall for
+    * cost turn the knobs DOWN knowingly rather than shipping a 0.26
+    * default unknowingly. Shared with the DuckDB oracle generator
+    * (ExtQueries interpolates exactly these constants) like
+    * `defaultTrainRounds`, so engine and oracle can never desync. */
+  val defaultNprobe = 16
+  val defaultRefine = 160
+
   /** Quantized int64 dot product of two array<float> columns — the native
     * codegen'd Catalyst expression (tight primitive loop inside
     * whole-stage codegen). */
@@ -710,11 +725,11 @@ object Similarity {
       probeFilter: Column,
       k: Int,
       numCentroids: Int = 64,
-      nprobe: Int = 4,
+      nprobe: Int = defaultNprobe,
       dim: Int = 64,
       numSub: Int = 8,
       codebook: Int = 16,
-      refine: Int = 40,
+      refine: Int = defaultRefine,
       trainRounds: Int = defaultTrainRounds,
       trainSample: Int = defaultTrainSample,
       scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame =
@@ -794,10 +809,10 @@ object Similarity {
       vecCol: String,
       probeFilter: Column,
       k: Int,
-      nprobe: Int = 4,
+      nprobe: Int = defaultNprobe,
       numSub: Int = 8,
       subDim: Int = 8,
-      refine: Int = 40): DataFrame = {
+      refine: Int = defaultRefine): DataFrame = {
     val probes = corpus.where(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
     val wp = Window.partitionBy("probe_id").orderBy(desc("cd"), asc("cent_id"))
@@ -906,11 +921,11 @@ object Similarity {
       probeFilter: Column,
       k: Int,
       numCentroids: Int = 64,
-      nprobe: Int = 4,
+      nprobe: Int = defaultNprobe,
       dim: Int = 64,
       numSub: Int = 8,
       codebook: Int = 16,
-      refine: Int = 40,
+      refine: Int = defaultRefine,
       trainRounds: Int = defaultTrainRounds,
       trainSample: Int = defaultTrainSample,
       scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {

@@ -373,13 +373,16 @@ object TextAnalysis {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      isTarget: Column): DataFrame = {
-    val bg = docs
+      isTarget: Column,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    // cached through the caller's scope (the Dedup-entry-point idiom):
+    // the exploded bigram relation is the largest intermediate here and
+    // a bare .cache() would accumulate per call in a long-lived session
+    val bg = scope.cache(docs
       .select(col(idCol), isTarget.as("tgt"), TextOps.tokens(col(textCol)).as("tk"))
       .where(size(col("tk")) >= 2)
       .select(col(idCol), col("tgt"), explode(bigrams(col("tk"))).as("bg"))
-      .select(col(idCol), col("tgt"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .cache()
+      .select(col(idCol), col("tgt"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
     val stats = bg.groupBy("w1", "w2").agg(
       count(lit(1)).as("n_all"),
       sum(when(col("tgt"), 1L).otherwise(0L)).as("n_tgt"))

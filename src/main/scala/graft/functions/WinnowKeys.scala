@@ -32,6 +32,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class WinnowKeys(child: Expression, k: Int, w: Int, posBits: Int)
     extends UnaryExpression with CodegenFallback {
 
+  // the packed key is hash·2^posBits + invertedPos: the 40-bit md5
+  // prefix plus the position field must fit in a non-negative int64,
+  // and the inverted position term (posMask − i − 1) goes NEGATIVE —
+  // silently corrupting keys — once a row carries ≥ 2^posBits − 1
+  // grams, so that bound is enforced per row below, not assumed from
+  // callers' truncation discipline (TextOps.maxDocChars happens to
+  // bound it today)
+  require(k > 0 && w > 0 && posBits > 0 && 40 + posBits <= 63,
+    s"need k>0, w>0, 0<posBits<=23 (40-bit hash + posBits <= 63), got k=$k w=$w posBits=$posBits")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
@@ -41,6 +51,9 @@ case class WinnowKeys(child: Expression, k: Int, w: Int, posBits: Int)
     val toks = input.asInstanceOf[ArrayData]
     val m = toks.numElements()
     if (m < k) return new GenericArrayData(Array.emptyLongArray)
+    require(m - k + 1 <= posMask,
+      s"row has ${m - k + 1} $k-grams, exceeding the 2^$posBits-1 position field; " +
+        "truncate tokens upstream (TextOps.maxDocChars) or raise posBits")
     val md = java.security.MessageDigest.getInstance("MD5")
     val tb = new Array[Array[Byte]](m)
     var i = 0

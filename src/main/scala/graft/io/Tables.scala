@@ -18,15 +18,30 @@ object Tables {
   /** Load one named parquet table from a scale-factor directory.
     *
     * Some generator versions write `events.ts` as parquet
-    * TIMESTAMP(NANOS), which Spark 4 refuses to read as a timestamp;
-    * detect that case and read it as raw nanos, truncating to
-    * microseconds with integer division (`div`, not `/` — double division
-    * would lose precision above 2^53). Newer generators write a plain
-    * TIMESTAMP(MICROS) that needs no fix-up. */
+    * TIMESTAMP(NANOS), which Spark 4 refuses to read as a timestamp
+    * unless `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    * `GraftSession.local` at construction — never mutated here: the
+    * conf is consulted again at execution time when footers are
+    * re-read per file, so a scoped set-then-restore would break the
+    * action, and an unscoped set races in a shared session). When the
+    * flag is on, nanos arrive as Long and are truncated to
+    * microseconds with integer division (`div`, not `/` — double
+    * division would lose precision above 2^53). Newer generators
+    * write plain TIMESTAMP(MICROS), which needs no fix-up under
+    * either flag value. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val raw =
+        try spark.read.parquet(s"$dir/$name.parquet")
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage != null && e.getMessage.toLowerCase.contains("nanos") =>
+            throw new IllegalStateException(
+              "events.parquet uses TIMESTAMP(NANOS); set " +
+                "spark.sql.legacy.parquet.nanosAsLong=true at session " +
+                "construction (GraftSession.local does) so Tables can " +
+                "truncate it to microseconds", e)
+        }
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

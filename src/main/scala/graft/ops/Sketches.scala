@@ -201,13 +201,19 @@ object Sketches {
       keyCol: String,
       hashCol: String,
       k: Int,
-      bits: Int): DataFrame = {
+      bits: Int,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
     require(bits < 63 && k > 1, s"need 1 < k and bits < 63, got k=$k bits=$bits")
     require((k - 1).toLong <= (Long.MaxValue >> bits), s"(k-1)*2^$bits overflows int64")
     val num = (k - 1).toLong * (1L << bits)
-    val sk = hashes
+    // cached: the grouped KMV agg feeds BOTH sides of the self-join
+    // below, and without a cache the broadcast side re-runs the full
+    // hash aggregation (and input scan) unless ReusedExchange happens
+    // to fire — which the "one hash aggregation over the data" contract
+    // in the scaladoc must not depend on
+    val sk = scope.cache(hashes
       .groupBy(keyCol)
-      .agg(udaf(Aggregators.KMinValues(k)).apply(col(hashCol)).as("mins"))
+      .agg(udaf(Aggregators.KMinValues(k)).apply(col(hashCol)).as("mins")))
     def est(mins: String): Column =
       expr(s"IF(size($mins) < $k, size($mins), ${num}L div element_at($mins, $k))")
         .cast("long")

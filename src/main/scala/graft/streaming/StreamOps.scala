@@ -23,7 +23,9 @@ object StreamOps {
     * exposed through a (per-source-file, process-lifetime) temp dir
     * symlink. */
   def readTable(spark: SparkSession, dir: String, table: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is a session-construction conf (GraftSession.local
+    // sets it) — mutating it per read races in a shared session; see
+    // io.Tables.apply for the full rationale
     val schema = spark.read.parquet(s"$dir/$table.parquet").schema
     val watched = watchedDirs.computeIfAbsent(s"$dir/$table", { _ =>
       val src = java.nio.file.Paths.get(dir, s"$table.parquet")

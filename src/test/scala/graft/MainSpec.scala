@@ -107,6 +107,51 @@ class MainSpec extends SparkSpec {
     assert(rows == Map("ab" -> 2L, "cd" -> 2L))
   }
 
+  test("CLI py job: the reference's two-.py submission runs unmodified via the pipe shim") {
+    // the literal `w6/docs/design.md:66-74` contract: a mapper .py with
+    // mapfunc(in_file) -> dict and a reducer .py with
+    // reducefunc(in_file) -> dict, no engine code, no SQL
+    val in = Files.createTempDirectory("cli_py_in")
+    Files.writeString(in.resolve("a.txt"), "The quick brown fox\nthe lazy dog.\n")
+    Files.writeString(in.resolve("b.txt"), "THE end\n")
+    val (mapPy, redPy) = Queries.writeWordcountScripts()
+    val out = Files.createTempDirectory("cli_py_out").toString
+    Main.main(Array(
+      "--input", in.toString, "--output", out, "--r", "3",
+      "--query", "py",
+      "--mapper-py", mapPy, "--reducer-py", redPy,
+      "--key", "key", "--value", "value"))
+    val files = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("out_"))
+    assert(files.sorted.toSeq == Seq("out_0", "out_1", "out_2"))
+    val back = io.KvText.read(spark, out)
+    import spark.implicits._
+    val counts = back.select($"key", $"value".cast("long"))
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("the" -> 3L, "quick" -> 1L, "brown" -> 1L, "fox" -> 1L,
+      "lazy" -> 1L, "dog" -> 1L, "end" -> 1L))
+  }
+
+  test("PyJob keys may contain colons: last-colon split round-trips") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("py_colon")
+    // identity mapper emitting 'a:b' -> n keys: the wire format splits
+    // on the LAST colon (reduce.py:9 rsplit), which PyJob must mirror
+    Files.writeString(d.resolve("m.py"),
+      """def mapfunc(p):
+        |    out = {}
+        |    with open(p) as f:
+        |        for line in f:
+        |            w = line.strip()
+        |            if w:
+        |                out[w + ":x"] = len(w)
+        |    return out
+        |""".stripMargin)
+    val lines = Seq("ab", "cde").toDS()
+    val rows = api.PyJob.run(lines, d.resolve("m.py").toString, None, 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == Map("ab:x" -> "2", "cde:x" -> "3"))
+  }
+
   test("CLI sql job runs arbitrary SQL with custom functions over the tables") {
     val out = Files.createTempDirectory("cli_sql_out").toString
     Main.main(Array(

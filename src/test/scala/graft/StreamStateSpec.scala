@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** State-store pressure tests for the two stateful streaming kernels —
+  * the streaming mirror of the batch operators' bounded-state claims
+  * (SURVEY §9 "driver state O(metadata)"). A stateful stream that
+  * cannot evict is a slow OOM at 100 TB/day, and no memory-sink smoke
+  * query catches it: correctness looks fine right up until the state
+  * store dies. The assertions here read the engine's own
+  * `stateOperators` progress metrics (numRowsTotal), not proxies.
+  *
+  *  - sessionize: state must track OPEN sessions only — the event-time
+  *    timeout must REMOVE closed keys, so driving K distinct users
+  *    through and then advancing the watermark far past their timeouts
+  *    must collapse state from ≥K rows to the handful still open.
+  *  - stream_dedup's running aggregation: state is exactly one row per
+  *    DISTINCT fingerprint — re-sending duplicates must not grow it.
+  *    That bound is O(distinct keys), fine for a corpus snapshot,
+  *    UNBOUNDED for an endless feed — which is why the windowed KMV
+  *    sketch (`windowedDistinctSketch`, ≤ k longs per open window) and
+  *    the static-index `nearDupScreen` exist as the unbounded-feed
+  *    spellings. The spec pins the exact-dedup bound so the trade is
+  *    documented by a green test, not a comment.
+  */
+class StreamStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  private def lastStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.filter(_.stateOperators.nonEmpty).last.stateOperators.head.numRowsTotal
+
+  test("sessionize: watermark timeout EVICTS closed sessions — state tracks open keys, not users ever seen") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionize(input.toDS(), gapSeconds = 60).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_state_pressure").start()
+    try {
+      val k = 2000
+      // K distinct users, one event each: K open sessions in the store
+      input.addData((1 to k).map(u => StreamOps.Event(u.toLong, ts(1000), "a", 1.0)))
+      q.processAllAvailable()
+      val openAll = lastStateRows(q)
+      // two far-future events: the first advances the watermark past
+      // every session's (last + gap) timeout; EventTimeTimeout fires on
+      // the batch AFTER the watermark advances, so the second batch
+      // triggers the actual timeout sweep
+      input.addData(Seq(StreamOps.Event(7000001L, ts(1000 + 4 * 3600), "a", 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq(StreamOps.Event(7000002L, ts(1000 + 8 * 3600), "a", 1.0)))
+      q.processAllAvailable()
+      val openAfterSweep = lastStateRows(q)
+      assert(openAll >= k, s"expected >= $k open sessions buffered, saw $openAll")
+      assert(openAfterSweep <= 5,
+        s"closed sessions must be REMOVED from the store, still holding $openAfterSweep rows")
+      // and the evicted sessions were all emitted, not dropped
+      assert(spark.table("sess_state_pressure").count() >= k)
+    } finally q.stop()
+  }
+
+  test("exact-dedup running agg: state rows == distinct fingerprints; duplicates never grow it") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val grouped = input.toDS().toDF("doc_id", "text")
+      .select(col("doc_id"), graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+    val q = grouped.writeStream.outputMode("complete").format("memory")
+      .queryName("dedup_state_pressure").start()
+    try {
+      val texts = (1 to 500).map(i => s"document body number $i")
+      // 1000 rows, 500 distinct texts
+      input.addData(texts.zipWithIndex.flatMap { case (t, i) =>
+        Seq((i.toLong, t), (i.toLong + 10000, t)) })
+      q.processAllAvailable()
+      val s1 = lastStateRows(q)
+      // a full duplicate replay plus 100 new fingerprints
+      input.addData(texts.zipWithIndex.map { case (t, i) => (i.toLong + 20000, t) } ++
+        (1 to 100).map(i => (i.toLong + 30000, s"fresh text $i")))
+      q.processAllAvailable()
+      val s2 = lastStateRows(q)
+      assert(s1 == 500L, s"state must be one row per distinct fingerprint, saw $s1")
+      assert(s2 == 600L,
+        s"1500 duplicate rows must not grow state beyond the 600 distinct keys, saw $s2")
+    } finally q.stop()
+  }
+}

@@ -190,14 +190,30 @@ object BenchScale {
         ext.Dedup.jaccardPairs(inflateDocs(docs0, f), "doc_id", "text",
           shingleN = 3, threshold = 0.5)))
 
+    // ONE FRESH SparkContext PER (KERNEL, FACTOR) — the round-8
+    // refinement of the per-kernel recycling above. AuditR8 showed the
+    // round-6 decay mechanism also operates ACROSS FACTORS within one
+    // kernel's session: the top factor runs last and read ~2× its
+    // isolated matched-conditions cost (jaccard 64×: 44.9 s in the
+    // r7 artifact vs 22.8 s fresh-session; winnow 64×: 25.4 vs
+    // 11.7 s) — the entire "last-octave superlinearity" the r7 table
+    // flagged. Each factor now gets its own session with an untimed
+    // f=1 warmup, so every cell is an isolated-protocol number.
+    // the two EXACT dedup kernels probe one octave further (r7 flagged
+    // their last-octave step; r8 attributed it — the extra octave keeps
+    // the attribution honest in the artifact of record)
+    val exactExtra = sys.env.getOrElse("SPARK_GRAFT_EXACT_EXTRA", "128")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+    val exactKernels = Set("dedup_winnow_pairs", "dedup_jaccard_pairs")
     val secs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Int, Double, Long)]]
     for ((name, cap, build) <- kernels) {
-      secs(name) = withSession { (spark, docs0, emb0) =>
-        // untimed f=1 warmup per kernel: codegen/compile of the kernel's
-        // expressions otherwise lands on its first timed factor
-        build(docs0, emb0, 1).count()
-        spark.catalog.clearCache()
-        factors.filter(_ <= cap).map { f =>
+      val fs = (factors ++ (if (exactKernels(name)) exactExtra else Nil)).distinct
+      secs(name) = fs.filter(_ <= cap).map { f =>
+        withSession { (spark, docs0, emb0) =>
+          // untimed f=1 warmup per session: codegen/compile of the
+          // kernel's expressions otherwise lands on the timed factor
+          build(docs0, emb0, 1).count()
+          spark.catalog.clearCache()
           val t0 = System.nanoTime()
           val df = build(docs0, emb0, f).cache()
           val rows = df.count()

@@ -23,6 +23,10 @@ object ExtQueries {
   // DuckDB token array for documents.text, matching TextOps.tokens
   private val tokSql =
     "list_filter(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' '), x -> x <> '')"
+  // Stopword literal generated from the SAME list the quality scorers
+  // use, so adding a stopword re-derives the oracle.
+  private val stopwordsSql =
+    ext.TextAnalysis.stopwords.map("'" + _ + "'").mkString(",")
   // Winnowing oracle fragments derived from the SAME constants the
   // Scala kernel uses (TextAnalysis.winnowPos*/winnowHashHex and the
   // default k/w geometry), so the packed-key arithmetic cannot desync.
@@ -465,6 +469,31 @@ object ExtQueries {
          |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rn
          |  FROM scored)
          |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
+         |ORDER BY probe_id, rn""".stripMargin,
+    // all-points kNN graph over the same replayed IVF index: probes =
+    // every vector, nprobe nearest lists each, exact re-score within
+    // the list, k=5 id-broken ranks
+    "emb_knn_graph" ->
+      s"""WITH $ivfAssignSql,
+         |pl AS (
+         |  SELECT probe_id, list_id FROM (
+         |    SELECT e.vec_id AS probe_id, c.cent_id AS list_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY 2*${qdotIntSql("e.q", "c.cv")} - c.nrm DESC, c.cent_id) AS pr
+         |    FROM qv e CROSS JOIN cents c) b
+         |  WHERE pr <= 4),
+         |scored AS (
+         |  SELECT pl.probe_id, a.vec_id, ${qdotIntSql("p.q", "e.q")} AS qdot
+         |  FROM pl
+         |  JOIN assign a ON a.list_id = pl.list_id
+         |  JOIN qv e ON e.vec_id = a.vec_id
+         |  JOIN qv p ON p.vec_id = pl.probe_id
+         |  WHERE a.vec_id <> pl.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, qdot,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 5
          |ORDER BY probe_id, rn""".stripMargin,
     // full hash oracle for the LSH ANN scale path: the hyperplane family
     // is engine-independent (md5-derived small-int weights, integer dot
@@ -1345,6 +1374,52 @@ object ExtQueries {
         |         (acc, x) -> (acc * 131 + x) % 2147483647) AS rh
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // byte-histogram stats recomputed the slow way: explode to one row
+    // per character ('.' never matches a newline; the corpus has none,
+    // and chars == bytes on this ASCII corpus — the rollhash contract)
+    "text_entropy" ->
+      """WITH cnt AS (
+        |  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents) ch
+        |  GROUP BY doc_id, c),
+        |agg AS (
+        |  SELECT doc_id, sum(k*k) AS ss, sum(k) AS n, CAST(count(*) AS BIGINT) AS nd
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(a.nd, 0) AS BIGINT) AS n_distinct,
+        |       CAST(coalesce((a.ss * 1000000) // (a.n * a.n), 0) AS BIGINT) AS collision_micro
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // per-source top-300‰ gate on the integer micro quality score:
+    // identical truncating-int arithmetic, identical tie-closed keep
+    // rule over the distinct-score cumulative histogram
+    "corpus_quality_filter" ->
+      s"""WITH f AS (SELECT doc_id, source, $tokSql AS tk, text FROM documents),
+         |m AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(tk) AS BIGINT) AS nt,
+         |         CAST(len(list_filter(tk, x -> list_contains([$stopwordsSql], x))) AS BIGINT) AS nsw,
+         |         CAST(length(text) AS BIGINT) AS nch,
+         |         CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS npunct
+         |  FROM f),
+         |s AS (
+         |  SELECT doc_id, source,
+         |         least(nt, 100)*5000
+         |         + (CASE WHEN nt = 0 THEN 0 ELSE (nsw*300000)//nt END)
+         |         + 200000
+         |         - (CASE WHEN nch = 0 THEN 0 ELSE (npunct*200000)//nch END) AS q_micro
+         |  FROM m),
+         |h AS (SELECT source, q_micro, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+         |g AS (
+         |  SELECT source, q_micro,
+         |         coalesce(sum(c) OVER (PARTITION BY source ORDER BY q_micro DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS higher,
+         |         sum(c) OVER (PARTITION BY source) AS n
+         |  FROM h)
+         |SELECT s.doc_id, s.source, CAST(s.q_micro AS BIGINT) AS q_micro
+         |FROM s JOIN g ON s.source = g.source AND s.q_micro = g.q_micro
+         |WHERE g.higher * 1000 < g.n * 300
+         |ORDER BY s.doc_id""".stripMargin,
     // batch twin of the streaming dedup state: per-fingerprint min id +
     // group size
     "stream_dedup" ->
@@ -1688,6 +1763,25 @@ object ExtQueries {
         .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("rh"))
         .orderBy("doc_id")
     },
+    "text_entropy" -> { (s, dir) =>
+      // byte-histogram concentration (Rényi-2 collision micro-ratio) +
+      // distinct byte count: the gibberish/junk signal, one native
+      // O(len) codegen'd pass per row (no explode, nothing shuffles
+      // but the two stat longs)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.CharStats.distinctBytes(col("text")).as("n_distinct"),
+          graft.functions.CharStats.collisionMicro(col("text")).as("collision_micro"))
+        .orderBy("doc_id")
+    },
+    "corpus_quality_filter" -> { (s, dir) =>
+      // per-source top-30% quality gate over the integer micro-score:
+      // distinct-score histogram → broadcast (source, score) gate —
+      // never a per-document sort (the ccnetBuckets discipline)
+      TextAnalysis.qualityFilterBySource(
+          t(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("doc_id")
+    },
     "text_tokens" -> { (s, dir) =>
       t(s, dir, "documents")
         .select(
@@ -1744,6 +1838,14 @@ object ExtQueries {
       // re-score: the other canonical ANN scale path next to LSH
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10)
+        .orderBy("probe_id", "rn")
+    },
+    "emb_knn_graph" -> { (s, dir) =>
+      // every point probes every other through its nprobe IVF lists —
+      // the blocked self-join that replaces the O(n²) brute kNN graph;
+      // nothing broadcasts but the 64 centroids
+      Similarity.knnGraphIvf(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+        .select("probe_id", "vec_id", "qdot", "rn")
         .orderBy("probe_id", "rn")
     },
     "ann_ivfpq_topk" -> { (s, dir) =>

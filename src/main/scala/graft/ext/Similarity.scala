@@ -503,6 +503,52 @@ object Similarity {
     rankTopK(rescored, idCol, k)
   }
 
+  /** All-points k-nearest-neighbor GRAPH via the trained IVF coarse
+    * quantizer: every corpus vector is a probe of every other — the
+    * substrate graph-based pipeline steps (SemDeDup-style cluster
+    * pruning, kNN-graph clustering, link-based quality propagation)
+    * consume. Semantics are `ivfTopK` with probeFilter = every row,
+    * but the dataflow is deliberately different: `ivfTopK` BROADCASTS
+    * its probe batch (right for a small query set, impossible when
+    * probes = the corpus), here NOTHING is broadcast but the K
+    * centroids. Each point ships to its `nprobe` nearest lists
+    * (affinity ranked through the bounded-heap `TopKPerKey`, ids-only
+    * rows; the vector joins back afterwards and crosses the shuffle
+    * `nprobe` times — the irreducible cost of visiting nprobe lists),
+    * corpus rows sit in exactly ONE list (so no candidate pair is
+    * generated twice), and scoring is a `list_id` equi-join — the
+    * blocked self-join shape that replaces the O(n²) brute graph with
+    * Σ(per-list probe×member) work bounded by the trained list
+    * balance (`ivfListSizes`). All int64 id-broken arithmetic — an
+    * external engine replays training, assignment, probe affinity,
+    * and the graph bit-for-bit. */
+  def knnGraphIvf(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCentroids: Int = 64,
+      nprobe: Int = 4,
+      trainRounds: Int = defaultTrainRounds,
+      trainSample: Int = defaultTrainSample,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, numCentroids, trainRounds, trainSample, scope)
+    val lists = ivfAssign(corpus, idCol, vecCol, cents)
+    val aff = corpus.crossJoin(broadcast(cents))
+      .select(col(idCol).as("probe_id"), col("cent_id"),
+        (lit(2L) * quantizedDot(col(vecCol), col("cv")) - col("nrm")).as("cd"))
+    val probeLists = graft.plans.TopKPerKey(
+        aff, Seq("probe_id"), Seq(("cd", false), ("cent_id", true)), nprobe)
+      .select(col("probe_id"), col("cent_id").as("list_id"))
+      .join(corpus.select(col(idCol).as("probe_id"), col(vecCol).as("pe")), "probe_id")
+    val corpusLists = corpus.select(col(idCol), col(vecCol)).join(lists, Seq(idCol))
+    val rescored = probeLists.join(corpusLists, "list_id")
+      .where(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol),
+        quantizedDot(col("pe"), col(vecCol)).as("qdot"))
+    rankTopK(rescored, idCol, k)
+  }
+
   /** SemDeDup-style semantic deduplication (embedding-space near-dup
     * pruning): cluster the corpus with the SAME Lloyd-trained coarse
     * quantizer the IVF index uses, compare pairs only WITHIN a

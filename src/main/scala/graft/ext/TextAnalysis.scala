@@ -34,7 +34,7 @@ object TextAnalysis {
   def nPieces(text: Column): Column =
     regexp_count(lower(text), lit("[a-z0-9_]+|[^a-z0-9_\\s]"))
 
-  private val stopwords =
+  private[graft] val stopwords =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "for", "on", "with")
 
   /** Fraction of tokens that are stopwords, over a precomputed token
@@ -504,5 +504,83 @@ object TextAnalysis {
       .select(col(idCol),
         (lit(winnowPosMask) - pmod(col("key"), lit(winnowPosMask + 1))).as("pos"),
         expr(s"key div ${winnowPosMask + 1}").as("h"))
+  }
+
+  /** Sum of squared byte counts — the higher-order-function reference
+    * twin of the native `CharCollision` loop (`R8OpsSpec` asserts
+    * equality): O(len·distinct) interpreted lambdas per row vs the
+    * native O(len) histogram. ASCII-only strings: the HOF counts
+    * CHARACTERS where the native counts bytes — equal exactly when
+    * every char is one byte, which is the contract both declare. */
+  private[graft] def charSumSqHof(text: Column): Column = {
+    val cs = split(text, "")
+    aggregate(
+      transform(array_distinct(cs), d => {
+        val k = size(filter(cs, x => x === d)).cast("long")
+        k * k
+      }),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Per-document integer micro-unit quality score: the SAME three
+    * terms as `qualityScore` (length, stopword structure, punctuation
+    * noise), each scaled to parts-per-million and truncated
+    * independently —
+    *   min(nt,100)·5000 + (nsw·300000 div nt) + 200000 − (npunct·200000 div nch)
+    * ∈ [0, 10⁶]. The integer form exists for the quantile GATE
+    * (`qualityFilterBySource`): a double score is almost surely unique
+    * per document, so a distinct-score histogram over it degenerates
+    * to a per-doc sort — the integer score collides heavily and keeps
+    * the histogram (and the broadcast gate table) small. Emits
+    * (id, srcCol, q_micro); all arithmetic truncating int64, so any
+    * engine replays it bit-for-bit. */
+  def qualityMicroScores(
+      docs: DataFrame, idCol: String, textCol: String, srcCol: String): DataFrame =
+    docs
+      .select(col(idCol), col(srcCol), col(textCol).as("text"),
+        TextOps.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), col(srcCol),
+        size(col("tk")).cast("long").as("nt"),
+        size(filter(col("tk"), t => t.isInCollection(stopwords))).cast("long").as("nsw"),
+        length(col("text")).cast("long").as("nch"),
+        regexp_count(col("text"), lit("\\p{Punct}")).cast("long").as("npunct"))
+      .select(col(idCol), col(srcCol),
+        (least(col("nt"), lit(100L)) * 5000L
+          + when(col("nt") === 0, lit(0L)).otherwise(expr("(nsw * 300000) div nt"))
+          + lit(200000L)
+          - when(col("nch") === 0, lit(0L)).otherwise(expr("(npunct * 200000) div nch"))
+        ).as("q_micro"))
+
+  /** Per-source quality gate: keep each source's top `keepPermille`‰
+    * documents by `q_micro`, ties at the cut kept whole. The CCNet
+    * histogram discipline (`ccnetBuckets`): thresholds come from a
+    * DISTINCT-score cumulative count — one (source, score) hash agg,
+    * a window over the BOUNDED histogram (never the documents), and a
+    * broadcast join of the surviving (source, score) gate back onto
+    * the scored relation. Keep rule, all int64: a score group survives
+    * iff strictly-higher-scored docs number < n·keepPermille/1000 —
+    * so the kept count is the smallest tie-closed set ≥ the target
+    * fraction. The 100 TB cost is the scoring pass; the gate itself
+    * is O(distinct scores). */
+  def qualityFilterBySource(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      srcCol: String,
+      keepPermille: Int = 300): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepPermille > 0 && keepPermille <= 1000,
+      s"keepPermille must be in (0, 1000], got $keepPermille")
+    val scored = qualityMicroScores(docs, idCol, textCol, srcCol)
+    val hist = scored.groupBy(srcCol, "q_micro").agg(count(lit(1)).as("c"))
+    val above = Window.partitionBy(srcCol).orderBy(col("q_micro").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gate = hist
+      .withColumn("higher", coalesce(sum(col("c")).over(above), lit(0L)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(srcCol)))
+      .where(col("higher") * 1000L < col("n") * keepPermille)
+      .select(col(srcCol), col("q_micro"))
+    scored.join(broadcast(gate), Seq(srcCol, "q_micro"))
+      .select(col(idCol), col(srcCol), col("q_micro"))
   }
 }

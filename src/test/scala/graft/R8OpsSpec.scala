@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Similarity, TextAnalysis}
+import graft.functions.CharStats
+
+/** Round-8 operators: byte-histogram char stats (native vs HOF twin),
+  * the per-source quality quantile gate, and the IVF-blocked kNN
+  * graph (vs the brute-force graph truth). */
+class R8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CharStats native == HOF twin on the corpus; edge cases by hand") {
+    val docs = io.Tables(spark, sf, "documents")
+    val mismatches = docs
+      .select(col("doc_id"),
+        CharStats.collisionMicro(col("text")).as("native_ss"),
+        TextAnalysis.charSumSqHof(col("text")).as("hof_ss"),
+        length(col("text")).cast("long").as("n"))
+      .where(col("n") > 0)
+      .where(col("native_ss") =!= expr("(hof_ss * 1000000) div (n * n)"))
+      .count()
+    assert(mismatches == 0)
+
+    val hand = Seq(
+      ("", 0L, 0L),              // empty → 0 by contract, 0 distinct
+      ("aaaa", 1000000L, 1L),    // single byte: Σp² = 1
+      ("ab", 500000L, 2L),       // two counts of 1 over n=2: 2/4
+      ("aab", 555555L, 2L))      // (4+1)·10⁶/9 truncated
+      .toDF("s", "cm", "nd")
+    val bad = hand.where(
+      CharStats.collisionMicro(col("s")) =!= col("cm") ||
+        CharStats.distinctBytes(col("s")) =!= col("nd")).count()
+    assert(bad == 0)
+  }
+
+  test("qualityFilterBySource keeps the tie-closed top fraction per source") {
+    val docs = io.Tables(spark, sf, "documents")
+    val kept = TextAnalysis.qualityFilterBySource(docs, "doc_id", "text", "source", 300)
+    val scored = TextAnalysis.qualityMicroScores(docs, "doc_id", "text", "source")
+      .select(col("source"), col("q_micro"), col("doc_id")).as[(String, Long, Long)]
+      .collect().groupBy(_._1)
+    val got = kept.select(col("source"), col("doc_id")).as[(String, Long)]
+      .collect().groupBy(_._1).map { case (s, v) => (s, v.map(_._2).toSet) }
+    for ((src, rows) <- scored) {
+      val n = rows.length
+      // expected: walk distinct scores high→low, include a whole score
+      // group while strictly-higher count < ceil-free n·300/1000 rule
+      val byScore = rows.groupBy(_._2).toSeq.sortBy(-_._1)
+      var higher = 0L
+      val expect = scala.collection.mutable.Set.empty[Long]
+      for ((_, grp) <- byScore) {
+        if (higher * 1000 < n.toLong * 300) expect ++= grp.map(_._3)
+        higher += grp.length
+      }
+      assert(got.getOrElse(src, Set.empty) == expect.toSet, s"source $src")
+      // the gate never keeps less than the target fraction
+      assert(expect.size.toLong * 1000 >= n.toLong * 300 - 1000, s"source $src undershoot")
+    }
+  }
+
+  test("knnGraphIvf: every emitted neighbor list is exact within its probed lists") {
+    val emb = io.Tables(spark, sf, "embeddings")
+    val k = 5
+    val graph = Similarity.knnGraphIvf(emb, "vec_id", "embedding", k = k)
+    val rows = graph.select("probe_id", "vec_id", "qdot", "rn")
+      .as[(Long, Long, Long, Long)].collect()
+    // structural: every probe appears, ranks are 1..≤k, id-broken desc qdot
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.size == emb.count())
+    for ((_, g) <- byProbe) {
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq)
+      val pairs = sorted.map(r => (r._3, r._2))
+      assert(pairs.sameElements(pairs.sortBy(p => (-p._1, p._2))))
+    }
+    // recall floor vs the brute graph: the IVF graph trades recall for
+    // the n² → Σm² cost drop; on sf0.001 the isotropic worst case must
+    // still recover a sane fraction of true edges (and every edge it
+    // does emit must BE a true scored pair — spot-check qdot values)
+    val probes = emb.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val brute = Similarity
+      .bruteForceTopK(emb, probes, "vec_id", "embedding", "probe_id", "pe", k)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val gotEdges = rows.map(r => (r._1, r._2)).toSet
+    val recall = gotEdges.intersect(brute).size.toDouble / brute.size
+    assert(recall > 0.2, s"recall $recall")
+    val truth = emb.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .crossJoin(emb.select(col("vec_id"), col("embedding")))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        Similarity.quantizedDot(col("pe"), col("embedding")).as("qdot"))
+      .as[(Long, Long, Long)].collect().map(r => ((r._1, r._2), r._3)).toMap
+    for (r <- rows.take(50)) assert(truth((r._1, r._2)) == r._3)
+  }
+}

@@ -66,7 +66,10 @@ object AuditR8 {
     // is attributable.
     if (kernels("bpe")) withSession(32) { spark =>
       val docs = io.Tables(spark, sfDir, "documents"); docs.count()
-      for ((m, v) <- Seq((50, 2048), (512, 8192), (2048, 16384))) {
+      // (0, v) rows time the DISTRIBUTED part alone (the word-frequency
+      // agg + bounded collect) — the driver-loop share of every other
+      // row is the difference
+      for ((m, v) <- Seq((0, 8192), (50, 2048), (512, 8192), (2048, 16384))) {
         val t0 = System.nanoTime()
         val got = ext.Bpe.trainMerges(docs, "text", numMerges = m, vocabWords = v)
         System.err.println(
@@ -168,6 +171,24 @@ object AuditR8 {
             timed("winnow_full", f, parts)(
               ext.Dedup.winnowPairs(BenchScale.inflateDocs(docs0, f),
                 "doc_id", "text").count())
+          }
+          if (kernels("neardup")) withSession(parts) { spark =>
+            val docs0 = io.Tables(spark, sfDir, "documents"); docs0.count()
+            ext.Dedup.nearDupPairs(docs0, "doc_id", "text", threshold = 0.6).count()
+            timed("neardup_full", f, parts)(
+              ext.Dedup.nearDupPairs(BenchScale.inflateDocs(docs0, f),
+                "doc_id", "text", threshold = 0.6).count())
+          }
+          if (kernels("clusters")) withSession(parts) { spark =>
+            val docs0 = io.Tables(spark, sfDir, "documents"); docs0.count()
+            ext.Dedup.connectedComponents(
+              ext.Dedup.nearDupPairs(docs0, "doc_id", "text", threshold = 0.6),
+              "id_a", "id_b").count()
+            timed("clusters_full", f, parts)(
+              ext.Dedup.connectedComponents(
+                ext.Dedup.nearDupPairs(BenchScale.inflateDocs(docs0, f),
+                  "doc_id", "text", threshold = 0.6),
+                "id_a", "id_b").count())
           }
         }
       }

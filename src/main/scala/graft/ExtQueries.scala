@@ -420,6 +420,35 @@ object ExtQueries {
          |SELECT d.doc_id, CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS canonical_id
          |FROM documents d LEFT JOIN lbl l USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // dedup observability: cluster-size histogram over the
+    // canonicalized corpus (singletons = size-1 clusters)
+    "dedup_stats" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $shingleSql AS ws FROM toks WHERE len(tk) >= 3),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.ws, b.ws))*1.0 / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.6),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |lbl AS (
+         |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |canon AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cid
+         |  FROM documents d LEFT JOIN lbl l USING (doc_id)),
+         |szs AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz FROM canon GROUP BY cid)
+         |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM szs GROUP BY sz
+         |ORDER BY sz""".stripMargin,
     "ann_topk" ->
       s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
          |scored AS (
@@ -1720,6 +1749,24 @@ object ExtQueries {
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"))
         .orderBy("doc_id")
+    },
+    "dedup_stats" -> { (s, dir) =>
+      // the dedup dashboard number: cluster-size histogram over the
+      // canonicalized corpus (singletons = size-1 clusters). Everything
+      // heavy is the same LSH→CC pipeline; the report on top is two
+      // tiny aggs — sum(sz·n) − count(sz>1 clusters) = docs dedup
+      // would drop
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.6)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      docs.select("doc_id")
+        .join(clusters, Seq("doc_id"), "left")
+        .select(coalesce(col("cluster_id"), col("doc_id")).as("cid"))
+        .groupBy("cid").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")
     },
     "dedup_simhash_pairs" -> { (s, dir) =>
       // maxHamming=3 with 4 chunks of 15 bits: pigeonhole guarantees the

@@ -60,6 +60,25 @@ class R8OpsSpec extends SparkSpec {
     }
   }
 
+  test("ShuffleBudget: grows with input, floors at session setting, restores conf") {
+    import graft.util.ShuffleBudget
+    assert(ShuffleBudget.adviseBytes(0L, 32) == 32)
+    assert(ShuffleBudget.adviseBytes(128L << 20, 32) == 32)
+    assert(ShuffleBudget.adviseBytes(100L << 30, 32) == 800)   // 100 GiB / 128 MiB
+    assert(ShuffleBudget.adviseBytes(Long.MaxValue, 32) == ShuffleBudget.maxAdvised)
+    val docs = io.Tables(spark, sf, "documents")
+    val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(ShuffleBudget.advise(docs) >= cur)
+    val big = BenchScale.inflateDocs(docs, 64)
+    assert(ShuffleBudget.advise(big) >= ShuffleBudget.advise(docs))
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    ShuffleBudget.withAdvised(big) {
+      assert(spark.conf.get(key).toInt >= before.toInt)
+    }
+    assert(spark.conf.get(key) == before)
+  }
+
   test("knnGraphIvf: every emitted neighbor list is exact within its probed lists") {
     val emb = io.Tables(spark, sf, "embeddings")
     val k = 5

@@ -12,6 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   minhash_sig(h, k)     — MinHash signature of a hash array (MinHashSig)
   *   shingle_hashes(t, n)  — word n-gram hash set of a token array
   *   rolling_hash(s)       — Rabin–Karp byte fingerprint (RollingHash)
+  *   char_collision(s)     — Rényi-2 byte-histogram concentration ×10⁶ (CharCollision)
+  *   char_distinct(s)      — distinct byte count (CharDistinct)
   */
 object GraftFunctions {
 
@@ -24,7 +26,9 @@ object GraftFunctions {
     "qdot" -> (exprs => QuantizedDot(exprs(0), exprs(1))),
     "minhash_sig" -> (exprs => MinHashSig(exprs(0), intLit(exprs(1), "numPerms"))),
     "shingle_hashes" -> (exprs => ShingleHashSet(exprs(0), intLit(exprs(1), "n"))),
-    "rolling_hash" -> (exprs => RollingHash(exprs(0))))
+    "rolling_hash" -> (exprs => RollingHash(exprs(0))),
+    "char_collision" -> (exprs => CharCollision(exprs(0))),
+    "char_distinct" -> (exprs => CharDistinct(exprs(0))))
 
   /** Register on a live session. */
   def register(spark: SparkSession): Unit =

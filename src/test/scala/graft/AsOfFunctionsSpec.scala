@@ -70,4 +70,11 @@ class AsOfFunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT rolling_hash('ab') AS h").as[Long].head() ==
       ((97L * 131 + 98) % 2147483647))
   }
+
+  test("char stats are SQL-callable: collision micro + distinct bytes") {
+    // 'aab': counts (2,1) over n=3 → (4+1)·10⁶ div 9 = 555555; 2 distinct
+    assert(spark.sql("SELECT char_collision('aab') AS c").as[Long].head() == 555555L)
+    assert(spark.sql("SELECT char_distinct('aab') AS d").as[Long].head() == 2L)
+    assert(spark.sql("SELECT char_collision('') AS c").as[Long].head() == 0L)
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Sampling, Search, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Graph, Multimodal, Sampling, Search, Similarity, TextAnalysis}
 import graft.io.Tables
 import graft.ops.TextOps
 import graft.streaming.StreamOps
@@ -203,6 +203,29 @@ object ExtQueries {
          |  WHERE rn = 1)""".stripMargin
     (Seq(head) ++ roundCtes :+ tail).mkString(",\n")
   }
+
+  // kNN-edge CTE block shared by emb_knn_graph and graph_pagerank:
+  // every vector probes its nprobe=4 nearest trained lists, exact
+  // re-score within the list, id-broken ranks (consumers cut at rn<=k)
+  private val knnRankedSql: String =
+    s"""pl AS (
+       |  SELECT probe_id, list_id FROM (
+       |    SELECT e.vec_id AS probe_id, c.cent_id AS list_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY 2*${qdotIntSql("e.q", "c.cv")} - c.nrm DESC, c.cent_id) AS pr
+       |    FROM qv e CROSS JOIN cents c) b
+       |  WHERE pr <= 4),
+       |scored AS (
+       |  SELECT pl.probe_id, a.vec_id, ${qdotIntSql("p.q", "e.q")} AS qdot
+       |  FROM pl
+       |  JOIN assign a ON a.list_id = pl.list_id
+       |  JOIN qv e ON e.vec_id = a.vec_id
+       |  JOIN qv p ON p.vec_id = pl.probe_id
+       |  WHERE a.vec_id <> pl.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, qdot,
+       |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rn
+       |  FROM scored)""".stripMargin
 
   // The full IVF-PQ search replay (coarse training + assignment via the
   // shared ivf CTEs, PQ codebook + encode via the shared pq CTEs, ADC,
@@ -504,26 +527,23 @@ object ExtQueries {
     // the list, k=5 id-broken ranks
     "emb_knn_graph" ->
       s"""WITH $ivfAssignSql,
-         |pl AS (
-         |  SELECT probe_id, list_id FROM (
-         |    SELECT e.vec_id AS probe_id, c.cent_id AS list_id,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY 2*${qdotIntSql("e.q", "c.cv")} - c.nrm DESC, c.cent_id) AS pr
-         |    FROM qv e CROSS JOIN cents c) b
-         |  WHERE pr <= 4),
-         |scored AS (
-         |  SELECT pl.probe_id, a.vec_id, ${qdotIntSql("p.q", "e.q")} AS qdot
-         |  FROM pl
-         |  JOIN assign a ON a.list_id = pl.list_id
-         |  JOIN qv e ON e.vec_id = a.vec_id
-         |  JOIN qv p ON p.vec_id = pl.probe_id
-         |  WHERE a.vec_id <> pl.probe_id),
-         |ranked AS (
-         |  SELECT probe_id, vec_id, qdot,
-         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rn
-         |  FROM scored)
+         |$knnRankedSql
          |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 5
          |ORDER BY probe_id, rn""".stripMargin,
+    // PageRank over those kNN edges: the oracle rebuilds the trained
+    // index, the edge list, AND the 5 unrolled integer iterations —
+    // the full derived-graph-centrality pipeline from raw vectors
+    "graph_pagerank" ->
+      Graph.pageRankOracleSql(
+        s"""WITH $ivfAssignSql,
+           |$knnRankedSql,
+           |gedges AS (SELECT probe_id AS src, vec_id AS dst FROM ranked WHERE rn <= 5),
+           |gnodes AS (SELECT vec_id AS id FROM qv)""".stripMargin,
+        "vec_id"),
+    // hybrid retrieval rebuilt from scratch: the shared integer-BM25
+    // CTEs, the dense leg's quantized dot, the identical integer RRF
+    "search_hybrid_rrf" ->
+      Search.hybridOracleSql(tokSql, qdotSql(_, _)),
     // full hash oracle for the LSH ANN scale path: the hyperplane family
     // is engine-independent (md5-derived small-int weights, integer dot
     // sign — see functions/RhpBuckets.planeWeight) and the geometry is
@@ -1894,6 +1914,26 @@ object ExtQueries {
       Similarity.knnGraphIvf(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
         .select("probe_id", "vec_id", "qdot", "rn")
         .orderBy("probe_id", "rn")
+    },
+    "graph_pagerank" -> { (s, dir) =>
+      // centrality over the derived similarity graph: kNN edges from
+      // the trained IVF index, then 5 synchronous integer PageRank
+      // rounds — each round one join keyed src + one agg keyed dst over
+      // cached ids-only edges, rank relation O(nodes), lineage
+      // truncated per round (the connectedComponents pattern)
+      val emb = t(s, dir, "embeddings")
+      val edges = Similarity.knnGraphIvf(emb, "vec_id", "embedding", k = 5)
+      Graph.pageRank(edges, "probe_id", "vec_id", emb, "vec_id")
+        .orderBy("vec_id")
+    },
+    "search_hybrid_rrf" -> { (s, dir) =>
+      // RAG-serving hybrid: BM25 lexical leg + single-probe exact dense
+      // leg, reciprocal-rank fusion in integer arithmetic — each leg a
+      // top-k reduction of its corpus pass, fusion joins two ≤k-row
+      // relations (O(k) work regardless of corpus size)
+      Search.hybridRrfTopK(t(s, dir, "documents"), "doc_id", "text",
+          t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy(desc("rrf"), col("doc_id"))
     },
     "ann_ivfpq_topk" -> { (s, dir) =>
       // the consumer of emb_pq_codes: coarse-probe the trained

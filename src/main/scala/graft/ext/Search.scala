@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.TextOps
@@ -110,7 +111,20 @@ object Search {
       terms: Seq[String],
       k: Int,
       k1X1000: Long = 1200L,
-      bX1000: Long = 750L): String = {
+      bX1000: Long = 750L): String =
+    s"""WITH ${bm25CtesSql(tokSql, terms, k1X1000, bX1000)}
+       |SELECT doc_id, CAST(score AS BIGINT) AS score, CAST(n_hits AS BIGINT) AS n_hits
+       |FROM scored WHERE score > 0
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+
+  /** The `base`/`stats`/`scored` CTE block both `bm25OracleSql` and the
+    * hybrid-fusion oracle interpolate — one source of truth for the
+    * integer-BM25 replay arithmetic. */
+  private def bm25CtesSql(
+      tokSql: String,
+      terms: Seq[String],
+      k1X1000: Long,
+      bX1000: Long): String = {
     val tfDefs = terms.indices.map { i =>
       s"len(list_filter(tk, x -> x = '${terms(i)}')) AS tf_$i"
     }.mkString(",\n|         ")
@@ -125,7 +139,7 @@ object Search {
     }.mkString(" +\n|       ")
     val hitFlags = terms.indices
       .map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, len(tk) AS dl,
        |         $tfDefs
        |  FROM (SELECT doc_id, $tokSql AS tk FROM documents)),
@@ -139,9 +153,106 @@ object Search {
        |       $hitFlags AS n_hits
        |  FROM (SELECT base.*, stats.*,
        |          ($k1X1000 * ((1000 - $bX1000) + ($bX1000 * dl * n_docs) // sum_dl)) // 1000 AS k_x1000
-       |        FROM base, stats))
-       |SELECT doc_id, CAST(score AS BIGINT) AS score, CAST(n_hits AS BIGINT) AS n_hits
-       |FROM scored WHERE score > 0
-       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+       |        FROM base, stats))""".stripMargin
   }
+
+  /** Shipped hybrid-query constants, shared with the oracle generator
+    * (the `defaultTerms` single-source-of-truth rule): dense query =
+    * the corpus vector with this id, RRF constant 60 (the value the
+    * original reciprocal-rank-fusion paper fixed and every search
+    * engine kept), numerator 10⁶ so integer floor division still
+    * separates adjacent ranks (10⁶/(60+r) steps by ~250 near r=1). */
+  val defaultQueryVecId: Long = 0L
+  val defaultRrfK: Long = 60L
+  val rrfNum: Long = 1000000L
+
+  /** Hybrid retrieval: BM25 lexical leg over `docs.textCol` fused with
+    * an exact-cosine dense leg over `emb.vecCol` by reciprocal-rank
+    * fusion — the standard RAG-serving shape (sparse recall for exact
+    * term hits, dense recall for paraphrase) with all-integer scoring
+    * so an external engine replays the fusion bit-for-bit:
+    * `rrf = Σ_legs 10⁶ div (rrfK + rank)`, absent legs contribute 0.
+    *
+    * Scale shape (the reason fusion is cheap): each leg is already a
+    * top-`legK` REDUCTION of its corpus pass — BM25's map-only scan +
+    * broadcast stats + TakeOrdered, and the dense leg's single-probe
+    * `bruteForceTopK` through the bounded-heap `TopKPerKey` (≤ legK
+    * rows per partition cross the shuffle). The fusion itself joins two
+    * ≤ legK-row relations: O(k) rows, O(k) bytes, regardless of corpus
+    * size. The rank windows run AFTER the legs' limits, over ≤ legK
+    * rows — a single-partition window over driver-scale data, never
+    * over the corpus. */
+  def hybridRrfTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      emb: DataFrame,
+      vecIdCol: String,
+      vecCol: String,
+      terms: Seq[String] = defaultTerms,
+      queryVecId: Long = defaultQueryVecId,
+      k: Int = defaultK,
+      legK: Int = defaultK,
+      rrfK: Long = defaultRrfK): DataFrame = {
+    // lexical leg: bm25TopK is (score DESC, id)-ordered and limited, so
+    // ranking its ≤ legK rows reproduces ranks 1..legK exactly
+    val lex = bm25TopK(docs, idCol, textCol, terms, legK)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(desc("score"), col(idCol))).cast("long"))
+      .select(col(idCol).as("id"), col("lex_rank"))
+    // dense leg: one probe vector (the corpus row with id = queryVecId),
+    // exact quantized-int cosine ranking, probe excluded from results
+    val probe = emb.where(col(vecIdCol) === queryVecId)
+      .select(col(vecIdCol).as("probe_id"), col(vecCol).as("pe"))
+    val dense = Similarity
+      .bruteForceTopK(emb, probe, vecIdCol, vecCol, "probe_id", "pe", legK)
+      .select(col(vecIdCol).as("id"), col("rn").as("dense_rank"))
+    lex.join(dense, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
+      .withColumn("rrf",
+        expr(s"IF(lex_rank > 0, ${rrfNum}L div ($rrfK + lex_rank), 0L)" +
+          s" + IF(dense_rank > 0, ${rrfNum}L div ($rrfK + dense_rank), 0L)"))
+      .orderBy(desc("rrf"), col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB replay of `hybridRrfTopK`: the shared BM25 CTEs, the dense
+    * leg rebuilt from scratch with the caller's quantized-dot SQL
+    * (`qdotSql(a, b)` must render the SAME integer dot the engine's
+    * `quantizedDot` computes), and the identical integer RRF. */
+  def hybridOracleSql(
+      tokSql: String,
+      qdotSql: (String, String) => String,
+      terms: Seq[String] = defaultTerms,
+      queryVecId: Long = defaultQueryVecId,
+      k: Int = defaultK,
+      legK: Int = defaultK,
+      rrfK: Long = defaultRrfK,
+      k1X1000: Long = 1200L,
+      bX1000: Long = 750L): String =
+    s"""WITH ${bm25CtesSql(tokSql, terms, k1X1000, bX1000)},
+       |lex AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+       |  FROM (SELECT doc_id, score FROM scored WHERE score > 0
+       |        ORDER BY score DESC, doc_id LIMIT $legK)),
+       |probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = $queryVecId),
+       |dscored AS (
+       |  SELECT vec_id, ${qdotSql("pe", "embedding")} AS qdot
+       |  FROM embeddings, probe WHERE vec_id <> $queryVecId),
+       |dense AS (
+       |  SELECT vec_id AS id, CAST(row_number() OVER (ORDER BY qdot DESC, vec_id) AS BIGINT) AS dense_rank
+       |  FROM (SELECT vec_id, qdot FROM dscored ORDER BY qdot DESC, vec_id LIMIT $legK)),
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, d.id) AS doc_id,
+       |         coalesce(l.lex_rank, 0) AS lex_rank,
+       |         coalesce(d.dense_rank, 0) AS dense_rank
+       |  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.id)
+       |SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+       |       CAST(dense_rank AS BIGINT) AS dense_rank,
+       |       CAST((CASE WHEN lex_rank > 0 THEN $rrfNum // ($rrfK + lex_rank) ELSE 0 END)
+       |          + (CASE WHEN dense_rank > 0 THEN $rrfNum // ($rrfK + dense_rank) ELSE 0 END) AS BIGINT) AS rrf
+       |FROM fused
+       |ORDER BY rrf DESC, doc_id LIMIT $k""".stripMargin
 }

@@ -113,4 +113,80 @@ class R8OpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(r => ((r._1, r._2), r._3)).toMap
     for (r <- rows.take(50)) assert(truth((r._1, r._2)) == r._3)
   }
+
+  test("pageRank: hand-replayed integer fixpoint on tiny graphs; corpus mass sane") {
+    // 3-cycle, out-degree 1 everywhere: uniform rank is a fixpoint of
+    // the integer recurrence too (teleport 15e9/300 = 50M,
+    // 85*333333333/100 = 283333333, sum = 333333333 exactly)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val nodes3 = Seq(1L, 2L, 3L).toDF("id")
+    val got = ext.Graph.pageRank(cyc, "src", "dst", nodes3, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 333333333L, 2L -> 333333333L, 3L -> 333333333L))
+
+    // asymmetric graph: replay the same integer recurrence in plain
+    // Scala and require bit-for-bit agreement after 5 rounds
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L), (4L, 1L))
+    val ids = Seq(1L, 2L, 3L, 4L)
+    val deg = edges.groupBy(_._1).map { case (s, es) => (s, es.size.toLong) }
+    var r = ids.map(i => i -> 1000000000L / ids.size).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        (d, es.map(e => r(e._1) / deg(e._1)).sum)
+      }
+      r = ids.map(i => i ->
+        (15000000000L / (100L * ids.size) + 85L * in.getOrElse(i, 0L) / 100L)).toMap
+    }
+    val got2 = ext.Graph
+      .pageRank(edges.toDF("src", "dst"), "src", "dst", ids.toDF("id"), "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == r, s"engine $got2 vs replay $r")
+    // node 4 has no in-edges → exactly the teleport floor; node 1 is
+    // the hub and must dominate
+    assert(got2(4L) == 37500000L && got2(1L) > got2(2L) && got2(2L) > got2(4L))
+
+    // corpus-derived kNN graph: ranks positive, total mass ≤ scale
+    // (integer floors + out-edge leakage only ever LOSE mass), and the
+    // spread is real (a hub exists in any finite kNN graph)
+    val emb = io.Tables(spark, sf, "embeddings")
+    val knn = Similarity.knnGraphIvf(emb, "vec_id", "embedding", k = 3)
+    val pr = ext.Graph.pageRank(knn, "probe_id", "vec_id", emb, "vec_id")
+      .as[(Long, Long)].collect()
+    assert(pr.length == emb.count() && pr.forall(_._2 > 0))
+    assert(pr.map(_._2).sum <= 1000000000L)
+    assert(pr.map(_._2).max > pr.map(_._2).min)
+  }
+
+  test("hybridRrfTopK: fusion arithmetic, leg consistency, both-legs dominance") {
+    val docs = io.Tables(spark, sf, "documents")
+    val emb = io.Tables(spark, sf, "embeddings")
+    val k = ext.Search.defaultK
+    val rows = ext.Search.hybridRrfTopK(docs, "doc_id", "text", emb, "vec_id", "embedding")
+      .select("doc_id", "lex_rank", "dense_rank", "rrf")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length <= k && rows.nonEmpty)
+    // rrf is exactly the declared integer fusion of the two ranks
+    for ((_, lr, dr, rrf) <- rows) {
+      val want = (if (lr > 0) 1000000L / (60L + lr) else 0L) +
+        (if (dr > 0) 1000000L / (60L + dr) else 0L)
+      assert(rrf == want && lr >= 0 && lr <= k && dr >= 0 && dr <= k)
+    }
+    // each leg's ranks agree with the leg recomputed standalone
+    val lexTruth = ext.Search.bm25TopK(docs, "doc_id", "text",
+        ext.Search.defaultTerms, k)
+      .orderBy(desc("score"), col("doc_id"))
+      .select("doc_id").as[Long].collect().zipWithIndex
+      .map { case (id, i) => (id, i + 1L) }.toMap
+    for ((id, lr, _, _) <- rows if lr > 0)
+      assert(lexTruth(id) == lr, s"lex rank mismatch for $id")
+    // a doc in BOTH legs must outrank a doc holding the same best rank
+    // in only one leg — the point of fusion
+    val both = rows.filter(r => r._2 > 0 && r._3 > 0)
+    val solo = rows.filter(r => r._2 == 0 || r._3 == 0)
+    for (b <- both; s <- solo
+         if math.max(b._2, b._3) <= math.min(
+           if (s._2 > 0) s._2 else Long.MaxValue,
+           if (s._3 > 0) s._3 else Long.MaxValue))
+      assert(b._4 > s._4)
+  }
 }

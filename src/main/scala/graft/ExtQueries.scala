@@ -1594,6 +1594,25 @@ object ExtQueries {
         |ORDER BY window_start, event_type""".stripMargin,
     // streaming windowed KMV rebuilt from scratch: per-hour distinct
     // user hashes, k smallest, same integer estimator
+    "stream_topk_users" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS hr, user_id, count(*) AS n
+        |  FROM events GROUP BY hr, user_id),
+        |r AS (
+        |  SELECT hr, user_id, n,
+        |         CAST(row_number() OVER (PARTITION BY hr ORDER BY n DESC, user_id) AS BIGINT) AS rn
+        |  FROM c)
+        |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts, user_id,
+        |       CAST(n AS BIGINT) AS n, rn
+        |FROM r WHERE rn <= 3
+        |ORDER BY hour_ts, rn""".stripMargin,
+    "skew_salted_join" ->
+      """WITH ut AS (SELECT user_id, count(*) AS user_total FROM events GROUP BY user_id)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(ut.user_total) AS BIGINT) AS sum_user_total
+        |FROM events e JOIN ut USING (user_id)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
     "stream_distinct_sketch" ->
       """WITH h AS (
         |  SELECT date_trunc('hour', ts) AS hr,
@@ -2060,6 +2079,40 @@ object ExtQueries {
           col("event_type"), col("n"),
           round(col("total_value"), 2).cast("double").as("total_value"))
         .orderBy("window_start", "event_type")
+    },
+    "stream_topk_users" -> { (s, dir) =>
+      // trending entities per window: the streaming stateful part is
+      // the (window, user) count — one state row per open pair — and
+      // the rank is the batch TopKPerKey over the drained windows, the
+      // same per-trigger step a foreachBatch deployment runs
+      val w = StreamOps.windowedEntityCounts(StreamOps.readEvents(s, dir), "user_id")
+      val sunk = StreamOps.runToMemory(w, "stream_topk_users_sink",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      val top = graft.plans.TopKPerKey(
+        sunk, Seq("window_start"), Seq(("n", false), ("user_id", true)), 3)
+      top.withColumn("rn", row_number().over(
+          Window.partitionBy("window_start").orderBy(desc("n"), col("user_id")))
+          .cast("long"))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          col("user_id"), col("n"), col("rn"))
+        .orderBy("hour_ts", "rn")
+    },
+    "skew_salted_join" -> { (s, dir) =>
+      // hot-key-salted fact⋈dim join: per-user totals joined back onto
+      // the event fact rows with users above the hot threshold routed
+      // through (key, salt) sub-joins — result multiset identical to
+      // the plain join (the oracle IS the plain join), aggregated per
+      // type so the dump stays bounded
+      val ev = t(s, dir, "events")
+      val userTotals = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("user_total"))
+      graft.ops.Skew
+        .saltedJoin(ev.select("user_id", "event_type"), userTotals,
+          "user_id", saltBuckets = 8, hotThreshold = 30L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("user_total")).as("sum_user_total"))
+        .orderBy("event_type")
     },
     "stream_distinct_sketch" -> { (s, dir) =>
       // distinct users per hour as a STREAMING KMV sketch: bounded

@@ -43,4 +43,51 @@ object Skew {
       .groupBy(keyCol)
       .agg(sum(col("__s")).as(s"sum_$valueCol"), sum(col("__n")).as("n"))
   }
+
+  /** Salted equi-join for a fact side skewed on the join key — the
+    * structural twin of AQE's `OptimizeSkewedJoin` for the cases AQE
+    * can't rewrite (it only splits oversized sort-merge-join partitions
+    * AFTER a shuffle materializes them; a bucketed/pre-partitioned join,
+    * a streaming join, or a join feeding a co-partitioned consumer
+    * never gives it that seam).
+    *
+    * Shape: one count pre-pass over the fact keys finds keys with
+    * ≥ `hotThreshold` rows (the hot set is ≤ rows/threshold — the same
+    * bounded-metadata argument as `Dedup`'s hot-bucket salting, and it
+    * stays a broadcast relation, never a driver collect). Cold keys take
+    * the plain join. Hot fact rows are salted into `saltBuckets`
+    * sub-keys; the OTHER side's hot sliver is replicated once per
+    * bucket, so the join key becomes (key, salt) and no reducer holds a
+    * whole hot key. The joined multiset is exactly the plain join's —
+    * salt values never affect which rows pair, only where.
+    *
+    * 100 TB: replication cost is `saltBuckets × |hot sliver of right|`,
+    * and the sliver is ≤ |hot keys| ≈ rows/threshold rows of the
+    * (deduplicated-key) right side — the blow-up is confined to the
+    * keys that were going to strangle a reducer anyway. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      saltBuckets: Int = 16,
+      hotThreshold: Long = 1000L): DataFrame = {
+    require(saltBuckets > 1 && hotThreshold > 1,
+      s"need saltBuckets > 1 and hotThreshold > 1, got $saltBuckets/$hotThreshold")
+    val hot = left.groupBy(keyCol).agg(count(lit(1)).as("__kn"))
+      .where(col("__kn") >= hotThreshold)
+      .select(keyCol)
+    val cold = left.join(broadcast(hot), Seq(keyCol), "left_anti")
+      .join(right, keyCol)
+    // salt value is immaterial to the result (right is replicated for
+    // every bucket) — spark_partition_id spreads rows without another
+    // hash pass
+    val hotLeft = left.join(broadcast(hot), Seq(keyCol))
+      .withColumn("__salt", pmod(spark_partition_id(), lit(saltBuckets)))
+    val hotRight = right.join(broadcast(hot), Seq(keyCol))
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    cold.unionByName(
+      hotLeft.join(hotRight.withColumnRenamed(keyCol, "__k"),
+          col(keyCol) === col("__k") && hotLeft("__salt") === hotRight("__salt"))
+        .drop("__salt", "__k"))
+  }
 }

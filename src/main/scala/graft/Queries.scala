@@ -74,6 +74,20 @@ object Queries {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "io_merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT doc_id, 'v2 ' || text AS text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |del AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 1),
+        |neu AS (
+        |  SELECT doc_id + 100000 AS doc_id, 'new ' || text AS text, lang, source, n_chars
+        |  FROM documents WHERE doc_id < 5),
+        |ck AS (SELECT doc_id FROM upd UNION ALL SELECT doc_id FROM del
+        |       UNION ALL SELECT doc_id FROM neu),
+        |keep AS (SELECT d.* FROM documents d ANTI JOIN ck ON d.doc_id = ck.doc_id),
+        |merged AS (SELECT * FROM keep UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM neu)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_text, source
+        |FROM merged ORDER BY doc_id""".stripMargin,
     "mr_json_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS balance
@@ -211,6 +225,32 @@ object Queries {
       io.Sinks.readCsv(s, out)
         .select(col("o_orderpriority"), col("n").cast("long").as("n"), col("total"))
         .orderBy("o_orderpriority")
+    },
+    "io_merge_upsert" -> { (s, dir) =>
+      // copy-on-write snapshot refresh: a deterministic CDC batch
+      // (10% updated, 10% tombstoned, 5 inserts) merged into the
+      // documents snapshot, written to parquet, and read back — the
+      // whole upsert cycle a daily corpus refresh runs, with the
+      // oracle rebuilding MERGE semantics relationally
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents")
+      val upd = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("text", concat(lit("v2 "), col("text")))
+        .withColumn("__deleted", lit(false))
+      val del = docs.where(pmod(col("doc_id"), lit(10)) === 1)
+        .withColumn("__deleted", lit(true))
+      val ins = docs.where(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", concat(lit("new "), col("text")))
+        .withColumn("__deleted", lit(false))
+      val merged = io.Sinks.mergeSnapshot(
+        docs, upd.unionByName(del).unionByName(ins), "doc_id", "__deleted")
+      val out = java.nio.file.Files.createTempDirectory("mergert").toString
+      merged.write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_text"),
+          col("source"))
+        .orderBy("doc_id")
     },
     "mr_json_roundtrip" -> { (s, dir) =>
       // JSONL interchange: schema survives the round trip via Spark's

@@ -29,6 +29,36 @@ object Sinks {
     }
   }
 
+  /** MERGE INTO semantics for copy-on-write snapshots — the refresh
+    * step of an incremental corpus: `changes` carries upserts (new row
+    * versions) and tombstones (`deletedCol` true), and the merged
+    * snapshot is every base row whose key is untouched plus every
+    * non-deleted change row. Exactly the Delta/Hudi copy-on-write
+    * contract, expressed relationally so it runs on bare parquet.
+    *
+    * Scale shape: a CDC batch is small next to the snapshot, so the
+    * change KEYS broadcast (`broadcastChanges`, default) and the base
+    * side never shuffles — the anti join is a map-side probe per base
+    * row, the union is free, and a keyed/bucketed base layout
+    * (`writeBucketed`) carries its pruning straight through to the
+    * rewritten snapshot. Set `broadcastChanges=false` for a
+    * backfill-sized change set and both sides hash-shuffle on the key
+    * instead — same result, AQE picks the join. */
+  def mergeSnapshot(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      deletedCol: String,
+      broadcastChanges: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, not}
+    val keys = changes.select(keyCol)
+    val untouched = base.join(
+      if (broadcastChanges) broadcast(keys) else keys,
+      Seq(keyCol), "left_anti")
+    untouched.unionByName(
+      changes.where(not(col(deletedCol))).drop(deletedCol))
+  }
+
   /** Persist a table bucketed (and sorted) by join/aggregation keys —
     * the layout a 100 TB deployment pre-materializes so repeated joins
     * and aggregations on those keys read co-located buckets and plan

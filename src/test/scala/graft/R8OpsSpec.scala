@@ -182,6 +182,26 @@ class R8OpsSpec extends SparkSpec {
     assert(allCold.toSeq == plain.toSeq)
   }
 
+  test("mergeSnapshot: upsert/delete/insert semantics; base probes a broadcast") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val ch = Seq((2L, "B", false), (3L, "x", true), (9L, "Z", false))
+      .toDF("k", "v", "__deleted")
+    val m = io.Sinks.mergeSnapshot(base, ch, "k", "__deleted")
+    assert(m.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (9L, "Z")))
+    // the big (base) side must not shuffle: anti join against the
+    // broadcast change keys, no sort-merge anywhere (AQE final plan,
+    // read after the action)
+    val plan = m.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // a tombstone for an absent key is a no-op, not an error
+    val onlyDel = io.Sinks.mergeSnapshot(base,
+      Seq((42L, "", true)).toDF("k", "v", "__deleted"), "k", "__deleted")
+    assert(onlyDel.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("hybridRrfTopK: fusion arithmetic, leg consistency, both-legs dominance") {
     val docs = io.Tables(spark, sf, "documents")
     val emb = io.Tables(spark, sf, "embeddings")

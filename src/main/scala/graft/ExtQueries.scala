@@ -20,6 +20,11 @@ object ExtQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  // the integral fact-table key columns stats_analyze profiles — shared
+  // by the plan and the oracle generator (single-source-of-truth rule)
+  private val statsCols =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+
   // DuckDB token array for documents.text, matching TextOps.tokens
   private val tokSql =
     "list_filter(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' '), x -> x <> '')"
@@ -1594,6 +1599,36 @@ object ExtQueries {
         |ORDER BY window_start, event_type""".stripMargin,
     // streaming windowed KMV rebuilt from scratch: per-hour distinct
     // user hashes, k smallest, same integer estimator
+    // one-pass ANALYZE replay: per column the oracle recomputes exact
+    // min/max/nulls and the KMV rank-k estimate from distinct md5
+    // slices — the same estimator arithmetic as the distinct sketches
+    "stats_analyze" -> (statsCols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(min($c) AS BIGINT) AS min_v,
+         |       CAST(max($c) AS BIGINT) AS max_v,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |       (WITH h AS (SELECT DISTINCT CAST(concat('0x', substring(md5(CAST($c AS VARCHAR)), 1, 11)) AS BIGINT) AS h
+         |                   FROM lineitem WHERE $c IS NOT NULL),
+         |             r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h)
+         |        SELECT CAST(CASE WHEN count(*) < 256 THEN count(*)
+         |                         ELSE (255 * 17592186044416) // max(h) END AS BIGINT)
+         |        FROM r WHERE rn <= 256) AS ndv_est
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"),
+    "events_gapfill" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS b, event_type, count(*) AS n
+        |  FROM events GROUP BY b, event_type),
+        |sp AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT date_trunc('hour', min(ts)) FROM events),
+        |    (SELECT date_trunc('hour', max(ts)) FROM events),
+        |    INTERVAL 1 HOUR)) AS b),
+        |k AS (SELECT DISTINCT event_type FROM events)
+        |SELECT strftime(sp.b, '%Y-%m-%d %H:%M:%S') AS hour_ts, k.event_type,
+        |       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM sp CROSS JOIN k
+        |LEFT JOIN c ON c.b = sp.b AND c.event_type = k.event_type
+        |ORDER BY hour_ts, k.event_type""".stripMargin,
     "stream_topk_users" ->
       """WITH c AS (
         |  SELECT date_trunc('hour', ts) AS hr, user_id, count(*) AS n
@@ -2079,6 +2114,23 @@ object ExtQueries {
           col("event_type"), col("n"),
           round(col("total_value"), 2).cast("double").as("total_value"))
         .orderBy("window_start", "event_type")
+    },
+    "stats_analyze" -> { (s, dir) =>
+      // engine ANALYZE: min/max/nulls/ndv for the join-key columns of
+      // the fact table in ONE aggregation pass (bounded per-column
+      // state), unpivoted to the stats-table shape a CBO consumes
+      graft.ops.Sketches.analyzeColumns(t(s, dir, "lineitem"), statsCols)
+        .orderBy("col_name")
+    },
+    "events_gapfill" -> { (s, dir) =>
+      // dense-resample of the hourly rollup: every (hour, type) cell
+      // exists, absent ones as explicit zeros — one agg pass over the
+      // data, spine and key grid broadcast
+      graft.ops.TimeSeries.gapFillCounts(t(s, dir, "events"), "ts", "event_type")
+        .select(
+          date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          col("event_type"), col("n"))
+        .orderBy("hour_ts", "event_type")
     },
     "stream_topk_users" -> { (s, dir) =>
       // trending entities per window: the streaming stateful part is

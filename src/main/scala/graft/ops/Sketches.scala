@@ -270,6 +270,65 @@ object Sketches {
         (col("lo") + col("bin") * ((col("hi") - col("lo")) / bins)).as("est"))
   }
 
+  /** One-pass ANALYZE over integral columns: per column min, max, null
+    * count, and a KMV distinct estimate — the statistics table a
+    * cost-based optimizer (and a 100 TB capacity plan) feeds on,
+    * collected the way a real engine's ANALYZE must: ONE aggregation
+    * pass over the table with bounded state per column (two longs + a
+    * counter + ≤ k sketch longs), never a per-column scan and never a
+    * distinct exchange. The single stats row is then unpivoted with
+    * `stack` into one row per column.
+    *
+    * NDV excludes nulls (the convention stats tables use): null values
+    * hash to a sentinel ABOVE the `bits`-bit hash space, so the
+    * sentinel survives in the sketch only while it isn't full of real
+    * values — present means the real values number `size - 1` exactly;
+    * a full sketch is all real and estimates as usual. Hashes are the
+    * engine-independent md5-slice family over the decimal string form,
+    * so an external engine replays every estimate (integral columns
+    * print identically everywhere; float formatting does not — hence
+    * the integral-column contract). */
+  def analyzeColumns(
+      df: DataFrame,
+      cols: Seq[String],
+      k: Int = 256,
+      bits: Int = 44): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(bits % 4 == 0 && bits < 63 && k > 1,
+      s"need 1 < k and bits a multiple of 4 below 63, got k=$k bits=$bits")
+    require((k - 1).toLong <= (Long.MaxValue >> bits), s"(k-1)*2^$bits overflows int64")
+    val hx = bits / 4
+    val sentinel = 1L << bits
+    val num = (k - 1).toLong * sentinel
+    val aggs = cols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("long").as(s"__mn_$c"),
+        max(col(c)).cast("long").as(s"__mx_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nl_$c"),
+        udaf(Aggregators.KMinValues(k)).apply(
+          coalesce(
+            conv(substring(md5(col(c).cast("string").cast("binary")), 1, hx), 16, 10)
+              .cast("long"),
+            lit(sentinel))).as(s"__kv_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val ests = cols.map { c =>
+      val sz = size(col(s"__kv_$c"))
+      when(sz === 0, 0L)
+        .when(element_at(col(s"__kv_$c"), sz) === sentinel, (sz - 1).cast("long"))
+        .when(sz < k, sz.cast("long"))
+        .otherwise(expr(s"${num}L div element_at(__kv_$c, $k)"))
+        .cast("long").as(s"__nd_$c")
+    }
+    row
+      .select(cols.flatMap(c =>
+        Seq(col(s"__mn_$c"), col(s"__mx_$c"), col(s"__nl_$c"))) ++ ests: _*)
+      .select(expr(
+        s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', __mn_$c, __mx_$c, __nl_$c, __nd_$c").mkString(", ") +
+          ") AS (col_name, min_v, max_v, n_nulls, ndv_est)"))
+  }
+
   private def kmvEstimate(k: Int, bits: Int): Seq[Column] = {
     require(bits < 63 && k > 1, s"need 1 < k and bits < 63, got k=$k bits=$bits")
     require((k - 1).toLong <= (Long.MaxValue >> bits), s"(k-1)*2^$bits overflows int64")

@@ -202,6 +202,47 @@ class R8OpsSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("analyzeColumns: exact stats when small, null sentinel contract, estimate sanity") {
+    // below-k column with nulls: min/max ignore nulls, n_nulls exact,
+    // ndv exact and EXCLUDING nulls (the sentinel rule)
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (2L, 10L), (3L, null), (4L, 20L), (5L, null))
+      .toDF("a", "b")
+    val got = graft.ops.Sketches.analyzeColumns(df, Seq("a", "b"))
+      .orderBy("col_name")
+      .as[(String, java.lang.Long, java.lang.Long, Long, Long)].collect()
+    assert(got(0) == ("a", 1L, 5L, 0L, 5L))
+    assert(got(1) == ("b", 10L, 20L, 2L, 2L))
+    // all-null column: stats are (null, null, n, 0)
+    val alln = graft.ops.Sketches.analyzeColumns(
+      Seq[java.lang.Long](null, null).toDF("c"), Seq("c"))
+      .as[(String, java.lang.Long, java.lang.Long, Long, Long)].collect()
+    assert(alln.head == ("c", null, null, 2L, 0L))
+    // above-k column: the estimate must land within the KMV error
+    // envelope of the exact count (k=256 → σ ≈ 1/√254 ≈ 6.3%)
+    val big = (1L to 5000L).toDF("v")
+    val est = graft.ops.Sketches.analyzeColumns(big, Seq("v"))
+      .select("ndv_est").as[Long].head()
+    assert(math.abs(est - 5000L) < 1000L, s"est $est")
+  }
+
+  test("gapFillCounts: dense grid, zero fills, mass conservation") {
+    val ev = io.Tables(spark, sf, "events")
+    val filled = graft.ops.TimeSeries.gapFillCounts(ev, "ts", "event_type")
+    val rows = filled.select(col("bucket_ts").cast("string"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect()
+    val nHours = rows.map(_._1).distinct.length
+    val nTypes = rows.map(_._2).distinct.length
+    // the grid is exactly dense and counts every event exactly once
+    assert(rows.length == nHours * nTypes)
+    assert(rows.map(_._3).sum == ev.count())
+    // the sparse rollup has holes on this fixture and every hole is an
+    // explicit zero row here
+    val sparse = ev.groupBy(date_trunc("hour", col("ts")), col("event_type")).count()
+    assert(sparse.count() < rows.length)
+    assert(rows.count(_._3 == 0L) == rows.length - sparse.count())
+  }
+
   test("hybridRrfTopK: fusion arithmetic, leg consistency, both-legs dominance") {
     val docs = io.Tables(spark, sf, "documents")
     val emb = io.Tables(spark, sf, "embeddings")

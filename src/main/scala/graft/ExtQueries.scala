@@ -1599,6 +1599,34 @@ object ExtQueries {
         |ORDER BY window_start, event_type""".stripMargin,
     // streaming windowed KMV rebuilt from scratch: per-hour distinct
     // user hashes, k smallest, same integer estimator
+    "events_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+        |UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+        |ORDER BY stage""".stripMargin,
+    "events_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS c FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |j AS (
+        |  SELECT f.c, date_diff('day', f.c, a.d) AS o
+        |  FROM f JOIN a ON f.user_id = a.user_id
+        |  WHERE date_diff('day', f.c, a.d) BETWEEN 0 AND 7)
+        |SELECT strftime(c, '%Y-%m-%d') AS cohort_day, CAST(o AS BIGINT) AS day_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM j GROUP BY c, o
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     // one-pass ANALYZE replay: per column the oracle recomputes exact
     // min/max/nulls and the KMV rank-k estimate from distinct md5
     // slices — the same estimator arithmetic as the distinct sketches
@@ -2114,6 +2142,21 @@ object ExtQueries {
           col("event_type"), col("n"),
           round(col("total_value"), 2).cast("double").as("total_value"))
         .orderBy("window_start", "event_type")
+    },
+    "events_funnel" -> { (s, dir) =>
+      // ordered view→click→purchase funnel: each step gated strictly
+      // after the user's first completion of the previous one; every
+      // join is user-keyed over per-user first-timestamp rows, the
+      // event table never self-joins
+      graft.ops.TimeSeries.funnelStages(t(s, dir, "events"),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy("stage")
+    },
+    "events_retention" -> { (s, dir) =>
+      // first-active-day cohorts × day-offset return counts — the
+      // retention matrix, |days|×|offsets| rows out of any event volume
+      graft.ops.TimeSeries.retentionCohorts(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_day", "day_offset")
     },
     "stats_analyze" -> { (s, dir) =>
       // engine ANALYZE: min/max/nulls/ndv for the join-key columns of

@@ -42,4 +42,58 @@ object TimeSeries {
       .join(counts, Seq("bucket_ts", keyCol), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
   }
+
+  /** Ordered funnel: how many users reached step i of `steps` with each
+    * step STRICTLY AFTER their first completion of the previous one
+    * (the standard product-analytics funnel, not the per-type-min
+    * shortcut — a click that precedes the user's first view must not
+    * count). Returns one row per step: (stage, n_users), stages
+    * numbered so they sort in funnel order.
+    *
+    * Scale shape: one filtered scan per step (the type predicate pushes
+    * to the source), each reduced to one (user, first_ts) row BEFORE
+    * the next join — so every join is keyed by user over ≤ |users|
+    * rows per side, and the event table itself never self-joins. */
+  def funnelStages(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val reached = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val hits = events.where(col(typeCol) === step)
+        val gated = prev match {
+          case None => hits
+          case Some(p) =>
+            hits.join(p.select(col(userCol), col("__t").as("__pt")), userCol)
+              .where(col(tsCol) > col("__pt"))
+        }
+        Some(gated.groupBy(userCol).agg(min(col(tsCol)).as("__t")))
+    }.flatten
+    reached.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(s"${i + 1}_$step").as("stage"), col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Retention cohorts: users grouped by first-active day, counted at
+    * each day offset they returned within `maxOffsetDays`. One
+    * aggregation derives the cohorts, one distinct the activity days —
+    * both keyed by user — and the cohort join is user-keyed too; the
+    * output is |days| × |offsets| rows regardless of event count. */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      maxOffsetDays: Int = 7): DataFrame = {
+    val first = events.groupBy(userCol).agg(to_date(min(col(tsCol))).as("__c"))
+    val active = events.select(col(userCol), to_date(col(tsCol)).as("__d")).distinct()
+    first.join(active, userCol)
+      .withColumn("day_offset", datediff(col("__d"), col("__c")).cast("long"))
+      .where(col("day_offset").between(0, maxOffsetDays))
+      .groupBy(date_format(col("__c"), "yyyy-MM-dd").as("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -243,6 +243,31 @@ class R8OpsSpec extends SparkSpec {
     assert(rows.count(_._3 == 0L) == rows.length - sparse.count())
   }
 
+  test("funnelStages: strictly-ordered gating; retention offsets by hand") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // u1 completes in order; u2's click PRECEDES their first view (must
+    // not count — and without a counted click, a later purchase can't
+    // either); u3 views only; u4 has click-after-view then purchase
+    // BEFORE the click (purchase must not count)
+    val ev = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)),
+      (2L, "click", ts(0)), (2L, "view", ts(1)), (2L, "purchase", ts(2)),
+      (3L, "view", ts(0)),
+      (4L, "view", ts(0)), (4L, "purchase", ts(1)), (4L, "click", ts(2)))
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.ops.TimeSeries
+      .funnelStages(ev, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .orderBy("stage").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("1_view", 4L), ("2_click", 2L), ("3_purchase", 1L)))
+
+    // retention: one event on day 0 and one on day 2 → offsets 0 and 2
+    val ev2 = Seq((7L, ts(0)), (7L, ts(2 * 24 * 60))).toDF("user_id", "ts")
+    val ret = graft.ops.TimeSeries.retentionCohorts(ev2, "user_id", "ts")
+      .select("day_offset", "n_users").as[(Long, Long)].collect().toSet
+    assert(ret == Set((0L, 1L), (2L, 1L)))
+  }
+
   test("hybridRrfTopK: fusion arithmetic, leg consistency, both-legs dominance") {
     val docs = io.Tables(spark, sf, "documents")
     val emb = io.Tables(spark, sf, "embeddings")

@@ -133,6 +133,17 @@ object BenchScale {
       ("ann_ivf_topk", Int.MaxValue, (docs0, emb0, f) =>
         ext.Similarity.ivfTopK(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10)),
+      // iterative graph kernel over the kNN edges: |edges| = 5n exactly,
+      // each of the 5 synchronous rounds is one src-keyed join + one
+      // dst-keyed agg — cost should track the embedded kNN-graph build
+      // (the same IVF-blocked self-join, every vector probing) plus a
+      // linear-in-edges iteration term
+      ("graph_pagerank", Int.MaxValue, (docs0, emb0, f) => {
+        val infl = inflateEmbeddings(emb0, f)
+        ext.Graph.pageRank(
+          ext.Similarity.knnGraphIvf(infl, "vec_id", "embedding", k = 5),
+          "probe_id", "vec_id", infl, "vec_id")
+      }),
       ("emb_neardup_pairs", quadMax, (docs0, emb0, f) =>
         ext.Similarity.nearDupPairs(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           450000L, blocks = 16)),

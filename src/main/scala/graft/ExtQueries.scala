@@ -535,6 +535,22 @@ object ExtQueries {
          |$knnRankedSql
          |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 5
          |ORDER BY probe_id, rn""".stripMargin,
+    // per-list prototype selection over the same replayed IVF index:
+    // affinity of each vector to ITS list's centroid, rank-m cut with
+    // id-broken ties
+    "emb_diverse_sample" ->
+      s"""WITH $ivfAssignSql,
+         |aff AS (
+         |  SELECT a.vec_id, a.list_id, 2*${qdotIntSql("e.q", "c.cv")} - c.nrm AS cd
+         |  FROM assign a
+         |  JOIN qv e ON e.vec_id = a.vec_id
+         |  JOIN cents c ON c.cent_id = a.list_id),
+         |r AS (
+         |  SELECT vec_id, list_id, cd,
+         |         CAST(row_number() OVER (PARTITION BY list_id ORDER BY cd DESC, vec_id) AS BIGINT) AS rn
+         |  FROM aff)
+         |SELECT list_id, vec_id, CAST(cd AS BIGINT) AS cd, rn FROM r WHERE rn <= 4
+         |ORDER BY list_id, rn""".stripMargin,
     // PageRank over those kNN edges: the oracle rebuilds the trained
     // index, the edge list, AND the 5 unrolled integer iterations —
     // the full derived-graph-centrality pipeline from raw vectors
@@ -1996,6 +2012,15 @@ object ExtQueries {
       Similarity.knnGraphIvf(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
         .select("probe_id", "vec_id", "qdot", "rn")
         .orderBy("probe_id", "rn")
+    },
+    "emb_diverse_sample" -> { (s, dir) =>
+      // cluster-balanced coreset: the 4 most-central vectors of every
+      // trained inverted list — O(n·K) broadcast assignment + bounded
+      // per-list heaps; uniform sampling would oversample dense regions
+      Similarity.diversitySample(t(s, dir, "embeddings"), "vec_id", "embedding",
+          perList = 4)
+        .select("list_id", "vec_id", "cd", "rn")
+        .orderBy("list_id", "rn")
     },
     "graph_pagerank" -> { (s, dir) =>
       // centrality over the derived similarity graph: kNN edges from

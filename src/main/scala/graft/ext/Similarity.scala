@@ -438,6 +438,44 @@ object Similarity {
       .agg(max_by(col("cent_id"),
         struct(col("cd"), (lit(0L) - col("cent_id")).as("nc"))).as("list_id"))
 
+  /** Cluster-balanced prototype selection: the m most-central vectors
+    * of every trained inverted list — the diversity-preserving coreset
+    * a curation pipeline subsamples with when uniform sampling would
+    * let dense regions drown sparse ones (the selection counterpart of
+    * SemDeDup's within-list pruning; K·m representatives spread across
+    * the corpus's cluster structure by construction).
+    *
+    * Scale shape: the same O(n·K) broadcast-centroid assignment every
+    * IVF path pays (constant K, nothing broadcasts but the centroids),
+    * then the per-list ranking runs through the bounded-heap
+    * `TopKPerKey` — ≤ m rows per (list, partition) cross the shuffle,
+    * and the rank window only ever sees the ≤ K·m survivors. Integer
+    * affinity with id-broken ties, so the oracle replays the exact
+    * selection. */
+  def diversitySample(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      perList: Int,
+      numCentroids: Int = 64,
+      trainRounds: Int = defaultTrainRounds,
+      trainSample: Int = defaultTrainSample,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    require(perList > 0, s"need perList > 0, got $perList")
+    val cents = ivfCentroids(corpus, idCol, vecCol, numCentroids, trainRounds, trainSample, scope)
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .select(col(idCol), col("cent_id"),
+        (lit(2L) * quantizedDot(col(vecCol), col("cv")) - col("nrm")).as("cd"))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("cent_id"), col("cd")),
+        struct(col("cd"), (lit(0L) - col("cent_id")).as("nc"))).as("w"))
+      .select(col(idCol), col("w.cent_id").as("list_id"), col("w.cd").as("cd"))
+    val top = graft.plans.TopKPerKey(
+      assigned, Seq("list_id"), Seq(("cd", false), (idCol, true)), perList)
+    val w = Window.partitionBy("list_id").orderBy(desc("cd"), asc(idCol))
+    top.withColumn("rn", row_number().over(w).cast("long"))
+  }
+
   /** Inverted-list sizes (list_id, n) of the trained quantizer — the
     * balance diagnostic reported by the scale probe (`BenchScale`):
     * max(n) bounds the worst probe-side task, so training exists

@@ -268,6 +268,21 @@ class R8OpsSpec extends SparkSpec {
     assert(ret == Set((0L, 1L), (2L, 1L)))
   }
 
+  test("diversitySample: per-list bound, contiguous ranks, deterministic") {
+    val emb = io.Tables(spark, sf, "embeddings")
+    val got = Similarity.diversitySample(emb, "vec_id", "embedding", perList = 2)
+      .select("list_id", "vec_id", "rn").as[(Long, Long, Long)].collect()
+    // the oracle proves the SELECTION exact (rank-level hash match);
+    // here: the per-list contract and run-to-run determinism
+    val byList = got.groupBy(_._1)
+    assert(byList.nonEmpty && byList.forall(_._2.length <= 2))
+    for ((_, rows) <- byList)
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    val again = Similarity.diversitySample(emb, "vec_id", "embedding", perList = 2)
+      .select("list_id", "vec_id", "rn").as[(Long, Long, Long)].collect()
+    assert(got.sortBy(r => (r._1, r._3)).toSeq == again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
   test("hybridRrfTopK: fusion arithmetic, leg consistency, both-legs dominance") {
     val docs = io.Tables(spark, sf, "documents")
     val emb = io.Tables(spark, sf, "embeddings")

@@ -87,14 +87,23 @@ object Aggregators {
   final case class KMinValues(k: Int)
       extends Aggregator[Long, Seq[Long], Seq[Long]] {
     require(k > 0, s"KMinValues needs k > 0, got $k")
-    def zero: Seq[Long] = Seq.empty
-    def reduce(b: Seq[Long], a: Long): Seq[Long] =
+    // Vector, not List: once the buffer is full the hot path is the
+    // reject check `a >= b.last`, and List pays O(k) for `length`/`last`
+    // on EVERY row — measured 7 s on a 600k-row × 4-column ANALYZE
+    // pass, ~3× the whole remaining query. Vector makes the reject O(1)
+    // (eC) and only the rare insert pays the O(k) rebuild. Buffers
+    // arriving from Spark's Seq[Long] decoder may be another Seq type;
+    // normalizing through `toVector` on first touch keeps the invariant.
+    def zero: Seq[Long] = Vector.empty
+    def reduce(b0: Seq[Long], a: Long): Seq[Long] = {
+      val b = b0 match { case v: Vector[Long] => v; case s => s.toVector }
       if (b.length >= k && a >= b.last) b
       else {
         val (lo, hi) = b.span(_ < a)
         if (hi.headOption.contains(a)) b
         else ((lo :+ a) ++ hi).take(k)
       }
+    }
     def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] = {
       val x = b1.toIndexedSeq
       val y = b2.toIndexedSeq

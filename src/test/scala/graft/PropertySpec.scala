@@ -57,6 +57,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin equals the reference multiset join on random key skews") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 0 until 3) {
+      val n = 300 + rnd.nextInt(200)
+      // half the rows pile on one celebrity key; the dim carries
+      // duplicate rows per key so multiset (not set) semantics are hit
+      val left = Seq.fill(n)(if (rnd.nextBoolean()) 7L else rnd.nextInt(40).toLong)
+        .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      val right = (0L to 40L).flatMap(k => Seq.fill(1 + (k % 3).toInt)((k, k * 100)))
+      val expected = (for ((k, v) <- left; (k2, w) <- right if k2 == k)
+        yield (k, v, w)).groupBy(identity).view.mapValues(_.size).toMap
+      val got = graft.ops.Skew
+        .saltedJoin(left.toDF("k", "v"), right.toDF("k", "w"), "k",
+          saltBuckets = 3, hotThreshold = 50L)
+        .as[(Long, Long, Long)].collect()
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == expected)
+    }
+  }
+
   test("BloomOr fold/merge equals the reference bitset on random data and splits") {
     val words = 4
     val agg = ops.Aggregators.BloomOr(words)

@@ -53,13 +53,18 @@ object TimeSeries {
     * Scale shape: one filtered scan per step (the type predicate pushes
     * to the source), each reduced to one (user, first_ts) row BEFORE
     * the next join — so every join is keyed by user over ≤ |users|
-    * rows per side, and the event table itself never self-joins. */
+    * rows per side, and the event table itself never self-joins. Each
+    * stage's per-user relation is cached through the scope: it feeds
+    * BOTH the next stage's gate and the final count, and uncached the
+    * nesting would re-run stage i's scan inside every later stage's
+    * plan (O(steps²) passes over the event table). */
   def funnelStages(
       events: DataFrame,
       userCol: String,
       typeCol: String,
       tsCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String],
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
     val reached = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (step, _)) =>
@@ -70,7 +75,7 @@ object TimeSeries {
             hits.join(p.select(col(userCol), col("__t").as("__pt")), userCol)
               .where(col(tsCol) > col("__pt"))
         }
-        Some(gated.groupBy(userCol).agg(min(col(tsCol)).as("__t")))
+        Some(scope.cache(gated.groupBy(userCol).agg(min(col(tsCol)).as("__t"))))
     }.flatten
     reached.zip(steps).zipWithIndex.map { case ((df, step), i) =>
       df.agg(count(lit(1)).as("n_users"))

@@ -216,8 +216,13 @@ object BenchScale {
     val exactExtra = sys.env.getOrElse("SPARK_GRAFT_EXACT_EXTRA", "128")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
     val exactKernels = Set("dedup_winnow_pairs", "dedup_jaccard_pairs")
+    // optional comma-separated kernel filter for targeted A/B reruns
+    // (fix-verification without paying the full ~25 min sweep); the
+    // committed artifact always comes from an unfiltered run
+    val onlyKernels = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val secs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Int, Double, Long)]]
-    for ((name, cap, build) <- kernels) {
+    for ((name, cap, build) <- kernels if onlyKernels.forall(_.contains(name))) {
       val fs = (factors ++ (if (exactKernels(name)) exactExtra else Nil)).distinct
       secs(name) = fs.filter(_ <= cap).map { f =>
         withSession { (spark, docs0, emb0) =>
@@ -242,7 +247,9 @@ object BenchScale {
     // untrained (the raw hashed-sample seeds): max list size bounds
     // the worst probe-side task, so this is the number training exists
     // to improve
-    val balance = withSession { (spark, docs0, emb0) => factors.map { f =>
+    val balance = if (!onlyKernels.forall(_.contains("ivf_lists")))
+      Seq.empty[(Int, Double, Long, Long)]
+    else withSession { (spark, docs0, emb0) => factors.map { f =>
       val infl = inflateEmbeddings(emb0, f)
       def maxList(rounds: Int): Long = {
         val mx = ext.Similarity
@@ -265,7 +272,9 @@ object BenchScale {
     // CONSTANT in f; the timed cost should grow only with the
     // shuffle-free scan of the bigger index, far below the ×f of a
     // from-scratch self-join.
-    val incr = withSession { (spark, docs0, emb0) => factors.map { f =>
+    val incr = if (!onlyKernels.forall(_.contains("dedup_incremental_screen")))
+      Seq.empty[(Int, Double, Long)]
+    else withSession { (spark, docs0, emb0) => factors.map { f =>
       val scope = new graft.util.CacheScope
       val newIdx = ext.Dedup.dedupIndex(docs0, "doc_id", "text", scope = scope)
       val oldIdx = ext.Dedup.dedupIndex(
@@ -281,7 +290,7 @@ object BenchScale {
       System.err.println(f"[scale] dedup_incremental_screen f=$f%-3d ${sec}%8.2f s  rows=$rows")
       (f, sec, rows)
     } }
-    secs("dedup_incremental_screen") = incr
+    if (incr.nonEmpty) secs("dedup_incremental_screen") = incr
     // build-vs-probe split of the persisted ANN index (the production
     // IVFADC serving shape): the build — both quantizer trainings plus
     // the full encode pass — is timed once and written to parquet (the
@@ -292,7 +301,9 @@ object BenchScale {
     // the probe pays centroid routing (broadcast), ADC over ~nprobe/K
     // of the codes, and the refine re-rank — the same asymptotic slope
     // but a far smaller constant, and crucially none of the training.
-    val (annSplit, embN) = withSession { (spark, docs0, emb0) =>
+    val (annSplit, embN) = if (!onlyKernels.forall(_.contains("ann_index_build")))
+      (Seq.empty[(Int, Double, Double, Long)], 0L)
+    else withSession { (spark, docs0, emb0) =>
       val runs = factors.map { f =>
       val scope = new graft.util.CacheScope
       val infl = inflateEmbeddings(emb0, f)
@@ -317,8 +328,10 @@ object BenchScale {
     }
     // build "rows" = the persisted codes relation (n · numSub codes —
     // the compressed store the build exists to produce)
-    secs("ann_index_build") = annSplit.map { case (f, b, _, _) => (f, b, embN * 8 * f) }
-    secs("ann_index_probe") = annSplit.map { case (f, _, p, r) => (f, p, r) }
+    if (annSplit.nonEmpty) {
+      secs("ann_index_build") = annSplit.map { case (f, b, _, _) => (f, b, embN * 8 * f) }
+      secs("ann_index_probe") = annSplit.map { case (f, _, p, r) => (f, p, r) }
+    }
     val qJson = secs.map { case (n, runs) =>
       "\"" + n + "\":{" + runs.map { case (f, s, _) => "\"" + f + "\":" + s }.mkString(",") + "}"
     }.mkString("{", ",", "}")

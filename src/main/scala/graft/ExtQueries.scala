@@ -166,7 +166,12 @@ object ExtQueries {
   // defaults exactly). Shared CTE prefix for ann_ivf_topk and
   // emb_semdedup; ends with `assign` = (vec_id, list_id) over the
   // whole corpus.
-  private val ivfAssignSql: String = {
+  // parameterized on the centroid-count SQL: "64" for the point-query
+  // paths (constant K), or the count-derived √n budget for the
+  // all-points graph family (`Similarity.graphCentroidBudget` — the
+  // power-of-two-above-√n rule, floored at 64, as one bit-length both
+  // engines compute identically)
+  private def ivfAssignSqlWith(centSql: String): String = {
     val rounds = Similarity.defaultTrainRounds
     val head =
       s"""qv AS (
@@ -177,7 +182,7 @@ object ExtQueries {
          |samp AS (SELECT vec_id AS sid, q AS sq FROM qv ORDER BY h, vec_id LIMIT ${ext.Similarity.defaultTrainSample}),
          |cents0 AS (
          |  SELECT cent_id, cv, ${qdotIntSql("cv", "cv")} AS nrm FROM (
-         |    SELECT vec_id AS cent_id, q AS cv FROM qv ORDER BY h, vec_id LIMIT 64) s0)""".stripMargin
+         |    SELECT vec_id AS cent_id, q AS cv FROM qv ORDER BY h, vec_id LIMIT $centSql) s0)""".stripMargin
     val roundCtes = (1 to rounds).map { k =>
       s"""sasgn$k AS (
          |  SELECT sid, sq, list_id FROM (
@@ -208,6 +213,18 @@ object ExtQueries {
          |  WHERE rn = 1)""".stripMargin
     (Seq(head) ++ roundCtes :+ tail).mkString(",\n")
   }
+
+  private val ivfAssignSql: String = ivfAssignSqlWith("64")
+
+  // the derived-K twin for the all-points graph family: kgeo replays
+  // Similarity.graphCentroidBudget (power of two ≥ √n, floor 64) off
+  // count(*), and the quantizer trains on that many seeds — at fixture
+  // scale the floor keeps K = 64, so the constant-K and derived-K
+  // oracles coincide there by construction
+  private val ivfAssignSqlDerivedK: String =
+    "kgeo AS (SELECT greatest(64, CAST(1 AS BIGINT) << " +
+      "((length(bin(CAST(count(*) - 1 AS BIGINT))) + 1) // 2)) AS kk FROM embeddings),\n" +
+      ivfAssignSqlWith("(SELECT kk FROM kgeo)")
 
   // kNN-edge CTE block shared by emb_knn_graph and graph_pagerank:
   // every vector probes its nprobe=4 nearest trained lists, exact
@@ -531,7 +548,7 @@ object ExtQueries {
     // every vector, nprobe nearest lists each, exact re-score within
     // the list, k=5 id-broken ranks
     "emb_knn_graph" ->
-      s"""WITH $ivfAssignSql,
+      s"""WITH $ivfAssignSqlDerivedK,
          |$knnRankedSql
          |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 5
          |ORDER BY probe_id, rn""".stripMargin,
@@ -556,7 +573,7 @@ object ExtQueries {
     // the full derived-graph-centrality pipeline from raw vectors
     "graph_pagerank" ->
       Graph.pageRankOracleSql(
-        s"""WITH $ivfAssignSql,
+        s"""WITH $ivfAssignSqlDerivedK,
            |$knnRankedSql,
            |gedges AS (SELECT probe_id AS src, vec_id AS dst FROM ranked WHERE rn <= 5),
            |gnodes AS (SELECT vec_id AS id FROM qv)""".stripMargin,

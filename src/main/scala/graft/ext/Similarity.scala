@@ -560,17 +560,42 @@ object Similarity {
     * balance (`ivfListSizes`). All int64 id-broken arithmetic — an
     * external engine replays training, assignment, probe affinity,
     * and the graph bit-for-bit. */
+  /** Count-derived centroid budget for the ALL-POINTS graph family:
+    * the smallest power of two ≥ √n, floored at 64. A fixed K makes
+    * every inverted list grow linearly with the corpus, and since the
+    * graph build probes from EVERY point its cost is O(n·nprobe·n/K) =
+    * O(n²/K) — measured as a 7.5× last-octave step (23 s → 176 s,
+    * 16×→64×) in the round-8 scale probe. K ≈ √n bounds both the
+    * assignment (n·K) and the probe (n·nprobe·n/K) at O(n^1.5) — the
+    * same envelope `semDedup`'s √n rule rides, with the power-of-two
+    * form keeping the derivation one integer bit-length both engines
+    * replay exactly. Point queries (ivfTopK etc.) keep their constant
+    * K: their probe side is O(probes·n/K), not O(n²/K). */
+  def graphCentroidBudget(n: Long): Int = {
+    if (n < 2) 64
+    else {
+      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+      math.max(64, 1 << ((bitlen + 1) / 2))
+    }
+  }
+
   def knnGraphIvf(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      numCentroids: Int = 64,
+      numCentroids: Int = 0,
       nprobe: Int = 4,
       trainRounds: Int = defaultTrainRounds,
       trainSample: Int = defaultTrainSample,
       scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
-    val cents = ivfCentroids(corpus, idCol, vecCol, numCentroids, trainRounds, trainSample, scope)
+    // numCentroids <= 0 → derive the √n budget from a corpus-count
+    // pre-pass (the lshGeometry precedent; one count job, O(1) driver
+    // state). The floor of 64 keeps fixture-scale corpora on the same
+    // quantizer the fixed-K oracles replay.
+    val kCents =
+      if (numCentroids > 0) numCentroids else graphCentroidBudget(corpus.count())
+    val cents = ivfCentroids(corpus, idCol, vecCol, kCents, trainRounds, trainSample, scope)
     val lists = ivfAssign(corpus, idCol, vecCol, cents)
     val aff = corpus.crossJoin(broadcast(cents))
       .select(col(idCol).as("probe_id"), col("cent_id"),

@@ -1805,6 +1805,11 @@ object ExtQueries {
     // constants as the engine so the two can never silently desync
     "search_bm25" ->
       Search.bm25OracleSql(tokSql, Search.defaultTerms, Search.defaultK),
+    // the persisted-index serving path must equal the scan path
+    // bit-for-bit, so it shares the scan form's oracle — the artifact
+    // round trip is what the query adds
+    "search_index_bm25" ->
+      Search.bm25OracleSql(tokSql, Search.defaultTerms, Search.defaultK),
     // temperature mixture rebuilt from scratch: per-source counts,
     // scaled-integer sqrt weights, floor-division rates, md5 threshold
     "corpus_mix_temperature" ->
@@ -2049,6 +2054,17 @@ object ExtQueries {
       val edges = Similarity.knnGraphIvf(emb, "vec_id", "embedding", k = 5)
       Graph.pageRank(edges, "probe_id", "vec_id", emb, "vec_id")
         .orderBy("vec_id")
+    },
+    "search_index_bm25" -> { (s, dir) =>
+      // the serving form of search_bm25: build + persist the inverted
+      // index (postings sorted by term for row-group pruning), then
+      // answer from the artifact — queries read O(their terms'
+      // postings), never the corpus; results bit-identical to the scan
+      // form, so both share one oracle
+      val path = java.nio.file.Files.createTempDirectory("txtidx").toString
+      Search.writeTextIndex(t(s, dir, "documents"), "doc_id", "text", path)
+      Search.indexTopK(s, path, Search.defaultTerms, Search.defaultK)
+        .orderBy(desc("score"), col("doc_id"))
     },
     "search_hybrid_rrf" -> { (s, dir) =>
       // RAG-serving hybrid: BM25 lexical leg + single-probe exact dense

@@ -218,6 +218,75 @@ object Search {
       .limit(k)
   }
 
+  /** Build and persist an inverted index for keyword retrieval — the
+    * train-once/serve-many counterpart of `bm25TopK` (which bakes its
+    * term set into the plan and re-scans the corpus per query), exactly
+    * as `Similarity.writeAnnIndex` is the serving form of the inline
+    * ANN paths. Three all-integer parquet relations:
+    *  - `postings` (term, id, tf, dl) — one row per distinct term per
+    *    doc, range-partitioned AND sorted by term so parquet row-group
+    *    min/max prune every term the query doesn't mention;
+    *  - `term_df` (term, df) — the idf input;
+    *  - `meta` (n_docs, sum_dl) — one row.
+    * Serving cost is O(postings of the query's terms): the `IN` filter
+    * reaches the scan as a pushed filter (spec-guarded), the df sliver
+    * and the 1-row meta broadcast, the per-doc sum is one hash agg over
+    * matched postings, and the cut is TakeOrdered. The 100 TB corpus is
+    * read ONCE at build; queries never touch it again. */
+  def writeTextIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): Unit = {
+    val dl = docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
+      .select(col("id"), size(col("tk")).cast("long").as("dl"), col("tk"))
+    val postings = dl
+      .select(col("id"), col("dl"), explode(col("tk")).as("term"))
+      .groupBy("term", "id", "dl").agg(count(lit(1)).as("tf"))
+    postings
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/term_df")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Serve a bag-of-words query from a persisted `writeTextIndex`
+    * artifact: bit-identical to `bm25TopK` over the same corpus (same
+    * integer idf/saturation/length-norm and the same (score, id) cut),
+    * which is why the shipped query shares `bm25OracleSql` with the
+    * scan form. Output column is named `idColOut`. */
+  def indexTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      terms: Seq[String],
+      k: Int,
+      idColOut: String = "doc_id",
+      k1X1000: Long = 1200L,
+      bX1000: Long = 750L): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 64,
+      s"query must carry 1..64 terms, got ${terms.size}")
+    val p = spark.read.parquet(s"$path/postings")
+      .where(col("term").isin(terms: _*))
+    val dfs = spark.read.parquet(s"$path/term_df")
+      .where(col("term").isin(terms: _*))
+    val meta = spark.read.parquet(s"$path/meta")
+    p.join(broadcast(dfs), "term")
+      .crossJoin(broadcast(meta))
+      .withColumn("k_x1000",
+        expr(s"($k1X1000 * ((1000 - $bX1000) + ($bX1000 * dl * n_docs) div sum_dl)) div 1000"))
+      .withColumn("idf", (length(bin(expr("(2 * n_docs) div df"))) - 1).cast("long"))
+      .withColumn("s",
+        expr(s"idf * ((tf * ${k1X1000 + 1000L} * 1000) div (tf * 1000 + k_x1000))"))
+      .groupBy(col("id"))
+      .agg(sum(col("s")).as("score"), count(lit(1)).as("n_hits"))
+      .where(col("score") > 0)
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+      .select(col("id").as(idColOut), col("score"), col("n_hits"))
+  }
+
   /** DuckDB replay of `hybridRrfTopK`: the shared BM25 CTEs, the dense
     * leg rebuilt from scratch with the caller's quantized-dot SQL
     * (`qdotSql(a, b)` must render the SAME integer dot the engine's

@@ -110,4 +110,30 @@ class SearchSamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("persisted text index serves bit-identical to the scan form; term filter pushed") {
+    val docs = io.Tables(spark, sf, "documents")
+    val path = java.nio.file.Files.createTempDirectory("txtidx_spec").toString
+    Search.writeTextIndex(docs, "doc_id", "text", path)
+    // two different term sets, both must equal the corpus-scan form
+    for (terms <- Seq(Search.defaultTerms, Seq("table", "merge"))) {
+      val scan = Search.bm25TopK(docs, "doc_id", "text", terms, 25)
+        .orderBy(desc("score"), col("doc_id"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val served = Search.indexTopK(spark, path, terms, 25)
+        .orderBy(desc("score"), col("doc_id"))
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(served == scan, s"terms=$terms")
+    }
+    // the whole point of the index: the query's IN(term) predicate
+    // reaches the postings scan as a pushed filter (row-group pruning
+    // at 100 TB), instead of filtering after a full read
+    val q = Search.indexTopK(spark, path, Seq("dup"), 5)
+    q.collect()
+    val scan = q.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(scan).map(_.group(1)).mkString(";")
+    assert(pushed.contains("In(term") || pushed.contains("EqualTo(term"),
+      s"term filter not pushed (pushed=[$pushed])")
+  }
 }

@@ -1810,6 +1810,10 @@ object ExtQueries {
     // round trip is what the query adds
     "search_index_bm25" ->
       Search.bm25OracleSql(tokSql, Search.defaultTerms, Search.defaultK),
+    // incremental update must reconstruct the full-corpus index
+    // exactly — same oracle again
+    "search_index_update" ->
+      Search.bm25OracleSql(tokSql, Search.defaultTerms, Search.defaultK),
     // temperature mixture rebuilt from scratch: per-source counts,
     // scaled-integer sqrt weights, floor-division rates, md5 threshold
     "corpus_mix_temperature" ->
@@ -2064,6 +2068,22 @@ object ExtQueries {
       val path = java.nio.file.Files.createTempDirectory("txtidx").toString
       Search.writeTextIndex(t(s, dir, "documents"), "doc_id", "text", path)
       Search.indexTopK(s, path, Search.defaultTerms, Search.defaultK)
+        .orderBy(desc("score"), col("doc_id"))
+    },
+    "search_index_update" -> { (s, dir) =>
+      // incremental index maintenance: index 80% of the corpus, fold
+      // the 20% id-hash batch in WITHOUT re-reading the indexed corpus
+      // (postings append, df sum-merge over index metadata, meta add),
+      // then serve — must equal the scan over the FULL corpus, so it
+      // shares the scan oracle
+      val docs = t(s, dir, "documents")
+      val p0 = java.nio.file.Files.createTempDirectory("txtidx0").toString
+      val p1 = java.nio.file.Files.createTempDirectory("txtidx1").toString
+      Search.writeTextIndex(
+        docs.where(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text", p0)
+      Search.updateTextIndex(s, p0,
+        docs.where(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text", p1)
+      Search.indexTopK(s, p1, Search.defaultTerms, Search.defaultK)
         .orderBy(desc("score"), col("doc_id"))
     },
     "search_hybrid_rrf" -> { (s, dir) =>

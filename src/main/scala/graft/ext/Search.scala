@@ -252,6 +252,45 @@ object Search {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Incremental index maintenance: fold a document batch into a
+    * persisted `writeTextIndex` artifact without re-reading the corpus
+    * — the daily-ingest twin of `Dedup`'s incremental screen. The
+    * batch's postings append (new ids never collide with indexed ones —
+    * the caller's contract, same as any CDC key discipline), per-term
+    * df adds via a full-outer sum join of the OLD df relation (index
+    * metadata, not corpus data) with the batch's, and the 1-row meta
+    * adds. Cost is O(batch) + O(|vocab| of the df merge) — the indexed
+    * corpus is never touched. The merged artifact is written to
+    * `outPath` (copy-on-write, like `Sinks.mergeSnapshot`) and serves
+    * bit-identically to an index built from scratch on the union
+    * (spec-pinned). */
+  def updateTextIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      outPath: String): Unit = {
+    val dl = batch.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
+      .select(col("id"), size(col("tk")).cast("long").as("dl"), col("tk"))
+    val newPost = dl
+      .select(col("id"), col("dl"), explode(col("tk")).as("term"))
+      .groupBy("term", "id", "dl").agg(count(lit(1)).as("tf"))
+    spark.read.parquet(s"$path/postings").unionByName(newPost)
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$outPath/postings")
+    spark.read.parquet(s"$path/term_df")
+      .withColumnRenamed("df", "df_old")
+      .join(newPost.groupBy("term").agg(count(lit(1)).as("df_new")), Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L))).as("df"))
+      .write.mode("overwrite").parquet(s"$outPath/term_df")
+    spark.read.parquet(s"$path/meta")
+      .unionByName(dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+  }
+
   /** Serve a bag-of-words query from a persisted `writeTextIndex`
     * artifact: bit-identical to `bm25TopK` over the same corpus (same
     * integer idf/saturation/length-norm and the same (score, id) cut),

@@ -136,4 +136,30 @@ class SearchSamplingSpec extends SparkSpec {
     assert(pushed.contains("In(term") || pushed.contains("EqualTo(term"),
       s"term filter not pushed (pushed=[$pushed])")
   }
+
+  test("updateTextIndex folds a batch in and serves equal to a fresh full build") {
+    val docs = io.Tables(spark, sf, "documents")
+    val p0 = java.nio.file.Files.createTempDirectory("txtidx_u0").toString
+    val p1 = java.nio.file.Files.createTempDirectory("txtidx_u1").toString
+    val pFull = java.nio.file.Files.createTempDirectory("txtidx_full").toString
+    Search.writeTextIndex(docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+      "doc_id", "text", p0)
+    Search.updateTextIndex(spark, p0,
+      docs.where(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text", p1)
+    Search.writeTextIndex(docs, "doc_id", "text", pFull)
+    // serve equality on a term set that spans both the old and new slices
+    for (terms <- Seq(Search.defaultTerms, Seq("table", "merge"))) {
+      val inc = Search.indexTopK(spark, p1, terms, 25)
+        .orderBy(desc("score"), col("doc_id")).as[(Long, Long, Long)].collect().toSeq
+      val full = Search.indexTopK(spark, pFull, terms, 25)
+        .orderBy(desc("score"), col("doc_id")).as[(Long, Long, Long)].collect().toSeq
+      assert(inc == full, s"terms=$terms")
+    }
+    // the merged df relation is exactly the full build's
+    val dfInc = spark.read.parquet(s"$p1/term_df").orderBy("term")
+      .as[(String, Long)].collect().toSeq
+    val dfFull = spark.read.parquet(s"$pFull/term_df").orderBy("term")
+      .as[(String, Long)].collect().toSeq
+    assert(dfInc == dfFull)
+  }
 }

@@ -271,6 +271,12 @@ object Search {
       idCol: String,
       textCol: String,
       outPath: String): Unit = {
+    // copy-on-write is load-bearing, not stylistic: the old relations
+    // are read LAZILY while the new ones write, so writing over the
+    // source path would truncate the input mid-scan
+    require(java.nio.file.Paths.get(outPath).normalize() !=
+      java.nio.file.Paths.get(path).normalize(),
+      s"updateTextIndex must write to a fresh path (copy-on-write), got outPath == path == $path")
     val dl = batch.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
       .select(col("id"), size(col("tk")).cast("long").as("dl"), col("tk"))
     val newPost = dl

@@ -2073,17 +2073,18 @@ object ExtQueries {
     "search_index_update" -> { (s, dir) =>
       // incremental index maintenance: index 80% of the corpus, fold
       // the 20% id-hash batch in WITHOUT re-reading the indexed corpus
-      // (postings append, df sum-merge over index metadata, meta add),
-      // then serve — must equal the scan over the FULL corpus, so it
-      // shares the scan oracle
+      // OR the index (append-only delta directories — O(batch) per
+      // fold-in), then serve from base ∪ delta — must equal the scan
+      // over the FULL corpus, so it shares the scan oracle. The
+      // uncompacted delta path is deliberately what the oracle checks;
+      // compactTextIndex equivalence is spec-pinned.
       val docs = t(s, dir, "documents")
       val p0 = java.nio.file.Files.createTempDirectory("txtidx0").toString
-      val p1 = java.nio.file.Files.createTempDirectory("txtidx1").toString
       Search.writeTextIndex(
         docs.where(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text", p0)
       Search.updateTextIndex(s, p0,
-        docs.where(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text", p1)
-      Search.indexTopK(s, p1, Search.defaultTerms, Search.defaultK)
+        docs.where(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
+      Search.indexTopK(s, p0, Search.defaultTerms, Search.defaultK)
         .orderBy(desc("score"), col("doc_id"))
     },
     "search_hybrid_rrf" -> { (s, dir) =>

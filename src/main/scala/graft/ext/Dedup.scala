@@ -62,6 +62,21 @@ object Dedup {
     * oracles for the dedup family are the exact O(n²) Jaccard joins —
     * geometry-independent — so the schedule can never affect
     * correctness, only candidate cost. */
+  /** Measured in-flight expansion of the gram-family kernels' widest
+    * shuffle relative to Catalyst's compressed-source size estimate —
+    * the `inflate` these entry points hand `ShuffleBudget.advise`.
+    * Decoded text (~2-4× vs snappy parquet) explodes into per-gram
+    * (hash, id, sz) rows (~10× the source text bytes), and the
+    * candidate stage fans each shared prefix gram into id-pair rows
+    * whose verify join ships two full shingle arrays — the round-8
+    * scale A/B located the spill knee there: the 128× jaccard probe
+    * (source estimate ~76 MB) needed ~256 reduce slots to shed its
+    * superlinear spill (52.8 → 29.7 s), i.e. an effective ~430×
+    * expansion against the 128 MiB/slot target. 512 reproduces that
+    * operating point (AQE coalesces any over-provision down for free;
+    * an under-provision can never be raised at runtime). */
+  private[graft] val gramShuffleInflate = 512L
+
   def lshGeometry(n: Long, threshold: Double = 0.6): (Int, Int) = {
     val octaves =
       math.ceil(math.log(math.max(n, 1L).toDouble / 100000.0) / math.log(4.0)).toInt

@@ -61,6 +61,12 @@ object Search {
       bX1000: Long = 750L): DataFrame = {
     require(terms.nonEmpty && terms.size <= 64,
       s"query must carry 1..64 terms, got ${terms.size}")
+    // a repeated term would be counted twice here (independent tf_i
+    // columns) but once by indexTopK (whose isin(terms) filter dedups)
+    // — reject it uniformly at both entry points so the documented
+    // "bit-identical to the scan form" contract can't silently break
+    require(terms.distinct.size == terms.size,
+      s"query terms must be distinct, got $terms")
     val tfCols = terms.indices.map { i =>
       size(filter(col("tk"), x => x === lit(terms(i)))).cast("long").as(s"tf_$i")
     }
@@ -181,7 +187,17 @@ object Search {
     * ≤ legK-row relations: O(k) rows, O(k) bytes, regardless of corpus
     * size. The rank windows run AFTER the legs' limits, over ≤ legK
     * rows — a single-partition window over driver-scale data, never
-    * over the corpus. */
+    * over the corpus.
+    *
+    * ID-ALIGNMENT CONTRACT: the fusion full-outer-joins the lexical
+    * leg's `idCol` values against the dense leg's `vecIdCol` values on
+    * one shared id space — `docs` row i and `emb` row i must describe
+    * the SAME document (the fixture's documents/embeddings tables are
+    * generated aligned this way, and the oracle's fused CTE assumes
+    * the same). With unaligned corpora the fusion silently pairs
+    * unrelated rows; no runtime check is practical (both columns are
+    * opaque int64), so alignment is the caller's contract, like any
+    * foreign key. */
   def hybridRrfTopK(
       docs: DataFrame,
       idCol: String,
@@ -252,56 +268,128 @@ object Search {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** The index's three relation names; each lives as a base directory
+    * `$path/<rel>` plus zero or more append-only `$path/<rel>_delta_N`
+    * directories that `updateTextIndex` adds and `compactTextIndex`
+    * folds back into the base. */
+  private val indexRels = Seq("postings", "term_df", "meta")
+
+  private def hadoopFs(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Existing delta directories of one relation, `$path/<rel>_delta_N`,
+    * in generation order. Listing metadata only — O(deltas). */
+  private[graft] def deltaDirs(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      rel: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = hadoopFs(spark, path)
+    val pat = s"${rel}_delta_(\\d+)".r
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName match {
+        case pat(n) => Some((n.toInt, s.getPath.toString))
+        case _ => None
+      })
+      .sortBy(_._1).map(_._2)
+  }
+
+  /** One relation as base ∪ deltas — the serving view. Multi-path
+    * parquet reads plan as ONE scan, so pushed filters (the `IN(terms)`
+    * predicate) prune base and delta files alike. */
+  private def readRel(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      rel: String): DataFrame =
+    spark.read.parquet((s"$path/$rel" +: deltaDirs(spark, path, rel)): _*)
+
   /** Incremental index maintenance: fold a document batch into a
     * persisted `writeTextIndex` artifact without re-reading the corpus
-    * — the daily-ingest twin of `Dedup`'s incremental screen. The
-    * batch's postings append (new ids never collide with indexed ones —
-    * the caller's contract, same as any CDC key discipline), per-term
-    * df adds via a full-outer sum join of the OLD df relation (index
-    * metadata, not corpus data) with the batch's, and the 1-row meta
-    * adds. Cost is O(batch) + O(|vocab| of the df merge) — the indexed
-    * corpus is never touched. The merged artifact is written to
-    * `outPath` (copy-on-write, like `Sinks.mergeSnapshot`) and serves
+    * OR the index — the daily-ingest twin of `Dedup`'s incremental
+    * screen. Append-only: the batch's postings, per-term df, and 1-row
+    * meta are each written as a NEW `<rel>_delta_N` directory (postings
+    * term-range-sorted like the base, so row-group pruning works on
+    * deltas too); nothing under the existing base or earlier deltas is
+    * opened, let alone rewritten (spec-pinned byte-identical). Cost is
+    * O(batch) — a daily fold-in stays daily-sized while the indexed
+    * corpus grows without bound. `indexTopK` serves from base ∪ deltas
     * bit-identically to an index built from scratch on the union
-    * (spec-pinned). */
+    * (spec-pinned); `compactTextIndex` folds accumulated deltas back
+    * into the base when their file count starts to matter (the
+    * `Sinks.compact` small-file discipline). New ids must not collide
+    * with indexed ones — the caller's contract, same as any CDC key
+    * discipline. */
   def updateTextIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       batch: DataFrame,
       idCol: String,
-      textCol: String,
-      outPath: String): Unit = {
-    // copy-on-write is load-bearing, not stylistic: the old relations
-    // are read LAZILY while the new ones write, so writing over the
-    // source path would truncate the input mid-scan
-    require(java.nio.file.Paths.get(outPath).normalize() !=
-      java.nio.file.Paths.get(path).normalize(),
-      s"updateTextIndex must write to a fresh path (copy-on-write), got outPath == path == $path")
+      textCol: String): Unit = {
+    // next generation number = max existing + 1, per relation listing
+    // (metadata-only); the three relations advance in lockstep
+    val gen = indexRels
+      .flatMap(rel => deltaDirs(spark, path, rel)
+        .map(_.split("_delta_").last.toInt))
+      .reduceOption(_ max _).map(_ + 1).getOrElse(0)
     val dl = batch.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
       .select(col("id"), size(col("tk")).cast("long").as("dl"), col("tk"))
     val newPost = dl
       .select(col("id"), col("dl"), explode(col("tk")).as("term"))
       .groupBy("term", "id", "dl").agg(count(lit(1)).as("tf"))
-    spark.read.parquet(s"$path/postings").unionByName(newPost)
+    newPost
       .repartitionByRange(col("term")).sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$outPath/postings")
-    spark.read.parquet(s"$path/term_df")
-      .withColumnRenamed("df", "df_old")
-      .join(newPost.groupBy("term").agg(count(lit(1)).as("df_new")), Seq("term"), "full_outer")
-      .select(col("term"),
-        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L))).as("df"))
-      .write.mode("overwrite").parquet(s"$outPath/term_df")
-    spark.read.parquet(s"$path/meta")
-      .unionByName(dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+      .write.mode("overwrite").parquet(s"$path/postings_delta_$gen")
+    newPost.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/term_df_delta_$gen")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path/meta_delta_$gen")
+  }
+
+  /** Fold accumulated deltas back into the base relations — the
+    * periodic consolidation that keeps serve-side file counts bounded
+    * (run it when deltas accumulate, not per fold-in; fold-ins stay
+    * O(batch)). Each merged relation is written to a `.compacting`
+    * sibling FIRST and only then swapped in (all three writes complete
+    * before any delete), so a crash leaves stale extra directories,
+    * never a truncated index. No-op when there are no deltas. */
+  def compactTextIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    if (indexRels.forall(rel => deltaDirs(spark, path, rel).isEmpty)) return
+    readRel(spark, path, "postings")
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/postings.compacting")
+    readRel(spark, path, "term_df")
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .write.mode("overwrite").parquet(s"$path/term_df.compacting")
+    readRel(spark, path, "meta")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$outPath/meta")
+      .write.mode("overwrite").parquet(s"$path/meta.compacting")
+    val f = hadoopFs(spark, path)
+    for (rel <- indexRels) {
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), true)
+      deltaDirs(spark, path, rel)
+        .foreach(d => f.delete(new org.apache.hadoop.fs.Path(d), true))
+      f.rename(new org.apache.hadoop.fs.Path(s"$path/$rel.compacting"),
+        new org.apache.hadoop.fs.Path(s"$path/$rel"))
+    }
   }
 
   /** Serve a bag-of-words query from a persisted `writeTextIndex`
-    * artifact: bit-identical to `bm25TopK` over the same corpus (same
-    * integer idf/saturation/length-norm and the same (score, id) cut),
-    * which is why the shipped query shares `bm25OracleSql` with the
-    * scan form. Output column is named `idColOut`. */
+    * artifact, reading base ∪ any `updateTextIndex` deltas: bit-
+    * identical to `bm25TopK` over the same corpus (same integer
+    * idf/saturation/length-norm and the same (score, id) cut), which is
+    * why the shipped query shares `bm25OracleSql` with the scan form.
+    * The delta union costs nothing at serve time: postings plan as ONE
+    * multi-path scan with the `IN(terms)` filter pushed into every
+    * file, the df sum-merge runs over ≤ |terms|·(1+deltas) pushed-
+    * filtered rows, and the meta sum over 1+deltas rows. Output column
+    * is named `idColOut`. */
   def indexTopK(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -312,11 +400,17 @@ object Search {
       bX1000: Long = 750L): DataFrame = {
     require(terms.nonEmpty && terms.size <= 64,
       s"query must carry 1..64 terms, got ${terms.size}")
-    val p = spark.read.parquet(s"$path/postings")
+    // same repeated-term rejection as bm25TopK: the isin filter below
+    // would dedup what the scan form counts twice
+    require(terms.distinct.size == terms.size,
+      s"query terms must be distinct, got $terms")
+    val p = readRel(spark, path, "postings")
       .where(col("term").isin(terms: _*))
-    val dfs = spark.read.parquet(s"$path/term_df")
+    val dfs = readRel(spark, path, "term_df")
       .where(col("term").isin(terms: _*))
-    val meta = spark.read.parquet(s"$path/meta")
+      .groupBy("term").agg(sum(col("df")).as("df"))
+    val meta = readRel(spark, path, "meta")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     p.join(broadcast(dfs), "term")
       .crossJoin(broadcast(meta))
       .withColumn("k_x1000",

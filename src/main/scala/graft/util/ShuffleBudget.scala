@@ -40,27 +40,56 @@ object ShuffleBudget {
   }
 
   /** Advised shuffle-partition count for a job whose dominant shuffle
-    * input is `df` — floor defaults to the session's current setting. */
-  def advise(df: DataFrame, floor: Int = 0): Int = {
+    * input is `df` — floor defaults to the session's current setting.
+    * `inflate` is the kernel's measured in-flight expansion: the ratio
+    * of its widest shuffle's bytes to the compressed source estimate
+    * (parquet → decoded rows, token/gram explode, candidate-pair
+    * fanout). The kernels below pass their own documented factor; the
+    * saturating multiply keeps a garbage upstream estimate pinned at
+    * the `maxAdvised` cap instead of overflowing. */
+  def advise(df: DataFrame, floor: Int = 0, inflate: Long = 1L): Int = {
+    require(inflate >= 1L, s"inflate must be >= 1, got $inflate")
     val spark = df.sparkSession
     val f =
       if (floor > 0) floor
       else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val bytes =
-      if (est.isValidLong) est.toLong else Long.MaxValue
+      if (est.isValidLong && est.toLong <= Long.MaxValue / inflate)
+        est.toLong * inflate
+      else Long.MaxValue
     adviseBytes(bytes, f)
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` advised from `df`,
     * restoring the prior value afterwards (even on failure). The plans
-    * BUILT inside the block capture the advised setting at their first
-    * shuffle planning; a long-lived shared session sees no residue. */
-  def withAdvised[T](df: DataFrame)(body: => T): T = {
-    val spark = df.sparkSession
+    * EXECUTED inside the block capture the advised setting at their
+    * physical planning; a long-lived shared session sees no residue.
+    * NOTE for kernel authors: a DataFrame merely RETURNED from the
+    * block re-plans at action time, after the conf is restored — a
+    * kernel that wants its shuffles advised must run its actions (or
+    * `localCheckpoint(true)` its result) inside the block, which is
+    * exactly what the advised dedup/graph entry points do. */
+  def withAdvised[T](df: DataFrame, inflate: Long = 1L)(body: => T): T =
+    withPartitions(df.sparkSession, advise(df, inflate = inflate))(body)
+
+  /** `withAdvised` for a kernel whose dominant shuffle size is known as
+    * a row count × bytes-per-row instead of an input plan (e.g.
+    * connectedComponents, whose edge relation is already materialized
+    * and counted). */
+  def withAdvisedBytes[T](
+      spark: org.apache.spark.sql.SparkSession,
+      bytes: Long)(body: => T): T = {
+    val floor = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    withPartitions(spark, adviseBytes(bytes, floor))(body)
+  }
+
+  private def withPartitions[T](
+      spark: org.apache.spark.sql.SparkSession,
+      n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key, "200")
-    spark.conf.set(key, advise(df).toString)
+    spark.conf.set(key, n.toString)
     try body finally spark.conf.set(key, prev)
   }
 }

@@ -7,47 +7,89 @@ import org.apache.spark.sql.functions._
   * 100 probes). The correctness gate proves each path computes its
   * DECLARED approximation exactly; this audit measures how good that
   * approximation is, which the oracles cannot say. Results recorded in
-  * SURVEY §9. */
+  * SURVEY §9.
+  *
+  * Two regimes per path (round 9):
+  *  - "isotropic": the fixture embeddings — no cluster structure, the
+  *    THEORETICAL WORST CASE for coarse quantization (every inverted
+  *    list boundary cuts through neighbor balls).
+  *  - "clustered": a deterministic mixture of well-separated clusters
+  *    (below), the shape a real corpus's embedding space actually has
+  *    — this is the recall a deployment would see. Same row count as
+  *    the fixture so the two columns are comparable.
+  */
 object AuditRecall {
+
+  /** Deterministic clustered corpus: point i belongs to cluster
+    * hash(i) mod `clusters`; coordinate d = center(cluster, d) + noise,
+    * center coords ~ U(-1, 1) and noise ~ U(-0.25, 0.25), both derived
+    * from xxhash64 — seeded, generator-replayable, no RNG state.
+    * Separation: E‖c₁−c₂‖² = 2·dim/3 ≈ 42.7 vs E‖noise‖² =
+    * dim·0.25²/3 ≈ 1.33, so clusters are tight relative to
+    * between-center distance (the regime IVF exists for). */
+  def clusteredEmbeddings(
+      spark: org.apache.spark.sql.SparkSession,
+      n: Long,
+      dim: Int = 64,
+      clusters: Int = 64): org.apache.spark.sql.DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d => {
+        val c = pmod(xxhash64(lit("c"), col("id")), lit(clusters.toLong))
+        val center =
+          (pmod(xxhash64(lit("ctr"), c, d), lit(2001L)) - lit(1000L)).cast("double") / lit(1000.0)
+        val noise =
+          (pmod(xxhash64(lit("nz"), col("id"), d), lit(501L)) - lit(250L)).cast("double") / lit(1000.0)
+        (center + noise).cast("float")
+      }).as("embedding"))
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nProbes = args.lift(1).map(_.toInt).getOrElse(100)
     val spark = GraftSession.local(16, 32, "audit-recall")
-    val emb = io.Tables(spark, dir, "embeddings").cache()
-    val n = emb.count()
-    val pf = col("vec_id") < nProbes
-    val probes = emb.where(pf)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val nCorpus = io.Tables(spark, dir, "embeddings").count()
 
-    val truth = keySet(ext.Similarity
-      .bruteForceTopK(emb, probes, "vec_id", "embedding", "probe_id", "pe", 10))
-    println(s"[recall] corpus n=$n probes=$nProbes truth pairs=${truth.size}")
+    val regimes: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "isotropic" -> io.Tables(spark, dir, "embeddings"),
+      "clustered" -> clusteredEmbeddings(spark, nCorpus))
 
-    def report(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val got = keySet(df)
-      val hit = got.count(truth.contains)
-      println(f"[recall] $name%-22s recall@10 = ${hit.toDouble / truth.size}%.4f  (${hit}/${truth.size})")
-      spark.catalog.clearCache()
-      emb.cache().count()
+    for ((regime, emb0) <- regimes) {
+      val emb = emb0.cache()
+      val n = emb.count()
+      val pf = col("vec_id") < nProbes
+      val probes = emb.where(pf)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+
+      val truth = keySet(ext.Similarity
+        .bruteForceTopK(emb, probes, "vec_id", "embedding", "probe_id", "pe", 10))
+      println(s"[recall] regime=$regime corpus n=$n probes=$nProbes truth pairs=${truth.size}")
+
+      def report(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val got = keySet(df)
+        val hit = got.count(truth.contains)
+        println(f"[recall] $regime%-10s $name%-22s recall@10 = ${hit.toDouble / truth.size}%.4f  (${hit}/${truth.size})")
+        spark.catalog.clearCache()
+        emb.cache().count()
+      }
+
+      report("ann_lsh_topk", ext.Similarity.lshTopK(emb, "vec_id", "embedding", pf, 10, 64))
+      report("ann_lsh_mp_topk", ext.Similarity.lshTopKMp(emb, "vec_id", "embedding", pf, 10, 64))
+      // isotropic data is coarse quantization's worst case, where
+      // recall is bought with nprobe; sweep it so the knob's tradeoff
+      // is on record in BOTH regimes
+      for (np <- Seq(4, 8, 16, 32))
+        report(s"ann_ivf_topk np=$np",
+          ext.Similarity.ivfTopK(emb, "vec_id", "embedding", pf, 10, nprobe = np))
+      // IVF-PQ's second knob: the refine (exact re-rank) depth — not
+      // the coarse probe — caps recall when the ADC ordering is noisy
+      // (16, 160) is the shipped default since round 8 — the grid keeps
+      // the cheaper points so the recall-vs-cost trade stays measured
+      for ((np, rf) <- Seq((4, 40), (16, 40), (16, 160)))
+        report(s"ann_ivfpq_topk np=$np rf=$rf",
+          ext.Similarity.ivfPqTopK(emb, "vec_id", "embedding", pf, 10, nprobe = np, refine = rf))
+      report("ann_ivfpq_res_topk", ext.Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding", pf, 10))
+      emb.unpersist()
     }
-
-    report("ann_lsh_topk", ext.Similarity.lshTopK(emb, "vec_id", "embedding", pf, 10, 64))
-    report("ann_lsh_mp_topk", ext.Similarity.lshTopKMp(emb, "vec_id", "embedding", pf, 10, 64))
-    // the synthetic embeddings are isotropic (no cluster structure) —
-    // coarse quantization's worst case, where recall is bought with
-    // nprobe; sweep it so the knob's tradeoff is on record
-    for (np <- Seq(4, 8, 16, 32))
-      report(s"ann_ivf_topk np=$np",
-        ext.Similarity.ivfTopK(emb, "vec_id", "embedding", pf, 10, nprobe = np))
-    // IVF-PQ's second knob: on isotropic data the 8×16 codebook's ADC
-    // ordering is noisy, so the refine (exact re-rank) depth — not the
-    // coarse probe — caps recall
-    // (16, 160) is the shipped default since round 8 — the grid keeps
-    // the cheaper points so the recall-vs-cost trade stays measured
-    for ((np, rf) <- Seq((4, 40), (16, 40), (16, 160)))
-      report(s"ann_ivfpq_topk np=$np rf=$rf",
-        ext.Similarity.ivfPqTopK(emb, "vec_id", "embedding", pf, 10, nprobe = np, refine = rf))
-    report("ann_ivfpq_res_topk", ext.Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding", pf, 10))
     spark.stop()
   }
 

@@ -60,7 +60,19 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (group <- names.grouped(groupSize)) {
+    // Noise defense #3 (round 9): DEAL the alphabetized list round-robin
+    // across groups instead of slicing it into consecutive chunks.
+    // Consecutive chunks put the entire ann_* trainer family into one
+    // session, and exactly those queries read ~2× their quiet-host cost
+    // in the round-8 driver artifact (residual intra-group session
+    // decay concentrates where the heavy queries cluster). Striping
+    // spreads trainer-heavy queries ~one per session and mixes
+    // heavy/light within every group, while staying deterministic for
+    // run-to-run comparability.
+    val numGroups = math.max(1, (names.size + groupSize - 1) / groupSize)
+    val groups = (0 until numGroups).map(g =>
+      names.zipWithIndex.collect { case (n, i) if i % numGroups == g => n })
+    for (group <- groups) {
       val spark = newSession()
       for (_ <- 1 to passes; name <- group) {
         val fn = SparkEntry.queries(name)

@@ -107,11 +107,14 @@ object ExtQueries {
   // (vec_id, q, h) — `qv` for raw-vector PQ, a residual relation for
   // IVFADC; ends with `pqcents` = (sub, code, cv). Shared by
   // emb_pq_codes, ann_ivfpq_topk, and ann_ivfpq_res_topk.
-  private def pqCentsSql(src: String = "qv") =
-    s"""pqsamp AS (SELECT vec_id AS sid, q FROM $src ORDER BY h, vec_id LIMIT ${ext.Similarity.defaultTrainSample}),
+  // trainPred restricts the TRAINING sample/seeds to a corpus slice
+  // (the incremental-index oracle: quantizers trained on the original
+  // 80%, encode over everything); "TRUE" = train on all of `src`
+  private def pqCentsSql(src: String = "qv", trainPred: String = "TRUE") =
+    s"""pqsamp AS (SELECT vec_id AS sid, q FROM $src WHERE $trainPred ORDER BY h, vec_id LIMIT ${ext.Similarity.defaultTrainSample}),
        |pqsd0 AS (
        |  SELECT q, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
-       |  FROM (SELECT * FROM $src ORDER BY h, vec_id LIMIT 16) z0),
+       |  FROM (SELECT * FROM $src WHERE $trainPred ORDER BY h, vec_id LIMIT 16) z0),
        |pqseeds AS (SELECT sub, code, q[sub*8+1 : sub*8+8] AS cv FROM pqsd0, range(0, 8) r(sub)),
        |pqssub AS (SELECT sid, sub, q[sub*8+1 : sub*8+8] AS sv FROM pqsamp, range(0, 8) r(sub)),
        |pqsasgn AS (
@@ -171,7 +174,10 @@ object ExtQueries {
   // all-points graph family (`Similarity.graphCentroidBudget` — the
   // power-of-two-above-√n rule, floored at 64, as one bit-length both
   // engines compute identically)
-  private def ivfAssignSqlWith(centSql: String): String = {
+  // trainPred: see pqCentsSql — restricts the Lloyd sample and the
+  // seed centroids to a corpus slice while `assign` still covers all
+  // of qv (the incremental-index update semantics)
+  private def ivfAssignSqlWith(centSql: String, trainPred: String = "TRUE"): String = {
     val rounds = Similarity.defaultTrainRounds
     val head =
       s"""qv AS (
@@ -179,10 +185,10 @@ object ExtQueries {
          |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
          |         CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
          |  FROM embeddings),
-         |samp AS (SELECT vec_id AS sid, q AS sq FROM qv ORDER BY h, vec_id LIMIT ${ext.Similarity.defaultTrainSample}),
+         |samp AS (SELECT vec_id AS sid, q AS sq FROM qv WHERE $trainPred ORDER BY h, vec_id LIMIT ${ext.Similarity.defaultTrainSample}),
          |cents0 AS (
          |  SELECT cent_id, cv, ${qdotIntSql("cv", "cv")} AS nrm FROM (
-         |    SELECT vec_id AS cent_id, q AS cv FROM qv ORDER BY h, vec_id LIMIT $centSql) s0)""".stripMargin
+         |    SELECT vec_id AS cent_id, q AS cv FROM qv WHERE $trainPred ORDER BY h, vec_id LIMIT $centSql) s0)""".stripMargin
     val roundCtes = (1 to rounds).map { k =>
       s"""sasgn$k AS (
          |  SELECT sid, sq, list_id FROM (
@@ -257,9 +263,9 @@ object ExtQueries {
   // the ENGINE answers from a persisted index — same SQL truth, because
   // training is deterministic and the all-int64 index parquet
   // round-trips exactly.
-  private def ivfPqSql(probePred: String): String =
-    s"""WITH $ivfAssignSql,
-       |${pqCentsSql()},
+  private def ivfPqSql(probePred: String, trainPred: String = "TRUE"): String =
+    s"""WITH ${ivfAssignSqlWith("64", trainPred)},
+       |${pqCentsSql(trainPred = trainPred)},
        |codes AS (
        |  SELECT vec_id, sub, code FROM (
        |    SELECT e.vec_id, e.sub, c.code,
@@ -843,6 +849,11 @@ object ExtQueries {
     // alone, and the all-int64 index round-trips exactly, so the
     // replay still matches bit-for-bit
     "ann_index_probe" -> ivfPqSql("vec_id >= 10 AND vec_id < 20"),
+    // incremental update: quantizers trained on the 80% slice only,
+    // assignment + PQ encode over the WHOLE corpus (the engine's
+    // append path), probes = a third batch
+    "ann_index_update" ->
+      ivfPqSql("vec_id >= 20 AND vec_id < 30", "vec_id % 5 <> 0"),
     // SemDeDup rebuilt from scratch: identical quantizer training +
     // assignment (shared CTE), then within-list pairs above the
     // threshold and the keep-first anti-join
@@ -2117,6 +2128,26 @@ object ExtQueries {
       Similarity.probeIndex(Similarity.readAnnIndex(s, idxDir),
           emb, "vec_id", "embedding",
           probeFilter = col("vec_id") >= 10 && col("vec_id") < 20, k = 10)
+        .orderBy("probe_id", "rn")
+    },
+    "ann_index_update" -> { (s, dir) =>
+      // incremental ANN maintenance: train + persist the index on the
+      // 80% slice, append-encode the 20% id-hash batch with the
+      // PERSISTED quantizers (no retrain, existing codes untouched),
+      // then serve a third probe batch from the updated artifact — the
+      // oracle replays training restricted to the 80% with assignment/
+      // encode over everything, so a drifted quantizer or a rewritten
+      // code would hash-mismatch
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files.createTempDirectory("ann_upd").toString
+      Similarity.writeAnnIndex(
+        Similarity.annIndex(emb.where(pmod(col("vec_id"), lit(5)) =!= 0),
+          "vec_id", "embedding"), idxDir)
+      Similarity.updateAnnIndex(s, idxDir,
+        emb.where(pmod(col("vec_id"), lit(5)) === 0), "vec_id", "embedding")
+      Similarity.probeIndex(Similarity.readAnnIndex(s, idxDir),
+          emb, "vec_id", "embedding",
+          probeFilter = col("vec_id") >= 20 && col("vec_id") < 30, k = 10)
         .orderBy("probe_id", "rn")
     },
     "ann_ivfpq_res_topk" -> { (s, dir) =>

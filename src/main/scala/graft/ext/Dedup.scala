@@ -72,10 +72,14 @@ object Dedup {
     * scale A/B located the spill knee there: the 128× jaccard probe
     * (source estimate ~76 MB) needed ~256 reduce slots to shed its
     * superlinear spill (52.8 → 29.7 s), i.e. an effective ~430×
-    * expansion against the 128 MiB/slot target. 512 reproduces that
-    * operating point (AQE coalesces any over-provision down for free;
-    * an under-provision can never be raised at runtime). */
-  private[graft] val gramShuffleInflate = 512L
+    * expansion against the 128 MiB/slot target; a round-9 same-day
+    * A/B at the same 128× cell re-confirmed ~256 slots as the
+    * operating point (fixed-32: 76.3 s, advised-125: 59.4 s,
+    * manual-256: 51.4 s — absolute numbers shifted by host conditions,
+    * ordering stable). 1024 lands the advice on it (AQE coalesces any
+    * over-provision down for free; an under-provision can never be
+    * raised at runtime). */
+  private[graft] val gramShuffleInflate = 1024L
 
   def lshGeometry(n: Long, threshold: Double = 0.6): (Int, Int) = {
     val octaves =
@@ -99,7 +103,14 @@ object Dedup {
     * and `canonical(docs)` all read the shared materializations. At
     * cluster scale the scope-owned cache becomes a checkpoint or a
     * persisted table; the dataflow shape is identical. Call
-    * `DedupPipeline.close()` (or `scope.close()`) when done. */
+    * `DedupPipeline.close()` (or `scope.close()`) when done.
+    *
+    * Shuffle budget: both stages self-advise (`ShuffleBudget`) — the
+    * LSH front executes inside `nearDupPairs`' advised scope sized
+    * from the corpus, the component loop inside `connectedComponents`'
+    * edge-count-sized scope — so a caller on default conf gets
+    * data-proportional reduce slots with no manual tuning and its
+    * session conf back untouched. */
   def pipeline(
       df: DataFrame,
       idCol: String,
@@ -258,12 +269,42 @@ object Dedup {
       threshold: Double = 0.6,
       salts: Int = 4,
       hotThreshold: Int = 1024,
-      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+      scope: graft.util.CacheScope = new graft.util.CacheScope,
+      eager: Boolean = true): DataFrame = {
     // a half-specified override must fail loudly, not be silently
     // replaced by the count-derived geometry the caller thought they
     // pinned (same contract in Similarity.lshNearDupPairs)
     require((numPerms > 0) == (bands > 0),
       s"specify both numPerms and bands or neither, got numPerms=$numPerms bands=$bands")
+    // eager (default): build AND execute under a data-proportional
+    // shuffle budget (ShuffleBudget.withAdvised — the round-8 scale
+    // finding turned default), returning a localCheckpoint leaf whose
+    // rows are the answer. The advised conf can only govern shuffles
+    // that PLAN inside the block, so execution must happen here, not
+    // at the caller's first action — and the pair graph is terminal
+    // output every consumer materializes anyway (CC caches it, Verify
+    // writes it). eager = false keeps the lazy plan for plan-shape
+    // inspection; its shuffles then run at the session setting.
+    if (eager)
+      graft.util.ShuffleBudget.withAdvised(df, gramShuffleInflate) {
+        buildNearDupPairs(df, idCol, textCol, shingleN, numPerms, bands,
+          threshold, salts, hotThreshold, scope).localCheckpoint(true)
+      }
+    else buildNearDupPairs(df, idCol, textCol, shingleN, numPerms, bands,
+      threshold, salts, hotThreshold, scope)
+  }
+
+  private def buildNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numPerms: Int,
+      bands: Int,
+      threshold: Double,
+      salts: Int,
+      hotThreshold: Int,
+      scope: graft.util.CacheScope): DataFrame = {
     val sh = scope.cache(df
       .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
       .where(size(col("ws")) > 0))
@@ -418,7 +459,16 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.9,
-      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+      scope: graft.util.CacheScope = new graft.util.CacheScope,
+      eager: Boolean = true): DataFrame = {
+    // same advised-eager contract as nearDupPairs (see there): the
+    // prefix/posting/verify shuffles execute under a data-proportional
+    // budget inside this call
+    if (eager)
+      return graft.util.ShuffleBudget.withAdvised(docs, gramShuffleInflate) {
+        containmentPairs(docs, idCol, textCol, shingleN, threshold, scope,
+          eager = false).localCheckpoint(true)
+      }
     val sh = scope.cache(docs
       .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
       .where(size(col("ws")) > 0))
@@ -483,7 +533,17 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.5,
-      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+      scope: graft.util.CacheScope = new graft.util.CacheScope,
+      eager: Boolean = true): DataFrame = {
+    // same advised-eager contract as nearDupPairs (see there): this is
+    // the kernel whose 128× probe cell located the spill knee the
+    // advice exists to remove (52.8 → 29.7 s at data-proportional
+    // reduce slots, round-8 A/B)
+    if (eager)
+      return graft.util.ShuffleBudget.withAdvised(docs, gramShuffleInflate) {
+        jaccardPairs(docs, idCol, textCol, shingleN, threshold, scope,
+          eager = false).localCheckpoint(true)
+      }
     val sh = scope.cache(docs
       .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
       .where(size(col("ws")) > 0))
@@ -567,6 +627,15 @@ object Dedup {
     // whole MinHash-LSH pipeline) would be executed once per branch —
     // measured as a clean 2× on the 16× scale probe
     val p0 = pairs.select(col(aCol).as("a"), col(bCol).as("b")).cache()
+    // the loop's per-round join+agg shuffles run under a shuffle budget
+    // proportional to the (exact, already-materialized-by-the-count)
+    // edge volume — ~128 B per pair covers the symmetrized (src, dst,
+    // lbl) rows plus sort overhead. A count-derived budget beats
+    // advise(pairs) here: a lazy pairs plan's Catalyst size estimate is
+    // join-product garbage, while this count is free (the cache has to
+    // materialize before the loop anyway).
+    graft.util.ShuffleBudget.withAdvisedBytes(
+      pairs.sparkSession, p0.count() * 128L) {
     val edges = p0.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(p0.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
@@ -604,6 +673,7 @@ object Dedup {
     p0.unpersist()
     edges.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_id"))
+    }
   }
 
   /** md5-based 60-bit word hashes (md5 so the fingerprint is reproducible

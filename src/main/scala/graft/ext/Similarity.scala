@@ -579,6 +579,17 @@ object Similarity {
     }
   }
 
+  /** In-flight expansion of the embedding kernels' widest shuffle vs
+    * the compressed source estimate (float→int64 quantization doubles
+    * the vector bytes, each vector crosses the probe shuffle `nprobe`
+    * times, and candidate rows pair two vectors) — the `inflate` the
+    * advised embedding entry points hand `ShuffleBudget`. Far smaller
+    * than `Dedup.gramShuffleInflate`: these kernels' scale killer was
+    * the fixed centroid budget (fixed by the √n rule), not reduce-slot
+    * starvation, so the advice here mostly matters at genuine
+    * multi-GB corpus scale. */
+  private[graft] val embShuffleInflate = 16L
+
   def knnGraphIvf(
       corpus: DataFrame,
       idCol: String,
@@ -588,7 +599,18 @@ object Similarity {
       nprobe: Int = 4,
       trainRounds: Int = defaultTrainRounds,
       trainSample: Int = defaultTrainSample,
-      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+      scope: graft.util.CacheScope = new graft.util.CacheScope,
+      eager: Boolean = true): DataFrame = {
+    // advised-eager contract (see Dedup.nearDupPairs): the assignment,
+    // probe, and scoring shuffles execute here under a
+    // data-proportional budget; the returned graph is a checkpoint
+    // leaf its consumers (pageRank's edge cache, SemDeDup-style
+    // pruning) re-read for free
+    if (eager)
+      return graft.util.ShuffleBudget.withAdvised(corpus, embShuffleInflate) {
+        knnGraphIvf(corpus, idCol, vecCol, k, numCentroids, nprobe,
+          trainRounds, trainSample, scope, eager = false).localCheckpoint(true)
+      }
     // numCentroids <= 0 → derive the √n budget from a corpus-count
     // pre-pass (the lshGeometry precedent; one count job, O(1) driver
     // state). The floor of 64 keeps fixture-scale corpora on the same
@@ -641,7 +663,17 @@ object Similarity {
       numCentroids: Int = 64,
       trainRounds: Int = defaultTrainRounds,
       trainSample: Int = defaultTrainSample,
-      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+      scope: graft.util.CacheScope = new graft.util.CacheScope,
+      eager: Boolean = true): DataFrame = {
+    // advised-eager contract (see Dedup.nearDupPairs): the list-keyed
+    // self-join — the kernel's Σm² stage — executes here under a
+    // data-proportional shuffle budget; the kept (id, list_id) rows
+    // return as a checkpoint leaf
+    if (eager)
+      return graft.util.ShuffleBudget.withAdvised(corpus, embShuffleInflate) {
+        semDedupKeep(corpus, idCol, vecCol, minQdot, numCentroids,
+          trainRounds, trainSample, scope, eager = false).localCheckpoint(true)
+      }
     val cents = ivfCentroids(corpus, idCol, vecCol, numCentroids, trainRounds, trainSample, scope)
     // (id, vec, list_id): consumed by both sides of the within-list
     // self-join and by the final anti-join — cache for the query's
@@ -902,6 +934,48 @@ object Similarity {
       spark.read.parquet(s"$dir/lists"),
       spark.read.parquet(s"$dir/book"),
       spark.read.parquet(s"$dir/codes"))
+
+  /** Incremental ANN index maintenance — the daily-ingest twin of
+    * `Search.updateTextIndex` for embeddings: encode a vector batch
+    * with the PERSISTED quantizers and APPEND its list assignments and
+    * PQ codes to the index directory. The coarse centroids and PQ
+    * codebook are read (K + numSub·codebook rows — index metadata),
+    * never retrained: pinned geometry is the same discipline
+    * `nearDupPairsAgainst` applies to LSH band joins — codes are only
+    * comparable when the SAME trained quantizers produced them, so a
+    * per-batch retrain would silently desync the batch from the
+    * corpus. Existing lists/codes files are never rewritten (parquet
+    * append adds part files only — spec-pinned byte-identical), so
+    * per-batch cost is O(batch · (K + numSub·codebook)) dot products:
+    * flat in the indexed corpus size. New ids must not collide with
+    * indexed ones (CDC key discipline). `probeIndex` over the updated
+    * artifact is bit-identical to a full re-encode of old ∪ batch
+    * under the same pinned quantizers (`ann_index_update`'s oracle
+    * replays exactly that: training restricted to the original slice,
+    * encode over everything).
+    *
+    * The accuracy trade is the standard one every production IVF
+    * deployment makes between retrains: a drifting vector distribution
+    * degrades list balance and codebook fit gradually (recall, never
+    * correctness — candidate routing and ADC stay exact w.r.t. the
+    * pinned quantizers), and a periodic full rebuild re-centers, like
+    * `compactTextIndex` folding deltas. */
+  def updateAnnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numSub: Int = 8,
+      subDim: Int = 8): Unit = {
+    val coarse = spark.read.parquet(s"$dir/coarse")
+    val book = spark.read.parquet(s"$dir/book")
+    ivfAssign(batch, idCol, vecCol, coarse)
+      .write.mode("append").parquet(s"$dir/lists")
+    pqCodes(batch, idCol, vecCol, book, numSub, subDim)
+      .select(col(idCol), col("sub"), col("code"))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
 
   /** Serve one probe batch from a prebuilt index — the per-query cost a
     * production IVFADC deployment actually pays: route each probe to its

@@ -79,10 +79,16 @@ object Skew {
     val cold = left.join(broadcast(hot), Seq(keyCol), "left_anti")
       .join(right, keyCol)
     // salt value is immaterial to the result (right is replicated for
-    // every bucket) — spark_partition_id spreads rows without another
-    // hash pass
+    // every bucket), but its DISTRIBUTION is the whole point: a
+    // partition-id-derived salt collapses to few values when the hot
+    // rows arrive in fewer partitions than saltBuckets (small,
+    // coalesced, or single-file input) — correct but silently
+    // unmitigated. monotonically_increasing_id counts rows WITHIN each
+    // partition, so pmod cycles through every bucket even when all hot
+    // rows share one partition.
     val hotLeft = left.join(broadcast(hot), Seq(keyCol))
-      .withColumn("__salt", pmod(spark_partition_id(), lit(saltBuckets)))
+      .withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int"))
     val hotRight = right.join(broadcast(hot), Seq(keyCol))
       .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     cold.unionByName(

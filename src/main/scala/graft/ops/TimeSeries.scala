@@ -20,22 +20,36 @@ object TimeSeries {
     * single broadcast bounds row — its length is time-range/unit,
     * thousands of rows at any corpus size — and the key set is a
     * broadcast distinct over a low-cardinality column (the caller's
-    * contract; a high-cardinality key would make the dense grid itself
-    * the product, which no deployment wants filled). The grid join is
-    * broadcast-left, so nothing about the fill step scales with the
-    * event count. */
+    * contract, ENFORCED by the `maxKeys` guard below). The grid join
+    * is broadcast-left, so nothing about the fill step scales with the
+    * event count. The bounds row is collected (1 row — the guard must
+    * fire before the grid exists), so the call is eager by one
+    * partial-aggregated pass. */
   def gapFillCounts(
       df: DataFrame,
       tsCol: String,
       keyCol: String,
-      unit: String = "hour"): DataFrame = {
+      unit: String = "hour",
+      maxKeys: Int = 4096): DataFrame = {
     val counts = df
       .groupBy(date_trunc(unit, col(tsCol)).as("bucket_ts"), col(keyCol))
       .agg(count(lit(1)).as("n"))
-    val bounds = df.agg(
+    // the bounds pass carries the distinct-key count for free (one
+    // partial-aggregated row), and is collected so the low-cardinality
+    // CONTRACT becomes a loud failure instead of a broadcast OOM: a
+    // high-cardinality key makes the dense spine×key grid itself the
+    // product, which no deployment wants filled
+    val b = df.agg(
       date_trunc(unit, min(col(tsCol))).as("lo"),
-      date_trunc(unit, max(col(tsCol))).as("hi"))
-    val spine = bounds
+      date_trunc(unit, max(col(tsCol))).as("hi"),
+      count_distinct(col(keyCol)).as("nk")).collect()(0)
+    if (b.isNullAt(0)) return counts.limit(0) // no events → empty grid
+    require(b.getLong(2) <= maxKeys,
+      s"gapFillCounts: '$keyCol' holds ${b.getLong(2)} distinct values (> maxKeys=$maxKeys); " +
+        "the dense spine x key grid is only meaningful for low-cardinality keys - " +
+        "bucket the key first or raise maxKeys deliberately")
+    val spine = df.sparkSession.range(1)
+      .select(lit(b.getTimestamp(0)).as("lo"), lit(b.getTimestamp(1)).as("hi"))
       .select(explode(expr(s"sequence(lo, hi, interval 1 $unit)")).as("bucket_ts"))
     val keys = df.select(col(keyCol)).distinct()
     spine.crossJoin(broadcast(keys))

@@ -227,9 +227,12 @@ class ExtSpec extends SparkSpec {
     // the PPJoin prefix selection must never plan a Window (the global
     // gram sort spilled 10x superlinear at the 64x probe factor) —
     // per-doc ranking is a hash agg + per-row bounded array_sort
+    // eager = false: the guard inspects the kernel's own plan — the
+    // advised-eager default would hand back a checkpoint leaf whose
+    // trivial scan vacuously contains no Window
     for ((name, df) <- Seq(
-      ("jaccardPairs", ext.Dedup.jaccardPairs(docs, "doc_id", "text")),
-      ("containmentPairs", ext.Dedup.containmentPairs(docs, "doc_id", "text")))) {
+      ("jaccardPairs", ext.Dedup.jaccardPairs(docs, "doc_id", "text", eager = false)),
+      ("containmentPairs", ext.Dedup.containmentPairs(docs, "doc_id", "text", eager = false)))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Window"), s"$name plans a window sort:\n$plan")
     }

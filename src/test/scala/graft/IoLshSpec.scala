@@ -54,15 +54,25 @@ class IoLshSpec extends SparkSpec {
 
   test("CacheScope releases the dedup pipeline's cached intermediates") {
     val docs = io.Tables(spark, sf, "documents")
+    // eager = false: the advised-eager default adds a localCheckpoint
+    // leaf for the RESULT, which is deliberately NOT scope-owned (it
+    // must survive scope.close(); the ContextCleaner reaps it on GC) —
+    // this test pins the lifecycle of the scope-owned intermediates
     val before = spark.sparkContext.getPersistentRDDs.size
     val scope = new graft.util.CacheScope
     val n = graft.ext.Dedup
-      .nearDupPairs(docs, "doc_id", "text", scope = scope).count()
+      .nearDupPairs(docs, "doc_id", "text", scope = scope, eager = false).count()
     assert(spark.sparkContext.getPersistentRDDs.size > before,
       "pipeline should have cached its shingle relation")
     scope.close()
     assert(spark.sparkContext.getPersistentRDDs.size <= before,
       s"scope.close() must unpersist what the pipeline cached (pairs=$n)")
+    // and the eager default's checkpointed answer outlives its scope:
+    // no recompute path back through the released caches is needed
+    val scope2 = new graft.util.CacheScope
+    val pairs = graft.ext.Dedup.nearDupPairs(docs, "doc_id", "text", scope = scope2)
+    scope2.close()
+    assert(pairs.count() == n, "eager result must survive scope.close()")
   }
 
   test("IVF top-k is an exact-scored subset of brute force with nonzero recall") {

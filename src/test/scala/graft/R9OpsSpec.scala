@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity}
+import graft.ops.{Skew, TimeSeries}
+
+/** Round-9 hardening: the advised-eager shuffle-budget contract of the
+  * heavy dedup/graph kernels (conf restored, results unchanged), the
+  * content-derived saltedJoin salt, the gapFill key-cardinality guard,
+  * and the graphCentroidBudget/oracle-SQL boundary equivalence. */
+class R9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("advised kernels restore the caller's shuffle-partition conf (success and failure)") {
+    val docs = io.Tables(spark, sf, "documents")
+    val emb = io.Tables(spark, sf, "embeddings")
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    // every advised entry point: run on the fixture, conf must come back
+    Dedup.nearDupPairs(docs, "doc_id", "text").count()
+    assert(spark.conf.get(key) == before, "nearDupPairs leaked conf")
+    Dedup.jaccardPairs(docs, "doc_id", "text").count()
+    assert(spark.conf.get(key) == before, "jaccardPairs leaked conf")
+    Dedup.containmentPairs(docs, "doc_id", "text").count()
+    assert(spark.conf.get(key) == before, "containmentPairs leaked conf")
+    Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"), "id_a", "id_b").count()
+    assert(spark.conf.get(key) == before, "connectedComponents leaked conf")
+    Similarity.semDedupKeep(emb, "vec_id", "embedding", minQdot = 450000L).count()
+    assert(spark.conf.get(key) == before, "semDedupKeep leaked conf")
+    Similarity.knnGraphIvf(emb, "vec_id", "embedding", k = 3).count()
+    assert(spark.conf.get(key) == before, "knnGraphIvf leaked conf")
+    spark.catalog.clearCache()
+    // failure path: withAdvised restores even when the body throws
+    intercept[RuntimeException] {
+      graft.util.ShuffleBudget.withAdvised(docs) { throw new RuntimeException("boom") }
+    }
+    assert(spark.conf.get(key) == before, "withAdvised leaked conf on failure")
+  }
+
+  test("advised-eager kernels return the same rows as their lazy plans") {
+    val docs = io.Tables(spark, sf, "documents")
+    val eager = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val lazyRows = Dedup.jaccardPairs(docs, "doc_id", "text", eager = false)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(eager == lazyRows)
+    spark.catalog.clearCache()
+  }
+
+  test("graphCentroidBudget equals the oracle's bit-length SQL replay across power-of-two boundaries") {
+    // the DuckDB kgeo CTE computes greatest(64, 1 << ((length(bin(n-1)) + 1) // 2));
+    // length(bin(x)) for a positive BIGINT is the binary digit count,
+    // i.e. java.lang.Long.toBinaryString(x).length. Fixture corpora
+    // (n <= 2048) never leave the 64 floor, so the derived branch needs
+    // this unit pin at values straddling every boundary of interest.
+    def sqlReplay(n: Long): Int = {
+      val bitlen = java.lang.Long.toBinaryString(n - 1).length
+      math.max(64, 1 << ((bitlen + 1) / 2))
+    }
+    val probes = Seq(2L, 3L, 63L, 64L, 65L,
+      2048L, 2049L, 4096L, 4097L, 16384L, 16385L,
+      (1L << 20) - 1, 1L << 20, (1L << 20) + 1,
+      (1L << 31) - 1, 1L << 31, (1L << 31) + 1,
+      (1L << 40) + 7)
+    for (n <- probes)
+      assert(Similarity.graphCentroidBudget(n) == sqlReplay(n),
+        s"n=$n: scala=${Similarity.graphCentroidBudget(n)} sql=${sqlReplay(n)}")
+    // and the √n envelope it exists to provide: K² within [n, 4n) above the floor
+    for (n <- Seq(16385L, 1L << 20, (1L << 31) + 1)) {
+      val k = Similarity.graphCentroidBudget(n).toLong
+      assert(k * k >= n && k * k < 4 * n, s"n=$n K=$k breaks the sqrt envelope")
+    }
+  }
+
+  test("gapFillCounts fails loud on a high-cardinality key instead of building the grid") {
+    val wide = (1L to 500L)
+      .map(i => (java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), s"user_$i"))
+      .toDF("ts", "uid")
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.gapFillCounts(wide, "ts", "uid", maxKeys = 100)
+    }
+    assert(e.getMessage.contains("distinct values"))
+    // under the cap the same call works
+    assert(TimeSeries.gapFillCounts(wide, "ts", "uid", maxKeys = 500).count() == 500L)
+  }
+
+  test("updateAnnIndex appends only (existing files untouched) and equals a pinned-quantizer full encode") {
+    val emb = io.Tables(spark, sf, "embeddings")
+    val base = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("annu_spec").toString
+    val scope = new graft.util.CacheScope
+    Similarity.writeAnnIndex(
+      Similarity.annIndex(base, "vec_id", "embedding", scope = scope), dir)
+    scope.close()
+    // fingerprint the persisted lists/codes BEFORE the update: the
+    // append must add part files, never rewrite or reopen existing ones
+    def files(rel: String): Map[String, (Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$rel")).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map(s => s.getPath.toString -> (s.getLen, s.getModificationTime)).toMap
+    }
+    val before = Seq("coarse", "lists", "book", "codes").map(r => r -> files(r)).toMap
+    Similarity.updateAnnIndex(spark, dir, batch, "vec_id", "embedding")
+    for (rel <- Seq("coarse", "book"))
+      assert(files(rel) == before(rel), s"$rel changed — quantizers must stay pinned")
+    for (rel <- Seq("lists", "codes")) {
+      val after = files(rel)
+      assert(before(rel).forall { case (p, sig) => after.get(p).contains(sig) },
+        s"$rel rewrote existing part files — update must be append-only")
+      assert(after.size > before(rel).size, s"$rel gained no part files")
+    }
+    // reference: the SAME pinned quantizers encoding the FULL corpus in
+    // one append (copy coarse+book to a fresh dir, update once with
+    // everything) — the updated index must serve bit-identically
+    val ref = java.nio.file.Files.createTempDirectory("annu_ref").toString
+    spark.read.parquet(s"$dir/coarse").write.parquet(s"$ref/coarse")
+    spark.read.parquet(s"$dir/book").write.parquet(s"$ref/book")
+    Similarity.updateAnnIndex(spark, ref, emb, "vec_id", "embedding")
+    def serve(d: String) =
+      Similarity.probeIndex(Similarity.readAnnIndex(spark, d), emb,
+          "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 5)
+        .select("probe_id", "vec_id", "qdot", "rn")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(serve(dir) == serve(ref))
+    spark.catalog.clearCache()
+  }
+
+  test("saltedJoin: content-derived salt spreads a single-partition hot key; result is still the plain join") {
+    // all hot rows in ONE partition — the exact regime where the old
+    // partition-id salt collapsed to one value
+    val left = (1L to 200L).map(i => ("hot", i))
+      .toDF("k", "v").repartition(1)
+    val right = Seq(("hot", 10L), ("hot", 20L), ("cold", 30L)).toDF("k", "w")
+    val salted = Skew.saltedJoin(left, right, "k", saltBuckets = 8, hotThreshold = 50L)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val plain = left.join(right, "k")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(salted == plain)
+    // the mechanism: a row-content salt takes every bucket value even
+    // inside one partition (the partition-id form took exactly one)
+    val spread = left
+      .select(pmod(monotonically_increasing_id(), lit(8L)).as("s"))
+      .select(countDistinct(col("s"))).as[Long].head()
+    assert(spread == 8L, s"salt only took $spread of 8 values in one partition")
+  }
+}

@@ -22,16 +22,28 @@ object AuditRecall {
 
   /** Deterministic clustered corpus: point i belongs to cluster
     * hash(i) mod `clusters`; coordinate d = center(cluster, d) + noise,
-    * center coords ~ U(-1, 1) and noise ~ U(-0.25, 0.25), both derived
-    * from xxhash64 — seeded, generator-replayable, no RNG state.
-    * Separation: E‖c₁−c₂‖² = 2·dim/3 ≈ 42.7 vs E‖noise‖² =
-    * dim·0.25²/3 ≈ 1.33, so clusters are tight relative to
-    * between-center distance (the regime IVF exists for). */
+    * center coords ~ U(-1, 1) and noise ~ U(-noiseAmp, noiseAmp), both
+    * derived from xxhash64 — seeded, generator-replayable, no RNG
+    * state. Separation ratio: E‖c₁−c₂‖² = 2·dim/3 ≈ 42.7 vs
+    * E‖noise₁−noise₂‖² = 2·dim·noiseAmp²/3. At the default
+    * noiseAmp = 0.6 that's 42.7 vs 15.4 — visible cluster structure
+    * (the regime coarse quantization exists for) but with real
+    * overlap, so neighbor balls can straddle a list boundary. The
+    * default 256 clusters deliberately exceeds the IVF centroid
+    * budget (64) AND holds fewer points than k per cluster at the
+    * fixture scale (~8 < 10), so every top-10 truth list crosses
+    * clusters — real corpora have far more modes than centroids, and
+    * a generator with clusters == K and per-cluster count > k makes
+    * every path trivially perfect (measured: 1.000 across the board
+    * at 64/0.25 and 64/0.6) — a sanity bound, not a deployment
+    * number. */
   def clusteredEmbeddings(
       spark: org.apache.spark.sql.SparkSession,
       n: Long,
       dim: Int = 64,
-      clusters: Int = 64): org.apache.spark.sql.DataFrame =
+      clusters: Int = 256,
+      noiseAmp: Double = 0.6): org.apache.spark.sql.DataFrame = {
+    val span = math.round(noiseAmp * 2000).toInt + 1
     spark.range(n).select(
       col("id").as("vec_id"),
       transform(sequence(lit(0), lit(dim - 1)), d => {
@@ -39,9 +51,10 @@ object AuditRecall {
         val center =
           (pmod(xxhash64(lit("ctr"), c, d), lit(2001L)) - lit(1000L)).cast("double") / lit(1000.0)
         val noise =
-          (pmod(xxhash64(lit("nz"), col("id"), d), lit(501L)) - lit(250L)).cast("double") / lit(1000.0)
+          (pmod(xxhash64(lit("nz"), col("id"), d), lit(span.toLong)) - lit(span / 2L)).cast("double") / lit(1000.0)
         (center + noise).cast("float")
       }).as("embedding"))
+  }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")

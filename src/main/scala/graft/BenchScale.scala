@@ -72,6 +72,24 @@ object BenchScale {
         flipped.cast("array<float>").as("embedding"))
     }.reduce(_ unionByName _)
 
+  /** Max single-task duration between resets — the straggler metric.
+    * On a large cluster a stage's wall-clock is its longest task (all
+    * others run in parallel), so this, not local[32] wall-clock, is
+    * what extrapolates: local wall-clock serializes ALL work over 32
+    * cores and thereby bills a mitigation's extra distributed passes
+    * at full price while hiding that the straggler it removes is the
+    * cluster's critical path. */
+  private final class MaxTaskListener extends org.apache.spark.scheduler.SparkListener {
+    private val maxMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val d = te.taskInfo.duration
+      var cur = maxMs.get()
+      while (d > cur && !maxMs.compareAndSet(cur, d)) cur = maxMs.get()
+    }
+    def reset(): Unit = maxMs.set(0L)
+    def maxSec: Double = maxMs.get() / 1e3
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -422,39 +440,88 @@ object BenchScale {
     }
     if (statsRuns.nonEmpty) secs("stats_analyze") = statsRuns
     // salted vs plain join on an ENGINEERED hot key (half the fact
-    // rows on one key, the rest uniform): the salted form's worst
-    // reducer holds ~1/saltBuckets of the hot key at every f, the
-    // plain form's holds all of it — the straggler contrast is the
-    // point of the row pair
-    val skewRuns = if (!gated("skew_salted_join", "skew_plain_join"))
-      Seq.empty[(Int, Double, Double, Long)]
+    // rows on one key, the rest uniform). saltedJoin targets seams
+    // where the dim side can't broadcast and AQE can't rewrite the
+    // skew (bucketed / streaming / pre-partitioned joins), so both
+    // contrast legs run with auto-broadcast OFF and AQE skew-join OFF
+    // — the plain leg is the sort-merge join whose worst reducer holds
+    // the WHOLE hot key (half of all fact rows), the salted leg's
+    // worst holds ~1/saltBuckets of it (saltedJoin's own broadcast()s
+    // are explicit hints, unaffected by the threshold). A third leg,
+    // skew_bcast_join, restores auto-broadcast: when the dim side CAN
+    // broadcast, plain wins outright — the fixed-cost honesty row.
+    val skewRuns = if (!gated("skew_salted_join", "skew_plain_join", "skew_bcast_join"))
+      Seq.empty[(Int, (Double, Double), (Double, Double), (Double, Double), Long)]
     else factors.map { f =>
       withSession { (spark, docs0, emb0) =>
-        def fact(n: Long) = spark.range(n).select(
+        val mt = new MaxTaskListener
+        spark.sparkContext.addSparkListener(mt)
+        // 64-byte payload: the straggler contrast is about BYTES on
+        // the hot reducer, not row counts — 8-byte rows keep the hot
+        // key's whole share under ~50 MB, where a single reducer
+        // shrugs and salting's extra passes cost more than they save.
+        // The fact table is MATERIALIZED to parquet before timing:
+        // saltedJoin scans its input 3× (hot pre-count + cold + hot
+        // legs), and a lazily regenerated range+hash relation would
+        // bill those re-scans at generator cost instead of the
+        // columnar-scan cost a real table has.
+        def factGen(n: Long) = spark.range(n).select(
           when(pmod(col("id"), lit(2)) === 0, lit(0L))
             .otherwise(pmod(col("id"), lit(100000L))).as("k"),
-          col("id").as("v"))
+          concat_ws("-", (0 until 8).map(s => hex(xxhash64(col("id"), lit(s)))): _*).as("v"))
         val dim = spark.range(100000L).select(col("id").as("k"), (col("id") * 7L).as("w"))
         val n = 200000L * f
-        ops.Skew.saltedJoin(fact(1000L), dim, "k",
-          saltBuckets = 16, hotThreshold = 100L).count() // warmup
+        val factDir = java.nio.file.Files
+          .createTempDirectory("graft_skew_fact").toString
+        factGen(n).write.mode("overwrite").parquet(factDir)
+        val fact = spark.read.parquet(factDir)
+        val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        // the timed measure aggregates over BOTH payloads — a bare
+        // count() lets Catalyst prune v/w, the joined rows collapse to
+        // a near-constant 8-byte key that lz4 crushes to ~3 B/row, and
+        // AQE's byte-based coalescing then merges the salt partitions
+        // right back into one straggler (measured: salted maxtask ==
+        // plain maxtask on pruned rows). Real pipelines carry payload
+        // through joins; this keeps the probe's bytes real.
+        def measure(df: DataFrame): Long = df
+          .agg(count(lit(1)), sum(length(col("v"))), sum(col("w")))
+          .collect()(0).getLong(0)
+        measure(ops.Skew.saltedJoin(factGen(1000L), dim, "k",
+          saltBuckets = 16, hotThreshold = 100L)) // warmup
         spark.catalog.clearCache()
+        mt.reset()
         val t0 = System.nanoTime()
-        val rows = ops.Skew.saltedJoin(fact(n), dim, "k",
-          saltBuckets = 16, hotThreshold = 100000L).count()
+        val rows = measure(ops.Skew.saltedJoin(fact, dim, "k",
+          saltBuckets = 16, hotThreshold = 100000L))
         val saltSec = (System.nanoTime() - t0) / 1e9
+        val saltMax = mt.maxSec
         spark.catalog.clearCache()
+        mt.reset()
         val t1 = System.nanoTime()
-        fact(n).join(dim, "k").count()
+        measure(fact.join(dim, "k"))
         val plainSec = (System.nanoTime() - t1) / 1e9
+        val plainMax = mt.maxSec
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+        spark.catalog.clearCache()
+        mt.reset()
+        val t2 = System.nanoTime()
+        measure(fact.join(dim, "k"))
+        val bcastSec = (System.nanoTime() - t2) / 1e9
+        val bcastMax = mt.maxSec
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(factDir))
         System.err.println(
-          f"[scale] skew_join f=$f%-3d salted ${saltSec}%8.2f s  plain ${plainSec}%8.2f s  rows=$rows")
-        (f, saltSec, plainSec, rows)
+          f"[scale] skew_join f=$f%-3d salted ${saltSec}%8.2f s (maxtask ${saltMax}%6.2f)  plain-smj ${plainSec}%8.2f s (maxtask ${plainMax}%6.2f)  bcast ${bcastSec}%8.2f s (maxtask ${bcastMax}%6.2f)  rows=$rows")
+        (f, (saltSec, saltMax), (plainSec, plainMax), (bcastSec, bcastMax), rows)
       }
     }
     if (skewRuns.nonEmpty) {
-      secs("skew_salted_join") = skewRuns.map { case (f, s, _, r) => (f, s, r) }
-      secs("skew_plain_join") = skewRuns.map { case (f, _, p, r) => (f, p, r) }
+      secs("skew_salted_join") = skewRuns.map { case (f, s, _, _, r) => (f, s._1, r) }
+      secs("skew_plain_join") = skewRuns.map { case (f, _, p, _, r) => (f, p._1, r) }
+      secs("skew_bcast_join") = skewRuns.map { case (f, _, _, b, r) => (f, b._1, r) }
+      secs("skew_salted_maxtask") = skewRuns.map { case (f, s, _, _, r) => (f, s._2, r) }
+      secs("skew_plain_maxtask") = skewRuns.map { case (f, _, p, _, r) => (f, p._2, r) }
     }
     val qJson = secs.map { case (n, runs) =>
       "\"" + n + "\":{" + runs.map { case (f, s, _) => "\"" + f + "\":" + s }.mkString(",") + "}"

@@ -60,18 +60,33 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
-    // Noise defense #3 (round 9): DEAL the alphabetized list round-robin
-    // across groups instead of slicing it into consecutive chunks.
-    // Consecutive chunks put the entire ann_* trainer family into one
-    // session, and exactly those queries read ~2× their quiet-host cost
-    // in the round-8 driver artifact (residual intra-group session
-    // decay concentrates where the heavy queries cluster). Striping
-    // spreads trainer-heavy queries ~one per session and mixes
-    // heavy/light within every group, while staying deterministic for
-    // run-to-run comparability.
-    val numGroups = math.max(1, (names.size + groupSize - 1) / groupSize)
-    val groups = (0 until numGroups).map(g =>
-      names.zipWithIndex.collect { case (n, i) if i % numGroups == g => n })
+    // Noise defense #3 (round 9, v2): TWO-TIER grouping. Round 8's
+    // consecutive chunks put the whole ann_* trainer family into one
+    // session and exactly those queries read ~2× their quiet-host cost
+    // in the driver artifact (intra-group session decay concentrates
+    // where the heavy queries cluster). The first round-9 attempt dealt
+    // the list round-robin — that fixed the driver/quiet agreement but
+    // cost the quiet-host total +16 s: decay FOLLOWS the trainer-heavy
+    // query, so striping one heavy into every session polluted all 12
+    // sessions instead of 3. v2 contains instead of spreading: queries
+    // from the trainer-heavy families (iterative Lloyd/LSH training,
+    // multi-job pipelines) run in their own SMALL sessions (5 queries
+    // → ≤15 executions/session bounds the decay any query can inherit)
+    // while light queries share clean sessions at the normal size.
+    // Both tiers stay alphabetical → deterministic run-to-run.
+    val heavyExact = Set(
+      "corpus_select", "corpus_budget_select", "corpus_ccnet_buckets",
+      "dedup_clusters", "dedup_canonical", "dedup_jaccard_pairs",
+      "dedup_neardup_pairs", "dedup_containment", "dedup_incremental",
+      "dedup_stats", "search_index_bm25", "search_index_update",
+      "stats_analyze")
+    def isHeavy(n: String): Boolean =
+      n.startsWith("ann_") || n.startsWith("emb_") ||
+        n.startsWith("graph_") || heavyExact(n)
+    val (heavy, light) = names.partition(isHeavy)
+    val heavyGroupSize = math.max(1, math.min(5, groupSize))
+    val groups =
+      heavy.grouped(heavyGroupSize).toSeq ++ light.grouped(groupSize).toSeq
     for (group <- groups) {
       val spark = newSession()
       for (_ <- 1 to passes; name <- group) {

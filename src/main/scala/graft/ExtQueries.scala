@@ -444,6 +444,37 @@ object ExtQueries {
          |FROM reach
          |GROUP BY id
          |ORDER BY doc_id""".stripMargin,
+    // soft dedup rebuilt from scratch: same recursive-CTE reachability,
+    // then cluster sizes and the integer permille weight (`//` is
+    // DuckDB's truncating integer division, Spark's `div`)
+    "dedup_soft_weights" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $shingleSql AS ws FROM toks WHERE len(tk) >= 3),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.ws, b.ws))*1.0 / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.6),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |lbl AS (
+         |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (
+         |  SELECT cluster_id, count(*) AS n FROM lbl GROUP BY cluster_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(n, 1) AS BIGINT) AS cluster_size,
+         |       CAST(1000 // coalesce(n, 1) AS BIGINT) AS weight_permille
+         |FROM documents d
+         |LEFT JOIN lbl ON d.doc_id = lbl.id
+         |LEFT JOIN sz USING (cluster_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // canonicalization: every document mapped to the surviving
     // representative of its near-dup cluster (min id, keep-first), or
     // itself when it has no near-dup — the full dedup pipeline an
@@ -887,6 +918,23 @@ object ExtQueries {
          |SELECT doc_id, count(*) AS n_hits FROM h JOIN bench USING (h)
          |WHERE doc_id % 7 <> 0 GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    // embedding-space decon rebuilt from scratch: integer qdot vs the
+    // %7 bench slice, argmax via a (qd DESC, bench_id ASC) window —
+    // exactly the engine's lexicographic struct-max tie-break
+    "decontaminate_semantic" ->
+      s"""WITH hits AS (
+         |  SELECT c.vec_id AS vec_id, b.vec_id AS bench_id,
+         |         ${qdotSql("c.embedding", "b.embedding")} AS qd
+         |  FROM embeddings c JOIN embeddings b
+         |    ON c.vec_id % 7 <> 0 AND b.vec_id % 7 = 0
+         |  WHERE ${qdotSql("c.embedding", "b.embedding")} >= 450000)
+         |SELECT vec_id, qd AS max_qdot, bench_id FROM (
+         |  SELECT vec_id, bench_id, qd,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY qd DESC, bench_id ASC) AS rn
+         |  FROM hits) h
+         |WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
     // media content dedup rebuilt from scratch: the synthetic payload
     // is the text's bytes, so DuckDB hashes the text directly
     "multimodal_dedup" ->
@@ -1889,6 +1937,15 @@ object ExtQueries {
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     },
+    "dedup_soft_weights" -> { (s, dir) =>
+      // soft dedup: cluster-mass-preserving integer sampling weights
+      // over the shared LSH→CC pipeline — a k-way duplicated doc
+      // samples at 1000/k permille instead of being dropped, so the
+      // deduplicated token distribution is preserved in expectation
+      // (the data-constrained-training alternative to dedup_canonical)
+      Dedup.softDedupWeights(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
     "dedup_canonical" -> { (s, dir) =>
       // keep-first + clustering composed: LSH pairs (exact-verified) →
       // connected components → min-id representative, docs without a
@@ -2387,6 +2444,18 @@ object ExtQueries {
         docs.where(col("doc_id") % 7 === 0),
         "doc_id", "text", n = 5)
         .orderBy("doc_id")
+    },
+    "decontaminate_semantic" -> { (s, dir) =>
+      // embedding-space decon twin of `decontaminate`: corpus vectors
+      // within near-dup qdot (≥ 450000, the emb_neardup threshold) of
+      // ANY held-out benchmark vector (vec_id ≡ 0 mod 7), with the
+      // best-matching bench id — catches paraphrased eval leakage the
+      // 5-gram screen can't see; bench broadcasts, corpus never
+      // shuffles
+      Similarity.semanticDecontaminate(
+        t(s, dir, "embeddings"), col("vec_id") % 7 === 0,
+        "vec_id", "embedding")
+        .orderBy("vec_id")
     },
     "corpus_source_cap" -> { (s, dir) =>
       // per-source document cap (the web-pipeline per-domain cap):

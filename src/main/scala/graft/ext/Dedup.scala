@@ -676,6 +676,44 @@ object Dedup {
     }
   }
 
+  /** Soft dedup: duplicate-aware sampling weights instead of hard drops.
+    * Data-constrained training runs keep repeated content but DOWN-WEIGHT
+    * it so each near-dup cluster contributes one document's worth of
+    * sampling mass in total (the count-based repetition penalty of
+    * data-constrained scaling studies — Muennighoff et al. 2023 keep
+    * repeats at decaying value; this is the cluster-mass-preserving
+    * integer form). Every document gets `weight_permille = 1000 div
+    * cluster_size` (integer, engine-reproducible; singletons 1000), so a
+    * k-way duplicated doc samples at 1/k rate and the corpus'
+    * deduplicated token distribution is preserved in expectation without
+    * deleting anything.
+    *
+    * Cost on top of the shared LSH→CC pipeline: one count agg over the
+    * component labels (≤ |duplicated docs| rows) + one key join back to
+    * the corpus ids — the labeled relation is at most the duplicated
+    * subset, so AQE broadcasts it when duplication is rare and the join
+    * degrades to a plain shuffle join when it is not. Nothing here is
+    * ever wider than the CC labels themselves. */
+  def softDedupWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, shingleN = shingleN,
+      threshold = threshold)
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+    val sized = cc.join(
+        cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+        "cluster_id")
+      .select(col("id").as(idCol), col("cluster_size"))
+    docs.select(col(idCol))
+      .join(sized, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_permille", expr("1000 div cluster_size"))
+  }
+
   /** md5-based 60-bit word hashes (md5 so the fingerprint is reproducible
     * in any engine; 60 bits = 15 hex chars keeps the value inside a
     * signed long). Materialize once before `simHashFromHashes` — same

@@ -72,6 +72,41 @@ object Similarity {
     dot / (sqrt(n1) * sqrt(n2))
   }
 
+  /** Semantic benchmark decontamination: flag corpus vectors whose
+    * embedding sits too close to ANY held-out benchmark vector — the
+    * embedding-space twin of `TextAnalysis.contaminationScreen`'s
+    * n-gram screen, catching paraphrased or templated eval leakage
+    * that shares no exact 5-gram with the benchmark.
+    *
+    * The benchmark side is eval-set-sized BY CONTRACT (thousands of
+    * rows, not corpus-scale), so it broadcasts and the corpus NEVER
+    * shuffles: each corpus row evaluates |bench| codegen'd quantized
+    * dots map-side (O(n·|bench|) total, embarrassingly parallel), and
+    * only the flagged hits (max qdot ≥ threshold, best-matching bench
+    * id, smallest id on ties via lexicographic struct-max) pass the
+    * per-id partial agg. At 100 TB this is one scan; for benchmark
+    * sets too large to broadcast, fall back to `nearDupPairsAgainst`'s
+    * bucketed form. Integer qdot end-to-end — the score crosses the
+    * engine boundary exactly. */
+  def semanticDecontaminate(
+      emb: DataFrame,
+      benchFilter: Column,
+      idCol: String,
+      vecCol: String,
+      qdotThreshold: Long = 450000L): DataFrame = {
+    val bench = emb.where(benchFilter)
+      .select(col(idCol).as("__bid"), col(vecCol).as("__bv"))
+    emb.where(!benchFilter)
+      .crossJoin(broadcast(bench))
+      .withColumn("__qd", quantizedDot(col(vecCol), col("__bv")))
+      .where(col("__qd") >= qdotThreshold)
+      .groupBy(idCol)
+      .agg(max(struct(col("__qd"), (-col("__bid")).as("__nb"))).as("__m"))
+      .select(col(idCol),
+        col("__m.__qd").as("max_qdot"),
+        (-col("__m.__nb")).as("bench_id"))
+  }
+
   /** Brute-force top-k neighbors for each probe: the exact baseline.
     * Probes are broadcast (small side); the corpus is scanned once and
     * per-probe ranking runs through the bounded-heap `TopKPerKey`

@@ -149,4 +149,60 @@ class R9OpsSpec extends SparkSpec {
       .select(countDistinct(col("s"))).as[Long].head()
     assert(spread == 8L, s"salt only took $spread of 8 values in one partition")
   }
+
+  test("softDedupWeights: every doc once, weight = 1000 div cluster size, consistent with CC labels") {
+    val docs = io.Tables(spark, sf, "documents")
+    val w = Dedup.softDedupWeights(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(w.map(_._1).distinct.size == w.size, "a doc appeared twice")
+    assert(w.size == docs.count(), "a doc was dropped")
+    assert(w.forall { case (_, size, wt) => size >= 1 && wt == 1000L / size },
+      "weight is not 1000 div cluster_size")
+    // sizes must be exactly the CC component sizes
+    val cc = Dedup.connectedComponents(
+      Dedup.nearDupPairs(docs, "doc_id", "text"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toSeq
+    val ccSize = cc.groupBy(_._2).flatMap { case (_, m) => m.map(r => r._1 -> m.size.toLong) }
+    val bySpark = w.map(r => r._1 -> r._2).toMap
+    ccSize.foreach { case (id, n) =>
+      assert(bySpark(id) == n, s"doc $id: softDedupWeights size ${bySpark(id)} != CC size $n")
+    }
+    // docs outside any cluster are singletons at full weight
+    val inCc = cc.map(_._1).toSet
+    w.filterNot(r => inCc(r._1)).foreach { case (id, size, wt) =>
+      assert(size == 1L && wt == 1000L, s"uncclustered doc $id got size=$size wt=$wt")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("semanticDecontaminate: equals the window argmax form; ties break to the smaller bench id; bench broadcasts") {
+    val emb = io.Tables(spark, sf, "embeddings")
+    val bf = col("vec_id") % 7 === 0
+    val got = Similarity.semanticDecontaminate(emb, bf, "vec_id", "embedding", 400000L)
+    // window-formulation twin: score all corpus×bench, argmax per id
+    val bench = emb.where(bf).select(col("vec_id").as("bid"), col("embedding").as("bv"))
+    val twin = emb.where(!bf).crossJoin(bench)
+      .withColumn("qd", Similarity.quantizedDot(col("embedding"), col("bv")))
+      .where(col("qd") >= 400000L)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(desc("qd"), asc("bid"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("qd").as("max_qdot"), col("bid").as("bench_id"))
+    assert(got.as[(Long, Long, Long)].collect().sorted.toSeq ==
+      twin.as[(Long, Long, Long)].collect().sorted.toSeq)
+    // tie-break: one corpus vector equidistant from bench ids 7 and 14
+    val tie = Seq(
+      (7L, Seq(1f, 0f)), (14L, Seq(1f, 0f)), (3L, Seq(2f, 0f)))
+      .toDF("vec_id", "embedding")
+    val t = Similarity.semanticDecontaminate(
+      tie, col("vec_id") % 7 === 0, "vec_id", "embedding", 1000000L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(t == Seq((3L, 2000000L, 7L)), s"tie-break picked $t")
+    // scale shape: the bench side broadcasts (nested-loop under the
+    // threshold condition), the corpus side never sort-merge joins
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"bench not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled into a join:\n$plan")
+  }
 }

@@ -192,6 +192,25 @@ object BenchScale {
           inflateDocs(docs0.where(pmod(col("doc_id"), lit(7)) =!= 0), f),
           docs0.where(pmod(col("doc_id"), lit(7)) === 0),
           "doc_id", "text", n = 5)),
+      // decon surgery: bench fixed (base %7 slice), corpus grows ×f;
+      // ciphered copies share no gram with bench, so the contaminated
+      // sliver stays constant while the scan+rewrite grows linearly —
+      // the map-only-rewrite claim is the flat-per-byte slope
+      ("decontaminate_strip", Int.MaxValue, (docs0, emb0, f) =>
+        ext.TextAnalysis.decontaminateStrip(
+          inflateDocs(docs0.where(pmod(col("doc_id"), lit(7)) =!= 0), f),
+          docs0.where(pmod(col("doc_id"), lit(7)) === 0),
+          "doc_id", "text", n = 5)),
+      // semantic decon: fixed bench broadcast, corpus ×f; sign-flipped
+      // copies don't near-match the bench, so hits stay ~constant and
+      // the probe isolates the O(n·|bench|) map-side dot cost
+      ("decontaminate_semantic", Int.MaxValue, (docs0, emb0, f) =>
+        ext.Similarity.semanticDecontaminate(
+          inflateEmbeddings(emb0.where(pmod(col("vec_id"), lit(7)) =!= 0), f)
+            .unionByName(emb0.where(pmod(col("vec_id"), lit(7)) === 0)
+              .select(col("vec_id"), col("embedding"))),
+          pmod(col("vec_id"), lit(7)) === 0 && col("vec_id") < 1000000000L,
+          "vec_id", "embedding")),
       // SemDeDup under the IVF occupancy rule: K grows as √n (the
       // standard IVF heuristic), balancing O(n·K) assignment against
       // O(n²/K) within-list pairs — both grow ~f^1.5. A FIXED K would

@@ -918,6 +918,33 @@ object ExtQueries {
          |SELECT doc_id, count(*) AS n_hits FROM h JOIN bench USING (h)
          |WHERE doc_id % 7 <> 0 GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    // decon surgery rebuilt from scratch: same 60-bit positional gram
+    // hashes as corpus_strip_spans, hot set = the DISTINCT benchmark
+    // grams instead of corpus-duplicated ones, same cover-filter rewrite
+    "decontaminate_strip" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |bg AS (
+         |  SELECT DISTINCT CAST(concat('0x', substring(md5(array_to_string(tk[i:i+4], ' ')), 1, 15)) AS BIGINT) AS h
+         |  FROM (SELECT tk, unnest(range(1, len(tk) - 3)) AS i
+         |        FROM toks WHERE doc_id % 7 = 0 AND len(tk) >= 5) bi),
+         |g AS (
+         |  SELECT doc_id, CAST(i AS INT) AS i,
+         |         CAST(concat('0x', substring(md5(array_to_string(tk[i:i+4], ' ')), 1, 15)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+         |        FROM toks WHERE doc_id % 7 <> 0 AND len(tk) >= 5) gi),
+         |st AS (SELECT doc_id, list(i ORDER BY i) AS starts FROM g JOIN bg USING (h) GROUP BY doc_id),
+         |k AS (
+         |  SELECT t.doc_id, t.tk, coalesce(s.starts, []) AS starts
+         |  FROM (SELECT * FROM toks WHERE doc_id % 7 <> 0) t LEFT JOIN st s USING (doc_id)),
+         |kept AS (
+         |  SELECT doc_id, len(tk) AS n_tokens,
+         |         [tk[j] FOR j IN range(1, len(tk) + 1) IF len(list_filter(starts, s -> j >= s AND j < s + 5)) = 0] AS kt
+         |  FROM k)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(n_tokens - len(kt) AS BIGINT) AS n_removed,
+         |       md5(coalesce(array_to_string(kt, ' '), '')) AS stripped_md5
+         |FROM kept
+         |ORDER BY doc_id""".stripMargin,
     // embedding-space decon rebuilt from scratch: integer qdot vs the
     // %7 bench slice, argmax via a (qd DESC, bench_id ASC) window —
     // exactly the engine's lexicographic struct-max tie-break
@@ -2456,6 +2483,19 @@ object ExtQueries {
         t(s, dir, "embeddings"), col("vec_id") % 7 === 0,
         "vec_id", "embedding")
         .orderBy("vec_id")
+    },
+    "decontaminate_strip" -> { (s, dir) =>
+      // contamination surgery: rewrite corpus docs with every token
+      // covered by a benchmark-shared 5-gram removed — the operational
+      // completion of `decontaminate`'s screen (drop the snippet, keep
+      // the doc); bench gram hashes broadcast, corpus grams never
+      // shuffle
+      val docs = t(s, dir, "documents")
+      TextAnalysis.decontaminateStrip(
+        docs.where(col("doc_id") % 7 =!= 0),
+        docs.where(col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 5)
+        .orderBy("doc_id")
     },
     "corpus_source_cap" -> { (s, dir) =>
       // per-source document cap (the web-pipeline per-domain cap):

@@ -178,17 +178,29 @@ object TextAnalysis {
     val toks = docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
       .cache()
-    val grams = toks
-      .select(col(idCol), posexplode(TextOps.wordNgramsFromTokens(col("tk"), n)))
-      .select(col(idCol), col("pos"),
-        conv(substring(md5(col("col").cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
-      .cache()
+    val grams = posGramHashes(toks, idCol, n).cache()
     val dup = grams.groupBy("h").agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") >= 2)
       .select("h")
     val starts = grams.join(dup, "h")
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    rewriteByStarts(toks, starts, idCol, n)
+  }
+
+  /** Positional n-gram 60-bit hashes off a pre-tokenized (id, tk)
+    * relation: (id, pos, h) — one row per window start. */
+  private def posGramHashes(toks: DataFrame, idCol: String, n: Int): DataFrame =
+    toks
+      .select(col(idCol), posexplode(TextOps.wordNgramsFromTokens(col("tk"), n)))
+      .select(col(idCol), col("pos"),
+        conv(substring(md5(col("col").cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
+
+  /** Rewrite each doc's token array against its duplicated-window
+    * start list: token i survives iff no start s has s ≤ i < s+n.
+    * Per-row array filter — zero additional shuffle. */
+  private def rewriteByStarts(
+      toks: DataFrame, starts: DataFrame, idCol: String, n: Int): DataFrame =
     toks.join(starts, Seq(idCol), "left")
       .select(col(idCol), col("tk"),
         coalesce(col("starts"), array().cast("array<int>")).as("starts"))
@@ -199,6 +211,48 @@ object TextAnalysis {
             s => p.getField("i") >= s && p.getField("i") < s + n)),
         p => p.getField("t")))
       .select(col(idCol), col("tk"), col("kept"))
+
+  /** Contamination SURGERY — the operational completion of the decon
+    * family: `contaminationScreen` flags docs sharing any word n-gram
+    * with a held-out benchmark, this rewrites them with every token
+    * covered by a benchmark-shared n-token window REMOVED, keeping the
+    * rest of the document (the right call when eval overlap is a
+    * quoted snippet inside an otherwise-clean doc — dropping the whole
+    * doc throws away good tokens, keeping it verbatim leaks the
+    * benchmark). Returns (id, n_tokens, n_removed, stripped_md5).
+    *
+    * Dataflow is `stripDupSpans` with the hot-gram source swapped: the
+    * benchmark's DISTINCT gram hashes (eval-set-sized by contract) are
+    * BROADCAST, so unlike the corpus-duplicated form there is no
+    * corpus-wide gram count — the corpus grams never shuffle at all;
+    * only contaminated docs' start lists cross the doc-keyed exchange,
+    * and the rewrite is the same map-only array filter. At 100 TB:
+    * one scan + one sparse doc-keyed shuffle, the same budget as the
+    * screen. */
+  def decontaminateStrip(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    val toks = corpus
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
+      .cache()
+    val benchHashes = bench
+      .select(explode(
+        TextOps.wordNgramsFromTokens(TextOps.tokens(col(textCol)), n)).as("g"))
+      .select(conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .distinct()
+    val starts = posGramHashes(toks, idCol, n)
+      .join(broadcast(benchHashes), "h")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    rewriteByStarts(toks, starts, idCol, n)
+      .select(col(idCol),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), " ").cast("binary")).as("stripped_md5"))
   }
 
   // Patterns chosen to mean the same thing in Java regex and RE2 —

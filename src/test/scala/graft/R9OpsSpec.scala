@@ -175,6 +175,25 @@ class R9OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("decontaminateStrip: verbatim copy fully stripped, clean doc untouched, quoted snippet surgically removed") {
+    def m(s: String) = spark.sql(s"SELECT md5('$s')").as[String].head()
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (3L, "intro words here alpha beta gamma delta epsilon outro tail"))
+      .toDF("doc_id", "text")
+    val r = graft.ext.TextAnalysis
+      .decontaminateStrip(corpus, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(r(0) == ((1L, 5L, 5L, m(""))), s"verbatim copy survived: ${r(0)}")
+    assert(r(1) == ((2L, 6L, 0L, m("one two three four five six"))),
+      s"clean doc was touched: ${r(1)}")
+    assert(r(2) == ((3L, 10L, 5L, m("intro words here outro tail"))),
+      s"surgery removed the wrong span: ${r(2)}")
+    spark.catalog.clearCache()
+  }
+
   test("semanticDecontaminate: equals the window argmax form; ties break to the smaller bench id; bench broadcasts") {
     val emb = io.Tables(spark, sf, "embeddings")
     val bf = col("vec_id") % 7 === 0

@@ -78,8 +78,8 @@ object Bench {
       "corpus_select", "corpus_budget_select", "corpus_ccnet_buckets",
       "dedup_clusters", "dedup_canonical", "dedup_jaccard_pairs",
       "dedup_neardup_pairs", "dedup_containment", "dedup_incremental",
-      "dedup_stats", "search_index_bm25", "search_index_update",
-      "stats_analyze")
+      "dedup_stats", "dedup_soft_weights", "decontaminate_strip",
+      "search_index_bm25", "search_index_update", "stats_analyze")
     def isHeavy(n: String): Boolean =
       n.startsWith("ann_") || n.startsWith("emb_") ||
         n.startsWith("graph_") || heavyExact(n)

@@ -475,6 +475,55 @@ object ExtQueries {
          |LEFT JOIN lbl ON d.doc_id = lbl.id
          |LEFT JOIN sz USING (cluster_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // quality-keep canonicalization rebuilt from scratch: same
+    // recursive-CTE reachability, same integer micro score as
+    // corpus_quality_filter, keeper via a (q_micro DESC, doc_id ASC)
+    // window — the engine's lexicographic struct-max tie-break
+    "dedup_canonical_best" ->
+      s"""WITH RECURSIVE f AS (SELECT doc_id, $tokSql AS tk, text FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $shingleSql AS ws FROM f WHERE len(tk) >= 3),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.ws, b.ws))*1.0 / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.6),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |lbl AS (
+         |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |m AS (
+         |  SELECT doc_id,
+         |         CAST(len(tk) AS BIGINT) AS nt,
+         |         CAST(len(list_filter(tk, x -> list_contains([$stopwordsSql], x))) AS BIGINT) AS nsw,
+         |         CAST(length(text) AS BIGINT) AS nch,
+         |         CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS npunct
+         |  FROM f),
+         |q AS (
+         |  SELECT doc_id,
+         |         least(nt, 100)*5000
+         |         + (CASE WHEN nt = 0 THEN 0 ELSE (nsw*300000)//nt END)
+         |         + 200000
+         |         - (CASE WHEN nch = 0 THEN 0 ELSE (npunct*200000)//nch END) AS q_micro
+         |  FROM m),
+         |keep AS (
+         |  SELECT cluster_id, doc_id AS canonical_id FROM (
+         |    SELECT l.cluster_id, q.doc_id,
+         |           row_number() OVER (PARTITION BY l.cluster_id
+         |                              ORDER BY q.q_micro DESC, q.doc_id ASC) AS rn
+         |    FROM lbl l JOIN q ON l.doc_id = q.doc_id) r
+         |  WHERE rn = 1)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(k.canonical_id, d.doc_id) AS BIGINT) AS canonical_id
+         |FROM documents d
+         |LEFT JOIN lbl ON d.doc_id = lbl.doc_id
+         |LEFT JOIN keep k USING (cluster_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // canonicalization: every document mapped to the surviving
     // representative of its near-dup cluster (min id, keep-first), or
     // itself when it has no near-dup — the full dedup pipeline an
@@ -1971,6 +2020,14 @@ object ExtQueries {
       // deduplicated token distribution is preserved in expectation
       // (the data-constrained-training alternative to dedup_canonical)
       Dedup.softDedupWeights(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    "dedup_canonical_best" -> { (s, dir) =>
+      // quality-aware canonicalization: each cluster keeps its BEST
+      // copy by the integer micro quality score (ties → min id), not
+      // the arbitrary min-id member — scoring runs only on the
+      // clustered sliver via a semi-join
+      Dedup.canonicalBestQuality(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
     "dedup_canonical" -> { (s, dir) =>

@@ -714,6 +714,45 @@ object Dedup {
       .withColumn("weight_permille", expr("1000 div cluster_size"))
   }
 
+  /** Quality-aware canonicalization: `dedup_canonical` keeps the MIN-ID
+    * member of each near-dup cluster (deterministic but arbitrary);
+    * production pipelines keep the BEST copy — near-dup clusters often
+    * mix a clean original with truncated/boilerplate-wrapped variants,
+    * and min-id throws the original away whenever a mangled copy got
+    * the smaller id. Keeper = argmax of the integer micro quality
+    * score (`TextAnalysis.qualityMicroScores` — int64 throughout, so
+    * the choice replays externally), ties to the smaller id via
+    * lexicographic struct-max. Every doc maps to its cluster's keeper;
+    * docs without a near-dup map to themselves.
+    *
+    * Cost on top of LSH→CC: scoring runs ONLY on the clustered sliver
+    * (a semi-join against the CC ids prunes the corpus first — at
+    * 100 TB the score pass touches |duplicated docs|, not the corpus),
+    * then one cluster-keyed argmax agg and two key joins back. */
+  def canonicalBestQuality(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, shingleN = shingleN,
+      threshold = threshold)
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+    val dupDocs = docs.join(cc.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+    val scores = TextAnalysis.qualityMicroScores(
+        dupDocs.withColumn("__src", lit("_")), idCol, textCol, "__src")
+      .select(col(idCol).as("__sid"), col("q_micro"))
+    val keeper = cc.join(scores, col("id") === col("__sid"))
+      .groupBy("cluster_id")
+      .agg(max(struct(col("q_micro"), (-col("id")).as("ni"))).as("__m"))
+      .select(col("cluster_id"), (-col("__m.ni")).as("canonical_id"))
+    docs.select(col(idCol))
+      .join(cc.select(col("id").as(idCol), col("cluster_id")), Seq(idCol), "left")
+      .join(keeper, Seq("cluster_id"), "left")
+      .select(col(idCol),
+        coalesce(col("canonical_id"), col(idCol)).as("canonical_id"))
+  }
+
   /** md5-based 60-bit word hashes (md5 so the fingerprint is reproducible
     * in any engine; 60 bits = 15 hex chars keeps the value inside a
     * signed long). Materialize once before `simHashFromHashes` — same

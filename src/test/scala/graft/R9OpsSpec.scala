@@ -175,6 +175,35 @@ class R9OpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("canonicalBestQuality: keeper is the max-quality member, ties to min id, singletons map to self") {
+    val docs = io.Tables(spark, sf, "documents")
+    val got = Dedup.canonicalBestQuality(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == docs.count(), "a doc was dropped or duplicated")
+    val cc = Dedup.connectedComponents(
+      Dedup.nearDupPairs(docs, "doc_id", "text"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toSeq
+    val q = graft.ext.TextAnalysis.qualityMicroScores(
+        docs.withColumn("__src", lit("_")), "doc_id", "text", "__src")
+      .select(col("doc_id"), col("q_micro"))
+      .as[(Long, Long)].collect().toMap
+    val clusters = cc.groupBy(_._2).values.map(_.map(_._1))
+    assert(clusters.nonEmpty, "fixture produced no clusters — test is vacuous")
+    clusters.foreach { members =>
+      val expected = members.maxBy(id => (q(id), -id))
+      members.foreach { id =>
+        assert(got(id) == expected,
+          s"doc $id → ${got(id)}, expected keeper $expected of cluster $members " +
+            s"(scores ${members.map(m => m -> q(m))})")
+      }
+    }
+    val inCc = cc.map(_._1).toSet
+    got.filterNot(kv => inCc(kv._1)).foreach { case (id, can) =>
+      assert(can == id, s"singleton $id mapped to $can")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("decontaminateStrip: verbatim copy fully stripped, clean doc untouched, quoted snippet surgically removed") {
     def m(s: String) = spark.sql(s"SELECT md5('$s')").as[String].head()
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
@@ -191,6 +220,21 @@ class R9OpsSpec extends SparkSpec {
       s"clean doc was touched: ${r(1)}")
     assert(r(2) == ((3L, 10L, 5L, m("intro words here outro tail"))),
       s"surgery removed the wrong span: ${r(2)}")
+    spark.catalog.clearCache()
+  }
+
+  test("decontaminateStrip plan: the gram join broadcasts the bench set, never shuffle-joins on the gram key") {
+    val docs = io.Tables(spark, sf, "documents")
+    val df = graft.ext.TextAnalysis.decontaminateStrip(
+      docs.where(col("doc_id") % 7 =!= 0),
+      docs.where(col("doc_id") % 7 === 0),
+      "doc_id", "text", n = 5)
+    df.write.format("noop").mode("overwrite").save() // AQE: final plan exists only after an action
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [h#"),
+      s"bench hot set not broadcast into the gram join:\n$plan")
+    assert(!plan.contains("SortMergeJoin [h#") && !plan.contains("ShuffledHashJoin [h#"),
+      s"corpus grams shuffled into the gram join:\n$plan")
     spark.catalog.clearCache()
   }
 

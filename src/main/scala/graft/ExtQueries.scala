@@ -83,6 +83,21 @@ object ExtQueries {
   // exact O(n·m) cross-corpus Jaccard truth (the 20% id-hash batch vs
   // the rest) — the oracle for BOTH the batch incremental screen and
   // its streaming twin
+  // shared by the batch screen (`decontaminate`) and its streaming twin
+  // (`stream_decontaminate`) — identical rows by construction
+  private lazy val deconScreenSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokSql AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest([array_to_string(tk[i:i+4], ' ') FOR i IN range(1, len(tk) - 3)]) AS g
+       |  FROM toks WHERE len(tk) >= 5),
+       |h AS (
+       |  SELECT DISTINCT doc_id, CAST(concat('0x', substring(md5(g), 1, 11)) AS BIGINT) AS h FROM sh),
+       |bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 7 = 0)
+       |SELECT doc_id, count(*) AS n_hits FROM h JOIN bench USING (h)
+       |WHERE doc_id % 7 <> 0 GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   private lazy val incrementalScreenSql =
     s"""WITH toks AS (
        |  SELECT doc_id, $tokSql AS tk FROM documents),
@@ -955,18 +970,10 @@ object ExtQueries {
     // engine (ShingleMd5Hashes dedups the 44-bit hashes, not the gram
     // strings) — two grams colliding in 44 bits must count once in both
     // engines or the bit-for-bit contract breaks.
-    "decontaminate" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, $tokSql AS tk FROM documents),
-         |sh AS (
-         |  SELECT doc_id, unnest([array_to_string(tk[i:i+4], ' ') FOR i IN range(1, len(tk) - 3)]) AS g
-         |  FROM toks WHERE len(tk) >= 5),
-         |h AS (
-         |  SELECT DISTINCT doc_id, CAST(concat('0x', substring(md5(g), 1, 11)) AS BIGINT) AS h FROM sh),
-         |bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 7 = 0)
-         |SELECT doc_id, count(*) AS n_hits FROM h JOIN bench USING (h)
-         |WHERE doc_id % 7 <> 0 GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin,
+    "decontaminate" -> deconScreenSql,
+    // the streaming screen is row-identical to the batch screen on the
+    // same input by construction (shared gram extraction) — one oracle
+    "stream_decontaminate" -> deconScreenSql,
     // decon surgery rebuilt from scratch: same 60-bit positional gram
     // hashes as corpus_strip_spans, hot set = the DISTINCT benchmark
     // grams instead of corpus-duplicated ones, same cover-filter rewrite
@@ -2739,6 +2746,22 @@ object ExtQueries {
           "stream_neardup_sink",
           org.apache.spark.sql.streaming.OutputMode.Complete())
         .orderBy("id_new", "id_old")
+    },
+    "stream_decontaminate" -> { (s, dir) =>
+      // ingest-time benchmark decon: the arriving corpus stream's gram
+      // hashes join the broadcast static bench set, per-doc hit counts
+      // off a streaming agg whose state is one counter per CONTAMINATED
+      // doc — row-identical to the batch screen, shares its oracle
+      val docs = t(s, dir, "documents")
+      StreamOps.runToMemory(
+          StreamOps.decontaminateScreen(
+            StreamOps.readTable(s, dir, "documents")
+              .where(pmod(col("doc_id"), lit(7)) =!= 0),
+            docs.where(pmod(col("doc_id"), lit(7)) === 0),
+            "doc_id", "text", n = 5),
+          "stream_decontaminate_sink",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy("doc_id")
     },
     "stream_enrich" -> { (s, dir) =>
       // stream-static join: every micro-batch of the event stream is

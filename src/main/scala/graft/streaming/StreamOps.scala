@@ -281,6 +281,34 @@ object StreamOps {
       .agg(max(col("jaccard")).as("jaccard"))
   }
 
+  /** Ingest-time benchmark decontamination — the streaming twin of
+    * `TextAnalysis.contaminationScreen`, for pipelines that must flag
+    * eval leakage AT ARRIVAL rather than in a nightly batch: each
+    * arriving doc's per-doc-distinct word n-gram hashes join the
+    * STATIC benchmark hash set (eval-set-sized by contract →
+    * broadcast per micro-batch, stream grams never shuffle), and the
+    * per-doc hit count comes off a streaming aggregation whose state
+    * is one counter per CONTAMINATED doc id — clean docs die at the
+    * broadcast join and carry no state at all. Identical rows to the
+    * batch screen on the same input (shared `ShingleMd5Hashes`
+    * extraction), so the two share one oracle. */
+  def decontaminateScreen(
+      streamDocs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    def grams(df: DataFrame) = df.select(
+      col(idCol),
+      explode(graft.functions.ShingleMd5Hashes.shingleMd5(
+        graft.ops.TextOps.tokens(col(textCol)), n)).as("h"))
+    val benchHashes = grams(bench).select("h").distinct()
+    grams(streamDocs)
+      .join(broadcast(benchHashes), "h")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Run a streaming DataFrame to completion against the (bounded) input
     * and return the materialized result — batch-driven smoke execution
     * via the memory sink.

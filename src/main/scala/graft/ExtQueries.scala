@@ -679,6 +679,21 @@ object ExtQueries {
            |gedges AS (SELECT probe_id AS src, vec_id AS dst FROM ranked WHERE rn <= 5),
            |gnodes AS (SELECT vec_id AS id FROM qv)""".stripMargin,
         "vec_id"),
+    // community detection over the same derived kNN graph: the oracle
+    // rebuilds the trained index, the edge list, the symmetrization,
+    // and the 4 unrolled argmax rounds — min label among max-count
+    // labels, the exact struct-max winner
+    "graph_communities" ->
+      Graph.lpaOracleSql(
+        s"""WITH $ivfAssignSqlDerivedK,
+           |$knnRankedSql,
+           |gedges AS (SELECT probe_id AS src, vec_id AS dst FROM ranked WHERE rn <= 5),
+           |gnodes AS (SELECT vec_id AS id FROM qv)""".stripMargin,
+        "vec_id"),
+    // deletion-neighborhood fuzzy join: DuckDB regenerates the exact
+    // variant sets, candidate join, and levenshtein verify
+    "join_fuzzy_blocked" ->
+      graft.ops.FuzzyJoin.editDist1OracleSql("supplier", "s_suppkey", "s_name"),
     // hybrid retrieval rebuilt from scratch: the shared integer-BM25
     // CTEs, the dense leg's quantized dot, the identical integer RRF
     "search_hybrid_rrf" ->
@@ -2217,6 +2232,28 @@ object ExtQueries {
       val edges = Similarity.knnGraphIvf(emb, "vec_id", "embedding", k = 5)
       Graph.pageRank(edges, "probe_id", "vec_id", emb, "vec_id")
         .orderBy("vec_id")
+    },
+    "graph_communities" -> { (s, dir) =>
+      // template-family detection over the derived similarity graph:
+      // kNN edges from the trained IVF index, symmetrized once, then 4
+      // synchronous argmax label-propagation rounds — per round one
+      // src-keyed label join + one map-side-combined (dst, lab) count
+      // + one dst-keyed argmax, all linear in |edges|, labels
+      // lineage-truncated per round (the pageRank discipline)
+      val emb = t(s, dir, "embeddings")
+      val edges = Similarity.knnGraphIvf(emb, "vec_id", "embedding", k = 5)
+      Graph.labelPropagation(edges, "probe_id", "vec_id", emb, "vec_id")
+        .orderBy("vec_id")
+    },
+    "join_fuzzy_blocked" -> { (s, dir) =>
+      // entity resolution without an all-pairs product: deletion-
+      // neighborhood (FastSS) blocking is an exact candidate superset
+      // for edit distance <= 1, so the variant-keyed hash join +
+      // levenshtein verify has recall 1.0 by construction — two
+      // shuffles at any table size
+      graft.ops.FuzzyJoin.editDist1SelfPairs(
+          t(s, dir, "supplier"), "s_suppkey", "s_name")
+        .orderBy("id1", "id2")
     },
     "search_index_bm25" -> { (s, dir) =>
       // the serving form of search_bm25: build + persist the inverted

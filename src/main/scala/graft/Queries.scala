@@ -88,6 +88,34 @@ object Queries {
         |merged AS (SELECT * FROM keep UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM neu)
         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_text, source
         |FROM merged ORDER BY doc_id""".stripMargin,
+    "io_time_travel" ->
+      """WITH ch1 AS (
+        |  SELECT doc_id, 'v2 ' || text AS text, source, FALSE AS del
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, text, source, TRUE
+        |  FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 100000, 'new ' || text, source, FALSE
+        |  FROM documents WHERE doc_id < 5),
+        |ch2 AS (
+        |  SELECT doc_id, 'v3 ' || text AS text, source, FALSE AS del
+        |  FROM documents WHERE doc_id % 10 = 2
+        |  UNION ALL SELECT doc_id + 100000, text, source, TRUE
+        |  FROM documents WHERE doc_id < 5
+        |  UNION ALL SELECT doc_id, 'back ' || text, source, FALSE
+        |  FROM documents WHERE doc_id % 100 = 1),
+        |logrel AS (
+        |  SELECT doc_id, text, source, FALSE AS del, 0 AS v FROM documents
+        |  UNION ALL SELECT doc_id, text, source, del, 1 FROM ch1
+        |  UNION ALL SELECT doc_id, text, source, del, 2 FROM ch2),
+        |resolved AS (
+        |  SELECT a.as_of, l.doc_id, l.text, l.source, l.del,
+        |         row_number() OVER (PARTITION BY a.as_of, l.doc_id
+        |                            ORDER BY l.v DESC) AS rn
+        |  FROM (VALUES (1), (2)) a(as_of) JOIN logrel l ON l.v <= a.as_of)
+        |SELECT CAST(as_of AS BIGINT) AS as_of, doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_text, source
+        |FROM resolved WHERE rn = 1 AND NOT del
+        |ORDER BY as_of, doc_id""".stripMargin,
     "mr_json_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS balance
@@ -251,6 +279,52 @@ object Queries {
         .select(col("doc_id"), length(col("text")).cast("long").as("n_text"),
           col("source"))
         .orderBy("doc_id")
+    },
+    "io_time_travel" -> { (s, dir) =>
+      // log-structured versioned snapshots (merge-on-read): the base
+      // corpus plus two deterministic CDC commits land as append-only
+      // __v=N directories — O(batch) per commit, earlier versions'
+      // files never touched — then the query time-travel-reads BOTH
+      // historical states, proving reads reconstruct history rather
+      // than just the latest view. v1 is the io_merge_upsert batch
+      // (10% updated, 10% tombstoned, 5 inserts); v2 updates another
+      // 10%, tombstones the v1 inserts, and REVIVES the %100=1 slice
+      // over its v1 tombstone (last-writer-wins across tombstones)
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents")
+      val path =
+        java.nio.file.Files.createTempDirectory("ttravel").toString + "/tbl"
+      io.Sinks.writeVersion(docs, path, 0)
+      val up1 = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("text", concat(lit("v2 "), col("text")))
+        .withColumn("__deleted", lit(false))
+      val del1 = docs.where(pmod(col("doc_id"), lit(10)) === 1)
+        .withColumn("__deleted", lit(true))
+      val ins1 = docs.where(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", concat(lit("new "), col("text")))
+        .withColumn("__deleted", lit(false))
+      io.Sinks.writeVersion(up1.unionByName(del1).unionByName(ins1), path,
+        io.Sinks.nextVersion(s, path))
+      val up2 = docs.where(pmod(col("doc_id"), lit(10)) === 2)
+        .withColumn("text", concat(lit("v3 "), col("text")))
+        .withColumn("__deleted", lit(false))
+      val del2 = docs.where(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("__deleted", lit(true))
+      val rev2 = docs.where(pmod(col("doc_id"), lit(100)) === 1)
+        .withColumn("text", concat(lit("back "), col("text")))
+        .withColumn("__deleted", lit(false))
+      io.Sinks.writeVersion(up2.unionByName(del2).unionByName(rev2), path,
+        io.Sinks.nextVersion(s, path))
+      val v1 = io.Sinks.readSnapshotAt(s, path, 1, "doc_id")
+        .withColumn("as_of", lit(1L))
+      val v2 = io.Sinks.readSnapshotAt(s, path, 2, "doc_id")
+        .withColumn("as_of", lit(2L))
+      v1.unionByName(v2)
+        .select(col("as_of"), col("doc_id"),
+          length(col("text")).cast("long").as("n_text"), col("source"))
+        .orderBy("as_of", "doc_id")
     },
     "mr_json_roundtrip" -> { (s, dir) =>
       // JSONL interchange: schema survives the round trip via Spark's

@@ -80,6 +80,107 @@ object Graph {
     ranks.select(col("id").as(idCol), col("r").as("pr"))
   }
 
+  /** Shipped LPA round count, shared with the oracle generator. Four
+    * synchronous rounds: template families in a near-dup graph are
+    * shallow (diameter 2–3), and a FIXED round count is what makes the
+    * result an engine-replayable contract rather than a convergence
+    * race. */
+  val defaultLpaIters: Int = 4
+
+  /** Deterministic synchronous label propagation — community detection
+    * over a derived similarity graph. Where `connectedComponents`
+    * answers "which docs are transitively linked at all", LPA answers
+    * the finer "which docs form a densely-linked family": labels start
+    * as node ids and each round every node adopts the MOST FREQUENT
+    * label among its neighbors (ties to the smallest label; isolated
+    * nodes keep their own), over the symmetrized edge set. On a kNN
+    * graph the stable labels after a few rounds mark template/boiler-
+    * plate families — the curation signal between "exact duplicate
+    * cluster" (CC) and "semantically central" (PageRank).
+    *
+    * Every step is integer/argmax arithmetic, so any engine replays
+    * the trajectory bit-for-bit: the per-round winner is
+    * max(count, then min label), expressed as `max(struct(c, -lab))`
+    * — no floats, no RNG, no convergence threshold.
+    *
+    * Scale shape: the symmetrized ids-only edge set is built ONCE and
+    * cached; per round the work is one shuffle keyed by the edge
+    * source (label join) and one two-level aggregate keyed by
+    * destination — both linear in |edges|, the `pageRank` cost
+    * envelope exactly (the argmax adds a (dst, lab)-keyed partial
+    * aggregate that map-side-combines before the exchange). The label
+    * relation stays O(nodes) with a `localCheckpoint` per round so the
+    * plan never grows with the iteration count. Nothing crosses the
+    * driver. */
+  def labelPropagation(
+      edges0: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nodes0: DataFrame,
+      idCol: String,
+      iters: Int = defaultLpaIters,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    require(iters >= 0, s"need iters >= 0; got $iters")
+    val e = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = scope.cache(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    var labs = nodes0.select(col(idCol).as("id"), col(idCol).cast("long").as("lab"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val cnt = und.join(labs, col("src") === col("id"))
+        .groupBy(col("dst"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val best = cnt.groupBy("dst")
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("dst"), (-col("m.nl")).as("newlab"))
+      labs = labs.join(best, col("id") === col("dst"), "left")
+        .select(col("id"), coalesce(col("newlab"), col("lab")).as("lab"))
+        .localCheckpoint(false)
+    }
+    labs.select(col("id").as(idCol), col("lab").as("community"))
+  }
+
+  /** DuckDB replay of `labelPropagation`: `edgesCte` must bind
+    * `gedges(src, dst)` and `gnodes(id)`; rounds unroll as l0..l{iters}
+    * CTEs. The per-round argmax is replayed as "min label among the
+    * labels attaining the max count" — the same (count desc, label
+    * asc) winner the struct-max picks. `UNION` (set semantics) is the
+    * symmetrization's `.distinct()`.
+    *
+    * MATERIALIZED is load-bearing (the BPE-oracle lesson): each round
+    * references `und` once and `l(i-1)`/`c(i)` twice, so DuckDB's
+    * default CTE inlining would re-evaluate the (expensive, IVF-
+    * rebuilding) `edgesCte` chain 2^iters times — the round-9 first
+    * cut ran 30+ minutes on a 500-row fixture. Pinning every derived
+    * relation evaluates the chain exactly once. */
+  def lpaOracleSql(
+      edgesCte: String,
+      idColOut: String,
+      iters: Int = defaultLpaIters): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.dst AS id, l.lab, count(*) AS c
+         |  FROM und e JOIN l${i - 1} l ON e.src = l.id
+         |  GROUP BY e.dst, l.lab),
+         |b$i AS (
+         |  SELECT c1.id, min(c1.lab) AS lab
+         |  FROM c$i c1
+         |  JOIN (SELECT id, max(c) AS mc FROM c$i GROUP BY id) m
+         |    ON c1.id = m.id AND c1.c = m.mc
+         |  GROUP BY c1.id),
+         |l$i AS MATERIALIZED (
+         |  SELECT p.id, coalesce(b.lab, p.lab) AS lab
+         |  FROM l${i - 1} p LEFT JOIN b$i b ON b.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |ge AS MATERIALIZED (SELECT src, dst FROM gedges),
+       |und AS MATERIALIZED (SELECT src, dst FROM ge UNION SELECT dst, src FROM ge),
+       |l0 AS MATERIALIZED (SELECT id, CAST(id AS BIGINT) AS lab FROM gnodes),
+       |$rounds
+       |SELECT id AS $idColOut, lab AS community FROM l$iters
+       |ORDER BY $idColOut""".stripMargin
+  }
+
   /** DuckDB replay of `pageRank` as a CTE chain: `edgesCte` must bind
     * relations `gedges(src, dst)` and `gnodes(id)`; the generator
     * unrolls the synchronous iterations as r0..r{iters} CTEs with the
@@ -111,4 +212,94 @@ object Graph {
        |SELECT id AS $idColOut, CAST(r AS BIGINT) AS pr FROM r$iters
        |ORDER BY $idColOut""".stripMargin
   }
+
+  /** Per-node triangle counts over the symmetrized edge set — the
+    * local-density QA signal for a derived similarity graph: a node in
+    * many triangles sits in a tightly-knit family (boilerplate
+    * template, mirrored site), while a hub with high degree but few
+    * triangles is a genuine semantic connector. Together with degree
+    * this is the (unnormalized) clustering coefficient.
+    *
+    * Algorithm: degree orientation (the node-iterator bound). Every
+    * undirected edge is oriented from the (degree, id)-smaller toward
+    * the larger endpoint, making the graph acyclic; a triangle
+    * {x ≺ y ≺ z} then exists as the unique wedge x→y, x→z (y ≺ z)
+    * whose closing edge y→z is present. Wedges are generated only from
+    * a node's OUT-neighbors, and degree orientation bounds out-degree
+    * at O(√|E|) — so the wedge relation is O(|E|^1.5) worst case and
+    * far smaller on sparse kNN graphs, never the O(Σ deg²) a naive
+    * neighbor self-join pays on skewed hubs.
+    *
+    * Scale shape: one shuffle to build degrees, one src-keyed
+    * self-join of the cached oriented edges (wedge generation), one
+    * edge-keyed LeftSemi against the same relation (closing check) —
+    * Spark plans the closing probe as a shuffled semi join on (b, c),
+    * linear in wedges + edges. Corner counting is one explode + hash
+    * agg. Nothing crosses the driver.
+    *
+    * Contract (shared with the oracle): ids in [0, 2³²) and degree
+    * < 2³¹, so the orientation key `deg·2³² + id` stays in int64 —
+    * true for any corpus keyed by row number or a 32-bit hash
+    * namespace. */
+  def triangleCounts(
+      edges0: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nodes0: DataFrame,
+      idCol: String,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    val e = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst")).distinct()
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    // oriented edge (a, b) with the ≺-key of b carried for the wedge
+    // tie-break; 4294967296 = 2^32 packs (deg, id) into one int64
+    val o = scope.cache(und
+      .join(deg.select(col("id").as("src"), (col("d") * 4294967296L + col("id")).as("oa")), "src")
+      .join(deg.select(col("id").as("dst"), (col("d") * 4294967296L + col("id")).as("ob")), "dst")
+      .where(col("oa") < col("ob"))
+      .select(col("src").as("a"), col("dst").as("b"), col("ob")))
+    val wedges = o.select(col("a"), col("b"), col("ob").as("o1"))
+      .join(o.select(col("a"), col("b").as("c"), col("ob").as("o2")), "a")
+      .where(col("o1") < col("o2"))
+    val tri = wedges.join(
+      o.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"), "left_semi")
+    val corners = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    nodes0.select(col(idCol).as("id"))
+      .join(corners, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("n"), lit(0L)).as("n_tri"))
+  }
+
+  /** DuckDB replay of `triangleCounts`: `edgesCte` must bind
+    * `gedges(src, dst)` and `gnodes(id)`. MATERIALIZED on the derived
+    * relations for the same reason as `lpaOracleSql` — `o` is
+    * referenced three times and sits on top of the (expensive) edge
+    * chain. */
+  def triangleOracleSql(edgesCte: String, idColOut: String): String =
+    s"""$edgesCte,
+       |ge AS MATERIALIZED (SELECT src, dst FROM gedges),
+       |und AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst FROM ge UNION SELECT dst, src FROM ge) u
+       |  WHERE src <> dst),
+       |deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM und GROUP BY src),
+       |o AS MATERIALIZED (
+       |  SELECT u.src AS a, u.dst AS b, dd.d * 4294967296 + u.dst AS ob
+       |  FROM und u
+       |  JOIN deg ds ON ds.id = u.src
+       |  JOIN deg dd ON dd.id = u.dst
+       |  WHERE ds.d * 4294967296 + u.src < dd.d * 4294967296 + u.dst),
+       |tri AS MATERIALIZED (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.ob < e2.ob
+       |  WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.a = e1.b AND e3.b = e2.b)),
+       |corners AS (
+       |  SELECT a AS id FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri),
+       |cc AS (SELECT id, count(*) AS n FROM corners GROUP BY id)
+       |SELECT g.id AS $idColOut, CAST(coalesce(cc.n, 0) AS BIGINT) AS n_tri
+       |FROM gnodes g LEFT JOIN cc ON cc.id = g.id
+       |ORDER BY $idColOut""".stripMargin
 }

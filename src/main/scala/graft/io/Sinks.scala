@@ -59,6 +59,101 @@ object Sinks {
       changes.where(not(col(deletedCol))).drop(deletedCol))
   }
 
+  /** Commit one version of a log-structured snapshot table — the
+    * merge-on-read complement to `mergeSnapshot`'s copy-on-write: a
+    * commit APPENDS its rows (upserts + tombstones) as the hive
+    * partition directory `path/__v=<version>/` and never touches any
+    * earlier version's files, so per-commit cost is O(batch) at any
+    * table size — the same append-only discipline as
+    * `Search.updateTextIndex`'s delta partitions. Version 0 is the
+    * initial snapshot. A key appears at most once per version (caller
+    * contract — a CDC batch is already key-deduplicated).
+    *
+    * The version lives in the DIRECTORY NAME, not row data: a read at
+    * `asOf` prunes newer commits at file-LISTING time
+    * (`PartitionFilters`), before any footer is opened — time travel
+    * is metadata-only planning. */
+  def writeVersion(
+      changes: DataFrame,
+      path: String,
+      version: Long,
+      deletedCol: String = "__deleted"): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(version >= 0, s"version must be >= 0: $version")
+    val withFlag =
+      if (changes.columns.contains(deletedCol))
+        changes.withColumnRenamed(deletedCol, "__deleted")
+      else changes.withColumn("__deleted", lit(false))
+    withFlag.withColumn("__deleted", col("__deleted").cast("boolean"))
+      .write.mode("errorifexists")
+      .parquet(path.stripSuffix("/") + s"/__v=$version")
+  }
+
+  /** Next free version number = 1 + max committed (0 for a fresh path). */
+  def nextVersion(spark: SparkSession, path: String): Long = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("__v="))
+      .map(_.stripPrefix("__v=").toLong)
+      .foldLeft(-1L)(math.max) + 1L
+  }
+
+  /** Reconstruct the snapshot as of `asOf`: of each key's row versions
+    * with `__v <= asOf`, the LATEST wins; a winning tombstone deletes
+    * the key (so a later re-insert revives it — last-writer-wins over
+    * the full commit log, the Hudi/Delta merge-on-read read path).
+    *
+    * Scale shape: the version predicate prunes newer commit
+    * directories during listing, then resolution is ONE key-partitioned
+    * window over base ∪ surviving deltas — the read-side cost
+    * merge-on-read deliberately accepts to make commits O(batch).
+    * Serving layers that read far more often than they commit fold the
+    * log down with `compactVersions` and pay the window over one base
+    * + few deltas. */
+  def readSnapshotAt(
+      spark: SparkSession,
+      path: String,
+      asOf: Long,
+      keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, not, row_number}
+    val all = spark.read.parquet(path)
+      .where(col("__v").cast("long") <= asOf)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").cast("long").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && not(col("__deleted")))
+      .drop("__rn", "__v", "__deleted")
+  }
+
+  /** Fold commits 0..`upTo` into a single resolved base partition:
+    * rewrites `__v=upTo` as the materialized snapshot and drops the
+    * older directories (write-then-swap via a temp dir, so a crash
+    * never leaves the table truncated). Reads at any `asOf >= upTo`
+    * are unchanged; history BEFORE `upTo` is retired — the retention
+    * trade every log-structured table format makes. */
+  def compactVersions(
+      spark: SparkSession,
+      path: String,
+      upTo: Long,
+      keyCol: String): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val resolved = readSnapshotAt(spark, path, upTo, keyCol)
+      .withColumn("__deleted", lit(false))
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path.stripSuffix("/") + s".compacting_v$upTo")
+    resolved.write.mode("overwrite").parquet(tmp.toString)
+    fs.listStatus(root).map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("__v=") &&
+          p.getName.stripPrefix("__v=").toLong <= upTo
+      }
+      .foreach(fs.delete(_, true))
+    fs.rename(tmp, new Path(root, s"__v=$upTo"))
+  }
+
   /** Persist a table bucketed (and sorted) by join/aggregation keys —
     * the layout a 100 TB deployment pre-materializes so repeated joins
     * and aggregations on those keys read co-located buckets and plan

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Graph
+import graft.ops.FuzzyJoin
+
+/** Round-9 additions: label propagation (community detection), the
+  * deletion-neighborhood fuzzy join, and log-structured versioned
+  * snapshots (merge-on-read time travel). Each op gets a semantic twin
+  * (local replay / brute force) plus the structural guarantee its
+  * scaladoc claims (append-only commits, exact candidate superset). */
+class R9bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("labelPropagation matches a local synchronous-argmax replay on a known graph") {
+    // two triangles bridged by one edge: LPA must keep the families
+    // apart (bridge ties never outvote two in-family neighbors)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L))
+      .toDF("src", "dst")
+    val nodes = (1L to 7L).toDF("id") // 7 is isolated
+    val got = Graph.labelPropagation(edges, "src", "dst", nodes, "id")
+      .as[(Long, Long)].collect().toMap
+
+    // local replay of the exact contract: symmetrized distinct edges,
+    // 4 rounds, winner = max count then min label, isolated keeps own
+    val und = edges.as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    var labs = (1L to 7L).map(i => i -> i).toMap
+    for (_ <- 1 to Graph.defaultLpaIters) {
+      val byDst = und.groupBy(_._2)
+      labs = labs.map { case (id, old) =>
+        byDst.get(id) match {
+          case None => id -> old
+          case Some(es) =>
+            val counts = es.map(e => labs(e._1))
+              .groupBy(identity).map { case (l, g) => (l, g.size) }
+            val maxC = counts.values.max
+            id -> counts.collect { case (l, c) if c == maxC => l }.min
+        }
+      }
+    }
+    assert(got == labs, s"got $got, local replay $labs")
+    // the semantic point: the two triangles end in different communities,
+    // the isolated node keeps its own label
+    assert(Set(1L, 2L, 3L).map(got).size == 1, "left triangle split")
+    assert(Set(4L, 5L, 6L).map(got).size == 1, "right triangle split")
+    assert(got(1L) != got(4L), "bridge merged the two families")
+    assert(got(7L) == 7L, "isolated node lost its label")
+  }
+
+  test("labelPropagation is deterministic across runs and linear-plan per round (no lineage growth)") {
+    val emb = io.Tables(spark, sf, "embeddings").limit(64)
+    val edges = emb.select(col("vec_id").as("src"), (col("vec_id") / 2).cast("long").as("dst"))
+    def run() = Graph.labelPropagation(edges, "src", "dst", emb, "vec_id")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(run() == run(), "two runs disagreed — argmax tie-break is not total")
+    spark.catalog.clearCache()
+  }
+
+  test("editDist1SelfPairs equals the brute-force levenshtein join (recall 1.0 by construction)") {
+    val rows = Seq(
+      (1L, "smith"), (2L, "smyth"),   // substitution
+      (3L, "smithh"),                 // insertion vs 1
+      (4L, "smith"),                  // exact dup of 1
+      (5L, "mith"),                   // deletion vs 1
+      (6L, "jones"),                  // far from everything
+      (7L, ""),                       // empty string edge case
+      (8L, "a"))                      // dist(«», «a») = 1
+      .toDF("id", "nm")
+    val got = FuzzyJoin.editDist1SelfPairs(rows, "id", "nm")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val brute = rows.as("a")
+      .crossJoin(rows.withColumnRenamed("id", "id2").withColumnRenamed("nm", "nm2"))
+      .where(col("id") < col("id2") && levenshtein(col("nm"), col("nm2")) <= 1)
+      .select(col("id"), col("id2"), levenshtein(col("nm"), col("nm2")).cast("long"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == brute, s"blocked join missed or invented pairs:\ngot   $got\nbrute $brute")
+    assert(got.nonEmpty, "fixture produced no pairs — test is vacuous")
+  }
+
+  test("editDist1SelfPairs on the supplier fixture equals brute force") {
+    val sup = io.Tables(spark, sf, "supplier")
+    val got = FuzzyJoin.editDist1SelfPairs(sup, "s_suppkey", "s_name")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val names = sup.select(col("s_suppkey"), col("s_name"))
+    val brute = names.as("a")
+      .crossJoin(names.select(col("s_suppkey").as("k2"), col("s_name").as("n2")))
+      .where(col("s_suppkey") < col("k2") && levenshtein(col("s_name"), col("n2")) <= 1)
+      .select(col("s_suppkey"), col("k2"), levenshtein(col("s_name"), col("n2")).cast("long"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == brute)
+    spark.catalog.clearCache()
+  }
+
+  test("versioned snapshots: commits are append-only, time travel resolves last-writer-wins incl. tombstone revival") {
+    val dir = java.nio.file.Files.createTempDirectory("ttspec").toString + "/tbl"
+    val v0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    io.Sinks.writeVersion(v0, dir, 0)
+    assert(io.Sinks.nextVersion(spark, dir) == 1L)
+    def files(): Map[String, (Long, Long)] = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).filter(_.isDirectory).flatMap(d => fs.listStatus(d.getPath))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map(s => s.getPath.toString -> (s.getLen, s.getModificationTime)).toMap
+    }
+    val before = files()
+    // v1: update k=1, tombstone k=2, insert k=4
+    io.Sinks.writeVersion(
+      Seq((1L, "a2", false), (2L, "b", true), (4L, "d", false))
+        .toDF("k", "s", "__deleted"),
+      dir, io.Sinks.nextVersion(spark, dir))
+    // v2: revive k=2 over its tombstone, tombstone k=4
+    io.Sinks.writeVersion(
+      Seq((2L, "b3", false), (4L, "d", true)).toDF("k", "s", "__deleted"),
+      dir, io.Sinks.nextVersion(spark, dir))
+    val after = files()
+    assert(before.forall { case (p, sig) => after.get(p).contains(sig) },
+      "a commit rewrote an earlier version's files — commits must be append-only")
+    def read(asOf: Long) = io.Sinks.readSnapshotAt(spark, dir, asOf, "k")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(read(0) == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(read(1) == Seq((1L, "a2"), (3L, "c"), (4L, "d")))
+    assert(read(2) == Seq((1L, "a2"), (2L, "b3"), (3L, "c")),
+      "v2 must revive k=2 over the v1 tombstone and delete k=4")
+    // a version-pruned read never lists newer commit directories: the
+    // partition filter must remove __v=2 from the v1 scan
+    val scan = io.Sinks.readSnapshotAt(spark, dir, 1, "k")
+      .queryExecution.executedPlan.toString
+    assert(!scan.contains("__v=2"), s"asOf=1 read still scans __v=2:\n$scan")
+  }
+
+  test("compactVersions folds the log without changing reads at or after the horizon") {
+    val dir = java.nio.file.Files.createTempDirectory("ttcomp").toString + "/tbl"
+    io.Sinks.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir, 0)
+    io.Sinks.writeVersion(
+      Seq((1L, "a2", false), (3L, "c", false)).toDF("k", "s", "__deleted"), dir, 1)
+    io.Sinks.writeVersion(
+      Seq((2L, "x", true)).toDF("k", "s", "__deleted"), dir, 2)
+    val at2 = io.Sinks.readSnapshotAt(spark, dir, 2, "k")
+      .as[(Long, String)].collect().sorted.toSeq
+    io.Sinks.compactVersions(spark, dir, upTo = 1, keyCol = "k")
+    // history >= horizon unchanged; directories below it are gone
+    assert(io.Sinks.readSnapshotAt(spark, dir, 2, "k")
+      .as[(Long, String)].collect().sorted.toSeq == at2)
+    assert(io.Sinks.readSnapshotAt(spark, dir, 1, "k")
+      .as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("__v=")).sorted.toSeq
+    assert(dirs == Seq("__v=1", "__v=2"), s"expected compacted {1,2}, got $dirs")
+  }
+}

@@ -694,6 +694,16 @@ object ExtQueries {
     // variant sets, candidate join, and levenshtein verify
     "join_fuzzy_blocked" ->
       graft.ops.FuzzyJoin.editDist1OracleSql("supplier", "s_suppkey", "s_name"),
+    // per-node triangles over the same derived kNN graph: the oracle
+    // rebuilds the index + edges, then replays the degree orientation,
+    // wedge join, and closing-edge EXISTS
+    "graph_triangles" ->
+      Graph.triangleOracleSql(
+        s"""WITH $ivfAssignSqlDerivedK,
+           |$knnRankedSql,
+           |gedges AS (SELECT probe_id AS src, vec_id AS dst FROM ranked WHERE rn <= 5),
+           |gnodes AS (SELECT vec_id AS id FROM qv)""".stripMargin,
+        "vec_id"),
     // hybrid retrieval rebuilt from scratch: the shared integer-BM25
     // CTEs, the dense leg's quantized dot, the identical integer RRF
     "search_hybrid_rrf" ->
@@ -1664,6 +1674,36 @@ object ExtQueries {
          |FROM s JOIN g ON s.source = g.source AND s.q_micro = g.q_micro
          |WHERE g.higher * 1000 < g.n * 300
          |ORDER BY s.doc_id""".stripMargin,
+    // per-source percentile normalization: the identical micro-score
+    // CTEs, then strictly-below permille off the distinct-score
+    // cumulative histogram
+    "text_quality_pctl" ->
+      s"""WITH f AS (SELECT doc_id, source, $tokSql AS tk, text FROM documents),
+         |m AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(tk) AS BIGINT) AS nt,
+         |         CAST(len(list_filter(tk, x -> list_contains([$stopwordsSql], x))) AS BIGINT) AS nsw,
+         |         CAST(length(text) AS BIGINT) AS nch,
+         |         CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS npunct
+         |  FROM f),
+         |s AS (
+         |  SELECT doc_id, source,
+         |         least(nt, 100)*5000
+         |         + (CASE WHEN nt = 0 THEN 0 ELSE (nsw*300000)//nt END)
+         |         + 200000
+         |         - (CASE WHEN nch = 0 THEN 0 ELSE (npunct*200000)//nch END) AS q_micro
+         |  FROM m),
+         |h AS (SELECT source, q_micro, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+         |g AS (
+         |  SELECT source, q_micro,
+         |         coalesce(sum(c) OVER (PARTITION BY source ORDER BY q_micro
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         |         sum(c) OVER (PARTITION BY source) AS n
+         |  FROM h)
+         |SELECT s.doc_id, s.source, CAST(s.q_micro AS BIGINT) AS q_micro,
+         |       CAST((g.below * 1000) // greatest(g.n - 1, 1) AS BIGINT) AS pctl_permille
+         |FROM s JOIN g ON s.source = g.source AND s.q_micro = g.q_micro
+         |ORDER BY s.doc_id""".stripMargin,
     // batch twin of the streaming dedup state: per-fingerprint min id +
     // group size
     "stream_dedup" ->
@@ -1847,6 +1887,34 @@ object ExtQueries {
         |FROM sp CROSS JOIN k
         |LEFT JOIN c ON c.b = sp.b AND c.event_type = k.event_type
         |ORDER BY hour_ts, k.event_type""".stripMargin,
+    // trailing-24h anomaly flags over the dense grid: the gap-fill
+    // CTEs plus one trailing window, the identical integer threshold
+    "events_anomaly" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS b, event_type, count(*) AS n
+        |  FROM events GROUP BY b, event_type),
+        |sp AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT date_trunc('hour', min(ts)) FROM events),
+        |    (SELECT date_trunc('hour', max(ts)) FROM events),
+        |    INTERVAL 1 HOUR)) AS b),
+        |k AS (SELECT DISTINCT event_type FROM events),
+        |dense AS (
+        |  SELECT sp.b, k.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |  FROM sp CROSS JOIN k
+        |  LEFT JOIN c ON c.b = sp.b AND c.event_type = k.event_type),
+        |w AS (
+        |  SELECT b, event_type, n,
+        |         coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY b
+        |           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS base_n,
+        |         count(*) OVER (PARTITION BY event_type ORDER BY b
+        |           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base_rows
+        |  FROM dense)
+        |SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type, n,
+        |       CAST(base_n AS BIGINT) AS base_n,
+        |       CAST(CASE WHEN base_rows = 24 AND n * 100 * 24 > 300 * base_n
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_anom
+        |FROM w ORDER BY hour_ts, event_type""".stripMargin,
     "stream_topk_users" ->
       """WITH c AS (
         |  SELECT date_trunc('hour', ts) AS hr, user_id, count(*) AS n
@@ -2147,6 +2215,15 @@ object ExtQueries {
           t(s, dir, "documents"), "doc_id", "text", "source")
         .orderBy("doc_id")
     },
+    "text_quality_pctl" -> { (s, dir) =>
+      // cross-source-comparable quality: per-source percentile rank in
+      // integer permille via the distinct-score histogram — one score
+      // pass, a window over the bounded histogram, a broadcast join
+      // back; never a per-document rank window (one reducer per source)
+      TextAnalysis.qualityPercentiles(
+          t(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("doc_id")
+    },
     "text_tokens" -> { (s, dir) =>
       t(s, dir, "documents")
         .select(
@@ -2254,6 +2331,16 @@ object ExtQueries {
       graft.ops.FuzzyJoin.editDist1SelfPairs(
           t(s, dir, "supplier"), "s_suppkey", "s_name")
         .orderBy("id1", "id2")
+    },
+    "graph_triangles" -> { (s, dir) =>
+      // local-density QA over the derived similarity graph: per-node
+      // triangle counts via degree orientation — wedges only from
+      // out-neighbors (bounded O(|E|^1.5) worst case), closing edges
+      // checked with one edge-keyed semi join, corners one hash agg
+      val emb = t(s, dir, "embeddings")
+      val edges = Similarity.knnGraphIvf(emb, "vec_id", "embedding", k = 5)
+      Graph.triangleCounts(edges, "probe_id", "vec_id", emb, "vec_id")
+        .orderBy("vec_id")
     },
     "search_index_bm25" -> { (s, dir) =>
       // the serving form of search_bm25: build + persist the inverted
@@ -2468,6 +2555,17 @@ object ExtQueries {
         .select(
           date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
           col("event_type"), col("n"))
+        .orderBy("hour_ts", "event_type")
+    },
+    "events_anomaly" -> { (s, dir) =>
+      // ingest monitoring: a bucket flags iff it exceeds 300% of its
+      // own trailing-24h mean with a FULL baseline — all integer, so
+      // the flag replays; the window runs over the dense grid, never
+      // the raw events
+      graft.ops.TimeSeries.anomalyFlags(t(s, dir, "events"), "ts", "event_type")
+        .select(
+          date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          col("event_type"), col("n"), col("base_n"), col("is_anom"))
         .orderBy("hour_ts", "event_type")
     },
     "stream_topk_users" -> { (s, dir) =>

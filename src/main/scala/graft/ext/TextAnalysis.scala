@@ -637,4 +637,41 @@ object TextAnalysis {
     scored.join(broadcast(gate), Seq(srcCol, "q_micro"))
       .select(col(idCol), col(srcCol), col("q_micro"))
   }
+
+  /** Per-source percentile normalization of the quality score — the
+    * step that makes thresholds COMPARABLE across sources: raw
+    * `q_micro` distributions differ per source (a forum corpus and an
+    * encyclopedia corpus have different punctuation baselines), so a
+    * global cut systematically starves some sources; the percentile
+    * rank within each source is the score a mixture policy can
+    * threshold uniformly ("keep every source's top 30%" = one
+    * predicate on one column). `pctl_permille = (strictly-below ·
+    * 1000) div max(n_source − 1, 1)` — ties share a percentile, the
+    * per-source max scores 1000, a singleton source scores 0 — all
+    * int64, so the rank replays externally.
+    *
+    * Scale shape: the same histogram discipline as
+    * `qualityFilterBySource` — NOT a per-doc rank window (one reducer
+    * per source at corpus scale): one (source, score) hash agg, the
+    * cumulative window over the BOUNDED distinct-score histogram, and
+    * a broadcast join of the (source, score → permille) map back onto
+    * the scored relation. The 100 TB cost is the scoring pass. */
+  def qualityPercentiles(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      srcCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityMicroScores(docs, idCol, textCol, srcCol)
+    val hist = scored.groupBy(srcCol, "q_micro").agg(count(lit(1)).as("c"))
+    val below = Window.partitionBy(srcCol).orderBy(col("q_micro"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = hist
+      .withColumn("below", coalesce(sum(col("c")).over(below), lit(0L)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(srcCol)))
+      .select(col(srcCol), col("q_micro"),
+        expr("(below * 1000) div greatest(n - 1, 1L)").as("pctl_permille"))
+    scored.join(broadcast(ranks), Seq(srcCol, "q_micro"))
+      .select(col(idCol), col(srcCol), col("q_micro"), col("pctl_permille"))
+  }
 }

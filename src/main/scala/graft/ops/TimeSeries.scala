@@ -97,6 +97,50 @@ object TimeSeries {
     }.reduce(_.unionByName(_))
   }
 
+  /** Trailing-window anomaly flags over the dense per-key series — the
+    * ingest-monitoring primitive a pipeline runs on its event volumes
+    * (a source whose hourly doc count triples against its own trailing
+    * day is a crawl loop or an upstream dump, either way a quarantine
+    * candidate). A bucket is anomalous iff the full trailing baseline
+    * exists (`window` prior buckets — partial baselines at the series
+    * head never flag), the count clears the noise floor `minCount`,
+    * and `n · 100 · window > thresholdPct · Σ baseline` — i.e. the
+    * bucket exceeds thresholdPct% of its trailing mean, stated in
+    * integers so the flag replays externally (no float mean crosses
+    * the engine boundary).
+    *
+    * Scale shape: inherits `gapFillCounts` — the event table pays one
+    * aggregation pass, and the trailing window runs over the DENSE
+    * spine×key grid (time-range/unit × ≤maxKeys rows), never the
+    * events; per-key series are modest at any corpus size, so the
+    * partitioned window is safe where a raw-event window would not be.
+    * Returns every grid cell: (bucket_ts, key, n, base_n, is_anom
+    * 0/1). */
+  def anomalyFlags(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      unit: String = "hour",
+      window: Int = 24,
+      thresholdPct: Long = 300L,
+      minCount: Long = 0L,
+      maxKeys: Int = 4096): DataFrame = {
+    require(window >= 1 && thresholdPct > 0,
+      s"need window >= 1 and thresholdPct > 0; got $window/$thresholdPct")
+    val dense = gapFillCounts(df, tsCol, keyCol, unit, maxKeys)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
+      .rowsBetween(-window, -1)
+    dense
+      .withColumn("base_n", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("base_rows", count(lit(1)).over(w))
+      .withColumn("is_anom",
+        when(col("base_rows") === window && col("n") >= minCount &&
+          col("n") * 100L * window > lit(thresholdPct) * col("base_n"), 1L)
+          .otherwise(0L))
+      .drop("base_rows")
+  }
+
   /** Retention cohorts: users grouped by first-active day, counted at
     * each day offset they returned within `maxOffsetDays`. One
     * aggregation derives the cohorts, one distinct the activity days —

@@ -134,6 +134,81 @@ class R9bOpsSpec extends SparkSpec {
     assert(!scan.contains("__v=2"), s"asOf=1 read still scans __v=2:\n$scan")
   }
 
+  test("triangleCounts matches hand counts on a known graph and a local recompute on the fixture") {
+    // K4 minus one edge on {1,2,3,4} (missing 1-4): triangles {1,2,3}
+    // and {2,3,4}; nodes 2,3 in both, 1 and 4 in one, 5 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val nodes = (1L to 5L).toDF("id")
+    val got = Graph.triangleCounts(edges, "src", "dst", nodes, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 0L), s"got $got")
+
+    // fixture twin: local adjacency-set recompute over the kNN edges
+    val emb = io.Tables(spark, sf, "embeddings")
+    val kEdges = graft.ext.Similarity.knnGraphIvf(emb, "vec_id", "embedding", k = 3)
+    val es = kEdges.select(col("probe_id"), col("vec_id"))
+      .as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(e => e._1 != e._2).distinct
+    val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val ids = emb.select(col("vec_id")).as[Long].collect().sorted
+    val local = ids.map { v =>
+      val nb = adj.getOrElse(v, Set.empty).toSeq
+      v -> nb.combinations(2).count(p => adj(p(0)).contains(p(1))).toLong
+    }.toMap
+    val spark2 = Graph.triangleCounts(kEdges, "probe_id", "vec_id", emb, "vec_id")
+      .as[(Long, Long)].collect().toMap
+    assert(spark2 == local, "distributed triangle counts diverge from local recompute")
+    assert(spark2.values.sum > 0, "fixture graph has no triangles — test is vacuous")
+    spark.catalog.clearCache()
+  }
+
+  test("anomalyFlags: spike over a full baseline flags, series head and proportional growth never do") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-${1 + h / 24}%02d ${h % 24}%02d:00:00")
+    // key A: 2/hour for 24h, then a 10x spike at hour 24
+    // key B: constant 5/hour — must never flag
+    val rows =
+      (0 until 24).flatMap(h => Seq.fill(2)(("A", ts(h)))) ++
+        Seq.fill(20)(("A", ts(24))) ++
+        (0 until 25).flatMap(h => Seq.fill(5)(("B", ts(h))))
+    val df = rows.toDF("k", "t")
+    val got = graft.ops.TimeSeries.anomalyFlags(df, "t", "k")
+      .select(col("bucket_ts"), col("k"), col("n"), col("base_n"), col("is_anom"))
+      .as[(java.sql.Timestamp, String, Long, Long, Long)].collect()
+    val flagged = got.filter(_._5 == 1L).toSeq
+    assert(flagged.map(r => (r._2, r._1)) == Seq(("A", ts(24))),
+      s"expected exactly A@h24 to flag, got $flagged")
+    val spike = flagged.head
+    assert(spike._3 == 20L && spike._4 == 48L, s"spike row carries wrong counts: $spike")
+    // hours 0..23 have partial baselines — none may flag even though
+    // hour 0's trailing sum is 0
+    assert(got.filter(r => r._1.before(ts(24))).forall(_._5 == 0L),
+      "a partial-baseline bucket flagged")
+  }
+
+  test("qualityPercentiles: permille law vs a local recompute; bounds, tie-sharing, monotonicity") {
+    val docs = io.Tables(spark, sf, "documents")
+    val got = graft.ext.TextAnalysis.qualityPercentiles(docs, "doc_id", "text", "source")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got.size == docs.count(), "a doc was dropped or duplicated")
+    // local recompute of (strictly-below * 1000) div max(n-1, 1)
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val n = rows.size.toLong
+      rows.foreach { case (id, _, q, p) =>
+        val below = rows.count(_._3 < q).toLong
+        val want = below * 1000L / math.max(n - 1, 1L)
+        assert(p == want, s"doc $id in $src: pctl $p != $want (below=$below n=$n)")
+      }
+      // ties share a percentile; ranks are monotone in the score
+      val byScore = rows.groupBy(_._3).view.mapValues(_.map(_._4).distinct).toMap
+      assert(byScore.values.forall(_.size == 1), s"$src: tied scores got distinct permilles")
+      val sorted = byScore.toSeq.sortBy(_._1).map(_._2.head)
+      assert(sorted == sorted.sorted, s"$src: permille not monotone in score")
+    }
+    assert(got.forall(r => r._4 >= 0 && r._4 <= 1000), "permille out of [0, 1000]")
+    spark.catalog.clearCache()
+  }
+
   test("compactVersions folds the log without changing reads at or after the horizon") {
     val dir = java.nio.file.Files.createTempDirectory("ttcomp").toString + "/tbl"
     io.Sinks.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir, 0)

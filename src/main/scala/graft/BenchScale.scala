@@ -236,7 +236,37 @@ object BenchScale {
       // spectrum (each gram's df stays constant as copies multiply)
       ("dedup_jaccard_pairs", Int.MaxValue, (docs0, emb0, f) =>
         ext.Dedup.jaccardPairs(inflateDocs(docs0, f), "doc_id", "text",
-          shingleN = 3, threshold = 0.5)))
+          shingleN = 3, threshold = 0.5)),
+      // LPA over the kNN graph (round 9): same substrate as
+      // graph_pagerank (the IVF-blocked kNN build dominates), plus 4
+      // label rounds each linear in the 10n symmetrized edges — the
+      // delta over pagerank's row isolates the per-round argmax cost
+      ("graph_communities", Int.MaxValue, (docs0, emb0, f) => {
+        val infl = inflateEmbeddings(emb0, f)
+        ext.Graph.labelPropagation(
+          ext.Similarity.knnGraphIvf(infl, "vec_id", "embedding", k = 5),
+          "probe_id", "vec_id", infl, "vec_id")
+      }),
+      // degree-oriented triangles (round 9): on a kNN graph degrees
+      // are ~2k regardless of n, so the wedge relation — the
+      // O(|E|^1.5) worst case — is LINEAR here; the probe watches the
+      // orientation bound deliver that, on top of the same kNN build
+      ("graph_triangles", Int.MaxValue, (docs0, emb0, f) => {
+        val infl = inflateEmbeddings(emb0, f)
+        ext.Graph.triangleCounts(
+          ext.Similarity.knnGraphIvf(infl, "vec_id", "embedding", k = 5),
+          "probe_id", "vec_id", infl, "vec_id")
+      }),
+      // deletion-neighborhood fuzzy join (round 9) on 8-char hex keys
+      // derived from the inflated ids: the variant relation is 9 rows
+      // per key and candidates are birthday-rare, so the probe
+      // isolates the two-shuffle (variant join + pair distinct) cost —
+      // the claim is a linear slope with no all-pairs component
+      ("join_fuzzy_blocked", Int.MaxValue, (docs0, emb0, f) =>
+        ops.FuzzyJoin.editDist1SelfPairs(
+          inflateDocs(docs0, f).select(col("doc_id"),
+            substring(md5(col("doc_id").cast("string")), 1, 8).as("k8")),
+          "doc_id", "k8")))
 
     // ONE FRESH SparkContext PER (KERNEL, FACTOR) — the round-8
     // refinement of the per-kernel recycling above. AuditR8 showed the

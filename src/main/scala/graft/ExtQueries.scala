@@ -1872,6 +1872,29 @@ object ExtQueries {
          |        FROM r WHERE rn <= 256) AS ndv_est
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"),
+    // constraint report replay: per rule one conditional-sum (or
+    // count-minus-distinct) scalar, identical violation semantics
+    // incl. null-predicate-counts-as-violation
+    "stats_constraints" ->
+      """SELECT 'doc_id_not_null' AS rule,
+        |       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM documents
+        |UNION ALL SELECT 'n_chars_consistent',
+        |       CAST(sum(CASE WHEN n_chars IS NULL OR n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents
+        |UNION ALL SELECT 'lang_in_domain',
+        |       CAST(sum(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents
+        |UNION ALL SELECT 'text_min_100_chars',
+        |       CAST(sum(CASE WHEN text IS NULL OR length(text) < 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents
+        |UNION ALL SELECT 'doc_id_unique',
+        |       CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+        |FROM documents
+        |UNION ALL SELECT 'lang_source_unique',
+        |       CAST(count(*) - count(DISTINCT (lang, source)) AS BIGINT)
+        |FROM documents
+        |ORDER BY rule""".stripMargin,
     "events_gapfill" ->
       """WITH c AS (
         |  SELECT date_trunc('hour', ts) AS b, event_type, count(*) AS n
@@ -2546,6 +2569,24 @@ object ExtQueries {
       // state), unpivoted to the stats-table shape a CBO consumes
       graft.ops.Sketches.analyzeColumns(t(s, dir, "lineitem"), statsCols)
         .orderBy("col_name")
+    },
+    "stats_constraints" -> { (s, dir) =>
+      // declarative admission gate: every row rule a conditional sum
+      // in ONE aggregation pass, uniqueness riding the same agg as
+      // count(*) - count_distinct; the lang_source_unique rule is
+      // deliberately violated so the report proves it counts, not
+      // just flags
+      val d = t(s, dir, "documents")
+      graft.ops.Constraints.check(d,
+          rowRules = Seq(
+            "doc_id_not_null" -> col("doc_id").isNull,
+            "n_chars_consistent" -> (col("n_chars") =!= length(col("text"))),
+            "lang_in_domain" -> !col("lang").isin("de", "en", "es", "fr", "zh"),
+            "text_min_100_chars" -> (length(col("text")) < 100)),
+          uniqueKeys = Seq(
+            "doc_id_unique" -> Seq("doc_id"),
+            "lang_source_unique" -> Seq("lang", "source")))
+        .orderBy("rule")
     },
     "events_gapfill" -> { (s, dir) =>
       // dense-resample of the hourly rollup: every (hour, type) cell

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Declarative data-quality constraint checking — the admission gate a
+  * 100 TB ingest runs before a batch joins the corpus (the Deequ/
+  * Great-Expectations workload, expressed as one Spark aggregate). The
+  * reference validates records imperatively inside map functions; a
+  * declarative rule set makes the validation itself data: each rule is
+  * a name plus a VIOLATION predicate, and the report is one row per
+  * rule with its violation count — zero means the batch honors the
+  * contract.
+  *
+  * Scale shape: every row-level rule compiles to a conditional sum
+  * inside ONE aggregation pass — adding rules adds columns to the
+  * partial aggregate (a handful of longs of state each), never passes
+  * over the data. Key-uniqueness cannot be a row predicate; it rides
+  * the SAME `agg` as `count(*) − count_distinct(key)` (violations =
+  * surplus rows beyond their key's first), which Spark plans as one
+  * expand + hash aggregate — an unavoidable distinct exchange on the
+  * key, the honest minimum for exact uniqueness. The one stats row is
+  * then unpivoted with `stack` (the `analyzeColumns` discipline). */
+object Constraints {
+
+  /** One-pass constraint report: `(rule, n_violations)` per rule, in
+    * the given order (rule names must be unique and SQL-literal-safe).
+    * `rowRules` pair a name with the predicate that marks a VIOLATING
+    * row (null predicate results count as violations — an unexpected
+    * null is never silently compliant); `uniqueKeys` pair a name with
+    * the column set that must be row-unique. */
+  def check(
+      df: DataFrame,
+      rowRules: Seq[(String, Column)],
+      uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
+    val names = rowRules.map(_._1) ++ uniqueKeys.map(_._1)
+    require(names.nonEmpty, "need at least one rule")
+    require(names.distinct.size == names.size, s"duplicate rule names in $names")
+    require(names.forall(n => !n.contains("'") && !n.contains("\\")),
+      "rule names must be SQL-literal-safe")
+    val aggs =
+      rowRules.zipWithIndex.map { case ((_, violated), i) =>
+        sum(when(coalesce(violated, lit(true)), 1L).otherwise(0L)).as(s"__v_$i")
+      } ++
+        uniqueKeys.zipWithIndex.map { case ((_, cols), i) =>
+          (count(lit(1)) - count_distinct(struct(cols.map(col): _*)))
+            .as(s"__u_$i")
+        }
+    val fields = rowRules.zipWithIndex.map { case ((n, _), i) => s"'$n', __v_$i" } ++
+      uniqueKeys.zipWithIndex.map { case ((n, _), i) => s"'$n', __u_$i" }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${fields.size}, ${fields.mkString(", ")}) AS (rule, n_violations)"))
+  }
+
+  /** Schema-drift report for an evolving table: how `batch`'s schema
+    * differs from the table's current `base` schema, one row per
+    * drifted column — `added` (new in the batch; parquet absorbs it,
+    * earlier files null-fill on merged reads), `dropped` (absent from
+    * the batch; the batch's files null-fill), or `retyped` (same name,
+    * different type — the ONE drift `mergeSchema` cannot reconcile,
+    * so it must fail at the admission gate, not as a read-time merge
+    * error after the batch landed). Pure driver-side metadata — zero
+    * jobs, O(|schema|) — the schema-level sibling of [[check]]'s
+    * row-level gate. Comparison is by lowercase name (Spark's
+    * resolution default) and DDL type string (nested types compare
+    * structurally). */
+  def schemaDrift(base: StructType, batch: StructType): Seq[(String, String, String)] = {
+    def m(s: StructType) =
+      s.fields.map(f => f.name.toLowerCase -> f.dataType.sql).toMap
+    val (b, n) = (m(base), m(batch))
+    val added = (n.keySet -- b.keySet).toSeq.sorted
+      .map(c => (c, "added", n(c)))
+    val dropped = (b.keySet -- n.keySet).toSeq.sorted
+      .map(c => (c, "dropped", b(c)))
+    val retyped = (b.keySet & n.keySet).toSeq.sorted
+      .collect { case c if b(c) != n(c) => (c, "retyped", s"${b(c)} -> ${n(c)}") }
+    added ++ dropped ++ retyped
+  }
+
+  /** Admission wrapper: throws on `retyped` drift (the irreconcilable
+    * kind), returns the benign drift rows for the caller's audit log. */
+  def requireCompatible(base: StructType, batch: StructType): Seq[(String, String, String)] = {
+    val drift = schemaDrift(base, batch)
+    val bad = drift.filter(_._2 == "retyped")
+    require(bad.isEmpty, s"retyped columns cannot evolve in place: $bad")
+    drift
+  }
+}

@@ -209,6 +209,79 @@ class R9bOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("Constraints.check: engineered violations count exactly; null predicates violate; one job") {
+    val d = Seq(
+      (1L, "ok", 10L),
+      (2L, null.asInstanceOf[String], 5L),
+      (2L, "dup", 5L),
+      (3L, "x", 99L))
+      .toDF("id", "s", "v")
+    val got = graft.ops.Constraints.check(d,
+        rowRules = Seq(
+          "s_not_null" -> col("s").isNull,
+          "v_max_50" -> (col("v") > 50L),
+          // length(null) is null → predicate null → must COUNT (an
+          // unexpected null is never silently compliant)
+          "v_within_len" -> (col("v") > length(col("s")))),
+        uniqueKeys = Seq(
+          "id_unique" -> Seq("id"),
+          "id_s_unique" -> Seq("id", "s")))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "s_not_null" -> 1L,
+      "v_max_50" -> 1L,
+      "v_within_len" -> 4L, // 10>2, null→violation, 5>3, 99>1
+      "id_unique" -> 1L,    // id 2 twice
+      "id_s_unique" -> 0L))
+    // duplicate rule names and empty rule sets fail loud
+    intercept[IllegalArgumentException] {
+      graft.ops.Constraints.check(d, Seq("a" -> col("id").isNull, "a" -> col("s").isNull))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Constraints.check(d, Nil, Nil)
+    }
+  }
+
+  test("schema evolution: drift report, retype gate, merged read null-fills; appends never touch earlier files") {
+    import org.apache.spark.sql.types._
+    val base = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("v", LongType)))
+    val batch = StructType(Seq(
+      StructField("id", LongType), StructField("q", DoubleType),
+      StructField("v", StringType)))
+    assert(graft.ops.Constraints.schemaDrift(base, batch) == Seq(
+      ("q", "added", "DOUBLE"),
+      ("s", "dropped", "STRING"),
+      ("v", "retyped", "BIGINT -> STRING")))
+    intercept[IllegalArgumentException] {
+      graft.ops.Constraints.requireCompatible(base, batch)
+    }
+    // benign drift (add/drop only) passes the gate and is returned
+    val ok = StructType(Seq(StructField("id", LongType), StructField("q", DoubleType)))
+    assert(graft.ops.Constraints.requireCompatible(base, ok)
+      .map(d => (d._1, d._2)) == Seq(("q", "added"), ("s", "dropped"), ("v", "dropped")))
+
+    val dir = java.nio.file.Files.createTempDirectory("sevol").toString + "/tbl"
+    io.Sinks.appendEvolved(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    val before = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    io.Sinks.appendEvolved(Seq((3L, 0.5), (4L, 0.7)).toDF("id", "q"), dir)
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    // era-1 files byte-untouched (same names, same mtimes), era 2 appended
+    assert(before.forall { case (n, m) => after.get(n).contains(m) })
+    assert(after.size > before.size)
+    val merged = io.Sinks.readEvolved(spark, dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "q", "s"))
+    // hand-check the null-fill: era-1 rows have no q, era-2 rows no s
+    assert(merged.where(col("id") <= 2 && col("q").isNull && col("s").isNotNull).count() == 2)
+    assert(merged.where(col("id") >= 3 && col("s").isNull && col("q").isNotNull).count() == 2)
+    assert(merged.count() == 4)
+  }
+
   test("compactVersions folds the log without changing reads at or after the horizon") {
     val dir = java.nio.file.Files.createTempDirectory("ttcomp").toString + "/tbl"
     io.Sinks.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir, 0)

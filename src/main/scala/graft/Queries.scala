@@ -116,6 +116,19 @@ object Queries {
         |       CAST(length(text) AS BIGINT) AS n_text, source
         |FROM resolved WHERE rn = 1 AND NOT del
         |ORDER BY as_of, doc_id""".stripMargin,
+    "io_schema_evolution" ->
+      """WITH merged AS (
+        |  SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
+        |         CAST(NULL AS BIGINT) AS n_chars, CAST(NULL AS BIGINT) AS q_len
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CAST(NULL AS VARCHAR), source, n_chars, CAST(NULL AS BIGINT)
+        |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id, lang, source, n_chars, CAST(length(text) AS BIGINT)
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id, lang, source, n_chars, q_len
+        |FROM merged ORDER BY doc_id""".stripMargin,
     "mr_json_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS balance
@@ -325,6 +338,40 @@ object Queries {
         .select(col("as_of"), col("doc_id"),
           length(col("text")).cast("long").as("n_text"), col("source"))
         .orderBy("as_of", "doc_id")
+    },
+    "io_schema_evolution" -> { (s, dir) =>
+      // three schema ERAS of one corpus land in a single parquet table
+      // by plain O(batch) appends — era 1 recorded (doc_id, text,
+      // lang), era 2 dropped lang and started recording (source,
+      // n_chars), era 3 carries everything plus a derived q_len — and
+      // ONE mergeSchema read reconciles them, null-filling whatever an
+      // era didn't store. Each append passes the requireCompatible
+      // admission gate (added/dropped columns are benign drift parquet
+      // absorbs; a RETYPED column would throw at write time — the one
+      // drift a merged read cannot reconcile). The merge itself is a
+      // footer-only metadata pass, never a data rewrite
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents")
+      val path =
+        java.nio.file.Files.createTempDirectory("sevol").toString + "/tbl"
+      val era1 = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val era2 = docs.where(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      val era3 = docs.where(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), length(col("text")).cast("long").as("q_len"))
+      io.Sinks.appendEvolved(era1, path)
+      ops.Constraints.requireCompatible(
+        io.Sinks.readEvolved(s, path).schema, era2.schema)
+      io.Sinks.appendEvolved(era2, path)
+      ops.Constraints.requireCompatible(
+        io.Sinks.readEvolved(s, path).schema, era3.schema)
+      io.Sinks.appendEvolved(era3, path)
+      io.Sinks.readEvolved(s, path)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("q_len"))
+        .orderBy("doc_id")
     },
     "mr_json_roundtrip" -> { (s, dir) =>
       // JSONL interchange: schema survives the round trip via Spark's

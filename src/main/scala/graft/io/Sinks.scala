@@ -258,6 +258,30 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Schema-evolution append: batches whose column sets drift over
+    * time land in ONE parquet table without rewrites — each append is
+    * O(batch) and never touches earlier files (the reference fixes one
+    * record schema per job binary; a corpus that accretes columns over
+    * months needs the table to absorb that). Parquet is self-
+    * describing per file, so an appended batch simply carries its own
+    * schema; reconciliation is deferred to read time. Callers gate the
+    * append with [[graft.ops.Constraints.schemaDrift]] so a RETYPED
+    * column — the one drift parquet cannot reconcile — fails loud at
+    * write time, not as a read-time merge error months later. */
+  def appendEvolved(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** Union-by-name read over every schema era: `mergeSchema` unions
+    * the per-file footers (absent columns null-fill). Cost is one
+    * metadata pass over FOOTERS — O(#files), distributed by Spark —
+    * never the data bytes; at 100 TB the footer pass is bounded by
+    * compaction keeping file count sane, and a caller that already
+    * knows the target schema skips it entirely via
+    * `spark.read.schema(known).parquet(path)` (per-file pushdown
+    * still prunes columns each era actually stores). */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 

@@ -116,6 +116,13 @@ object Queries {
         |       CAST(length(text) AS BIGINT) AS n_text, source
         |FROM resolved WHERE rn = 1 AND NOT del
         |ORDER BY as_of, doc_id""".stripMargin,
+    "corpus_shards" ->
+      """SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16 AS shard,
+        |       count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS n_bytes
+        |FROM documents
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin,
     "io_schema_evolution" ->
       """WITH merged AS (
         |  SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
@@ -338,6 +345,21 @@ object Queries {
         .select(col("as_of"), col("doc_id"),
           length(col("text")).cast("long").as("n_text"), col("source"))
         .orderBy("as_of", "doc_id")
+    },
+    "corpus_shards" -> { (s, dir) =>
+      // training-shard export round trip: the corpus lands as 16 hive
+      // shard directories by the md5-uniform assignment (one shuffle,
+      // balanced by construction, source-interleaved for free) plus an
+      // on-disk manifest; the query returns the manifest READ BACK
+      // from disk, so the oracle certifies the whole write path —
+      // shard law, per-shard doc counts, per-shard byte sums
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents")
+      val path =
+        java.nio.file.Files.createTempDirectory("shards").toString + "/out"
+      io.Sinks.writeShards(docs, path, "doc_id", 16,
+        length(col("text")).cast("long"))
+      io.Sinks.readShardManifest(s, path).orderBy("shard")
     },
     "io_schema_evolution" -> { (s, dir) =>
       // three schema ERAS of one corpus land in a single parquet table

@@ -26,7 +26,7 @@ object Sampling {
 
   /** The md5-derived 60-bit uniform used by every sampling query
     * (split_assign et al.) — deterministic, engine-independent. */
-  private def md5Hash(id: Column): Column =
+  private[graft] def md5Hash(id: Column): Column =
     conv(substring(md5(id.cast("string").cast("binary")), 1, 15), 16, 10)
       .cast("long")
 

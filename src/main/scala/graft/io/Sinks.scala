@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Sources and sinks beyond parquet/KV-text: CSV and JSON line formats,
   * with the reference's "R output files" contract available on every
@@ -257,6 +257,47 @@ object Sinks {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Sharded training-data export: the corpus lands as `numShards`
+    * hive `__shard=N` directories plus an on-disk manifest — the
+    * layout a training loader consumes (shard = unit of shuffle-
+    * buffer granularity and of resumable download). Shard assignment
+    * is the engine-independent md5-60-bit uniform every sampling
+    * query uses (`Sampling.md5Hash % numShards`) — deterministic
+    * across runs/engines, uniform regardless of id clustering, and
+    * source-interleaved for free (a hash ignores source order, so
+    * every shard sees the full source mix — no sorted-corpus
+    * monoculture shards). Cost: ONE shuffle on the shard id (uniform
+    * by construction — no salt needed), one write; the manifest
+    * re-reads only the written files column-pruned to the shard id +
+    * size column. Callers size `numShards` so a shard is a few GB at
+    * the target corpus. */
+  def writeShards(
+      df: DataFrame,
+      path: String,
+      idCol: String,
+      numShards: Int,
+      sizeExpr: Column): Unit = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    import org.apache.spark.sql.functions._
+    val sharded = df.withColumn("__shard",
+      pmod(graft.ext.Sampling.md5Hash(col(idCol)), lit(numShards.toLong)))
+    sharded.repartition(numShards, col("__shard"))
+      .write.mode("overwrite").partitionBy("__shard").parquet(path + "/data")
+    val manifest = df.sparkSession.read.parquet(path + "/data")
+      .groupBy(col("__shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(sizeExpr).as("n_bytes"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(path + "/manifest")
+  }
+
+  def readShardManifest(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path + "/manifest")
+
+  def readShard(spark: SparkSession, path: String, shard: Long): DataFrame =
+    // partition pruning on the hive directory — a loader fetching one
+    // shard lists and reads ONLY that directory's files
+    spark.read.parquet(path + "/data")
+      .where(org.apache.spark.sql.functions.col("__shard") === shard)
 
   /** Schema-evolution append: batches whose column sets drift over
     * time land in ONE parquet table without rewrites — each append is

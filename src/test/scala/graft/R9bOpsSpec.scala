@@ -242,6 +242,36 @@ class R9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("writeShards: md5 shard law pinned to a JVM recompute, manifest round trip, single-shard read") {
+    val df = (0L until 64L).map(i => (i, "x" * (i % 7 + 1).toInt)).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString + "/out"
+    io.Sinks.writeShards(df, dir, "id", 4, length(col("text")).cast("long"))
+    val back = spark.read.parquet(dir + "/data")
+      .select(col("id"), col("__shard").cast("long"))
+      .as[(Long, Long)].collect()
+    assert(back.length == 64)
+    // the shard law is engine-independent: recompute it with raw JVM
+    // MessageDigest (no Spark, no DuckDB) and demand equality per row
+    def law(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 4
+    }
+    back.foreach { case (id, sh) => assert(sh == law(id), s"id $id") }
+    // manifest read back from disk equals a local recount
+    val expected = (0L until 64L).groupBy(law).map { case (sh, ids) =>
+      (sh, ids.size.toLong, ids.map(i => i % 7 + 1).sum)
+    }.toSet
+    assert(io.Sinks.readShardManifest(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet == expected)
+    // a single-shard read returns exactly that shard's rows
+    assert(io.Sinks.readShard(spark, dir, 2L).count() == back.count(_._2 == 2L))
+    intercept[IllegalArgumentException] {
+      io.Sinks.writeShards(df, dir + "2", "id", 0, length(col("text")))
+    }
+  }
+
   test("schema evolution: drift report, retype gate, merged read null-fills; appends never touch earlier files") {
     import org.apache.spark.sql.types._
     val base = StructType(Seq(

@@ -1895,6 +1895,22 @@ object ExtQueries {
         |       CAST(count(*) - count(DISTINCT (lang, source)) AS BIGINT)
         |FROM documents
         |ORDER BY rule""".stripMargin,
+    // the streaming gate carries the row rules only (exact uniqueness
+    // is corpus-wide — a batch/compaction check, not ingest-time)
+    "stream_constraints" ->
+      """SELECT 'doc_id_not_null' AS rule,
+        |       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM documents
+        |UNION ALL SELECT 'n_chars_consistent',
+        |       CAST(sum(CASE WHEN n_chars IS NULL OR n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents
+        |UNION ALL SELECT 'lang_in_domain',
+        |       CAST(sum(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents
+        |UNION ALL SELECT 'text_min_100_chars',
+        |       CAST(sum(CASE WHEN text IS NULL OR length(text) < 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents
+        |ORDER BY rule""".stripMargin,
     "events_gapfill" ->
       """WITH c AS (
         |  SELECT date_trunc('hour', ts) AS b, event_type, count(*) AS n
@@ -2587,6 +2603,25 @@ object ExtQueries {
             "doc_id_unique" -> Seq("doc_id"),
             "lang_source_unique" -> Seq("lang", "source")))
         .orderBy("rule")
+    },
+    "stream_constraints" -> { (s, dir) =>
+      // the admission gate at the STREAM boundary: the same row rules
+      // as stats_constraints run as a Complete-mode global aggregate
+      // over the arriving corpus — gate state is one row of partial
+      // sums (O(rules) longs) at any stream volume; the sunk wide row
+      // unpivots batch-side, bit-identical to the batch gate on the
+      // same data
+      val rules = Seq(
+        "doc_id_not_null" -> col("doc_id").isNull,
+        "n_chars_consistent" -> (col("n_chars") =!= length(col("text"))),
+        "lang_in_domain" -> !col("lang").isin("de", "en", "es", "fr", "zh"),
+        "text_min_100_chars" -> (length(col("text")) < 100))
+      val sunk = StreamOps.runToMemory(
+        StreamOps.constraintGate(
+          StreamOps.readTable(s, dir, "documents"), rules),
+        "stream_constraints_sink",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      StreamOps.constraintReport(sunk, rules.map(_._1)).orderBy("rule")
     },
     "events_gapfill" -> { (s, dir) =>
       // dense-resample of the hourly rollup: every (hour, type) cell

@@ -33,6 +33,22 @@ object Constraints {
   def check(
       df: DataFrame,
       rowRules: Seq[(String, Column)],
+      uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame =
+    unpivotReport(wideCheck(df, rowRules, uniqueKeys),
+      rowRules.map(_._1) ++ uniqueKeys.map(_._1))
+
+  /** The report's aggregation half alone: ONE row with a `__c_<i>`
+    * violation-count column per rule. Split out because a STREAMING
+    * gate can run this as a Complete-mode global aggregate (state =
+    * this one row of partial sums) but cannot append a generator to a
+    * streaming aggregate — the stream sinks the wide row and
+    * [[unpivotReport]] reshapes it batch-side. Streams cannot carry
+    * `uniqueKeys` (distinct aggregates are unsupported over streams —
+    * exact uniqueness is inherently corpus-wide, a batch/compaction-
+    * time check). */
+  private[graft] def wideCheck(
+      df: DataFrame,
+      rowRules: Seq[(String, Column)],
       uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
     val names = rowRules.map(_._1) ++ uniqueKeys.map(_._1)
     require(names.nonEmpty, "need at least one rule")
@@ -41,17 +57,21 @@ object Constraints {
       "rule names must be SQL-literal-safe")
     val aggs =
       rowRules.zipWithIndex.map { case ((_, violated), i) =>
-        sum(when(coalesce(violated, lit(true)), 1L).otherwise(0L)).as(s"__v_$i")
+        sum(when(coalesce(violated, lit(true)), 1L).otherwise(0L)).as(s"__c_$i")
       } ++
         uniqueKeys.zipWithIndex.map { case ((_, cols), i) =>
           (count(lit(1)) - count_distinct(struct(cols.map(col): _*)))
-            .as(s"__u_$i")
+            .as(s"__c_${rowRules.size + i}")
         }
-    val fields = rowRules.zipWithIndex.map { case ((n, _), i) => s"'$n', __v_$i" } ++
-      uniqueKeys.zipWithIndex.map { case ((n, _), i) => s"'$n', __u_$i" }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(expr(
-        s"stack(${fields.size}, ${fields.mkString(", ")}) AS (rule, n_violations)"))
+  }
+
+  /** Reshape the wide one-row aggregate to `(rule, n_violations)` in
+    * the given rule order. */
+  private[graft] def unpivotReport(wide: DataFrame, names: Seq[String]): DataFrame = {
+    val fields = names.zipWithIndex.map { case (n, i) => s"'$n', __c_$i" }
+    wide.select(expr(
+      s"stack(${fields.size}, ${fields.mkString(", ")}) AS (rule, n_violations)"))
   }
 
   /** Schema-drift report for an evolving table: how `batch`'s schema

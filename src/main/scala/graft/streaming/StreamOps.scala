@@ -323,6 +323,27 @@ object StreamOps {
     * equi-join semantics don't depend on R — the reference's own R
     * knob invariant). A production deployment sizes partitions to
     * throughput instead. */
+  /** Streaming admission gate: [[graft.ops.Constraints]] row rules
+    * maintained continuously over the arriving stream as a
+    * Complete-mode global aggregate — state is ONE row of partial
+    * sums (O(rules) longs) at any stream volume; each micro-batch
+    * folds its conditional sums in map-side. Returns the WIDE
+    * one-row aggregate (a generator cannot follow a streaming
+    * aggregate); unpivot the sunk row with [[constraintReport]].
+    * `uniqueKeys` is deliberately absent: distinct aggregates are
+    * unsupported over streams, and exact uniqueness is corpus-wide —
+    * a batch/compaction-time check, not an ingest-time one. */
+  def constraintGate(
+      stream: DataFrame,
+      rowRules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    graft.ops.Constraints.wideCheck(stream, rowRules, Nil)
+
+  /** Batch-side reshape of the sunk gate row to `(rule, n_violations)`
+    * — bit-identical to `Constraints.check(batch, rowRules)` on the
+    * same data, which is the oracle contract. */
+  def constraintReport(sunkWide: DataFrame, ruleNames: Seq[String]): DataFrame =
+    graft.ops.Constraints.unpivotReport(sunkWide, ruleNames)
+
   def runToMemory(
       df: DataFrame,
       name: String,

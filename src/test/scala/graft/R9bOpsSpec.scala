@@ -242,6 +242,42 @@ class R9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming constraint gate: cumulative counts fold across micro-batches, equal the batch gate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val rules = Seq(
+      "s_not_null" -> col("s").isNull,
+      "v_max_50" -> (col("v") > 50L),
+      "v_within_len" -> (col("v") > length(col("s")))) // null → violation
+    val wide = streaming.StreamOps.constraintGate(
+      input.toDS().toDF("id", "s", "v"), rules)
+    val q = wide.writeStream.outputMode("complete").format("memory")
+      .queryName("gate_sink").start()
+    try {
+      def report() = streaming.StreamOps.constraintReport(
+        spark.table("gate_sink"), rules.map(_._1))
+        .as[(String, Long)].collect().toMap
+      input.addData((1L, "ok", 10L), (2L, null.asInstanceOf[String], 5L))
+      q.processAllAvailable()
+      assert(report() == Map(
+        "s_not_null" -> 1L, "v_max_50" -> 0L, "v_within_len" -> 2L))
+      // second micro-batch FOLDS into the running sums (state = the one
+      // wide row), never recounts from scratch
+      input.addData((3L, "xyz", 99L), (4L, "abcdef", 2L))
+      q.processAllAvailable()
+      val got = report()
+      assert(got == Map(
+        "s_not_null" -> 1L, "v_max_50" -> 1L, "v_within_len" -> 3L))
+      // bit-identical to the batch gate over the union of both batches
+      val batch = graft.ops.Constraints.check(
+        Seq((1L, "ok", 10L), (2L, null.asInstanceOf[String], 5L),
+          (3L, "xyz", 99L), (4L, "abcdef", 2L)).toDF("id", "s", "v"), rules)
+        .as[(String, Long)].collect().toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("writeShards: md5 shard law pinned to a JVM recompute, manifest round trip, single-shard read") {
     val df = (0L until 64L).map(i => (i, "x" * (i % 7 + 1).toInt)).toDF("id", "text")
     val dir = java.nio.file.Files.createTempDirectory("shards").toString + "/out"

@@ -25,6 +25,21 @@ object ExtQueries {
   private val statsCols =
     Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
 
+  // full-table ANALYZE replay — shared by the one-shot and the
+  // merged-state (incremental) paths, which must agree bit-for-bit
+  private val statsAnalyzeSql = statsCols.map { c =>
+    s"""SELECT '$c' AS col_name, CAST(min($c) AS BIGINT) AS min_v,
+       |       CAST(max($c) AS BIGINT) AS max_v,
+       |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |       (WITH h AS (SELECT DISTINCT CAST(concat('0x', substring(md5(CAST($c AS VARCHAR)), 1, 11)) AS BIGINT) AS h
+       |                   FROM lineitem WHERE $c IS NOT NULL),
+       |             r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h)
+       |        SELECT CAST(CASE WHEN count(*) < 256 THEN count(*)
+       |                         ELSE (255 * 17592186044416) // max(h) END AS BIGINT)
+       |        FROM r WHERE rn <= 256) AS ndv_est
+       |FROM lineitem""".stripMargin
+  }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+
   // DuckDB token array for documents.text, matching TextOps.tokens
   private val tokSql =
     "list_filter(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' '), x -> x <> '')"
@@ -1860,18 +1875,11 @@ object ExtQueries {
     // one-pass ANALYZE replay: per column the oracle recomputes exact
     // min/max/nulls and the KMV rank-k estimate from distinct md5
     // slices — the same estimator arithmetic as the distinct sketches
-    "stats_analyze" -> (statsCols.map { c =>
-      s"""SELECT '$c' AS col_name, CAST(min($c) AS BIGINT) AS min_v,
-         |       CAST(max($c) AS BIGINT) AS max_v,
-         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-         |       (WITH h AS (SELECT DISTINCT CAST(concat('0x', substring(md5(CAST($c AS VARCHAR)), 1, 11)) AS BIGINT) AS h
-         |                   FROM lineitem WHERE $c IS NOT NULL),
-         |             r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h)
-         |        SELECT CAST(CASE WHEN count(*) < 256 THEN count(*)
-         |                         ELSE (255 * 17592186044416) // max(h) END AS BIGINT)
-         |        FROM r WHERE rn <= 256) AS ndv_est
-         |FROM lineitem""".stripMargin
-    }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"),
+    "stats_analyze" -> statsAnalyzeSql,
+    // the merged-state report is BIT-identical to the one-shot ANALYZE
+    // (exact sketch-level merge), so the incremental path shares the
+    // full-table oracle verbatim
+    "stats_analyze_incremental" -> statsAnalyzeSql,
     // constraint report replay: per rule one conditional-sum (or
     // count-minus-distinct) scalar, identical violation semantics
     // incl. null-predicate-counts-as-violation
@@ -2584,6 +2592,22 @@ object ExtQueries {
       // the fact table in ONE aggregation pass (bounded per-column
       // state), unpivoted to the stats-table shape a CBO consumes
       graft.ops.Sketches.analyzeColumns(t(s, dir, "lineitem"), statsCols)
+        .orderBy("col_name")
+    },
+    "stats_analyze_incremental" -> { (s, dir) =>
+      // incremental stats maintenance: the stored 80% state and the
+      // arriving 20% batch's state fold through the exact sketch-level
+      // merge (k smallest distinct across parts IS the union's KMV
+      // sketch), so the maintained report equals the one-shot ANALYZE
+      // bit-for-bit while each maintenance cycle costs O(batch) + an
+      // O(cols) metadata agg — the indexed corpus is never rescanned
+      val li = t(s, dir, "lineitem")
+      val base = li.where(pmod(col("l_orderkey"), lit(5)) =!= 0)
+      val batch = li.where(pmod(col("l_orderkey"), lit(5)) === 0)
+      graft.ops.Sketches.reportFromState(
+          graft.ops.Sketches.mergeAnalyzeStates(Seq(
+            graft.ops.Sketches.analyzeState(base, statsCols),
+            graft.ops.Sketches.analyzeState(batch, statsCols))))
         .orderBy("col_name")
     },
     "stats_constraints" -> { (s, dir) =>

@@ -292,6 +292,22 @@ object Sketches {
       df: DataFrame,
       cols: Seq[String],
       k: Int = 256,
+      bits: Int = 44): DataFrame =
+    reportFromState(analyzeState(df, cols, k, bits), k, bits)
+
+  /** The ANALYZE pass in MERGEABLE form: one row per column holding
+    * `(min_v, max_v, n_nulls, kmv)` where `kmv` is the raw k-min-values
+    * sketch array (≤ k sorted hashes, null sentinel included) instead
+    * of the collapsed estimate. Same single aggregation pass and
+    * per-column state bound as [[analyzeColumns]]; what it buys is
+    * [[mergeAnalyzeStates]]: stats maintenance becomes O(batch) —
+    * analyze the arriving batch, fold its state into the stored one,
+    * report — the indexed corpus is never rescanned (the
+    * `updateTextIndex`/`updateAnnIndex` discipline, for statistics). */
+  def analyzeState(
+      df: DataFrame,
+      cols: Seq[String],
+      k: Int = 256,
       bits: Int = 44): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     require(bits % 4 == 0 && bits < 63 && k > 1,
@@ -299,7 +315,6 @@ object Sketches {
     require((k - 1).toLong <= (Long.MaxValue >> bits), s"(k-1)*2^$bits overflows int64")
     val hx = bits / 4
     val sentinel = 1L << bits
-    val num = (k - 1).toLong * sentinel
     val aggs = cols.flatMap { c =>
       Seq(
         min(col(c)).cast("long").as(s"__mn_$c"),
@@ -311,22 +326,51 @@ object Sketches {
               .cast("long"),
             lit(sentinel))).as(s"__kv_$c"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val ests = cols.map { c =>
-      val sz = size(col(s"__kv_$c"))
-      when(sz === 0, 0L)
-        .when(element_at(col(s"__kv_$c"), sz) === sentinel, (sz - 1).cast("long"))
-        .when(sz < k, sz.cast("long"))
-        .otherwise(expr(s"${num}L div element_at(__kv_$c, $k)"))
-        .cast("long").as(s"__nd_$c")
-    }
-    row
-      .select(cols.flatMap(c =>
-        Seq(col(s"__mn_$c"), col(s"__mx_$c"), col(s"__nl_$c"))) ++ ests: _*)
+    df.agg(aggs.head, aggs.tail: _*)
       .select(expr(
         s"stack(${cols.size}, " +
-          cols.map(c => s"'$c', __mn_$c, __mx_$c, __nl_$c, __nd_$c").mkString(", ") +
-          ") AS (col_name, min_v, max_v, n_nulls, ndv_est)"))
+          cols.map(c => s"'$c', __mn_$c, __mx_$c, __nl_$c, __kv_$c").mkString(", ") +
+          ") AS (col_name, min_v, max_v, n_nulls, kmv)"))
+  }
+
+  /** Exact sketch-level merge of per-part ANALYZE states: min of mins,
+    * max of maxes, sum of null counts, and for the sketch the k
+    * smallest DISTINCT hashes across parts — which IS the k-min-values
+    * sketch of the unioned data (every union-sketch hash survives in
+    * its part's sketch, since dropping a hash requires k smaller ones
+    * in that part alone), so the merged report is BIT-identical to a
+    * one-shot ANALYZE over the union, not an approximation of it. The
+    * null sentinel composes under the same rule: it sorts above every
+    * real hash, so it survives the cut exactly when the union's real
+    * distinct count is below k and some part saw nulls. Cost:
+    * O(parts · cols) rows through one `col_name`-keyed agg — metadata
+    * scale, no data pass. */
+  def mergeAnalyzeStates(states: Seq[DataFrame], k: Int = 256): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy("col_name")
+      .agg(
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"),
+        sum(col("n_nulls")).as("n_nulls"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
+          1, k).as("kmv"))
+  }
+
+  /** Collapse a (possibly merged) ANALYZE state to the
+    * [[analyzeColumns]] report — same estimator, same null-sentinel
+    * contract. */
+  def reportFromState(state: DataFrame, k: Int = 256, bits: Int = 44): DataFrame = {
+    val sentinel = 1L << bits
+    val num = (k - 1).toLong * sentinel
+    val sz = size(col("kmv"))
+    state.select(
+      col("col_name"), col("min_v"), col("max_v"), col("n_nulls"),
+      when(sz === 0, 0L)
+        .when(element_at(col("kmv"), sz) === sentinel, (sz - 1).cast("long"))
+        .when(sz < k, sz.cast("long"))
+        .otherwise(expr(s"${num}L div element_at(kmv, $k)"))
+        .cast("long").as("ndv_est"))
   }
 
   private def kmvEstimate(k: Int, bits: Int): Seq[Column] = {

@@ -242,6 +242,41 @@ class R9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("mergeAnalyzeStates: merged-state report == one-shot ANALYZE bit-for-bit, every estimator branch") {
+    // columns exercise each report branch across the merge: >k distinct
+    // (estimator path), <k distinct with nulls (sentinel survives),
+    // all-null (size-1 rule), and skewed split (one part holds most)
+    val k = 16
+    val rows = (0L until 600L).map { i =>
+      (i,                                            // a: 600 distinct > k
+       if (i % 3 == 0) null.asInstanceOf[java.lang.Long] else java.lang.Long.valueOf(i % 5), // b: 4 distinct + nulls
+       null.asInstanceOf[java.lang.Long],            // c: all null
+       if (i < 590) 7L else i)                       // d: skewed split
+    }
+    val df = rows.toDF("a", "b", "c", "d")
+    val cols = Seq("a", "b", "c", "d")
+    val oneShot = graft.ops.Sketches.analyzeColumns(df, cols, k = k)
+      .collect().map(_.toSeq).toSet
+    // three parts with very different profiles — part 3 is tiny
+    val parts = Seq(
+      df.where(col("a") < 200L), df.where(col("a") >= 200L && col("a") < 595L),
+      df.where(col("a") >= 595L))
+    val merged = graft.ops.Sketches.reportFromState(
+      graft.ops.Sketches.mergeAnalyzeStates(
+        parts.map(p => graft.ops.Sketches.analyzeState(p, cols, k = k)), k = k),
+      k = k)
+    assert(merged.collect().map(_.toSeq).toSet == oneShot)
+    // the estimator branch really fired (column a: 600 > k)
+    val aNdv = merged.where(col("col_name") === "a")
+      .select(col("ndv_est")).as[Long].head()
+    // k=16 → ~25% relative error band; the point is the branch fired
+    // (returned an estimate, not the exact sub-k count)
+    assert(aNdv >= 300L && aNdv <= 1200L, s"KMV estimate out of envelope: $aNdv")
+    // and the all-null column reports 0 ndv with full null count
+    assert(merged.where(col("col_name") === "c")
+      .select(col("n_nulls"), col("ndv_est")).as[(Long, Long)].head() == ((600L, 0L)))
+  }
+
   test("streaming constraint gate: cumulative counts fold across micro-batches, equal the batch gate") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext

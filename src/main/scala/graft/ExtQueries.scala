@@ -660,6 +660,34 @@ object ExtQueries {
          |  FROM scored)
          |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
          |ORDER BY probe_id, rn""".stripMargin,
+    // filtered search replay: the SAME index (training, assignment,
+    // probe-list selection all on the full corpus), with the metadata
+    // predicate joined in as a candidate PRE-filter before re-score
+    "ann_ivf_filtered" ->
+      s"""WITH $ivfAssignSql,
+         |probes AS (SELECT vec_id AS probe_id, q AS pe FROM qv WHERE vec_id < 10),
+         |pl AS (
+         |  SELECT probe_id, list_id FROM (
+         |    SELECT p.probe_id, c.cent_id AS list_id,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY 2*${qdotIntSql("p.pe", "c.cv")} - c.nrm DESC, c.cent_id) AS pr
+         |    FROM probes p CROSS JOIN cents c) b
+         |  WHERE pr <= 4),
+         |flt AS (SELECT vec_id FROM embeddings WHERE label % 2 = 0),
+         |scored AS (
+         |  SELECT pl.probe_id, a.vec_id, ${qdotIntSql("p.pe", "e.q")} AS qdot
+         |  FROM pl
+         |  JOIN assign a ON a.list_id = pl.list_id
+         |  JOIN flt f ON f.vec_id = a.vec_id
+         |  JOIN qv e ON e.vec_id = a.vec_id
+         |  JOIN probes p ON p.probe_id = pl.probe_id
+         |  WHERE a.vec_id <> pl.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, qdot,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
+         |ORDER BY probe_id, rn""".stripMargin,
     // all-points kNN graph over the same replayed IVF index: probes =
     // every vector, nprobe nearest lists each, exact re-score within
     // the list, k=5 id-broken ranks
@@ -2327,6 +2355,18 @@ object ExtQueries {
       // re-score: the other canonical ANN scale path next to LSH
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10)
+        .orderBy("probe_id", "rn")
+    },
+    "ann_ivf_filtered" -> { (s, dir) =>
+      // FILTERED vector search (the vector-store metadata filter):
+      // one shared index — training, assignment, probe-list selection
+      // all on the full corpus — with the predicate applied as a
+      // candidate PRE-filter at the re-score scan, so a selectivity-s
+      // predicate cuts re-score cost to s and the result is never a
+      // found top-k post-filtered below k
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 10,
+          candidateFilter = pmod(col("label"), lit(2)) === 0)
         .orderBy("probe_id", "rn")
     },
     "emb_knn_graph" -> { (s, dir) =>

@@ -541,7 +541,18 @@ object Similarity {
     * shuffles corpus vectors by list id — the inverted-list layout a
     * 100 TB deployment would have pre-materialized and bucketed on
     * disk. `trainRounds = 0` reproduces the untrained hashed-sample
-    * quantizer (the round-3 behavior) exactly. */
+    * quantizer (the round-3 behavior) exactly.
+    *
+    * `candidateFilter` is FILTERED vector search (the vector-store
+    * "metadata filter"): the predicate restricts which corpus vectors
+    * may be returned, applied as a PRE-filter at the candidate scan —
+    * training, assignment, and probe-list selection stay on the FULL
+    * corpus (pinned index geometry, shared across every predicate),
+    * while the re-score scan reads only matching vectors, so a
+    * selectivity-s predicate cuts re-score cost to s·(probed lists)
+    * and never post-filters a found top-k down below k. Caveat at very
+    * low selectivity: the probed lists may hold < k matching vectors —
+    * raise `nprobe` to widen, exactly as with recall. */
   def ivfTopK(
       corpus: DataFrame,
       idCol: String,
@@ -552,9 +563,11 @@ object Similarity {
       nprobe: Int = 4,
       trainRounds: Int = defaultTrainRounds,
       trainSample: Int = defaultTrainSample,
-      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+      scope: graft.util.CacheScope = new graft.util.CacheScope,
+      candidateFilter: Column = lit(true)): DataFrame = {
     val cents = ivfCentroids(corpus, idCol, vecCol, numCentroids, trainRounds, trainSample, scope)
     val lists = ivfAssign(corpus, idCol, vecCol, cents)
+    val candidates = corpus.where(candidateFilter)
     val probes = corpus.where(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
     // probe the nprobe Euclidean-nearest lists — the same metric that
@@ -567,7 +580,7 @@ object Similarity {
       .withColumn("pr", row_number().over(wp))
       .where(col("pr") <= nprobe)
       .select(col("probe_id"), col("cent_id").as("list_id"))
-    val corpusLists = corpus.select(col(idCol), col(vecCol)).join(lists, Seq(idCol))
+    val corpusLists = candidates.select(col(idCol), col(vecCol)).join(lists, Seq(idCol))
     val rescored = probeLists.join(corpusLists, "list_id")
       .where(col(idCol) =!= col("probe_id"))
       .join(broadcast(probes), "probe_id")

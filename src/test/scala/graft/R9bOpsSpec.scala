@@ -242,6 +242,31 @@ class R9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK candidateFilter == brute force over the filtered corpus when every list is probed") {
+    // nprobe = numCentroids makes the coarse stage a no-op, so the
+    // pre-filter contract — "search among matching vectors", never
+    // "post-filter a found top-k" — must reproduce the brute force
+    // over the filtered corpus bit-for-bit
+    val emb = io.Tables(spark, sf, "embeddings")
+    val pred = pmod(col("label"), lit(2)) === 0
+    val probes = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val exact = graft.ext.Similarity
+      .bruteForceTopK(emb.where(pred), probes, "vec_id", "embedding",
+        "probe_id", "pe", 5)
+      .select("probe_id", "vec_id", "qdot", "rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val got = graft.ext.Similarity.ivfTopK(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 5,
+        numCentroids = 8, nprobe = 8,
+        candidateFilter = pred)
+      .select("probe_id", "vec_id", "qdot", "rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == exact)
+    assert(exact.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("mergeAnalyzeStates: merged-state report == one-shot ANALYZE bit-for-bit, every estimator branch") {
     // columns exercise each report branch across the merge: >k distinct
     // (estimator path), <k distinct with nulls (sentinel survives),

@@ -1020,6 +1020,33 @@ object ExtQueries {
     // SemDeDup rebuilt from scratch: identical quantizer training +
     // assignment (shared CTE), then within-list pairs above the
     // threshold and the keep-first anti-join
+    // per-label centroid cosine vs the corpus centroid — exact integer
+    // replay of the one-pass drift monitor: same truncating-div means
+    // as the Lloyd recentering CTEs, floored correctly-rounded sqrt
+    "emb_drift" ->
+      s"""WITH qv AS (
+         |  SELECT label,
+         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |comp AS (SELECT label, i AS pos, q[i] AS qx FROM qv, range(1, 65) r(i)),
+         |sums AS (SELECT label, pos, CAST(sum(qx) AS BIGINT) AS s, count(*) AS n
+         |         FROM comp GROUP BY label, pos),
+         |gc AS (SELECT label, list(s // n ORDER BY pos) AS gv,
+         |              CAST(min(n) AS BIGINT) AS n_vecs
+         |       FROM sums GROUP BY label),
+         |gl AS (SELECT list(qc ORDER BY pos) AS cv FROM (
+         |         SELECT pos, CAST(sum(s) AS BIGINT) // CAST(sum(n) AS BIGINT) AS qc
+         |         FROM sums GROUP BY pos) t),
+         |d AS (SELECT label, n_vecs,
+         |             ${qdotIntSql("gc.gv", "gl.cv")} AS dgc,
+         |             ${qdotIntSql("gc.gv", "gc.gv")} AS dgg,
+         |             ${qdotIntSql("gl.cv", "gl.cv")} AS dcc
+         |      FROM gc, gl)
+         |SELECT label, n_vecs,
+         |       CASE WHEN dgg = 0 OR dcc = 0 THEN NULL
+         |            ELSE (dgc * 1000000) // (CAST(floor(sqrt(dgg)) AS BIGINT)
+         |                                     * CAST(floor(sqrt(dcc)) AS BIGINT)) END AS cos_micro
+         |FROM d ORDER BY label""".stripMargin,
     "emb_semdedup" ->
       s"""WITH $ivfAssignSql,
          |pairs AS (
@@ -2790,6 +2817,14 @@ object ExtQueries {
       // deterministic integer Lloyd scheme as the IVF quantizer
       Similarity.pqEncode(t(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("vec_id", "sub")
+    },
+    "emb_drift" -> { (s, dir) =>
+      // content-based ingest monitoring: per-label embedding centroid
+      // cosine against the corpus centroid, all-integer (micro units)
+      // — the distribution-shift complement of events_anomaly's
+      // count-based flags; one data pass, O(labels·64) metadata aggs
+      Similarity.embeddingDrift(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label")
     },
     "emb_semdedup" -> { (s, dir) =>
       // SemDeDup: the trained coarse quantizer confines the all-pairs

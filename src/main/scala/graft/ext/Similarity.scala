@@ -511,6 +511,56 @@ object Similarity {
     top.withColumn("rn", row_number().over(w).cast("long"))
   }
 
+  /** Content-based ingest drift monitor: each group's (source's /
+    * batch's) quantized embedding centroid against the CORPUS
+    * centroid, cosine in integer micro units (`cos_micro` ∈
+    * [-10⁶, 10⁶]) — the distribution-shift complement of the
+    * count-based `TimeSeries.anomalyFlags`: a batch whose embedding
+    * mass points somewhere NEW scores low even when its volume looks
+    * normal. All arithmetic replays externally: exact int64 component
+    * sums, centroids by truncating division (`s div n`, the
+    * `ivfCentroids` mean — DuckDB `//` truncates toward zero
+    * identically), norms via correctly-rounded IEEE sqrt on integers
+    * far below 2⁵³ (floored — the `temperatureMixture` sqrt
+    * discipline), final ratio a truncating div; a zero-norm centroid
+    * yields null, never a division error.
+    *
+    * Scale shape: ONE data pass — posexplode to (group, dim) partial
+    * sums, map-side combined into O(groups·dim) rows — then
+    * metadata-scale aggs; the corpus centroid derives from the SAME
+    * per-group sums (exact, no second pass), and the only broadcast
+    * is the single corpus-centroid row. */
+  def embeddingDrift(corpus: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val comp = corpus.select(col(groupCol).as("grp"),
+      posexplode(transform(col(vecCol),
+        x => round(x.cast("double") * 1000).cast("long"))).as(Seq("pos", "qx")))
+    val sums = comp.groupBy("grp", "pos")
+      .agg(sum(col("qx")).as("s"), count(lit(1)).as("n"))
+    val gc = sums
+      .select(col("grp"), col("pos"), expr("s div n").as("qc"), col("n"))
+      .groupBy("grp")
+      .agg(array_sort(collect_list(struct(col("pos"), col("qc")))).as("arr"),
+        min(col("n")).as("n_vecs"))
+      .select(col("grp"),
+        transform(col("arr"), e => e.getField("qc")).as("gv"), col("n_vecs"))
+    val global = sums.groupBy("pos")
+      .agg(sum(col("s")).as("gs"), sum(col("n")).as("gn"))
+      .select(col("pos"), expr("gs div gn").as("qc"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("qc")))).as("arr"))
+      .select(transform(col("arr"), e => e.getField("qc")).as("cv"))
+    gc.crossJoin(broadcast(global))
+      .select(col("grp").as(groupCol), col("n_vecs"),
+        quantizedDot(col("gv"), col("cv")).as("dgc"),
+        quantizedDot(col("gv"), col("gv")).as("dgg"),
+        quantizedDot(col("cv"), col("cv")).as("dcc"))
+      .select(col(groupCol), col("n_vecs"),
+        when(col("dgg") === 0L || col("dcc") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(dgc * 1000000L) div (" +
+            "cast(floor(sqrt(cast(dgg as double))) as long) * " +
+            "cast(floor(sqrt(cast(dcc as double))) as long))"))
+          .as("cos_micro"))
+  }
+
   /** Inverted-list sizes (list_id, n) of the trained quantizer — the
     * balance diagnostic reported by the scale probe (`BenchScale`):
     * max(n) bounds the worst probe-side task, so training exists

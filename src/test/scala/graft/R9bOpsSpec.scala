@@ -242,6 +242,40 @@ class R9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("embeddingDrift: local integer replay incl. zero-norm null, negative components, truncating div") {
+    val df = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("a", Seq(1.0f, 0.0f)),
+      ("b", Seq(0.0f, 1.0f)),
+      ("c", Seq(0.0f, 0.0f)),      // zero centroid → cos_micro null
+      ("d", Seq(-1.0f, -0.5f)))    // negative mass → negative cosine
+      .toDF("src", "embedding")
+    // independent scalar replay of the documented law (quantize ×1000,
+    // truncating-div centroids, floored sqrt norms, truncating ratio)
+    val data = Map(
+      "a" -> Seq(Seq(1000L, 0L), Seq(1000L, 0L)),
+      "b" -> Seq(Seq(0L, 1000L)),
+      "c" -> Seq(Seq(0L, 0L)),
+      "d" -> Seq(Seq(-1000L, -500L)))
+    def centroid(vs: Seq[Seq[Long]]) = vs.transpose.map(c => c.sum / vs.size)
+    val all = data.values.flatten.toSeq
+    val glob = all.transpose.map(c => c.sum / all.size)
+    def dot(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val expected = data.map { case (g, vs) =>
+      val gc = centroid(vs)
+      val (dgc, dgg, dcc) = (dot(gc, glob), dot(gc, gc), dot(glob, glob))
+      val cos = if (dgg == 0L || dcc == 0L) None
+        else Some(dgc * 1000000L /
+          (math.sqrt(dgg.toDouble).toLong * math.sqrt(dcc.toDouble).toLong))
+      g -> ((vs.size.toLong, cos))
+    }
+    val got = graft.ext.Similarity.embeddingDrift(df, "src", "embedding")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(got == expected)
+    assert(got("d")._2.exists(_ < 0L), "group d must score a negative cosine")
+    assert(got("c")._2.isEmpty, "zero-norm centroid must yield null, not an error")
+  }
+
   test("ivfTopK candidateFilter == brute force over the filtered corpus when every list is probed") {
     // nprobe = numCentroids makes the coarse stage a no-op, so the
     // pre-filter contract — "search among matching vectors", never

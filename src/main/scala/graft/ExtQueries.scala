@@ -25,6 +25,54 @@ object ExtQueries {
   private val statsCols =
     Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
 
+  // MMR re-rank replay: brute top-16 shortlist, pairwise shortlist
+  // sims, then k=5 UNROLLED greedy rounds (the Lloyd-round oracle
+  // pattern) — each round penalizes remaining candidates by max sim to
+  // the selected set and picks the λ·rel − (1−λ)·penalty argmax,
+  // id-broken. Every multiply-referenced CTE MATERIALIZED (default
+  // inlining re-expands the chain 3^rounds times).
+  private def mmrOracleSql(k: Int, m: Int, lam: Int): String = {
+    val head =
+      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+         |sl AS MATERIALIZED (
+         |  SELECT probe_id, vec_id, qdot FROM (
+         |    SELECT probe_id, vec_id, ${qdotSql("pe", "embedding")} AS qdot,
+         |           row_number() OVER (PARTITION BY probe_id ORDER BY ${qdotSql("pe", "embedding")} DESC, vec_id) AS rr
+         |    FROM probes, embeddings WHERE vec_id <> probe_id) t
+         |  WHERE rr <= $m),
+         |sim AS MATERIALIZED (
+         |  SELECT a.probe_id, a.vec_id AS i, b.vec_id AS j,
+         |         ${qdotSql("ea.embedding", "eb.embedding")} AS sim
+         |  FROM sl a JOIN sl b ON a.probe_id = b.probe_id AND a.vec_id <> b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         |sel1 AS (
+         |  SELECT probe_id, vec_id, qdot, CAST(1 AS BIGINT) AS rn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS rr
+         |    FROM sl) t WHERE rr = 1),
+         |selall1 AS MATERIALIZED (SELECT * FROM sel1)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""pen$r AS (
+         |  SELECT s.probe_id, s.i AS vec_id, max(s.sim) AS pen
+         |  FROM sim s JOIN selall${r - 1} e ON e.probe_id = s.probe_id AND e.vec_id = s.j
+         |  GROUP BY s.probe_id, s.i),
+         |sc$r AS (
+         |  SELECT rem.probe_id, rem.vec_id, rem.qdot,
+         |         $lam * rem.qdot - ${1000 - lam} * p.pen AS mmr
+         |  FROM (SELECT sl.* FROM sl ANTI JOIN selall${r - 1} e
+         |          ON sl.probe_id = e.probe_id AND sl.vec_id = e.vec_id) rem
+         |  JOIN pen$r p ON p.probe_id = rem.probe_id AND p.vec_id = rem.vec_id),
+         |sel$r AS (
+         |  SELECT probe_id, vec_id, qdot, CAST($r AS BIGINT) AS rn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY mmr DESC, vec_id) AS rr
+         |    FROM sc$r) t WHERE rr = 1),
+         |selall$r AS MATERIALIZED (
+         |  SELECT * FROM selall${r - 1} UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }
+    (Seq(head) ++ rounds).mkString(",\n") +
+      s"\nSELECT probe_id, vec_id, qdot, rn FROM selall$k ORDER BY probe_id, rn"
+  }
+
   // full-table ANALYZE replay — shared by the one-shot and the
   // merged-state (incremental) paths, which must agree bit-for-bit
   private val statsAnalyzeSql = statsCols.map { c =>
@@ -660,6 +708,7 @@ object ExtQueries {
          |  FROM scored)
          |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
          |ORDER BY probe_id, rn""".stripMargin,
+    "ann_mmr_topk" -> mmrOracleSql(k = 5, m = 16, lam = 700),
     // filtered search replay: the SAME index (training, assignment,
     // probe-list selection all on the full corpus), with the metadata
     // predicate joined in as a candidate PRE-filter before re-score
@@ -2382,6 +2431,20 @@ object ExtQueries {
       // re-score: the other canonical ANN scale path next to LSH
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10)
+        .orderBy("probe_id", "rn")
+    },
+    "ann_mmr_topk" -> { (s, dir) =>
+      // diversity re-rank at SERVE time: brute top-16 shortlist per
+      // probe, then 5 greedy MMR rounds (λ=0.7) — near-duplicate hits
+      // can't crowd the page; the rerank never touches the corpus
+      // beyond what the first stage paid (shortlist-scale joins only)
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      Similarity.mmrRerank(
+          Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding",
+            "probe_id", "pe", 16),
+          emb, "vec_id", "embedding", k = 5, lambdaPermille = 700)
         .orderBy("probe_id", "rn")
     },
     "ann_ivf_filtered" -> { (s, dir) =>

@@ -511,6 +511,76 @@ object Similarity {
     top.withColumn("rn", row_number().over(w).cast("long"))
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily pick `k` results from each probe's first-stage shortlist
+    * balancing relevance against redundancy — pick r maximizes
+    * `λ·rel(i) − (1−λ)·max_{s∈selected} sim(i,s)` (λ in permille, all
+    * int64, ties to the smaller id) — so near-duplicate hits can't
+    * crowd the result page the way a pure relevance sort lets them.
+    *
+    * Scale shape: the rerank NEVER touches the corpus — it runs on the
+    * ≤ m-row-per-probe shortlist any first-stage retriever (brute /
+    * LSH / IVF / hybrid) produced: pairwise sims are m² per probe
+    * computed once, then k driver-scheduled rounds of
+    * join-penalize-argmax over probes×m-bounded relations (selected
+    * set `localCheckpoint`ed per round — the pageRank lineage rule).
+    * Everything is shortlist-scale; corpus cost stays whatever the
+    * first stage paid. */
+  def mmrRerank(
+      shortlist: DataFrame,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      lambdaPermille: Int = 700): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      s"lambda is permille in [0,1000], got $lambdaPermille")
+    // internal scope, closed before returning: every round's selected
+    // relation is localCheckpoint'ed (materialized), so the final
+    // result carries no lineage into the cached intermediates
+    val scope = new graft.util.CacheScope
+    val cand = scope.cache(
+      shortlist.select(col("probe_id"), col("vec_id"), col("qdot")))
+    val withVec = shortlist.select(col("probe_id"), col("vec_id"))
+      .join(vectors.select(col(idCol).as("vec_id"), col(vecCol).as("__v")), "vec_id")
+    val pa = withVec.select(col("probe_id"), col("vec_id").as("i"), col("__v").as("__va"))
+    val pb = withVec.select(col("probe_id"), col("vec_id").as("j"), col("__v").as("__vb"))
+    val sims = scope.cache(pa.join(pb, Seq("probe_id"))
+      .where(col("i") =!= col("j"))
+      .select(col("probe_id"), col("i"), col("j"),
+        quantizedDot(col("__va"), col("__vb")).as("sim")))
+    var selected = cand.groupBy("probe_id")
+      .agg(max_by(struct(col("vec_id"), col("qdot")),
+        struct(col("qdot"), (lit(0L) - col("vec_id")).as("nv"))).as("w"))
+      .select(col("probe_id"), col("w.vec_id").as("vec_id"),
+        col("w.qdot").as("qdot"), lit(1L).as("rn"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val pen = sims
+        .join(selected.select(col("probe_id"), col("vec_id").as("j")),
+          Seq("probe_id", "j"))
+        .groupBy(col("probe_id"), col("i").as("vec_id"))
+        .agg(max(col("sim")).as("pen"))
+      val scoredRem = cand
+        .join(selected.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_anti")
+        .join(pen, Seq("probe_id", "vec_id"))
+        .select(col("probe_id"), col("vec_id"), col("qdot"),
+          (lit(lambdaPermille.toLong) * col("qdot") -
+            lit((1000 - lambdaPermille).toLong) * col("pen")).as("mmr"))
+      selected = selected.unionByName(scoredRem
+          .groupBy("probe_id")
+          .agg(max_by(struct(col("vec_id"), col("qdot")),
+            struct(col("mmr"), (lit(0L) - col("vec_id")).as("nv"))).as("w"))
+          .select(col("probe_id"), col("w.vec_id").as("vec_id"),
+            col("w.qdot").as("qdot"), lit(r.toLong).as("rn")))
+        .localCheckpoint()
+    }
+    scope.close()
+    selected
+  }
+
   /** Content-based ingest drift monitor: each group's (source's /
     * batch's) quantized embedding centroid against the CORPUS
     * centroid, cosine in integer micro units (`cos_micro` ∈

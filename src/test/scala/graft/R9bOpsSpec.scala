@@ -242,6 +242,45 @@ class R9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("mmrRerank: local greedy replay; duplicate hit demoted below the diverse one") {
+    def q(x: Float): Long = math.round(x.toDouble * 1000)
+    def qdot(u: Seq[Float], v: Seq[Float]): Long =
+      u.zip(v).map { case (a, b) => q(a) * q(b) }.sum
+    // candidates: a and b identical (near-dup pair), c orthogonal and
+    // less relevant, d weakly relevant; probe aligned with a/b
+    val vecs = Map(
+      1L -> Seq(2f, 0f, 0f), 2L -> Seq(2f, 0f, 0f),
+      3L -> Seq(0f, 1f, 0f), 4L -> Seq(0.5f, 0.5f, 0.5f))
+    val probe = Seq(1f, 0.25f, 0f)
+    val lam = 500
+    val sl = vecs.toSeq.map { case (id, v) => (100L, id, qdot(probe, v)) }
+      .toDF("probe_id", "vec_id", "qdot")
+    val vdf = vecs.toSeq.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity.mmrRerank(sl, vdf, "vec_id", "embedding", k = 4,
+        lambdaPermille = lam)
+      .orderBy("rn").as[(Long, Long, Long, Long)].collect()
+      .map { case (_, v, _, _) => v }.toSeq
+    // independent scalar replay of the documented greedy law
+    var selected = Seq.empty[Long]
+    val rel = vecs.map { case (id, v) => id -> qdot(probe, v) }
+    for (_ <- 1 to 4) {
+      val rem = vecs.keySet -- selected
+      val pick = rem.toSeq.map { id =>
+        val pen = if (selected.isEmpty) 0L
+          else selected.map(s => qdot(vecs(id), vecs(s))).max
+        val score = if (selected.isEmpty) rel(id)
+          else lam * rel(id) - (1000 - lam) * pen
+        (id, score)
+      }.maxBy { case (id, sc) => (sc, -id) }._1
+      selected = selected :+ pick
+    }
+    assert(got == selected)
+    // the duplicate of the first pick cannot be second — the diverse
+    // candidate must outrank it despite lower raw relevance
+    assert(got.head == 1L && got(1) != 2L,
+      s"duplicate must be demoted, got order $got")
+  }
+
   test("embeddingDrift: local integer replay incl. zero-norm null, negative components, truncating div") {
     val df = Seq(
       ("a", Seq(1.0f, 0.0f)), ("a", Seq(1.0f, 0.0f)),

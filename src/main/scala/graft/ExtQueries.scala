@@ -1980,6 +1980,35 @@ object ExtQueries {
     // min/max/nulls and the KMV rank-k estimate from distinct md5
     // slices — the same estimator arithmetic as the distinct sketches
     "stats_analyze" -> statsAnalyzeSql,
+    // per-side n + KMV-ndv replay, the System-R product/max formula,
+    // and the true join count for contrast — one row
+    "stats_join_estimate" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_a,
+        |         (WITH h AS (SELECT DISTINCT CAST(concat('0x', substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 11)) AS BIGINT) AS h
+        |                     FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |               r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h)
+        |          SELECT CAST(CASE WHEN count(*) < 256 THEN count(*)
+        |                           ELSE (255 * 17592186044416) // max(h) END AS BIGINT)
+        |          FROM r WHERE rn <= 256) AS ndv_a
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |b AS (
+        |  SELECT count(*) AS n_b,
+        |         (WITH h AS (SELECT DISTINCT CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 11)) AS BIGINT) AS h
+        |                     FROM orders WHERE o_orderkey IS NOT NULL),
+        |               r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h)
+        |          SELECT CAST(CASE WHEN count(*) < 256 THEN count(*)
+        |                           ELSE (255 * 17592186044416) // max(h) END AS BIGINT)
+        |          FROM r WHERE rn <= 256) AS ndv_b
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        |t AS (SELECT count(*) AS true_rows
+        |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |       ndv_a, ndv_b,
+        |       CAST(CASE WHEN greatest(ndv_a, ndv_b) = 0 THEN 0
+        |                 ELSE (n_a * n_b) // greatest(ndv_a, ndv_b) END AS BIGINT) AS est_rows,
+        |       CAST(true_rows AS BIGINT) AS true_rows
+        |FROM a, b, t""".stripMargin,
     // the merged-state report is BIT-identical to the one-shot ANALYZE
     // (exact sketch-level merge), so the incremental path shares the
     // full-table oracle verbatim
@@ -2723,6 +2752,17 @@ object ExtQueries {
       // state), unpivoted to the stats-table shape a CBO consumes
       graft.ops.Sketches.analyzeColumns(t(s, dir, "lineitem"), statsCols)
         .orderBy("col_name")
+    },
+    "stats_join_estimate" -> { (s, dir) =>
+      // CBO-style pre-execution sizing: the product/max estimator off
+      // two one-pass KMV sides, with the TRUE join count beside it so
+      // the artifact records estimator quality, not just the formula
+      val est = graft.ops.Sketches.estimateEquiJoin(
+        t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey")
+      val truth = t(s, dir, "lineitem").join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("true_rows"))
+      est.crossJoin(truth)
     },
     "stats_analyze_incremental" -> { (s, dir) =>
       // incremental stats maintenance: the stored 80% state and the

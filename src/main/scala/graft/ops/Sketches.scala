@@ -373,6 +373,52 @@ object Sketches {
         .cast("long").as("ndv_est"))
   }
 
+  /** Textbook equi-join cardinality estimate from one-pass per-side
+    * sketches — what a cost-based optimizer computes BEFORE running
+    * the join: `est = n_a·n_b div max(ndv_a, ndv_b)` (the uniform-
+    * frequency, key-containment estimator every System-R descendant
+    * uses), with per-side `n` = non-null join keys and `ndv` the KMV
+    * rank-k estimate over the engine-independent md5 hash family.
+    * Each side costs ONE scan with the null filter pushed and ≤ k
+    * longs of sketch state; the two one-row sides cross-join. All
+    * arithmetic int64 and externally replayable; `n_a·n_b` must fit
+    * int64 — at row counts beyond ~3·10⁹ per side, decompose the
+    * product or accept double precision (the estimate's own error
+    * dwarfs 1-ulp at that point). Empty or all-null sides estimate 0,
+    * never a division error. */
+  def estimateEquiJoin(
+      a: DataFrame,
+      keyA: String,
+      b: DataFrame,
+      keyB: String,
+      k: Int = 256,
+      bits: Int = 44): DataFrame = {
+    require(bits % 4 == 0 && bits < 63 && k > 1,
+      s"need 1 < k and bits a multiple of 4 below 63, got k=$k bits=$bits")
+    require((k - 1).toLong <= (Long.MaxValue >> bits), s"(k-1)*2^$bits overflows int64")
+    val hx = bits / 4
+    val num = (k - 1).toLong * (1L << bits)
+    def side(df: DataFrame, c: String, tag: String): DataFrame = {
+      val kv = col(s"__kv_$tag")
+      val sz = size(kv)
+      df.where(col(c).isNotNull)
+        .agg(
+          count(lit(1)).as(s"n_$tag"),
+          udaf(Aggregators.KMinValues(k)).apply(
+            conv(substring(md5(col(c).cast("string").cast("binary")), 1, hx), 16, 10)
+              .cast("long")).as(s"__kv_$tag"))
+        .select(col(s"n_$tag"),
+          when(sz < k, sz.cast("long"))
+            .otherwise(expr(s"${num}L div element_at(__kv_$tag, $k)"))
+            .cast("long").as(s"ndv_$tag"))
+    }
+    side(a, keyA, "a").crossJoin(side(b, keyB, "b"))
+      .select(col("n_a"), col("n_b"), col("ndv_a"), col("ndv_b"),
+        when(greatest(col("ndv_a"), col("ndv_b")) === 0L, 0L)
+          .otherwise(expr("(n_a * n_b) div greatest(ndv_a, ndv_b)"))
+          .as("est_rows"))
+  }
+
   private def kmvEstimate(k: Int, bits: Int): Seq[Column] = {
     require(bits < 63 && k > 1, s"need 1 < k and bits < 63, got k=$k bits=$bits")
     require((k - 1).toLong <= (Long.MaxValue >> bits), s"(k-1)*2^$bits overflows int64")

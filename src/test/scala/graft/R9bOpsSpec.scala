@@ -242,6 +242,23 @@ class R9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("estimateEquiJoin: exact branch by hand, null keys excluded, empty side estimates 0") {
+    val a = Seq(Some(1L), Some(1L), Some(2L), Some(2L), Some(3L), None).toDF("ka")
+    val b = Seq(Some(1L), Some(2L), Some(2L), None, None).toDF("kb")
+    // n_a=5 non-null, ndv_a=3 (exact, < k); n_b=3, ndv_b=2
+    // est = 5*3 div max(3,2) = 5; true join = 2 + 4 = 6
+    val got = graft.ops.Sketches.estimateEquiJoin(a, "ka", b, "kb")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == ((5L, 3L, 3L, 2L, 5L)))
+    val empty = graft.ops.Sketches.estimateEquiJoin(a, "ka", b.where(lit(false)), "kb")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(empty == ((5L, 0L, 3L, 0L, 0L)))
+    val bothEmpty = graft.ops.Sketches.estimateEquiJoin(
+        a.where(lit(false)), "ka", b.where(lit(false)), "kb")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(bothEmpty == ((0L, 0L, 0L, 0L, 0L)), "zero ndv must not divide")
+  }
+
   test("mmrRerank: local greedy replay; duplicate hit demoted below the diverse one") {
     def q(x: Float): Long = math.round(x.toDouble * 1000)
     def qdot(u: Seq[Float], v: Seq[Float]): Long =

@@ -116,6 +116,33 @@ object Queries {
         |       CAST(length(text) AS BIGINT) AS n_text, source
         |FROM resolved WHERE rn = 1 AND NOT del
         |ORDER BY as_of, doc_id""".stripMargin,
+    "io_scd2" ->
+      """WITH ch1 AS (
+        |  SELECT doc_id, 'v2 ' || text AS text, source, FALSE AS del
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, text, source, TRUE
+        |  FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 100000, 'new ' || text, source, FALSE
+        |  FROM documents WHERE doc_id < 5),
+        |ch2 AS (
+        |  SELECT doc_id, 'v3 ' || text AS text, source, FALSE AS del
+        |  FROM documents WHERE doc_id % 10 = 2
+        |  UNION ALL SELECT doc_id + 100000, text, source, TRUE
+        |  FROM documents WHERE doc_id < 5
+        |  UNION ALL SELECT doc_id, 'back ' || text, source, FALSE
+        |  FROM documents WHERE doc_id % 100 = 1),
+        |logrel AS (
+        |  SELECT doc_id, text, source, FALSE AS del, 0 AS v FROM documents
+        |  UNION ALL SELECT doc_id, text, source, del, 1 FROM ch1
+        |  UNION ALL SELECT doc_id, text, source, del, 2 FROM ch2),
+        |iv AS (
+        |  SELECT doc_id, text, source, del, v,
+        |         lead(v) OVER (PARTITION BY doc_id ORDER BY v) AS eff_to
+        |  FROM logrel)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_text, source,
+        |       CAST(v AS BIGINT) AS eff_from, CAST(eff_to AS BIGINT) AS eff_to
+        |FROM iv WHERE NOT del
+        |ORDER BY doc_id, eff_from""".stripMargin,
     "corpus_shards" ->
       """SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16 AS shard,
         |       count(*) AS n_docs,
@@ -345,6 +372,43 @@ object Queries {
         .select(col("as_of"), col("doc_id"),
           length(col("text")).cast("long").as("n_text"), col("source"))
         .orderBy("as_of", "doc_id")
+    },
+    "io_scd2" -> { (s, dir) =>
+      // SCD-2 history off the SAME commit log io_time_travel builds:
+      // every committed value with its [eff_from, eff_to) validity
+      // interval — tombstones close intervals and emit nothing,
+      // revivals open new ones; one lead window over the log
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents")
+      val path =
+        java.nio.file.Files.createTempDirectory("scd2").toString + "/tbl"
+      io.Sinks.writeVersion(docs, path, 0)
+      val up1 = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("text", concat(lit("v2 "), col("text")))
+        .withColumn("__deleted", lit(false))
+      val del1 = docs.where(pmod(col("doc_id"), lit(10)) === 1)
+        .withColumn("__deleted", lit(true))
+      val ins1 = docs.where(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", concat(lit("new "), col("text")))
+        .withColumn("__deleted", lit(false))
+      io.Sinks.writeVersion(up1.unionByName(del1).unionByName(ins1), path,
+        io.Sinks.nextVersion(s, path))
+      val up2 = docs.where(pmod(col("doc_id"), lit(10)) === 2)
+        .withColumn("text", concat(lit("v3 "), col("text")))
+        .withColumn("__deleted", lit(false))
+      val del2 = docs.where(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("__deleted", lit(true))
+      val rev2 = docs.where(pmod(col("doc_id"), lit(100)) === 1)
+        .withColumn("text", concat(lit("back "), col("text")))
+        .withColumn("__deleted", lit(false))
+      io.Sinks.writeVersion(up2.unionByName(del2).unionByName(rev2), path,
+        io.Sinks.nextVersion(s, path))
+      io.Sinks.scd2History(s, path, "doc_id")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_text"),
+          col("source"), col("eff_from"), col("eff_to"))
+        .orderBy("doc_id", "eff_from")
     },
     "corpus_shards" -> { (s, dir) =>
       // training-shard export round trip: the corpus lands as 16 hive

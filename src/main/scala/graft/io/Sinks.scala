@@ -127,6 +127,31 @@ object Sinks {
       .drop("__rn", "__v", "__deleted")
   }
 
+  /** Full-history SCD-2 interval view of a versioned table (the
+    * slowly-changing-dimension Type-2 shape warehouses build from CDC
+    * logs): one row per committed key-version with its validity
+    * interval `[eff_from, eff_to)` in commit units, `eff_to` null =
+    * still current. A tombstone commit closes the prior interval and
+    * contributes no row of its own; a revival opens a new one — the
+    * complement of [[readSnapshotAt]]: that answers "what was true AT
+    * v", this answers "when was each value true".
+    *
+    * Scale shape: one read of the commit log (`__v` comes from the
+    * directory names — partition column, no data parse) and ONE
+    * key-partitioned `lead` window — the same single-window budget as
+    * the snapshot read; intervals per key = commits that touched it,
+    * never corpus-scale fan-out. */
+  def scd2History(spark: SparkSession, path: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lead, not}
+    val all = spark.read.parquet(path)
+      .withColumn("eff_from", col("__v").cast("long"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("eff_from"))
+    all.withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+      .where(not(col("__deleted")))
+      .drop("__v", "__deleted")
+  }
+
   /** Fold commits 0..`upTo` into a single resolved base partition:
     * rewrites `__v=upTo` as the materialized snapshot and drops the
     * older directories (write-then-swap via a temp dir, so a crash

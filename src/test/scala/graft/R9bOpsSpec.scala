@@ -242,6 +242,21 @@ class R9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("scd2History: tombstone closes the interval, revival reopens, current rows have null eff_to") {
+    val dir = java.nio.file.Files.createTempDirectory("scd2t").toString + "/tbl"
+    io.Sinks.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir, 0)
+    io.Sinks.writeVersion(
+      Seq((1L, "a2", false), (2L, "b", true)).toDF("k", "s", "__deleted"), dir, 1)
+    io.Sinks.writeVersion(
+      Seq((2L, "b2", false)).toDF("k", "s", "__deleted"), dir, 2)
+    val got = io.Sinks.scd2History(spark, dir, "k")
+      .select(col("k"), col("s"), col("eff_from"), col("eff_to"))
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, "a", 0L, Some(1L)), (1L, "a2", 1L, None),
+      (2L, "b", 0L, Some(1L)), (2L, "b2", 2L, None)))
+  }
+
   test("estimateEquiJoin: exact branch by hand, null keys excluded, empty side estimates 0") {
     val a = Seq(Some(1L), Some(1L), Some(2L), Some(2L), Some(3L), None).toDF("ka")
     val b = Seq(Some(1L), Some(2L), Some(2L), None, None).toDF("kb")

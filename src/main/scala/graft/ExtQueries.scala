@@ -948,6 +948,37 @@ object ExtQueries {
     // on an engine-independent md5 id hash — the reproducible sampling
     // op every training pipeline needs (same doc lands in the same
     // split in any engine, at any scale, with no shuffle at all)
+    // split-by-canonical replay: the dedup_clusters reachability CTEs
+    // give the cluster label; singletons fall back to their own id;
+    // the split law is split_assign's md5 range over the CANON id
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $shingleSql AS ws FROM toks WHERE len(tk) >= 3),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.ws, b.ws))*1.0 / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.6),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |cl AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |canon AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS canon
+         |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+         |SELECT doc_id, canon,
+         |  CASE WHEN CAST(concat('0x', substring(md5(CAST(canon AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+         |       WHEN CAST(concat('0x', substring(md5(CAST(canon AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM canon
+         |ORDER BY doc_id""".stripMargin,
     "split_assign" ->
       """SELECT doc_id,
         |  CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
@@ -3457,6 +3488,15 @@ object ExtQueries {
       StreamOps.runToMemory(grouped, "stream_dedup_sink",
           org.apache.spark.sql.streaming.OutputMode.Complete())
         .orderBy("keeper")
+    },
+    "split_leakage_safe" -> { (s, dir) =>
+      // the split decision hashes the near-dup cluster CANONICAL, not
+      // the doc — near-duplicates can never straddle train/test (the
+      // contamination mode decontaminate_* screens for after the
+      // fact, prevented at assignment time); singletons reduce to the
+      // plain split_assign law
+      Dedup.leakageSafeSplit(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     },
     "split_assign" -> { (s, dir) =>
       // map-only, shuffle-free: split = hash-range of an md5-derived id

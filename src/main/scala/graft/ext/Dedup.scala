@@ -714,6 +714,45 @@ object Dedup {
       .withColumn("weight_permille", expr("1000 div cluster_size"))
   }
 
+  /** Leakage-safe train/validation/test split: the split decision
+    * hashes each doc's near-dup CLUSTER canonical (the CC min-id
+    * label), not the doc itself — so two near-duplicate documents can
+    * NEVER land on opposite sides of the train/test line. A doc-level
+    * hash split silently puts ~`2·p·(1−p)` of every near-dup pair
+    * across the boundary, which is exactly the eval-contamination mode
+    * `decontaminate_*` screens for AFTER the fact; splitting by
+    * canonical prevents it at assignment time. Singletons hash their
+    * own id, so off-cluster the law reduces to the plain
+    * `split_assign` md5-range rule (same engine-independent 60-bit
+    * hash, same permille thresholds).
+    *
+    * Cost on top of the shared LSH→CC pipeline: one sliver-sized left
+    * join (cluster labels exist only for duplicated docs) and a
+    * map-only hash — the split itself adds no corpus-scale shuffle. */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.6,
+      trainPct: Int = 80,
+      validationPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && validationPct >= 0 && trainPct + validationPct < 100,
+      s"need 0 < train, 0 <= validation, train+validation < 100; got $trainPct/$validationPct")
+    val pairs = nearDupPairs(docs, idCol, textCol, shingleN = shingleN,
+      threshold = threshold)
+    val cl = connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as(idCol), col("cluster_id"))
+    val canon = docs.select(col(idCol))
+      .join(cl, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("canon"))
+    val h = pmod(graft.ext.Sampling.md5Hash(col("canon")), lit(100L))
+    canon.select(col(idCol), col("canon"),
+      when(h < trainPct, lit("train"))
+        .when(h < trainPct + validationPct, lit("validation"))
+        .otherwise(lit("test")).as("split"))
+  }
+
   /** Quality-aware canonicalization: `dedup_canonical` keeps the MIN-ID
     * member of each near-dup cluster (deterministic but arbitrary);
     * production pipelines keep the BEST copy — near-dup clusters often

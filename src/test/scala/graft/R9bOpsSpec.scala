@@ -242,6 +242,31 @@ class R9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("leakageSafeSplit: no near-dup pair straddles splits; singletons reduce to the doc-hash law") {
+    val docs = io.Tables(spark, sf, "documents")
+    val split = graft.ext.Dedup.leakageSafeSplit(docs, "doc_id", "text")
+    val sp = split.select(col("doc_id"), col("split"))
+    val pairs = graft.ext.Dedup
+      .nearDupPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.6)
+      .select("id_a", "id_b")
+    assert(pairs.count() > 0, "fixture must contain near-dup pairs")
+    val straddle = pairs
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .where(col("sa") =!= col("sb")).count()
+    assert(straddle == 0L, "a near-dup pair must never straddle the split boundary")
+    // docs whose canonical is themselves follow the plain doc-hash law
+    val h = pmod(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long"), lit(100L))
+    val docLaw = docs.select(col("doc_id"),
+      when(h < 80, "train").when(h < 90, "validation").otherwise("test").as("law"))
+    val mismatch = split.where(col("canon") === col("doc_id"))
+      .join(docLaw, "doc_id").where(col("split") =!= col("law")).count()
+    assert(mismatch == 0L)
+    spark.catalog.clearCache()
+  }
+
   test("scd2History: tombstone closes the interval, revival reopens, current rows have null eff_to") {
     val dir = java.nio.file.Files.createTempDirectory("scd2t").toString + "/tbl"
     io.Sinks.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir, 0)

@@ -2083,6 +2083,23 @@ object ExtQueries {
         |       CAST(sum(CASE WHEN text IS NULL OR length(text) < 100 THEN 1 ELSE 0 END) AS BIGINT)
         |FROM documents
         |ORDER BY rule""".stripMargin,
+    // half-life trending replay: hourly counts, integer shift decay
+    // from the corpus's last bucket, global top-20
+    "events_decayed_topk" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS b, user_id, count(*) AS n
+        |  FROM events GROUP BY b, user_id),
+        |r AS (SELECT date_trunc('hour', max(ts)) AS ref FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |         CAST(sum(n >> CAST(LEAST(date_diff('hour', b, ref) // 24, 62) AS INTEGER)) AS BIGINT) AS score
+        |  FROM c, r GROUP BY user_id),
+        |t AS (
+        |  SELECT user_id, score,
+        |         CAST(row_number() OVER (ORDER BY score DESC, user_id) AS BIGINT) AS rn
+        |  FROM s)
+        |SELECT user_id, score, rn FROM t WHERE rn <= 20
+        |ORDER BY rn""".stripMargin,
     "events_gapfill" ->
       """WITH c AS (
         |  SELECT date_trunc('hour', ts) AS b, event_type, count(*) AS n
@@ -2847,6 +2864,15 @@ object ExtQueries {
         "stream_constraints_sink",
         org.apache.spark.sql.streaming.OutputMode.Complete())
       StreamOps.constraintReport(sunk, rules.map(_._1)).orderBy("rule")
+    },
+    "events_decayed_topk" -> { (s, dir) =>
+      // trending-now ranking with exact-integer half-life decay: each
+      // hourly count contributes n >> (age div 24h), so recency wins
+      // without any float crossing the engine boundary; global top-20
+      // plans TakeOrderedAndProject, never a global sort
+      graft.ops.TimeSeries.decayedTopK(t(s, dir, "events"), "ts", "user_id",
+          k = 20, halfLifeHours = 24)
+        .orderBy("rn")
     },
     "events_gapfill" -> { (s, dir) =>
       // dense-resample of the hourly rollup: every (hour, type) cell

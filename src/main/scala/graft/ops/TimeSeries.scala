@@ -159,4 +159,45 @@ object TimeSeries {
       .groupBy(date_format(col("__c"), "yyyy-MM-dd").as("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Half-life decayed trending entities, exact-integer: each hourly
+    * bucket's count contributes `n >> (age_hours div halfLifeHours)`
+    * (age measured from the corpus's LAST bucket, shift capped at 62),
+    * so a bucket loses half its weight per half-life and — unlike the
+    * float `e^(−λt)` formulation, which cannot cross engines
+    * bit-stably — the whole score REPLAYS externally. Recency-weighted
+    * ranking is the standard "trending now" signal; the power-of-two
+    * decay is the price of exactness and is monotone-equivalent to any
+    * base's exponential at half-life granularity.
+    *
+    * Scale shape: ONE (bucket, key) aggregation pass (map-side
+    * combined), a single broadcast reference row, one per-key sum, and
+    * a global top-k planned as `TakeOrderedAndProject` (limit k — no
+    * global sort, each partition forwards ≤ k rows); the final rank
+    * window runs over the ≤ k survivors only. */
+  def decayedTopK(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      k: Int = 20,
+      halfLifeHours: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && halfLifeHours > 0,
+      s"need k > 0 and halfLifeHours > 0, got $k/$halfLifeHours")
+    val counts = events
+      .select(date_trunc("hour", col(tsCol)).as("bucket"), col(keyCol))
+      .groupBy("bucket", keyCol)
+      .agg(count(lit(1)).as("n"))
+    val ref = events.agg(date_trunc("hour", max(col(tsCol))).as("ref"))
+    val scored = counts.crossJoin(broadcast(ref))
+      .withColumn("__shift",
+        least(expr(s"timestampdiff(HOUR, bucket, ref) div $halfLifeHours"),
+          lit(62L)).cast("int"))
+      .select(col(keyCol), expr("shiftright(n, __shift)").as("__c"))
+      .groupBy(keyCol)
+      .agg(sum(col("__c")).as("score"))
+    scored.orderBy(desc("score"), asc(keyCol)).limit(k)
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(desc("score"), asc(keyCol))).cast("long"))
+  }
 }

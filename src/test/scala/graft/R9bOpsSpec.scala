@@ -242,6 +242,27 @@ class R9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("decayedTopK: recency outranks raw volume; top-k plans TakeOrderedAndProject") {
+    val base = java.sql.Timestamp.valueOf("2025-01-10 12:00:00")
+    def at(hoursAgo: Int) =
+      new java.sql.Timestamp(base.getTime - hoursAgo * 3600000L)
+    // user 1: 10 events now (shift 0 → 10); user 3: 16 events one
+    // half-life ago (shift 1 → 8); user 2: 100 events ten half-lives
+    // ago (shift 10 → 0) — raw volume loses to recency
+    val events = ((1 to 10).map(_ => (at(0), 1L)) ++
+      (1 to 100).map(_ => (at(240), 2L)) ++
+      (1 to 16).map(_ => (at(24), 3L))).toDF("ts", "user_id")
+    val top = graft.ops.TimeSeries.decayedTopK(events, "ts", "user_id",
+      k = 2, halfLifeHours = 24)
+    val got = top.select("user_id", "score", "rn")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L, 1L), (3L, 8L, 2L)))
+    // the k cut is TakeOrderedAndProject, not a global sort (AQE:
+    // executedPlan read after the action above)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected take-ordered in:\n$plan")
+  }
+
   test("leakageSafeSplit: no near-dup pair straddles splits; singletons reduce to the doc-hash law") {
     val docs = io.Tables(spark, sf, "documents")
     val split = graft.ext.Dedup.leakageSafeSplit(docs, "doc_id", "text")

@@ -1222,6 +1222,39 @@ object ExtQueries {
          |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     // mixture rebalancer rebuilt from scratch: identical integer rate
     // arithmetic and md5-permille keep decision
+    // budget-fill replay: √n temperature caps, 12-bit hash-bucket
+    // histogram, longest prefix of buckets under the cap per source
+    "corpus_budget_fill" ->
+      """WITH sized AS (
+        |  SELECT source AS grp,
+        |         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+        |         CAST(length(text) AS BIGINT) AS sz
+        |  FROM documents),
+        |counts AS (SELECT grp, count(*) AS n_grp,
+        |                  CAST(floor(sqrt(count(*) * 1000000)) AS BIGINT) AS w
+        |           FROM sized GROUP BY grp),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM counts),
+        |caps AS (SELECT grp, CAST((200000 * w) // sum_w AS BIGINT) AS cap_chars
+        |         FROM counts, tot),
+        |hist AS (SELECT grp, h // 281474976710656 AS b,
+        |                CAST(sum(sz) AS BIGINT) AS bc, count(*) AS bn
+        |         FROM sized GROUP BY grp, b),
+        |cum AS (SELECT grp, b, bc, bn,
+        |               CAST(sum(bc) OVER (PARTITION BY grp ORDER BY b) AS BIGINT) AS cum
+        |        FROM hist),
+        |kept AS (SELECT c.grp, c.b, c.bc, c.bn
+        |         FROM cum c JOIN caps ON caps.grp = c.grp
+        |         WHERE c.cum <= caps.cap_chars),
+        |agg AS (SELECT grp, CAST(max(b) AS BIGINT) AS cutoff_bucket,
+        |               CAST(sum(bn) AS BIGINT) AS n_kept,
+        |               CAST(sum(bc) AS BIGINT) AS chars_kept
+        |        FROM kept GROUP BY grp)
+        |SELECT caps.grp AS source, caps.cap_chars,
+        |       CAST(coalesce(agg.cutoff_bucket, -1) AS BIGINT) AS cutoff_bucket,
+        |       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |       CAST(coalesce(agg.chars_kept, 0) AS BIGINT) AS chars_kept
+        |FROM caps LEFT JOIN agg ON agg.grp = caps.grp
+        |ORDER BY source""".stripMargin,
     "sample_balanced" ->
       """WITH stats AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
         |tot AS (SELECT count(*) AS n, count(DISTINCT source) AS n_src FROM documents),
@@ -3059,6 +3092,15 @@ object ExtQueries {
           size(col("ck")).cast("long").as("n_tok"),
           md5(array_join(col("ck"), " ").cast("binary")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_id")
+    },
+    "corpus_budget_fill" -> { (s, dir) =>
+      // "give me ~200k chars mixed by the temperature law": per-source
+      // caps from √n shares, each cap filled by the hash-smallest docs
+      // via a 4096-bucket histogram cut — no per-doc sort anywhere;
+      // the report is the full integer law (cap, cutoff, kept mass)
+      graft.ext.Sampling.budgetFill(t(s, dir, "documents"), "doc_id", "source",
+          length(col("text")), budgetChars = 200000L)
+        .orderBy("source")
     },
     "sample_balanced" -> { (s, dir) =>
       // self-tuning mixture rebalancer: per-source keep rates DERIVED

@@ -89,6 +89,59 @@ object Sampling {
        |WHERE CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < r.rate
        |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic char/token-budget materialization: spread a total
+    * size budget over sources by the same √n temperature shares as
+    * [[temperatureMixture]], then fill each source's cap with the
+    * hash-SMALLEST documents — "give me ~B chars of corpus, mixed like
+    * the temperature law says" — without ever sorting documents:
+    * the cut is found on a 4096-bucket histogram of the 60-bit hash's
+    * top 12 bits (the `qualityFilterBySource` discipline — a per-doc
+    * rank window would put every source on one reducer). Each source
+    * keeps the longest PREFIX of hash buckets whose cumulative size
+    * fits its cap; undershoot is bounded by one bucket's mass
+    * (~1/4096 of the source per uniform hashing). Everything —
+    * shares, caps, bucket cut — is integer and replays externally;
+    * the kept SET is exactly `bucket(doc) <= cutoff`, a map-only
+    * predicate any downstream pass re-derives from the report.
+    *
+    * Scale shape: one sizing scan, one (source, bucket) map-side-
+    * combined agg, a cumulative window over ≤4096 rows per source,
+    * two broadcasts of O(sources) rows. Returns the per-source report
+    * `(source, cap_chars, cutoff_bucket, n_kept, chars_kept)`;
+    * cutoff −1 = even the first bucket overflowed the cap. */
+  def budgetFill(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      sizeExpr: Column,
+      budgetChars: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetChars > 0, s"need a positive budget, got $budgetChars")
+    val sized = docs.select(col(groupCol).as("grp"),
+      md5Hash(col(idCol)).as("h"), sizeExpr.cast("long").as("sz"))
+    val counts = sized.groupBy("grp").agg(count(lit(1)).as("n_grp"))
+      .withColumn("w", floor(sqrt(col("n_grp") * 1000000L)).cast("long"))
+    val tot = counts.agg(sum(col("w")).cast("long").as("sum_w"))
+    val caps = counts.crossJoin(broadcast(tot))
+      .select(col("grp"), expr(s"($budgetChars * w) div sum_w").as("cap_chars"))
+    // 2^48: the 60-bit hash's top 12 bits → 4096 ordered buckets
+    val hist = sized.withColumn("b", expr("h div 281474976710656"))
+      .groupBy("grp", "b")
+      .agg(sum(col("sz")).as("bc"), count(lit(1)).as("bn"))
+    val cum = hist.withColumn("cum",
+      sum(col("bc")).over(Window.partitionBy("grp").orderBy("b")))
+    val kept = cum.join(broadcast(caps), "grp")
+      .where(col("cum") <= col("cap_chars"))
+      .groupBy("grp")
+      .agg(max(col("b")).as("cutoff_bucket"), sum(col("bn")).as("n_kept"),
+        sum(col("bc")).as("chars_kept"))
+    caps.join(kept, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("cap_chars"),
+        coalesce(col("cutoff_bucket"), lit(-1L)).as("cutoff_bucket"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+  }
+
   /** Weighted sample without replacement by PRIORITY SAMPLING (Duffield,
     * Lund & Thorup, JACM 2007): each row gets priority u/w — u a
     * deterministic md5 uniform, w its weight — and the k smallest

@@ -242,6 +242,56 @@ class R9bOpsSpec extends SparkSpec {
     }
   }
 
+  test("budgetFill: local replay of the cap/cutoff law; kept prefix is maximal under the cap") {
+    val rows = (1L to 400L).map(i =>
+      (i, if (i % 4 == 0) "a" else "b", "x" * ((i % 17) + 1).toInt))
+    val docs = rows.toDF("id", "src", "text")
+    val budget = 2000L
+    val got = graft.ext.Sampling.budgetFill(docs, "id", "src",
+        length(col("text")), budget)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // scalar replay: md5-60-bit hash, √n caps, 12-bit bucket prefix
+    def h60(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val bySrc = rows.groupBy(_._2)
+    val w = bySrc.map { case (s, rs) =>
+      s -> math.floor(math.sqrt(rs.size.toDouble * 1000000L)).toLong
+    }
+    val sumW = w.values.sum
+    val expected = bySrc.map { case (s, rs) =>
+      val cap = budget * w(s) / sumW
+      val hist = rs.groupBy(r => h60(r._1) / 281474976710656L)
+        .map { case (b, g) => (b, g.map(_._3.length.toLong).sum, g.size.toLong) }
+        .toSeq.sortBy(_._1)
+      // true PREFIX: stop at the first bucket whose cumulative
+      // overflows — later small buckets must not sneak back in
+      var (cum, cutoff, nK, cK, open) = (0L, -1L, 0L, 0L, true)
+      for ((b, bc, bn) <- hist) {
+        if (open && cum + bc <= cap) {
+          cum += bc; cutoff = b; nK += bn; cK += bc
+        } else open = false
+      }
+      s -> ((cap, cutoff, nK, cK))
+    }
+    assert(got == expected)
+    // maximality: the kept mass is under the cap and the NEXT bucket
+    // would overflow it (when a next bucket exists)
+    got.foreach { case (s, (cap, cutoff, _, kept)) =>
+      assert(kept <= cap, s"$s keeps beyond its cap")
+      val next = bySrc(s).groupBy(r => h60(r._1) / 281474976710656L)
+        .toSeq.sortBy(_._1).find(_._1 > cutoff)
+      next.foreach { case (_, g) =>
+        assert(kept + g.map(_._3.length.toLong).sum > cap,
+          s"$s could have kept one more bucket")
+      }
+    }
+  }
+
   test("decayedTopK: recency outranks raw volume; top-k plans TakeOrderedAndProject") {
     val base = java.sql.Timestamp.valueOf("2025-01-10 12:00:00")
     def at(hoursAgo: Int) =

@@ -25,6 +25,36 @@ object ExtQueries {
   private val statsCols =
     Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
 
+  // per-label centroid cosine vs the corpus centroid — exact integer
+  // replay of the one-pass drift monitor (same truncating-div means as
+  // the Lloyd recentering CTEs, floored correctly-rounded sqrt).
+  // Shared verbatim by emb_drift and its streaming twin stream_drift,
+  // which must agree bit-for-bit.
+  private val embDriftSql: String =
+    s"""WITH qv AS (
+       |  SELECT label,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |comp AS (SELECT label, i AS pos, q[i] AS qx FROM qv, range(1, 65) r(i)),
+       |sums AS (SELECT label, pos, CAST(sum(qx) AS BIGINT) AS s, count(*) AS n
+       |         FROM comp GROUP BY label, pos),
+       |gc AS (SELECT label, list(s // n ORDER BY pos) AS gv,
+       |              CAST(min(n) AS BIGINT) AS n_vecs
+       |       FROM sums GROUP BY label),
+       |gl AS (SELECT list(qc ORDER BY pos) AS cv FROM (
+       |         SELECT pos, CAST(sum(s) AS BIGINT) // CAST(sum(n) AS BIGINT) AS qc
+       |         FROM sums GROUP BY pos) t),
+       |d AS (SELECT label, n_vecs,
+       |             ${qdotIntSql("gc.gv", "gl.cv")} AS dgc,
+       |             ${qdotIntSql("gc.gv", "gc.gv")} AS dgg,
+       |             ${qdotIntSql("gl.cv", "gl.cv")} AS dcc
+       |      FROM gc, gl)
+       |SELECT label, n_vecs,
+       |       CASE WHEN dgg = 0 OR dcc = 0 THEN NULL
+       |            ELSE (dgc * 1000000) // (CAST(floor(sqrt(dgg)) AS BIGINT)
+       |                                     * CAST(floor(sqrt(dcc)) AS BIGINT)) END AS cos_micro
+       |FROM d ORDER BY label""".stripMargin
+
   // MMR re-rank replay: brute top-16 shortlist, pairwise shortlist
   // sims, then k=5 UNROLLED greedy rounds (the Lloyd-round oracle
   // pattern) — each round penalizes remaining candidates by max sim to
@@ -1100,33 +1130,12 @@ object ExtQueries {
     // SemDeDup rebuilt from scratch: identical quantizer training +
     // assignment (shared CTE), then within-list pairs above the
     // threshold and the keep-first anti-join
+    // streaming twin: identical report from stream-folded sums
+    "stream_drift" -> embDriftSql,
     // per-label centroid cosine vs the corpus centroid — exact integer
     // replay of the one-pass drift monitor: same truncating-div means
     // as the Lloyd recentering CTEs, floored correctly-rounded sqrt
-    "emb_drift" ->
-      s"""WITH qv AS (
-         |  SELECT label,
-         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |comp AS (SELECT label, i AS pos, q[i] AS qx FROM qv, range(1, 65) r(i)),
-         |sums AS (SELECT label, pos, CAST(sum(qx) AS BIGINT) AS s, count(*) AS n
-         |         FROM comp GROUP BY label, pos),
-         |gc AS (SELECT label, list(s // n ORDER BY pos) AS gv,
-         |              CAST(min(n) AS BIGINT) AS n_vecs
-         |       FROM sums GROUP BY label),
-         |gl AS (SELECT list(qc ORDER BY pos) AS cv FROM (
-         |         SELECT pos, CAST(sum(s) AS BIGINT) // CAST(sum(n) AS BIGINT) AS qc
-         |         FROM sums GROUP BY pos) t),
-         |d AS (SELECT label, n_vecs,
-         |             ${qdotIntSql("gc.gv", "gl.cv")} AS dgc,
-         |             ${qdotIntSql("gc.gv", "gc.gv")} AS dgg,
-         |             ${qdotIntSql("gl.cv", "gl.cv")} AS dcc
-         |      FROM gc, gl)
-         |SELECT label, n_vecs,
-         |       CASE WHEN dgg = 0 OR dcc = 0 THEN NULL
-         |            ELSE (dgc * 1000000) // (CAST(floor(sqrt(dgg)) AS BIGINT)
-         |                                     * CAST(floor(sqrt(dcc)) AS BIGINT)) END AS cos_micro
-         |FROM d ORDER BY label""".stripMargin,
+    "emb_drift" -> embDriftSql,
     "emb_semdedup" ->
       s"""WITH $ivfAssignSql,
          |pairs AS (
@@ -3010,6 +3019,18 @@ object ExtQueries {
       // deterministic integer Lloyd scheme as the IVF quantizer
       Similarity.pqEncode(t(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("vec_id", "sub")
+    },
+    "stream_drift" -> { (s, dir) =>
+      // content-drift monitoring AT INGEST: the (label, dim) component
+      // sums fold continuously in one Complete-mode aggregate (state =
+      // labels·64 rows); the sunk sums finish batch-side into the
+      // identical all-integer report — shares emb_drift's oracle
+      val sunk = StreamOps.runToMemory(
+        StreamOps.driftSums(
+          StreamOps.readTable(s, dir, "embeddings"), "label", "embedding"),
+        "stream_drift_sink",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      StreamOps.driftReport(sunk, "label").orderBy("label")
     },
     "emb_drift" -> { (s, dir) =>
       // content-based ingest monitoring: per-label embedding centroid

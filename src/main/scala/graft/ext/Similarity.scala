@@ -600,12 +600,28 @@ object Similarity {
     * metadata-scale aggs; the corpus centroid derives from the SAME
     * per-group sums (exact, no second pass), and the only broadcast
     * is the single corpus-centroid row. */
-  def embeddingDrift(corpus: DataFrame, groupCol: String, vecCol: String): DataFrame = {
-    val comp = corpus.select(col(groupCol).as("grp"),
-      posexplode(transform(col(vecCol),
-        x => round(x.cast("double") * 1000).cast("long"))).as(Seq("pos", "qx")))
-    val sums = comp.groupBy("grp", "pos")
+  def embeddingDrift(corpus: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    driftFromSums(componentSums(corpus, groupCol, vecCol), groupCol)
+
+  /** The drift monitor's ONE data pass alone — (group, dim) quantized
+    * component sums and counts. Split out because it is the exactly
+    * streaming-legal half: a stream maintains these sums continuously
+    * as a single Complete-mode aggregate (state = groups·dim rows of
+    * two longs), while the centroid division and the corpus-centroid
+    * comparison are a SECOND aggregation level streams can't chain —
+    * the sunk sums finish batch-side via [[driftFromSums]], the
+    * `constraintGate`/`constraintReport` split. */
+  private[graft] def componentSums(
+      corpus: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    corpus.select(col(groupCol).as("grp"),
+        posexplode(transform(col(vecCol),
+          x => round(x.cast("double") * 1000).cast("long"))).as(Seq("pos", "qx")))
+      .groupBy("grp", "pos")
       .agg(sum(col("qx")).as("s"), count(lit(1)).as("n"))
+
+  /** Finish the drift report from (possibly stream-sunk) component
+    * sums — bit-identical to [[embeddingDrift]] on the same data. */
+  private[graft] def driftFromSums(sums: DataFrame, groupCol: String): DataFrame = {
     val gc = sums
       .select(col("grp"), col("pos"), expr("s div n").as("qc"), col("n"))
       .groupBy("grp")

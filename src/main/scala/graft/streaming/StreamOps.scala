@@ -344,6 +344,22 @@ object StreamOps {
   def constraintReport(sunkWide: DataFrame, ruleNames: Seq[String]): DataFrame =
     graft.ops.Constraints.unpivotReport(sunkWide, ruleNames)
 
+  /** Streaming half of the embedding drift monitor: maintain the
+    * (group, dim) quantized component sums continuously as ONE
+    * Complete-mode aggregate — state is groups·dim rows of two longs
+    * at any stream volume. The centroid division and corpus-centroid
+    * comparison are a second aggregation level streams can't chain;
+    * finish the sunk sums batch-side with [[driftReport]] (the
+    * [[constraintGate]]/[[constraintReport]] split). */
+  def driftSums(stream: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    graft.ext.Similarity.componentSums(stream, groupCol, vecCol)
+
+  /** Batch-side finish of the sunk drift sums — bit-identical to
+    * `Similarity.embeddingDrift` over the same data, which is the
+    * oracle contract. */
+  def driftReport(sunkSums: DataFrame, groupCol: String): DataFrame =
+    graft.ext.Similarity.driftFromSums(sunkSums, groupCol)
+
   def runToMemory(
       df: DataFrame,
       name: String,

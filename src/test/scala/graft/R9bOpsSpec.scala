@@ -409,6 +409,31 @@ class R9bOpsSpec extends SparkSpec {
       s"duplicate must be demoted, got order $got")
   }
 
+  test("streaming drift sums fold across micro-batches; finished report == batch embeddingDrift") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Seq[Float])]
+    val sums = streaming.StreamOps.driftSums(
+      input.toDS().toDF("src", "embedding"), "src", "embedding")
+    val q = sums.writeStream.outputMode("complete").format("memory")
+      .queryName("drift_sink").start()
+    try {
+      val b1 = Seq(("a", Seq(1.0f, 0.0f)), ("b", Seq(0.0f, 1.0f)))
+      val b2 = Seq(("a", Seq(1.0f, 0.0f)), ("b", Seq(-0.5f, 0.5f)))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = streaming.StreamOps.driftReport(spark.table("drift_sink"), "src")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      val batch = graft.ext.Similarity.embeddingDrift(
+        (b1 ++ b2).toDF("src", "embedding"), "src", "embedding")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("embeddingDrift: local integer replay incl. zero-norm null, negative components, truncating div") {
     val df = Seq(
       ("a", Seq(1.0f, 0.0f)), ("a", Seq(1.0f, 0.0f)),

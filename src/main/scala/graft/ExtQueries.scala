@@ -2108,6 +2108,12 @@ object ExtQueries {
         |UNION ALL SELECT 'lang_source_unique',
         |       CAST(count(*) - count(DISTINCT (lang, source)) AS BIGINT)
         |FROM documents
+        |UNION ALL SELECT 'doc_id_determines_lang',
+        |       CAST(count(DISTINCT (doc_id, lang)) - count(DISTINCT doc_id) AS BIGINT)
+        |FROM documents
+        |UNION ALL SELECT 'lang_determines_source',
+        |       CAST(count(DISTINCT (lang, source)) - count(DISTINCT lang) AS BIGINT)
+        |FROM documents
         |ORDER BY rule""".stripMargin,
     // the streaming gate carries the row rules only (exact uniqueness
     // is corpus-wide — a batch/compaction check, not ingest-time)
@@ -2885,7 +2891,13 @@ object ExtQueries {
             "text_min_100_chars" -> (length(col("text")) < 100)),
           uniqueKeys = Seq(
             "doc_id_unique" -> Seq("doc_id"),
-            "lang_source_unique" -> Seq("lang", "source")))
+            "lang_source_unique" -> Seq("lang", "source")),
+          // FD rules: one that HOLDS (unique doc_id trivially
+          // determines lang → 0) and one deliberately violated (langs
+          // span sources), so the report proves both directions
+          fdRules = Seq(
+            "doc_id_determines_lang" -> ((Seq("doc_id"), Seq("lang"))),
+            "lang_determines_source" -> ((Seq("lang"), Seq("source")))))
         .orderBy("rule")
     },
     "stream_constraints" -> { (s, dir) =>

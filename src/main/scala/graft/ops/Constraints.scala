@@ -33,9 +33,10 @@ object Constraints {
   def check(
       df: DataFrame,
       rowRules: Seq[(String, Column)],
-      uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame =
-    unpivotReport(wideCheck(df, rowRules, uniqueKeys),
-      rowRules.map(_._1) ++ uniqueKeys.map(_._1))
+      uniqueKeys: Seq[(String, Seq[String])] = Nil,
+      fdRules: Seq[(String, (Seq[String], Seq[String]))] = Nil): DataFrame =
+    unpivotReport(wideCheck(df, rowRules, uniqueKeys, fdRules),
+      rowRules.map(_._1) ++ uniqueKeys.map(_._1) ++ fdRules.map(_._1))
 
   /** The report's aggregation half alone: ONE row with a `__c_<i>`
     * violation-count column per rule. Split out because a STREAMING
@@ -49,8 +50,9 @@ object Constraints {
   private[graft] def wideCheck(
       df: DataFrame,
       rowRules: Seq[(String, Column)],
-      uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
-    val names = rowRules.map(_._1) ++ uniqueKeys.map(_._1)
+      uniqueKeys: Seq[(String, Seq[String])] = Nil,
+      fdRules: Seq[(String, (Seq[String], Seq[String]))] = Nil): DataFrame = {
+    val names = rowRules.map(_._1) ++ uniqueKeys.map(_._1) ++ fdRules.map(_._1)
     require(names.nonEmpty, "need at least one rule")
     require(names.distinct.size == names.size, s"duplicate rule names in $names")
     require(names.forall(n => !n.contains("'") && !n.contains("\\")),
@@ -62,6 +64,16 @@ object Constraints {
         uniqueKeys.zipWithIndex.map { case ((_, cols), i) =>
           (count(lit(1)) - count_distinct(struct(cols.map(col): _*)))
             .as(s"__c_${rowRules.size + i}")
+        } ++
+        // functional dependency X → Y: violations = the number of
+        // EXTRA (X, Y) combinations beyond one per X — zero iff every
+        // X value determines a single Y; rides the same agg as the
+        // uniqueness rules (one distinct exchange each, the honest
+        // minimum for an exact FD check)
+        fdRules.zipWithIndex.map { case ((_, (lhs, rhs)), i) =>
+          (count_distinct(struct((lhs ++ rhs).map(col): _*)) -
+            count_distinct(struct(lhs.map(col): _*)))
+            .as(s"__c_${rowRules.size + uniqueKeys.size + i}")
         }
     df.agg(aggs.head, aggs.tail: _*)
   }

@@ -240,6 +240,17 @@ class R9bOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.ops.Constraints.check(d, Nil, Nil)
     }
+    // FD rules: id→v holds on this data (each id maps to one v);
+    // v→s is violated once (v=5 maps to both null and "dup"... null
+    // and "dup" are two distinct (v,s) combos for v=5)
+    val fd = graft.ops.Constraints.check(d,
+        rowRules = Seq("s_not_null" -> col("s").isNull),
+        fdRules = Seq(
+          "id_determines_v" -> ((Seq("id"), Seq("v"))),
+          "v_determines_s" -> ((Seq("v"), Seq("s")))))
+      .as[(String, Long)].collect().toMap
+    assert(fd("id_determines_v") == 0L)
+    assert(fd("v_determines_s") == 1L)
   }
 
   test("budgetFill: local replay of the cap/cutoff law; kept prefix is maximal under the cap") {

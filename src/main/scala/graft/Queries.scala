@@ -116,6 +116,12 @@ object Queries {
         |       CAST(length(text) AS BIGINT) AS n_text, source
         |FROM resolved WHERE rn = 1 AND NOT del
         |ORDER BY as_of, doc_id""".stripMargin,
+    "io_wap" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "io_scd2" ->
       """WITH ch1 AS (
         |  SELECT doc_id, 'v2 ' || text AS text, source, FALSE AS del
@@ -372,6 +378,27 @@ object Queries {
         .select(col("as_of"), col("doc_id"),
           length(col("text")).cast("long").as("n_text"), col("source"))
         .orderBy("as_of", "doc_id")
+    },
+    "io_wap" -> { (s, dir) =>
+      // write-audit-publish round trip: the corpus stages, passes its
+      // contract (non-null unique ids, consistent n_chars), publishes
+      // atomically, and the query reads the PUBLISHED table back — so
+      // the oracle certifies both the gate's pass path and that
+      // publish moved exactly the staged bytes
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents")
+      val path =
+        java.nio.file.Files.createTempDirectory("wap").toString + "/tbl"
+      io.Sinks.writeAudited(docs, path,
+        rowRules = Seq(
+          "doc_id_not_null" -> col("doc_id").isNull,
+          "n_chars_consistent" -> (col("n_chars") =!= length(col("text")))),
+        uniqueKeys = Seq("doc_id_unique" -> Seq("doc_id")))
+      s.read.parquet(path)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .orderBy("source")
     },
     "io_scd2" -> { (s, dir) =>
       // SCD-2 history off the SAME commit log io_time_travel builds:

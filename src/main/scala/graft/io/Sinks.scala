@@ -127,6 +127,45 @@ object Sinks {
       .drop("__rn", "__v", "__deleted")
   }
 
+  /** Write-audit-publish (the Iceberg-era production ingestion
+    * pattern): the batch lands in a STAGING location, the
+    * [[graft.ops.Constraints]] gate audits what was actually WRITTEN
+    * (not the plan that produced it — a re-read catches writer bugs
+    * the logical plan can't), and only a fully-clean report publishes
+    * the staging directory to the final path by rename. Any violation
+    * throws, leaving staging in place for inspection and the
+    * published path untouched — downstream readers can never observe
+    * a batch that failed its contract.
+    *
+    * Returns the audit report (O(rules) rows — the one bounded
+    * driver-side collect, the gate must be decided before the rename).
+    * The delete-then-rename publish is atomic per step (HDFS/POSIX
+    * rename); a crash between them leaves the old data gone but
+    * staging intact — re-running the publish is idempotent. */
+  def writeAudited(
+      df: DataFrame,
+      path: String,
+      rowRules: Seq[(String, org.apache.spark.sql.Column)],
+      uniqueKeys: Seq[(String, Seq[String])] = Nil,
+      fdRules: Seq[(String, (Seq[String], Seq[String]))] = Nil): Seq[(String, Long)] = {
+    val staging = path.stripSuffix("/") + ".staging"
+    df.write.mode("overwrite").parquet(staging)
+    val spark = df.sparkSession
+    val report = graft.ops.Constraints
+      .check(spark.read.parquet(staging), rowRules, uniqueKeys, fdRules)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val bad = report.filter(_._2 > 0)
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"audit failed, staging left for inspection at $staging: " +
+          bad.map { case (n, v) => s"$n=$v" }.mkString(", "))
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(path)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(new Path(staging), dst)
+    report
+  }
+
   /** Full-history SCD-2 interval view of a versioned table (the
     * slowly-changing-dimension Type-2 shape warehouses build from CDC
     * logs): one row per committed key-version with its validity

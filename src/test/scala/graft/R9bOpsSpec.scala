@@ -349,6 +349,28 @@ class R9bOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("writeAudited: violation blocks publish and preserves staging; clean batch publishes atomically") {
+    val base = java.nio.file.Files.createTempDirectory("wapt").toString
+    val bad = Seq((1L, "x"), (1L, "y")).toDF("id", "s") // duplicate id
+    val dst = base + "/tbl"
+    val ex = intercept[IllegalStateException] {
+      io.Sinks.writeAudited(bad, dst, rowRules = Seq("s_not_null" -> col("s").isNull),
+        uniqueKeys = Seq("id_unique" -> Seq("id")))
+    }
+    assert(ex.getMessage.contains("id_unique=1"))
+    // published path untouched, staging left for inspection
+    assert(!new java.io.File(dst).exists())
+    assert(new java.io.File(dst + ".staging").exists())
+    // clean batch publishes; staging is consumed by the rename
+    val good = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val report = io.Sinks.writeAudited(good, dst,
+      rowRules = Seq("s_not_null" -> col("s").isNull),
+      uniqueKeys = Seq("id_unique" -> Seq("id")))
+    assert(report.toMap == Map("s_not_null" -> 0L, "id_unique" -> 0L))
+    assert(spark.read.parquet(dst).count() == 2)
+    assert(!new java.io.File(dst + ".staging").exists())
+  }
+
   test("scd2History: tombstone closes the interval, revival reopens, current rows have null eff_to") {
     val dir = java.nio.file.Files.createTempDirectory("scd2t").toString + "/tbl"
     io.Sinks.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir, 0)

@@ -2084,8 +2084,11 @@ object ExtQueries {
         |FROM a, b, t""".stripMargin,
     // the merged-state report is BIT-identical to the one-shot ANALYZE
     // (exact sketch-level merge), so the incremental path shares the
-    // full-table oracle verbatim
+    // full-table oracle verbatim — and so does the stream-maintained
+    // state (the KMV UDAF folds micro-batches exactly as it folds
+    // partitions)
     "stats_analyze_incremental" -> statsAnalyzeSql,
+    "stream_analyze" -> statsAnalyzeSql,
     // constraint report replay: per rule one conditional-sum (or
     // count-minus-distinct) scalar, identical violation semantics
     // incl. null-predicate-counts-as-violation
@@ -2859,6 +2862,19 @@ object ExtQueries {
           col("l_orderkey") === col("o_orderkey"))
         .agg(count(lit(1)).as("true_rows"))
       est.crossJoin(truth)
+    },
+    "stream_analyze" -> { (s, dir) =>
+      // ANALYZE maintained AT INGEST: the min/max/null/KMV state folds
+      // continuously in one Complete-mode aggregate (state = one wide
+      // row, ≤k sketch longs per column); the sunk row unpivots and
+      // estimates batch-side — bit-identical to the one-shot ANALYZE,
+      // sharing its oracle verbatim
+      val sunk = StreamOps.runToMemory(
+        StreamOps.analyzeGate(
+          StreamOps.readTable(s, dir, "lineitem"), statsCols),
+        "stream_analyze_sink",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      StreamOps.analyzeReport(sunk, statsCols).orderBy("col_name")
     },
     "stats_analyze_incremental" -> { (s, dir) =>
       // incremental stats maintenance: the stored 80% state and the

@@ -308,6 +308,20 @@ object Sketches {
       df: DataFrame,
       cols: Seq[String],
       k: Int = 256,
+      bits: Int = 44): DataFrame =
+    unpivotState(analyzeWideState(df, cols, k, bits), cols)
+
+  /** The state pass WITHOUT the `stack` unpivot: ONE row of per-column
+    * `(__mn, __mx, __nl, __kv)` aggregates. Split out because a STREAM
+    * maintains exactly this as a Complete-mode global aggregate (the
+    * KMV UDAF folds per micro-batch; state = the one wide row) but
+    * cannot append a generator to a streaming aggregate — the sunk row
+    * unpivots batch-side via [[unpivotState]], the `constraintGate`
+    * split again. */
+  private[graft] def analyzeWideState(
+      df: DataFrame,
+      cols: Seq[String],
+      k: Int = 256,
       bits: Int = 44): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     require(bits % 4 == 0 && bits < 63 && k > 1,
@@ -327,11 +341,16 @@ object Sketches {
             lit(sentinel))).as(s"__kv_$c"))
     }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(expr(
-        s"stack(${cols.size}, " +
-          cols.map(c => s"'$c', __mn_$c, __mx_$c, __nl_$c, __kv_$c").mkString(", ") +
-          ") AS (col_name, min_v, max_v, n_nulls, kmv)"))
   }
+
+  /** Reshape the wide one-row state to the long `(col_name, min_v,
+    * max_v, n_nulls, kmv)` form [[mergeAnalyzeStates]] and
+    * [[reportFromState]] consume. */
+  private[graft] def unpivotState(wide: DataFrame, cols: Seq[String]): DataFrame =
+    wide.select(expr(
+      s"stack(${cols.size}, " +
+        cols.map(c => s"'$c', __mn_$c, __mx_$c, __nl_$c, __kv_$c").mkString(", ") +
+        ") AS (col_name, min_v, max_v, n_nulls, kmv)"))
 
   /** Exact sketch-level merge of per-part ANALYZE states: min of mins,
     * max of maxes, sum of null counts, and for the sketch the k

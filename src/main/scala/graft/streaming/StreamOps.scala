@@ -360,6 +360,23 @@ object StreamOps {
   def driftReport(sunkSums: DataFrame, groupCol: String): DataFrame =
     graft.ext.Similarity.driftFromSums(sunkSums, groupCol)
 
+  /** Streaming ANALYZE: maintain the per-column min/max/null-count/KMV
+    * state continuously as ONE Complete-mode global aggregate — the
+    * KMV UDAF folds each micro-batch into ≤ k sketch longs per column,
+    * state = one wide row. Unpivot + estimate the sunk row batch-side
+    * with [[analyzeReport]]; the result is bit-identical to a batch
+    * `Sketches.analyzeColumns` over the same rows. */
+  def analyzeGate(
+      stream: DataFrame, cols: Seq[String],
+      k: Int = 256, bits: Int = 44): DataFrame =
+    graft.ops.Sketches.analyzeWideState(stream, cols, k, bits)
+
+  def analyzeReport(
+      sunkWide: DataFrame, cols: Seq[String],
+      k: Int = 256, bits: Int = 44): DataFrame =
+    graft.ops.Sketches.reportFromState(
+      graft.ops.Sketches.unpivotState(sunkWide, cols), k, bits)
+
   def runToMemory(
       df: DataFrame,
       name: String,

@@ -526,6 +526,32 @@ class R9bOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("streaming ANALYZE folds across micro-batches; finished report == batch analyzeColumns") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, java.lang.Long)]
+    val cols = Seq("a", "b")
+    val gate = streaming.StreamOps.analyzeGate(
+      input.toDS().toDF("a", "b"), cols, k = 16)
+    val q = gate.writeStream.outputMode("complete").format("memory")
+      .queryName("analyze_sink").start()
+    try {
+      val b1 = (0L until 40L).map(i =>
+        (i, if (i % 4 == 0) null.asInstanceOf[java.lang.Long] else java.lang.Long.valueOf(i % 3)))
+      val b2 = (40L until 90L).map(i => (i, java.lang.Long.valueOf(i)))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = streaming.StreamOps.analyzeReport(
+          spark.table("analyze_sink"), cols, k = 16)
+        .collect().map(_.toSeq).toSet
+      val batch = graft.ops.Sketches.analyzeColumns(
+          (b1 ++ b2).toDF("a", "b"), cols, k = 16)
+        .collect().map(_.toSeq).toSet
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("mergeAnalyzeStates: merged-state report == one-shot ANALYZE bit-for-bit, every estimator branch") {
     // columns exercise each report branch across the merge: >k distinct
     // (estimator path), <k distinct with nulls (sentinel survives),

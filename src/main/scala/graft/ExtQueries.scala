@@ -1455,6 +1455,38 @@ object ExtQueries {
          |       md5(coalesce(array_to_string(kt, ' '), '')) AS stripped_md5
          |FROM kept
          |ORDER BY doc_id""".stripMargin,
+    // keep-first span dedup rebuilt from scratch: same grams and keep
+    // rule as the strip oracle, but the canonical occurrence — the
+    // plain min of doc_id·2^20 + start (the oracle's 1-based starts
+    // shift every pack by exactly +1 vs the engine's 0-based, a
+    // uniform monotone shift, so the argmin occurrence is identical)
+    // — is exempt: removal starts are every OTHER occurrence of a
+    // ≥2-count hash
+    "corpus_dedup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i AS INT) AS i,
+         |         CAST(concat('0x', substring(md5(array_to_string(tk[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+         |        FROM toks WHERE len(tk) >= 8) gi),
+         |f AS (SELECT h, min(doc_id * 1048576 + i) AS fo
+         |      FROM g GROUP BY h HAVING count(*) >= 2),
+         |st AS (SELECT doc_id, list(i ORDER BY i) AS starts
+         |       FROM g JOIN f USING (h)
+         |       WHERE doc_id * 1048576 + i <> f.fo
+         |       GROUP BY doc_id),
+         |k AS (
+         |  SELECT t.doc_id, t.tk, coalesce(s.starts, []) AS starts
+         |  FROM toks t LEFT JOIN st s USING (doc_id)),
+         |kept AS (
+         |  SELECT doc_id, len(tk) AS n_tokens,
+         |         [tk[j] FOR j IN range(1, len(tk) + 1) IF len(list_filter(starts, s -> j >= s AND j < s + 8)) = 0] AS kt
+         |  FROM k)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(n_tokens - len(kt) AS BIGINT) AS n_removed,
+         |       md5(coalesce(array_to_string(kt, ' '), '')) AS deduped_md5
+         |FROM kept
+         |ORDER BY doc_id""".stripMargin,
     // Gopher repetition rules rebuilt from scratch: same per-doc token
     // and bigram counts, same (count DESC, token) argmaxes, same
     // integer per-mille floor division. The final CASTs are load-bearing:
@@ -3388,6 +3420,14 @@ object ExtQueries {
       // removed and the doc rewritten — dupNgramStats scores the
       // signal, this applies it
       TextAnalysis.stripDupSpans(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    "corpus_dedup_spans" -> { (s, dir) =>
+      // ExactSubstr dedup as published (Lee et al. 2022): duplicated
+      // 8-token windows removed from every occurrence EXCEPT the
+      // corpus-wide first — content survives exactly once, where
+      // corpus_strip_spans' scrub policy removes it everywhere
+      TextAnalysis.dedupSpansKeepFirst(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
     "sample_per_key" -> { (s, dir) =>

@@ -212,6 +212,58 @@ object TextAnalysis {
         p => p.getField("t")))
       .select(col(idCol), col("tk"), col("kept"))
 
+  /** Duplicate-span removal, KEEP-FIRST policy — ExactSubstr dedup as
+    * published (Lee et al. 2022 keep ONE copy of each duplicated
+    * substring; `stripDupSpans` is the strip-ALL-copies scrub): a
+    * corpus-duplicated n-token window is removed from every occurrence
+    * EXCEPT its corpus-wide first — min (id, pos) order — so the
+    * content survives exactly once in the corpus. Returns
+    * (id, n_tokens, n_removed, deduped_md5).
+    *
+    * The canonical occurrence travels as one packed long
+    * ord = id·2^20 + pos (contract: < 2^20 tokens per document — the
+    * fixture max is a few hundred; wider docs need a wider pack), so
+    * picking it is a plain `min` with no cross-engine struct-ordering
+    * semantics to keep aligned. Dataflow = `stripDupSpans` plus one
+    * packed column on the same two gram-keyed exchanges: count+argmin
+    * hash agg, occurrence-filter join (ord ≠ first_ord), doc-keyed
+    * start-list fold, map-only rewrite. The guarantee is positional:
+    * the first occurrence's WINDOW never enters a removal list, but an
+    * overlapping distinct duplicated window can still remove tokens
+    * inside it — the same span-union behavior as the reference
+    * algorithm. At 100 TB the shape is stripDupSpans': two gram-keyed
+    * shuffles of 60-bit hashes and a sparse start-list join; nothing
+    * is broadcast, nothing is collected. */
+  def dedupSpansKeepFirst(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame =
+    dedupSpansKeepFirstKept(docs, idCol, textCol, n)
+      .select(col(idCol),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), " ").cast("binary")).as("deduped_md5"))
+
+  /** The rewrite half of `dedupSpansKeepFirst` with the surviving
+    * token array exposed: (id, tk, kept) — specs assert the keep-first
+    * ⊇ strip-all survivor relation on `kept` directly. */
+  private[graft] def dedupSpansKeepFirstKept(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
+      .cache()
+    val grams = posGramHashes(toks, idCol, n)
+      .withColumn("ord", col(idCol).cast("long") * lit(1L << 20) + col("pos"))
+      .cache()
+    val firsts = grams.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"), min(col("ord")).as("first_ord"))
+      .where(col("n_occ") >= 2)
+      .select("h", "first_ord")
+    val starts = grams.join(firsts, "h")
+      .where(col("ord") =!= col("first_ord"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    rewriteByStarts(toks, starts, idCol, n)
+  }
+
   /** Contamination SURGERY — the operational completion of the decon
     * family: `contaminationScreen` flags docs sharing any word n-gram
     * with a held-out benchmark, this rewrites them with every token

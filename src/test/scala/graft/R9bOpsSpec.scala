@@ -715,4 +715,57 @@ class R9bOpsSpec extends SparkSpec {
       .map(_.getPath.getName).filter(_.startsWith("__v=")).sorted.toSeq
     assert(dirs == Seq("__v=1", "__v=2"), s"expected compacted {1,2}, got $dirs")
   }
+
+  test("dedupSpansKeepFirst keeps exactly the corpus-first copy of a shared span") {
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 tokens
+    val docs = Seq(
+      (1L, s"one two three $span nine ten"),
+      (5L, s"$span something else entirely here now"),
+      (9L, "completely unique text with no shared windows at all"))
+      .toDF("doc_id", "text")
+    val kf = ext.TextAnalysis.dedupSpansKeepFirstKept(docs, "doc_id", "text", 8)
+      .select(col("doc_id"), col("kept"))
+      .as[(Long, Seq[String])].collect().toMap
+    // doc 1 holds the min (id, pos) occurrence → fully intact
+    assert(kf(1L) == s"one two three $span nine ten".split(" ").toSeq,
+      s"first occurrence was not kept verbatim: ${kf(1L)}")
+    // doc 5's copy is the duplicate → exactly those 8 tokens removed
+    assert(kf(5L) == Seq("something", "else", "entirely", "here", "now"),
+      s"duplicate occurrence survived or over-stripped: ${kf(5L)}")
+    // a doc with no corpus-duplicated window is untouched
+    assert(kf(9L).size == 9, s"unique doc was modified: ${kf(9L)}")
+    // and the strip-ALL policy removes both copies — the policies differ
+    val strip = ext.TextAnalysis.stripDupSpansKept(docs, "doc_id", "text", 8)
+      .select(col("doc_id"), col("kept"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(strip(1L) == Seq("one", "two", "three", "nine", "ten"),
+      s"strip-all kept the first copy: ${strip(1L)}")
+  }
+
+  test("strip-all survivors are a subsequence of keep-first survivors (fixture corpus)") {
+    // keep-first's removal-start set is a strict subset of strip-all's
+    // (first occurrences are exempt), so every token strip-all keeps,
+    // keep-first must keep too — positionally, hence subsequence
+    def isSubseq(a: Seq[String], b: Seq[String]): Boolean = {
+      var i = 0
+      for (x <- b if i < a.size && a(i) == x) i += 1
+      i == a.size
+    }
+    val docs = io.Tables(spark, sf, "documents")
+    val kf = ext.TextAnalysis.dedupSpansKeepFirstKept(docs, "doc_id", "text", 8)
+      .select(col("doc_id"), col("kept"))
+      .as[(Long, Seq[String])].collect().toMap
+    val strip = ext.TextAnalysis.stripDupSpansKept(docs, "doc_id", "text", 8)
+      .select(col("doc_id"), col("kept"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(kf.keySet == strip.keySet)
+    for ((id, s) <- strip)
+      assert(isSubseq(s, kf(id)), s"doc $id: strip-all kept a token keep-first removed")
+    // the fixture's near-dup docs guarantee duplicated windows exist,
+    // so the two policies must actually diverge somewhere
+    val keptKf = kf.values.map(_.size).sum
+    val keptStrip = strip.values.map(_.size).sum
+    assert(keptStrip < keptKf,
+      "strip-all and keep-first kept identical corpora — no duplicated window was exempted")
+  }
 }

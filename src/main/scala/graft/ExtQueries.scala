@@ -552,6 +552,30 @@ object ExtQueries {
          |FROM reach
          |GROUP BY id
          |ORDER BY doc_id""".stripMargin,
+    // incremental fold-in vs from-scratch truth: the oracle is the
+    // dedup_clusters recursive CTE over the FULL corpus — the engine
+    // must reproduce it from old labels + batch-proportional work
+    "dedup_clusters_update" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $shingleSql AS ws FROM toks WHERE len(tk) >= 3),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.ws, b.ws))*1.0 / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.6),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |FROM reach
+         |GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
     // soft dedup rebuilt from scratch: same recursive-CTE reachability,
     // then cluster sizes and the integer permille weight (`//` is
     // DuckDB's truncating integer division, Spark's `div`)
@@ -705,6 +729,19 @@ object ExtQueries {
          |WHERE a.vec_id < b.vec_id
          |  AND ${qdotSql("a.embedding", "b.embedding")} >= 450000
          |ORDER BY id_a, id_b""".stripMargin,
+    // hard negatives = ann_topk's exact ranking restricted to the
+    // sub-near-dup band (qdot < 450000) BEFORE ranking
+    "emb_hard_negatives" ->
+      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT probe_id, vec_id, ${qdotSql("pe", "embedding")} AS qdot
+         |  FROM probes, embeddings WHERE vec_id <> probe_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, qdot,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored WHERE qdot < 450000)
+         |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
+         |ORDER BY probe_id, rn""".stripMargin,
     // IVF-flat ANN: fixed-budget coarse quantizer (the 64 corpus rows
     // with the smallest md5-derived id hash — constant centroid count
     // at any corpus size), inverted-list probe, exact re-score — all
@@ -1449,6 +1486,38 @@ object ExtQueries {
          |kept AS (
          |  SELECT doc_id, len(tk) AS n_tokens,
          |         [tk[j] FOR j IN range(1, len(tk) + 1) IF len(list_filter(starts, s -> j >= s AND j < s + 8)) = 0] AS kt
+         |  FROM k)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(n_tokens - len(kt) AS BIGINT) AS n_removed,
+         |       md5(coalesce(array_to_string(kt, ' '), '')) AS stripped_md5
+         |FROM kept
+         |ORDER BY doc_id""".stripMargin,
+    // per-source boilerplate: 4-token windows in >= max(2, ceil(5% of
+    // the source's docs)) DISTINCT docs of that source; rewrite = the
+    // same positional cover filter as corpus_strip_spans (both sides
+    // 0/1-base-invariant: start and token index shift together)
+    "corpus_strip_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, source, $tokSql AS tk FROM documents),
+         |srcn AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |g AS (
+         |  SELECT doc_id, source, CAST(i AS INT) AS i,
+         |         CAST(concat('0x', substring(md5(array_to_string(tk[i:i+3], ' ')), 1, 15)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, source, tk, unnest(range(1, len(tk) - 2)) AS i
+         |        FROM toks WHERE len(tk) >= 4) gi),
+         |hot AS (
+         |  SELECT gc.source, gc.h
+         |  FROM (SELECT source, h, count(DISTINCT doc_id) AS nd FROM g GROUP BY source, h) gc
+         |  JOIN srcn USING (source)
+         |  WHERE nd >= greatest(2, (5 * n_docs + 99) // 100)),
+         |st AS (SELECT doc_id, list(i ORDER BY i) AS starts
+         |       FROM g JOIN hot ON g.source = hot.source AND g.h = hot.h
+         |       GROUP BY doc_id),
+         |k AS (
+         |  SELECT t.doc_id, t.tk, coalesce(s.starts, []) AS starts
+         |  FROM toks t LEFT JOIN st s USING (doc_id)),
+         |kept AS (
+         |  SELECT doc_id, len(tk) AS n_tokens,
+         |         [tk[j] FOR j IN range(1, len(tk) + 1) IF len(list_filter(starts, s -> j >= s AND j < s + 4)) = 0] AS kt
          |  FROM k)
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |       CAST(n_tokens - len(kt) AS BIGINT) AS n_removed,
@@ -2423,6 +2492,25 @@ object ExtQueries {
       Dedup.softDedupWeights(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
+    "dedup_clusters_update" -> { (s, dir) =>
+      // incremental cluster maintenance: the 20%-batch / 80%-corpus
+      // split of dedup_incremental, but folding the screened pairs all
+      // the way into the LABELING — batch self-pairs + cross pairs run
+      // CC over a reduced super-node graph (batch ids + touched old
+      // component labels), then a sliver-sized remap join updates the
+      // old labels; per-ingest cost tracks the batch, never the
+      // corpus. The oracle is from-scratch CC over the UNION — the
+      // equality IS the algebraic claim
+      val docs = t(s, dir, "documents")
+      val batch = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      val old = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val oldLabels = Dedup.connectedComponents(
+        Dedup.nearDupPairs(old, "doc_id", "text", shingleN = 3, threshold = 0.6),
+        "id_a", "id_b")
+      Dedup.updateClusters(batch, old, oldLabels, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
     "dedup_canonical_best" -> { (s, dir) =>
       // quality-aware canonicalization: each cluster keeps its BEST
       // copy by the integer micro quality score (ties → min id), not
@@ -2484,6 +2572,20 @@ object ExtQueries {
     "emb_neardup_pairs" -> { (s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 450000L)
         .orderBy("id_a", "id_b")
+    },
+    "emb_hard_negatives" -> { (s, dir) =>
+      // contrastive-training negative mining: per probe, the 10 most
+      // similar vectors BELOW the near-dup band (qdot < 450000 — the
+      // emb_neardup_pairs threshold, so "too similar to be a negative"
+      // and "flagged by the dedup screen" are the same band); cap
+      // applied before the bounded-heap ranking, never a post-filter
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      Similarity
+        .hardNegativesTopK(emb, probes, "vec_id", "embedding", "probe_id", "pe", 10)
+        .select("probe_id", "vec_id", "qdot", "rn")
+        .orderBy("probe_id", "rn")
     },
     "text_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -3428,6 +3530,16 @@ object ExtQueries {
       // corpus-wide first — content survives exactly once, where
       // corpus_strip_spans' scrub policy removes it everywhere
       TextAnalysis.dedupSpansKeepFirst(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    "corpus_strip_boilerplate" -> { (s, dir) =>
+      // per-source template scrub (RefinedWeb/CCNet lineage): 4-token
+      // windows recurring in ≥ max(2, ceil(5% · source docs)) DISTINCT
+      // docs of one source are site boilerplate — removed everywhere in
+      // that source; the relative threshold makes the definition
+      // scale-invariant where corpus_strip_spans' absolute ≥2 is not
+      TextAnalysis.stripBoilerplate(t(s, dir, "documents"),
+          "doc_id", "text", "source")
         .orderBy("doc_id")
     },
     "sample_per_key" -> { (s, dir) =>

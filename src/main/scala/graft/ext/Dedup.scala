@@ -908,6 +908,84 @@ object Dedup {
   private[graft] val winnowMaxDf = 64
   private[graft] val winnowMinSharePermille = 500
 
+  /** Incremental CLUSTER maintenance — fold a new batch of documents
+    * into an existing corpus's near-dup cluster labels without
+    * re-running the corpus-wide LSH self-join or connected components.
+    * Completes the round-9 incremental family: `dedup_incremental`
+    * screens a batch for PAIRS; this folds those pairs into the
+    * LABELING, the artifact a production dedup pipeline actually keeps
+    * from ingest to ingest.
+    *
+    * Inputs: the batch, the existing corpus, and `oldLabels` — the
+    * (id, cluster_id) output of `connectedComponents` over the
+    * existing corpus's pair graph at the SAME (shingleN, threshold).
+    * Output: the (id, cluster_id) labeling of corpus ∪ batch, equal to
+    * a from-scratch `connectedComponents(nearDupPairs(old ∪ new))` —
+    * the union pair graph partitions exactly into old-old pairs
+    * (already folded into `oldLabels`), new-new pairs, and cross
+    * pairs, so connectivity over a REDUCED graph whose nodes are batch
+    * ids plus one super-node per touched old component (its label —
+    * which IS the component's min member id, so the reduced min equals
+    * the true merged min) reproduces the full answer. A batch doc
+    * bridging two old components merges them; a batch doc matching a
+    * previously-unlabeled old doc labels both; an all-novel batch
+    * leaves the old labels byte-identical.
+    *
+    * Cost per ingest: the batch self-join (batch-sized geometry), the
+    * cross screen (the corpus contributes only its band index — the
+    * `nearDupPairsAgainst` discipline), CC over the reduced sliver
+    * (|batch ∪ touched components| nodes, never corpus-scale), one
+    * broadcast remap join over the old labels (the remap table is
+    * bounded by the touched components — ingest-sliver-sized by
+    * contract; a backfill-scale batch belongs on the from-scratch
+    * path), and nothing else. The old CORPUS is scanned once to build
+    * its index; a deployment keeps that index materialized
+    * (`dedupIndex`) and skips even that scan. */
+  def updateClusters(
+      newDocs: DataFrame,
+      oldDocs: DataFrame,
+      oldLabels: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val newPairs = nearDupPairs(newDocs, idCol, textCol,
+        shingleN = shingleN, threshold = threshold)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val cross = nearDupPairsAgainst(newDocs, oldDocs, idCol, textCol,
+        shingleN = shingleN, threshold = threshold)
+      .select(col("id_new"), col("id_old"))
+      .localCheckpoint(true)
+    // super-node per touched old endpoint: its component label if it
+    // has one, else itself (an old doc that was in no pair until now)
+    val touched = cross.select(col("id_old")).distinct()
+      .join(oldLabels.select(col("id").as("__oid"), col("cluster_id").as("__olbl")),
+        col("id_old") === col("__oid"), "left")
+      .select(col("id_old"),
+        coalesce(col("__olbl"), col("id_old")).as("node"),
+        col("__olbl").isNotNull.as("was_labeled"))
+      .localCheckpoint(true)
+    val reduced = newPairs.unionByName(
+      cross.join(touched, "id_old")
+        .select(col("id_new").as("a"), col("node").as("b")))
+    val comp = connectedComponents(reduced, "a", "b")
+    val labelNodes = touched.where(col("was_labeled"))
+      .select(col("node")).distinct()
+    // members of touched old components take the merged label; every
+    // untouched component passes through unchanged
+    val remap = comp.join(labelNodes, comp("id") === labelNodes("node"))
+      .select(col("node"), col("cluster_id").as("__nlbl"))
+    val oldRelabeled = oldLabels
+      .join(broadcast(remap), oldLabels("cluster_id") === remap("node"), "left")
+      .select(oldLabels("id"),
+        coalesce(col("__nlbl"), oldLabels("cluster_id")).as("cluster_id"))
+    // batch docs and previously-unlabeled old docs take their reduced
+    // component label directly (disjoint from oldLabels ids)
+    val direct = comp
+      .join(broadcast(labelNodes), comp("id") === labelNodes("node"), "left_anti")
+    oldRelabeled.unionByName(direct.select(col("id"), col("cluster_id")))
+  }
+
   def winnowPairs(
       docs: DataFrame,
       idCol: String,

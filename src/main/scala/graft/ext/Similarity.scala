@@ -130,6 +130,40 @@ object Similarity {
     top.withColumn("rn", row_number().over(w).cast("long"))
   }
 
+  /** Hard-negative mining for embedding/retrieval training: for each
+    * probe, the k MOST similar corpus vectors that are still BELOW the
+    * near-duplicate band — `qdot < maxQdot`. Contrastive training
+    * wants negatives as close to the decision boundary as possible,
+    * but anything above the near-dup threshold is a POSITIVE in
+    * disguise (a crawl duplicate or paraphrase of the anchor itself),
+    * and training against it as a negative poisons the objective; the
+    * default cap is exactly `nearDupPairs`' 450 000 threshold, so "too
+    * similar to be a negative" and "flagged by the dedup screen" are
+    * the same band by construction. Exact form — the probe batch
+    * broadcasts, the corpus is scanned once, and ranking runs through
+    * the bounded-heap `TopKPerKey` below the cap filter (≤ k rows per
+    * probe per partition cross the shuffle). The IVF scale path is
+    * `ivfTopK(..., maxQdot = cap)`: hard negatives are near-but-below
+    * the band, so they live in the SAME probed lists as the top
+    * neighbors, and the cap applies at the re-score scan — with
+    * `nprobe = numCentroids` the two forms are bit-equal. */
+  def hardNegativesTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeIdCol: String,
+      probeVecCol: String,
+      k: Int,
+      maxQdot: Long = 450000L): DataFrame = {
+    val scored = scoreAllPairs(corpus, probes, idCol, vecCol, probeIdCol, probeVecCol)
+      .where(col("qdot") < maxQdot)
+    val top = graft.plans.TopKPerKey(
+      scored, Seq(probeIdCol), Seq(("qdot", false), (idCol, true)), k)
+    val w = Window.partitionBy(probeIdCol).orderBy(desc("qdot"), asc(idCol))
+    top.withColumn("rn", row_number().over(w).cast("long"))
+  }
+
   /** The built-ins-only window formulation — equivalence reference for
     * `bruteForceTopK` (all scored rows shuffle into the rank window;
     * correct, but every row of a probe lands on one task). */
@@ -700,7 +734,8 @@ object Similarity {
       trainRounds: Int = defaultTrainRounds,
       trainSample: Int = defaultTrainSample,
       scope: graft.util.CacheScope = new graft.util.CacheScope,
-      candidateFilter: Column = lit(true)): DataFrame = {
+      candidateFilter: Column = lit(true),
+      maxQdot: Long = Long.MaxValue): DataFrame = {
     val cents = ivfCentroids(corpus, idCol, vecCol, numCentroids, trainRounds, trainSample, scope)
     val lists = ivfAssign(corpus, idCol, vecCol, cents)
     val candidates = corpus.where(candidateFilter)
@@ -722,7 +757,13 @@ object Similarity {
       .join(broadcast(probes), "probe_id")
       .select(col("probe_id"), col(idCol),
         quantizedDot(col("pe"), col(vecCol)).as("qdot"))
-    rankTopK(rescored, idCol, k)
+    // hard-negative mode (`hardNegativesTopK`'s scale path): drop the
+    // near-dup band at the re-score scan, BEFORE the heap — top-k of
+    // the capped set, never a post-filtered top-k
+    val capped =
+      if (maxQdot == Long.MaxValue) rescored
+      else rescored.where(col("qdot") < maxQdot)
+    rankTopK(capped, idCol, k)
   }
 
   /** All-points k-nearest-neighbor GRAPH via the trained IVF coarse

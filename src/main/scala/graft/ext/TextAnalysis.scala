@@ -307,6 +307,69 @@ object TextAnalysis {
         md5(array_join(col("kept"), " ").cast("binary")).as("stripped_md5"))
   }
 
+  /** Per-SOURCE boilerplate removal — the intra-site template scrub of
+    * the RefinedWeb/CCNet lineage, distinct from both duplicate-span
+    * families: `stripDupSpans` keys on absolute corpus-wide occurrence
+    * counts (≥ 2 anywhere), which catches plagiarism but also unique
+    * cross-source quotes; a site template (nav text, footers, cookie
+    * banners) is instead a window that recurs across a large FRACTION
+    * of one source's documents. A window is boilerplate for source s
+    * iff it appears in ≥ max(2, ceil(pct·n_docs(s)/100)) DISTINCT
+    * documents of s (distinct docs, not occurrences — a doc repeating
+    * its own phrase is `repetitionStats`' business, not a template);
+    * every token covered by a boilerplate window is removed and the
+    * doc rewritten. Returns (id, n_tokens, n_removed, stripped_md5).
+    *
+    * Scale shape: the hot set is found from per-doc-DISTINCT gram
+    * hashes (map-side `array_distinct`, so the (source, h) count agg
+    * counts documents without a count-distinct shuffle), and is
+    * template-sized by contract — so it BROADCASTS, and the corpus's
+    * positional grams never shuffle at all (the decontaminateStrip
+    * discipline, with the hot set corpus-derived instead of
+    * benchmark-supplied). Only contaminated docs' start lists cross
+    * the doc-keyed exchange; the rewrite is the same map-only array
+    * filter as every span scrub. The relative threshold keeps the
+    * definition scale-invariant: inflating a source 64× leaves its
+    * boilerplate set fixed. */
+  def stripBoilerplate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      n: Int = 4,
+      pctOfDocs: Int = 5): DataFrame = {
+    require(pctOfDocs >= 1 && pctOfDocs <= 100,
+      s"pctOfDocs must be in [1, 100], got $pctOfDocs")
+    val toks = docs
+      .select(col(idCol), col(sourceCol), TextOps.tokens(col(textCol)).as("tk"))
+      .cache()
+    val srcN = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    val gramHash = (g: Column) =>
+      conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast("long")
+    val docGrams = toks
+      .select(col(sourceCol), col(idCol),
+        explode(array_distinct(transform(
+          TextOps.wordNgramsFromTokens(col("tk"), n), gramHash))).as("h"))
+    val hot = docGrams.groupBy(col(sourceCol), col("h"))
+      .agg(count(lit(1)).as("n_docs_g"))
+      .join(broadcast(srcN), sourceCol)
+      .where(col("n_docs_g") >=
+        greatest(lit(2L), expr(s"($pctOfDocs * n_docs + 99) div 100")))
+      .select(col(sourceCol), col("h"))
+    val starts = toks
+      .select(col(idCol), col(sourceCol),
+        posexplode(TextOps.wordNgramsFromTokens(col("tk"), n)))
+      .select(col(idCol), col(sourceCol), col("pos"), gramHash(col("col")).as("h"))
+      .join(broadcast(hot), Seq(sourceCol, "h"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    rewriteByStarts(toks.select(col(idCol), col("tk")), starts, idCol, n)
+      .select(col(idCol),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), " ").cast("binary")).as("stripped_md5"))
+  }
+
   // Patterns chosen to mean the same thing in Java regex and RE2 —
   // character classes and bounded quantifiers only, no lookarounds
   private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"

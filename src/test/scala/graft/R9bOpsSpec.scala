@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.Graph
+import graft.ext.{Dedup, Graph}
 import graft.ops.FuzzyJoin
 
 /** Round-9 additions: label propagation (community detection), the
@@ -767,5 +767,139 @@ class R9bOpsSpec extends SparkSpec {
     val keptStrip = strip.values.map(_.size).sum
     assert(keptStrip < keptKf,
       "strip-all and keep-first kept identical corpora — no duplicated window was exempted")
+  }
+
+  test("stripBoilerplate: per-source threshold — cross-source repeats and sub-threshold windows survive") {
+    // source A (4 docs, threshold max(2, ceil(5%·4)) = 2): template in
+    // 3 docs → stripped everywhere in A; the same template occurs in
+    // exactly 1 doc of source B → survives there (per-source, where
+    // stripDupSpans' global ≥2 rule would strip both); a quote shared
+    // once-per-source across A and B (global count 2) survives in both
+    val tpl = "cookie banner accept all"
+    val quote = "shared quote here now"
+    val docs = Seq(
+      (1L, s"$tpl alpha beta gamma delta", "A"),
+      (2L, s"epsilon zeta $tpl eta theta", "A"),
+      (3L, s"iota kappa lambda $tpl", "A"),
+      (4L, s"mu nu xi omicron $quote", "A"),
+      (10L, s"$tpl pi rho sigma tau", "B"),
+      (11L, s"upsilon phi chi psi $quote omega", "B"),
+      (12L, "hi there", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = ext.TextAnalysis.stripBoilerplate(docs, "doc_id", "text", "source")
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((8L, 4L)), 2L -> ((8L, 4L)), 3L -> ((7L, 4L)),
+      4L -> ((8L, 0L)),                      // quote: once in A
+      10L -> ((8L, 0L)),                     // template: once in B
+      11L -> ((9L, 0L)),
+      12L -> ((2L, 0L))),                    // shorter than the window
+      s"per-source scrub wrong: $got")
+  }
+
+  test("stripBoilerplate threshold is relative: 4/100 docs survives, 5/100 is boilerplate") {
+    val w4 = "tmpl one two three"
+    def src(name: String, nShared: Int): Seq[(Long, String, String)] = {
+      val base = if (name == "C") 1000L else 2000L
+      (0 until 100).map { i =>
+        val txt = if (i < nShared) s"$w4 u$name$i v$name$i"
+                  else s"a$name$i b$name$i c$name$i d$name$i e$name$i f$name$i"
+        (base + i, txt, name)
+      }
+    }
+    val docs = (src("C", 4) ++ src("D", 5)).toDF("doc_id", "text", "source")
+    val removed = ext.TextAnalysis.stripBoilerplate(docs, "doc_id", "text", "source")
+      .select(col("doc_id"), col("n_removed"))
+      .as[(Long, Long)].collect().toMap
+    // ceil(5%·100) = 5: C's 4-doc window is below, D's 5-doc window is at it
+    assert((0 until 4).forall(i => removed(1000L + i) == 0L),
+      "sub-threshold window stripped in C")
+    assert((0 until 5).forall(i => removed(2000L + i) == 4L),
+      s"at-threshold window kept in D: $removed")
+    assert(removed.forall(kv => kv._1 < 2005L || kv._2 == 0L),
+      "filler doc lost tokens")
+  }
+
+  test("updateClusters folds a batch into existing labels: bridge merge, unlabeled match, untouched pass-through") {
+    // engineered shingle geometry: C bridges A and B (J(C,A)=J(C,B)=
+    // 30/46≈0.652 ≥ 0.6 via shared 30-shingle token runs) while A and
+    // B themselves stay apart (shared run w8..w31 → J=22/54≈0.407);
+    // E=F and I=J are identical-copy clusters in the old corpus
+    val w = (0 until 40).map(i => s"w$i")
+    val cTxt = w.mkString(" ")
+    val aTxt = (w.take(32) ++ (1 to 8).map(i => s"x$i")).mkString(" ")
+    val bTxt = ((1 to 8).map(i => s"y$i") ++ w.drop(8)).mkString(" ")
+    val eTxt = (0 until 40).map(i => s"z$i").mkString(" ")
+    val iTxt = (0 until 40).map(i => s"q$i").mkString(" ")
+    val hTxt = (0 until 40).map(i => s"v$i").mkString(" ")
+    val old = Seq(
+      (10L, aTxt), (20L, bTxt),             // unlabeled singletons
+      (40L, eTxt), (50L, eTxt),             // cluster 40
+      (70L, iTxt), (80L, iTxt))             // cluster 70, untouched
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (5L, cTxt),                           // bridges A and B
+      (7L, eTxt),                           // joins cluster 40 with a SMALLER id
+      (60L, hTxt))                          // novel — must stay unlabeled
+      .toDF("doc_id", "text")
+    val oldLabels = Dedup.connectedComponents(
+      Dedup.nearDupPairs(old, "doc_id", "text"), "id_a", "id_b")
+    assert(oldLabels.as[(Long, Long)].collect().toMap ==
+      Map(40L -> 40L, 50L -> 40L, 70L -> 70L, 80L -> 70L),
+      "old-corpus labeling precondition broken — shingle geometry drifted")
+    val got = Dedup.updateClusters(batch, old, oldLabels, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      5L -> 5L, 10L -> 5L, 20L -> 5L,       // bridge: unlabeled olds join the batch doc
+      7L -> 7L, 40L -> 7L, 50L -> 7L,       // remap: touched cluster takes the new min
+      70L -> 70L, 80L -> 70L),              // untouched cluster byte-identical
+      s"incremental labeling wrong: $got")
+    // the algebraic claim itself: incremental == from-scratch on the union
+    val scratch = Dedup.connectedComponents(
+      Dedup.nearDupPairs(old.unionByName(batch), "doc_id", "text"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == scratch, s"incremental $got != from-scratch $scratch")
+  }
+
+  test("hardNegativesTopK: cap respected, diverges from plain top-k, IVF path bit-equal at full probe") {
+    val emb = io.Tables(spark, sf, "embeddings")
+    val probes = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    // cap 0 = "negatives must point away" — guaranteed to bite on any corpus
+    val got = ext.Similarity.hardNegativesTopK(
+        emb, probes, "vec_id", "embedding", "probe_id", "pe", 8, maxQdot = 0L)
+      .select("probe_id", "vec_id", "qdot", "rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty && got.forall(_._3 < 0L),
+      "a vector above the cap leaked into the negatives")
+    val plain = ext.Similarity.bruteForceTopK(
+        emb, probes, "vec_id", "embedding", "probe_id", "pe", 8)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got.map(r => (r._1, r._2)) != plain,
+      "cap was vacuous — pick a threshold the fixture actually crosses")
+    // nprobe = numCentroids visits every inverted list → the IVF scale
+    // path must reproduce the exact form bit-for-bit
+    val ivf = ext.Similarity.ivfTopK(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 8,
+        numCentroids = 8, nprobe = 8, maxQdot = 0L)
+      .select("probe_id", "vec_id", "qdot", "rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(ivf == got, s"full-probe IVF hard negatives diverge: ${(ivf diff got) ++ (got diff ivf)}")
+  }
+
+  test("updateClusters equals from-scratch union CC on the fixture corpus") {
+    val docs = io.Tables(spark, sf, "documents")
+    val batch = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+    val old = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val oldLabels = Dedup.connectedComponents(
+      Dedup.nearDupPairs(old, "doc_id", "text"), "id_a", "id_b")
+    val got = Dedup.updateClusters(batch, old, oldLabels, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val scratch = Dedup.connectedComponents(
+      Dedup.nearDupPairs(docs, "doc_id", "text"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == scratch,
+      s"fixture: incremental and from-scratch disagree on ${(got.toSet diff scratch.toSet) ++ (scratch.toSet diff got.toSet)}")
   }
 }

@@ -1246,6 +1246,27 @@ object ExtQueries {
         |FROM documents
         |GROUP BY md5(text)
         |ORDER BY keeper""".stripMargin,
+    // byte-gram simhash rebuilt from scratch: the synthetic payload is
+    // the text's UTF-8 bytes and the corpus is ASCII, so DuckDB's
+    // 4-CHAR substrings hash the same bytes the engine's 4-BYTE
+    // payload slices do
+    "multimodal_neardup" ->
+      """WITH m AS (SELECT doc_id AS media_id, text FROM documents),
+        |g AS (
+        |  SELECT media_id, CAST(concat('0x', substring(md5(substring(text, CAST(i AS INT), 4)), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT media_id, text, unnest(range(1, length(text) - 2)) AS i
+        |        FROM m WHERE length(text) >= 4) gi),
+        |bits AS (
+        |  SELECT media_id, bb.b AS b,
+        |         sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS score
+        |  FROM g, (SELECT unnest(range(0,60)) AS b) bb
+        |  GROUP BY media_id, bb.b),
+        |sh AS (SELECT media_id, CAST(sum(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh
+        |       FROM bits GROUP BY media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "corpus_source_cap" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,
@@ -1394,6 +1415,17 @@ object ExtQueries {
         |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // the staged sentinels push the engine's watermark ~decades past
+    // the data, so EVERY unmatched purchase emits and the oracle is
+    // the unconditional batch left join
+    "stream_join_outer" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |       c.event_id AS click_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY purchase_id, coalesce(click_id, -1)""".stripMargin,
     "stream_enrich" ->
       """SELECT event_id, event_type, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey
@@ -2890,6 +2922,15 @@ object ExtQueries {
         .select("keeper", "payload_md5", "n_copies")
         .orderBy("keeper")
     },
+    "multimodal_neardup" -> { (s, dir) =>
+      // byte-level NEAR-dup over the opaque payloads — the
+      // perceptual-hash-shaped screen exact content dedup misses (one
+      // flipped byte changes md5 entirely, flips few SimHash bits):
+      // 4-byte-gram SimHash through the shared distinct-signature
+      // chunk index + exact hamming verify
+      Multimodal.payloadNearDupPairs(Multimodal.syntheticMedia(s, dir))
+        .orderBy("id_a", "id_b")
+    },
     "multimodal_features" -> { (s, dir) =>
       // binary payload → codec batch (one instance per partition, no
       // shuffle) → per-bin exact counts recovered from the normalized
@@ -3425,6 +3466,25 @@ object ExtQueries {
         ev.where(col("event_type") === "purchase"))
       StreamOps.runToMemory(joined, "stream_join_sink")
         .orderBy("click_id", "purchase_id")
+    },
+    "stream_join_outer" -> { (s, dir) =>
+      // stream-stream interval LEFT OUTER join: purchases kept even
+      // without a qualifying prior click — the unconverted rows a
+      // funnel analysis needs. Outer emission is watermark-driven, so
+      // the staged source's trailing far-future sentinel batches push
+      // the watermark past all data and give the engine a data batch
+      // to emit the null-augmented rows in (deterministically, instead
+      // of racing a no-data micro-batch); sentinels filter out on
+      // user_id < 0. The margin is ~decades, so the oracle is the
+      // plain batch LEFT JOIN with no eviction threshold at all
+      val ev = StreamOps.readEventsStaged(s, dir)
+      val joined = StreamOps.attributionJoinOuter(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "purchase"))
+      StreamOps.runToMemory(joined, "stream_join_outer_sink")
+        .where(col("user_id") >= 0)
+        .orderBy(col("purchase_id"), coalesce(col("click_id"), lit(-1L)))
+        .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
     },
     "stream_neardup" -> { (s, dir) =>
       // continuous ingest screening: the arriving 20%-of-docs stream

@@ -835,17 +835,31 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame =
+    simHashPairsFromHashes(
+      df.select(col(idCol), wordHashes(TextOps.tokens(col(textCol))).as("__fh")),
+      idCol, "__fh", maxHamming, scope)
+
+  /** The chunk-index + verify core of `simHashPairs` over ANY
+    * 60-bit-feature-hash array relation — text words are one feature
+    * family (`wordHashes`), payload byte grams another
+    * (`Multimodal.payloadNearDupPairs`). Rows with empty feature
+    * arrays are dropped (no signal; an all-zero simhash would pair
+    * every empty row with every other). */
+  def simHashPairsFromHashes(
+      withHashes: DataFrame,
+      idCol: String,
+      hashesCol: String,
+      maxHamming: Int = 3,
       scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
     val nChunks = maxHamming + 1
     require(nChunks <= 60, s"maxHamming $maxHamming leaves chunks with no bits")
-    val toks = TextOps.tokens(col(textCol))
     // consumed three times (value index + both member expansions):
     // cache the (id, simhash) relation — a checkpoint at cluster scale;
     // lifecycle owned by `scope` (see nearDupPairs)
-    val hashed = scope.cache(df
-      .select(col(idCol), wordHashes(toks).as("wh"))
-      .where(size(col("wh")) > 0)
-      .select(col(idCol), graft.functions.SimHash60.simhash60(col("wh")).as("sh")))
+    val hashed = scope.cache(withHashes
+      .where(size(col(hashesCol)) > 0)
+      .select(col(idCol), graft.functions.SimHash60.simhash60(col(hashesCol)).as("sh")))
     val values = hashed.select("sh").distinct()
     // chunk c covers bits [c*60/nChunks, (c+1)*60/nChunks)
     val bounds = (0 to nChunks).map(c => c * 60 / nChunks)
@@ -949,13 +963,49 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.6): DataFrame = {
+    // one geometry pinned from the corpus side, exactly as
+    // nearDupPairsAgainst derives it; the index is rebuilt here only so
+    // the oracle query stands alone — a deployment passes its persisted
+    // index to updateClustersFromIndex directly
+    val (r, b) = lshGeometry(oldDocs.count(), threshold)
+    val scope = new graft.util.CacheScope
+    val res = updateClustersFromIndex(newDocs,
+      dedupIndex(oldDocs, idCol, textCol, shingleN, r * b, b, scope),
+      oldLabels, idCol, textCol, shingleN, r * b, b, threshold)
+    scope.close()
+    res
+  }
+
+  /** The fold-in core of `updateClusters`, taking the existing
+    * corpus's PERSISTED band index (`dedupIndex`, pinned geometry)
+    * instead of its documents — the from-ingest-to-ingest shape where
+    * per-batch cost is the batch's bucket matches plus one ids-only
+    * pass over the label store. `deltaOnly = true` emits only the
+    * CHANGED rows (batch docs, newly-labeled old docs, and members of
+    * merged components) — the upsert a production label store applies;
+    * the default emits the complete new labeling (what the oracle
+    * compares). */
+  def updateClustersFromIndex(
+      newDocs: DataFrame,
+      oldIndex: (DataFrame, DataFrame),
+      oldLabels: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numPerms: Int,
+      bands: Int,
+      threshold: Double,
+      deltaOnly: Boolean = false): DataFrame = {
     val newPairs = nearDupPairs(newDocs, idCol, textCol,
         shingleN = shingleN, threshold = threshold)
       .select(col("id_a").as("a"), col("id_b").as("b"))
-    val cross = nearDupPairsAgainst(newDocs, oldDocs, idCol, textCol,
-        shingleN = shingleN, threshold = threshold)
+    val scope = new graft.util.CacheScope
+    val cross = screenAgainstIndex(
+        dedupIndex(newDocs, idCol, textCol, shingleN, numPerms, bands, scope),
+        oldIndex, idCol, threshold)
       .select(col("id_new"), col("id_old"))
       .localCheckpoint(true)
+    scope.close()
     // super-node per touched old endpoint: its component label if it
     // has one, else itself (an old doc that was in no pair until now)
     val touched = cross.select(col("id_old")).distinct()
@@ -972,13 +1022,22 @@ object Dedup {
     val labelNodes = touched.where(col("was_labeled"))
       .select(col("node")).distinct()
     // members of touched old components take the merged label; every
-    // untouched component passes through unchanged
+    // untouched component passes through unchanged (or is omitted
+    // entirely in delta mode — the label store already holds it)
     val remap = comp.join(labelNodes, comp("id") === labelNodes("node"))
       .select(col("node"), col("cluster_id").as("__nlbl"))
-    val oldRelabeled = oldLabels
-      .join(broadcast(remap), oldLabels("cluster_id") === remap("node"), "left")
-      .select(oldLabels("id"),
-        coalesce(col("__nlbl"), oldLabels("cluster_id")).as("cluster_id"))
+      // a touched component whose label survives (the batch doc joined
+      // with a LARGER id) needs no remap row: full mode falls back to
+      // the coalesce, delta mode correctly omits its members
+      .where(col("node") =!= col("__nlbl"))
+    val oldRelabeled =
+      if (deltaOnly)
+        oldLabels.join(broadcast(remap), oldLabels("cluster_id") === remap("node"))
+          .select(oldLabels("id"), col("__nlbl").as("cluster_id"))
+      else
+        oldLabels.join(broadcast(remap), oldLabels("cluster_id") === remap("node"), "left")
+          .select(oldLabels("id"),
+            coalesce(col("__nlbl"), oldLabels("cluster_id")).as("cluster_id"))
     // batch docs and previously-unlabeled old docs take their reduced
     // component label directly (disjoint from oldLabels ids)
     val direct = comp

@@ -127,4 +127,39 @@ object Multimodal {
         rows.map(r => Row(r.getLong(0), codec.thumbnail(r.getAs[Array[Byte]]("payload"), w, h)))
       }(enc)
   }
+
+  /** Byte-level near-dup over opaque binary payloads — the
+    * perceptual-hash-shaped screen for re-encoded/header-tweaked/
+    * trimmed media copies that exact content-hash dedup
+    * (`multimodal_dedup`) structurally misses: one flipped byte
+    * changes the md5 entirely but flips only a few SimHash bits.
+    * Features are the payload's overlapping `n`-byte grams, md5-hashed
+    * to 60 bits; signature + pigeonhole chunk index + exact hamming
+    * verify are the shared `simHashPairsFromHashes` machinery (chunk
+    * index over DISTINCT signatures — identical payloads collapse
+    * before the join exactly like duplicate-saturated text corpora).
+    * A live deployment would decode and hash PIXELS (the `Codec` stub
+    * boundary); byte-gram SimHash is the codec-free analog with the
+    * same plumbing — binary columns in, (id_a, id_b, hamming) out —
+    * and is itself the right tool for exact-codec corpora (same
+    * encoder, same dimensions: crawl re-downloads, chunked uploads).
+    * Returns pairs with hamming ≤ `maxHamming`. */
+  def payloadNearDupPairs(
+      media: DataFrame,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      n: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    // sequence(1, len−n+1) would COUNT DOWN for payloads shorter than
+    // n (Spark's sequence steps −1 when start > stop) — guard to an
+    // empty gram set, which simHashPairsFromHashes then drops
+    val grams = when(length(col(payloadCol)) >= n,
+      transform(
+        sequence(lit(1), length(col(payloadCol)).cast("int") - (n - 1)),
+        i => conv(substring(md5(col(payloadCol).substr(i, lit(n))), 1, 15), 16, 10)
+          .cast("long")))
+      .otherwise(array().cast("array<long>"))
+    graft.ext.Dedup.simHashPairsFromHashes(
+      media.select(col(idCol), grams.as("__bh")), idCol, "__bh", maxHamming)
+  }
 }

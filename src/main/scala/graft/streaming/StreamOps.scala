@@ -201,6 +201,93 @@ object StreamOps {
       .wordCount(lines, col("value"))
   }
 
+  /** Streaming view of the events table STAGED for watermark-eviction
+    * semantics (outer joins, timeout-driven emission): the real events
+    * are copied into a fresh watched dir, followed by TWO sentinel
+    * files each holding one far-future click and one far-future
+    * purchase with `user_id < 0`. Read back one file per trigger
+    * (mod-time order — the copies are written sequentially), the
+    * batches are: real data; first sentinel (its batch ends with the
+    * watermark advanced past every real event); second sentinel — a
+    * DATA batch in which the engine evicts state and emits every
+    * pending outer/timeout row under that advanced watermark. Relying
+    * on the engine's no-data micro-batch instead would race
+    * `processAllAvailable` (the no-data batch may fire after it
+    * returns, and the memory sink would miss the outer rows).
+    * Because the sentinels sit ~decades past the data, every real row
+    * clears any eviction threshold by a margin that makes the
+    * engine's internal ±1 ms watermark arithmetic irrelevant — the
+    * batch oracle needs NO threshold condition at all. Callers filter
+    * `user_id >= 0` after their stateful op. */
+  def readEventsStaged(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.io.Tables(spark, dir, "events")
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    val stage = java.nio.file.Files.createTempDirectory("events_staged")
+    def sentinel(tsLit: String, idBase: Long) = ev.limit(1)
+      .withColumn("event_id", lit(idBase))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("click"))
+      .withColumn("ts", to_timestamp(lit(tsLit)))
+      .unionByName(ev.limit(1)
+        .withColumn("event_id", lit(idBase + 1))
+        .withColumn("user_id", lit(-2L))
+        .withColumn("event_type", lit("purchase"))
+        .withColumn("ts", to_timestamp(lit(tsLit))))
+    // three sequential single-file writes, then flat-copy in order so
+    // the file-source's (mod-time, path) ordering replays them as
+    // three one-file triggers
+    val parts = Seq(
+      ("0_data", ev.coalesce(1)),
+      ("1_sentinel", sentinel("2090-01-01 00:00:00", -10L)),
+      ("2_sentinel", sentinel("2091-01-01 00:00:00", -20L)))
+    val flat = stage.resolve("flat")
+    java.nio.file.Files.createDirectory(flat)
+    parts.foreach { case (name, df) =>
+      val d = stage.resolve(name)
+      df.write.parquet(d.toString)
+      d.toFile.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (p, i) =>
+          java.nio.file.Files.copy(p.toPath, flat.resolve(s"${name}_$i.parquet"))
+        }
+    }
+    spark.readStream
+      .schema(spark.read.parquet(flat.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(flat.toString)
+  }
+
+  /** Stream-stream interval LEFT OUTER join — attribution with the
+    * unconverted rows kept: every purchase, matched to same-user
+    * clicks in the preceding `windowSeconds`, or emitted once with
+    * null click columns when the watermark proves no qualifying click
+    * can still arrive. Matches emit eagerly exactly as in
+    * `attributionJoin`; the null-augmented row emits on state
+    * eviction, which is watermark-driven — so a bounded replay needs
+    * the staged source (`readEventsStaged`) whose trailing sentinel
+    * batches push the watermark past the data and give the engine a
+    * data batch to emit the outer rows in. State stays bounded at
+    * `watermark + window` of both streams at any throughput. */
+  def attributionJoinOuter(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowSeconds: Long = 3600L,
+      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+        col("user_id") === col("c_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
+        "leftOuter")
+      .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+  }
+
   /** Stream-stream interval join — ad-attribution shape: each purchase
     * matched to the same user's clicks in the preceding `windowSeconds`.
     *

@@ -860,6 +860,15 @@ class R9bOpsSpec extends SparkSpec {
       Dedup.nearDupPairs(old.unionByName(batch), "doc_id", "text"), "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
     assert(got == scratch, s"incremental $got != from-scratch $scratch")
+    // delta mode emits exactly the changed rows — the untouched
+    // cluster (70, 80) stays in the label store, not the upsert
+    val (r, b) = Dedup.lshGeometry(old.count(), 0.6)
+    val delta = Dedup.updateClustersFromIndex(batch,
+        Dedup.dedupIndex(old, "doc_id", "text", 3, r * b, b),
+        oldLabels, "doc_id", "text", 3, r * b, b, 0.6, deltaOnly = true)
+      .as[(Long, Long)].collect().toMap
+    assert(delta == got.view.filterKeys(k => k != 70L && k != 80L).toMap,
+      s"delta upsert wrong: $delta")
   }
 
   test("hardNegativesTopK: cap respected, diverges from plain top-k, IVF path bit-equal at full probe") {
@@ -886,6 +895,41 @@ class R9bOpsSpec extends SparkSpec {
       .select("probe_id", "vec_id", "qdot", "rn")
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(ivf == got, s"full-probe IVF hard negatives diverge: ${(ivf diff got) ++ (got diff ivf)}")
+  }
+
+  test("payloadNearDupPairs matches a local byte-gram simhash replay; one-byte flip pairs, exact dup at hamming 0") {
+    import java.security.MessageDigest
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).getBytes("UTF-8")
+    val mut = base.clone(); mut(10) = 'X'.toByte
+    val other = ("completely different content of another media file " * 8).getBytes("UTF-8")
+    val media = Seq(
+      (1L, base), (2L, base.clone), (3L, mut), (4L, other),
+      (5L, Array[Byte](1, 2)))                   // shorter than a gram — dropped
+      .toDF("media_id", "payload")
+    val got = ext.Multimodal.payloadNearDupPairs(media)
+      .as[(Long, Long, Long)].collect().toSet
+    def sig(p: Array[Byte]): Long = {
+      val hashes = (0 to p.length - 4).map { i =>
+        val hex = MessageDigest.getInstance("MD5").digest(p.slice(i, i + 4))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16)
+      }
+      (0 until 60).map { b =>
+        val s = hashes.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+        if (s > 0) 1L << b else 0L
+      }.reduce(_ | _)
+    }
+    val ids = Map(1L -> base, 2L -> base, 3L -> mut, 4L -> other)
+    val exp = (for {
+      a <- ids.keys; b <- ids.keys if a < b
+      h = java.lang.Long.bitCount(sig(ids(a)) ^ sig(ids(b))) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == exp, s"engine ${got.toList.sorted} != local replay ${exp.toList.sorted}")
+    assert(got.contains((1L, 2L, 0L)), "identical payloads must pair at hamming 0")
+    assert(got.exists(p => p._1 == 3L || p._2 == 3L),
+      "one-byte-flipped copy must still pair — the near-dup point of the operator")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L),
+      "unrelated/short payloads must not pair")
   }
 
   test("updateClusters equals from-scratch union CC on the fixture corpus") {

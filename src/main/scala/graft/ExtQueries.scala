@@ -480,6 +480,19 @@ object ExtQueries {
          |FROM dw JOIN w${ext.Bpe.defaultMerges} p USING (word)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    // per-source fertility/compression off the same replayed BPE
+    // chain; integer per-mille with truncating //
+    "bpe_coverage" ->
+      s"""WITH $bpeChainSql,
+         |dw AS (SELECT source, unnest($tokSql) AS word FROM documents)
+         |SELECT source, count(*) AS n_words,
+         |       CAST(sum(len(p.pieces)) AS BIGINT) AS n_pieces,
+         |       CAST(sum(length(word)) AS BIGINT) AS n_chars,
+         |       CAST((1000 * sum(len(p.pieces))) // count(*) AS BIGINT) AS pieces_per_word_milli,
+         |       CAST((1000 * sum(length(word))) // sum(len(p.pieces)) AS BIGINT) AS chars_per_piece_milli
+         |FROM dw JOIN w${ext.Bpe.defaultMerges} p USING (word)
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
     // BPE chunking rebuilt from scratch: the in-order piece stream per
     // doc (ordinality-keyed join + ordered flatten), then the same
     // 32-slice chunking as corpus_chunks, boundaries in PIECE space
@@ -1802,6 +1815,25 @@ object ExtQueries {
         |             doc_id) AS BIGINT) AS shuffle_pos
         |FROM documents
         |ORDER BY shuffle_pos""".stripMargin,
+    // round-robin interleave rebuilt from scratch: per-source md5-order
+    // ranks, lexicographic source index, position = rank·K + index
+    "corpus_interleave" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1 AS sr
+        |  FROM h),
+        |si AS (
+        |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx
+        |  FROM (SELECT DISTINCT source FROM documents) d),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM (SELECT DISTINCT source FROM documents) d2)
+        |SELECT r.doc_id, r.source, CAST(sr AS BIGINT) AS src_rank,
+        |       CAST(sr * ns + sidx AS BIGINT) AS interleave_pos
+        |FROM r JOIN si USING (source), k
+        |ORDER BY interleave_pos""".stripMargin,
     // concat-and-split packing rebuilt from scratch: same per-doc BPE
     // piece counts (shared training chain), exclusive running sum over
     // doc order, same integer pack arithmetic
@@ -2482,6 +2514,16 @@ object ExtQueries {
       ext.Bpe.tokenCounts(docs, "doc_id", "text",
           ext.Bpe.trainMerges(docs, "text"))
         .orderBy("doc_id")
+    },
+    "bpe_coverage" -> { (s, dir) =>
+      // per-source tokenizer efficiency: fertility (pieces/word) and
+      // compression (chars/piece) of the trained merge table — the
+      // report that flags a domain the vocabulary under-serves; same
+      // distinct-word segmentation, one per-source agg on top
+      val docs = t(s, dir, "documents")
+      ext.Bpe.coverageBySource(docs, "text", "source",
+          ext.Bpe.trainMerges(docs, "text"))
+        .orderBy("source")
     },
     "corpus_chunks_bpe" -> { (s, dir) =>
       // context windows measured in trained BPE pieces (the budget a
@@ -3737,6 +3779,16 @@ object ExtQueries {
           rankCol = "shuffle_pos")
         .select("doc_id", "shuffle_pos")
         .orderBy("shuffle_pos")
+    },
+    "corpus_interleave" -> { (s, dir) =>
+      // deterministic source-interleaved training order: sources woven
+      // round-robin (position = src_rank·K + source_index) so every
+      // contiguous training window holds each source at ~1/K — one
+      // range-partitioned sort + an O(|sources|) offset map, never a
+      // single-partition window
+      ext.Sampling.interleaveBySource(t(s, dir, "documents"), "doc_id", "source",
+          parts = s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .orderBy("interleave_pos")
     },
     "corpus_pack" -> { (s, dir) =>
       // GPT-style sequence packing (concatenate-and-split): the corpus

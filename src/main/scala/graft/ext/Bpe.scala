@@ -193,4 +193,39 @@ object Bpe {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"), sum(col("np")).as("n_pieces"))
   }
+
+  /** Per-SOURCE tokenizer-efficiency report — the numbers a tokenizer
+    * team watches per domain/language when deciding whether the merge
+    * table serves the corpus: fertility (pieces per word) and
+    * compression (word chars per piece). A source whose fertility
+    * runs high is under-served by the trained vocabulary — its text
+    * costs more model context per character — and is the candidate
+    * for more merges or more training weight. All integer
+    * (per-mille, truncating `div`), so the report replays externally.
+    * `n_chars` counts WORD characters (whitespace already spent by
+    * tokenization), keeping the ratio a property of the vocabulary,
+    * not the corpus's spacing.
+    *
+    * Cost: the same one distinct-word segmentation every BPE consumer
+    * pays (occurrences pay a vocabulary-keyed hash join), then ONE
+    * per-source aggregation — nothing new shuffles at corpus scale. */
+  def coverageBySource(
+      docs: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(sourceCol),
+      explode(TextOps.tokens(col(textCol))).as("w"))
+    val pieces = words.select("w").distinct()
+      .select(col("w"),
+        size(graft.functions.BpePieces.pieces(col("w"), merges)).as("np"))
+    words.join(pieces, "w")
+      .groupBy(sourceCol)
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("np")).as("n_pieces"),
+        sum(length(col("w"))).as("n_chars"))
+      .withColumn("pieces_per_word_milli", expr("(1000 * n_pieces) div n_words"))
+      .withColumn("chars_per_piece_milli", expr("(1000 * n_chars) div n_pieces"))
+  }
 }

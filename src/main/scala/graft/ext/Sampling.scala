@@ -179,4 +179,46 @@ object Sampling {
        |       CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) // $weightCol AS BIGINT) AS priority
        |FROM documents WHERE $weightCol > 0
        |ORDER BY priority, doc_id LIMIT $k""".stripMargin
+
+  /** Deterministic source-INTERLEAVED training order: `corpus_shuffle`
+    * randomizes the corpus globally, but a multi-source mix wants the
+    * sources WOVEN at a fixed cadence — concatenated sources make
+    * every mid-training checkpoint see whichever domain came first,
+    * and even a global shuffle leaves the cadence to chance. Rule:
+    * docs of source s, ordered by (md5(id), id), take positions
+    * r·K + index(s) (K = number of sources, index = the source's rank
+    * in lexicographic name order) — a strict round-robin, so any
+    * contiguous training window holds each source at ~1/K. Unequal
+    * sources leave tail gaps in the position sequence; reading in
+    * position order is the schedule.
+    *
+    * Scale shape: ONE range-partitioned sort keyed (source, hash, id)
+    * through the distributed-rank machinery (never an Exchange
+    * SinglePartition); per-source ranks are the global ranks minus
+    * per-source offsets — an O(|sources|) driver map, the rank-offset
+    * metadata budget — and the position stamp is map-only. */
+  def interleaveBySource(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      parts: Int): DataFrame = {
+    val ranked = graft.ops.GlobalSort.globalRank(
+      docs.select(col(sourceCol), col(idCol), md5Hash(col(idCol)).as("__h")),
+      Seq(col(sourceCol).asc, col("__h").asc, col(idCol).asc),
+      parts, rankCol = "__grnk")
+    // O(|sources|) metadata: counts → lexicographic index + exclusive
+    // offset (global order is keyed by source first, so per-source
+    // ranks are a contiguous slice of the global ranks)
+    val counts = ranked.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val k = counts.length
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
+    val meta = docs.sparkSession.createDataFrame(
+      counts.zipWithIndex.map { case ((s, _), i) => (s, i.toLong, offsets(i)) }.toSeq)
+      .toDF(sourceCol, "__sidx", "__off")
+    ranked.join(broadcast(meta), sourceCol)
+      .select(col(idCol), col(sourceCol),
+        (col("__grnk") - 1 - col("__off")).as("src_rank"),
+        ((col("__grnk") - 1 - col("__off")) * k + col("__sidx")).as("interleave_pos"))
+  }
 }

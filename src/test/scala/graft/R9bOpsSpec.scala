@@ -897,6 +897,53 @@ class R9bOpsSpec extends SparkSpec {
     assert(ivf == got, s"full-probe IVF hard negatives diverge: ${(ivf diff got) ++ (got diff ivf)}")
   }
 
+  test("interleaveBySource: local replay of the rank/offset law; positions unique, residues by source") {
+    import java.security.MessageDigest
+    val docs = io.Tables(spark, sf, "documents").select("doc_id", "source")
+    val got = ext.Sampling.interleaveBySource(docs, "doc_id", "source", parts = 4)
+      .as[(Long, String, Long, Long)].collect()
+    val local = docs.as[(Long, String)].collect()
+    def h(id: Long): Long = java.lang.Long.parseLong(
+      MessageDigest.getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val srcs = local.map(_._2).distinct.sorted
+    val k = srcs.length
+    val exp = local.groupBy(_._2).toSeq.flatMap { case (s, rows) =>
+      val idx = srcs.indexOf(s)
+      rows.map(_._1).sortBy(id => (h(id), id)).zipWithIndex.map { case (id, r) =>
+        (id, s, r.toLong, r.toLong * k + idx)
+      }.toSeq
+    }.toSet
+    assert(got.toSet == exp, "engine interleave != local replay")
+    assert(got.map(_._4).distinct.length == got.length, "positions must be unique")
+    got.foreach { case (_, s, _, pos) =>
+      assert(pos % k == srcs.indexOf(s), s"position residue must identify the source")
+    }
+  }
+
+  test("coverageBySource totals fold tokenCounts by source; fertility and per-mille laws hold") {
+    val docs = io.Tables(spark, sf, "documents")
+    val merges = ext.Bpe.trainMerges(docs, "text")
+    val cov = ext.Bpe.coverageBySource(docs, "text", "source", merges)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val folded = ext.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(sum("n_tokens").as("w"), sum("n_pieces").as("p"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(cov.keySet == folded.keySet)
+    for ((src, (w, p)) <- folded) {
+      val (_, nw, np, nc, fert, comp) = cov(src)
+      assert(nw == w && np == p,
+        s"$src: coverage totals ($nw, $np) != per-doc fold ($w, $p)")
+      assert(np >= nw, s"$src: a word segments to at least one piece")
+      assert(fert == 1000L * np / nw && fert >= 1000L, s"$src: fertility law broken")
+      assert(comp == 1000L * nc / np, s"$src: compression law broken")
+    }
+  }
+
   test("payloadNearDupPairs matches a local byte-gram simhash replay; one-byte flip pairs, exact dup at hamming 0") {
     import java.security.MessageDigest
     val base = ("the quick brown fox jumps over the lazy dog " * 8).getBytes("UTF-8")

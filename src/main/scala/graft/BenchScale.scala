@@ -266,7 +266,17 @@ object BenchScale {
         ops.FuzzyJoin.editDist1SelfPairs(
           inflateDocs(docs0, f).select(col("doc_id"),
             substring(md5(col("doc_id").cast("string")), 1, 8).as("k8")),
-          "doc_id", "k8")))
+          "doc_id", "k8")),
+      // per-source boilerplate scrub (round 9): affine copies multiply
+      // the SOURCE's docs and their shared windows alike, so the
+      // relative threshold keeps the hot set FIXED while the corpus
+      // inflates — the claim is the scan-bound slope of the
+      // decontaminate_strip family (hot set broadcast, corpus grams
+      // never shuffle), with the (source, h) doc-count agg the only
+      // corpus-wide exchange
+      ("strip_boilerplate", Int.MaxValue, (docs0, emb0, f) =>
+        ext.TextAnalysis.stripBoilerplate(
+          inflateDocs(docs0, f), "doc_id", "text", "source")))
 
     // ONE FRESH SparkContext PER (KERNEL, FACTOR) — the round-8
     // refinement of the per-kernel recycling above. AuditR8 showed the

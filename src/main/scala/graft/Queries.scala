@@ -116,6 +116,34 @@ object Queries {
         |       CAST(length(text) AS BIGINT) AS n_text, source
         |FROM resolved WHERE rn = 1 AND NOT del
         |ORDER BY as_of, doc_id""".stripMargin,
+    // the streamed commit log resolves to the same final state as the
+    // batch-applied log — io_time_travel's resolution at the head
+    "stream_cdc_apply" ->
+      """WITH ch1 AS (
+        |  SELECT doc_id, 'v2 ' || text AS text, source, FALSE AS del
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, text, source, TRUE
+        |  FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 100000, 'new ' || text, source, FALSE
+        |  FROM documents WHERE doc_id < 5),
+        |ch2 AS (
+        |  SELECT doc_id, 'v3 ' || text AS text, source, FALSE AS del
+        |  FROM documents WHERE doc_id % 10 = 2
+        |  UNION ALL SELECT doc_id + 100000, text, source, TRUE
+        |  FROM documents WHERE doc_id < 5
+        |  UNION ALL SELECT doc_id, 'back ' || text, source, FALSE
+        |  FROM documents WHERE doc_id % 100 = 1),
+        |logrel AS (
+        |  SELECT doc_id, text, source, FALSE AS del, 0 AS v FROM documents
+        |  UNION ALL SELECT doc_id, text, source, del, 1 FROM ch1
+        |  UNION ALL SELECT doc_id, text, source, del, 2 FROM ch2),
+        |resolved AS (
+        |  SELECT doc_id, text, source, del,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rn
+        |  FROM logrel)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_text, source
+        |FROM resolved WHERE rn = 1 AND NOT del
+        |ORDER BY doc_id""".stripMargin,
     "io_wap" ->
       """SELECT source, count(*) AS n_docs,
         |       CAST(sum(length(text)) AS BIGINT) AS n_chars
@@ -378,6 +406,43 @@ object Queries {
         .select(col("as_of"), col("doc_id"),
           length(col("text")).cast("long").as("n_text"), col("source"))
         .orderBy("as_of", "doc_id")
+    },
+    "stream_cdc_apply" -> { (s, dir) =>
+      // streaming CDC ingestion: io_time_travel's two change batches
+      // delivered as a STREAM and committed one micro-batch = one
+      // append-only __v=N version via foreachBatch (the standard
+      // stream-to-lakehouse pattern); the staged one-file-per-trigger
+      // source pins commit order = change order, and the final
+      // merge-on-read resolution must equal the batch-applied log
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents")
+      val path =
+        java.nio.file.Files.createTempDirectory("cdcapply").toString + "/tbl"
+      io.Sinks.writeVersion(docs, path, 0)
+      val ch1 = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("text", concat(lit("v2 "), col("text")))
+        .withColumn("__deleted", lit(false))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(10)) === 1)
+          .withColumn("__deleted", lit(true)))
+        .unionByName(docs.where(col("doc_id") < 5)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+          .withColumn("text", concat(lit("new "), col("text")))
+          .withColumn("__deleted", lit(false)))
+      val ch2 = docs.where(pmod(col("doc_id"), lit(10)) === 2)
+        .withColumn("text", concat(lit("v3 "), col("text")))
+        .withColumn("__deleted", lit(false))
+        .unionByName(docs.where(col("doc_id") < 5)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+          .withColumn("__deleted", lit(true)))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(100)) === 1)
+          .withColumn("text", concat(lit("back "), col("text")))
+          .withColumn("__deleted", lit(false)))
+      streaming.StreamOps.cdcApply(
+        streaming.StreamOps.stagedStream(Seq(ch1, ch2)), path)
+      io.Sinks.readSnapshotAt(s, path, Long.MaxValue, "doc_id")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_text"), col("source"))
+        .orderBy("doc_id")
     },
     "io_wap" -> { (s, dir) =>
       // write-audit-publish round trip: the corpus stages, passes its

@@ -222,7 +222,6 @@ object StreamOps {
   def readEventsStaged(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.io.Tables(spark, dir, "events")
       .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-    val stage = java.nio.file.Files.createTempDirectory("events_staged")
     def sentinel(tsLit: String, idBase: Long) = ev.limit(1)
       .withColumn("event_id", lit(idBase))
       .withColumn("user_id", lit(-1L))
@@ -233,27 +232,61 @@ object StreamOps {
         .withColumn("user_id", lit(-2L))
         .withColumn("event_type", lit("purchase"))
         .withColumn("ts", to_timestamp(lit(tsLit))))
-    // three sequential single-file writes, then flat-copy in order so
-    // the file-source's (mod-time, path) ordering replays them as
-    // three one-file triggers
-    val parts = Seq(
-      ("0_data", ev.coalesce(1)),
-      ("1_sentinel", sentinel("2090-01-01 00:00:00", -10L)),
-      ("2_sentinel", sentinel("2091-01-01 00:00:00", -20L)))
+    stagedStream(Seq(
+      ev.coalesce(1),
+      sentinel("2090-01-01 00:00:00", -10L),
+      sentinel("2091-01-01 00:00:00", -20L)))
+  }
+
+  /** Stage a sequence of DataFrames as a file-source stream replayed
+    * ONE FILE PER TRIGGER in sequence order — the deterministic
+    * multi-batch harness behind `readEventsStaged` (watermark
+    * choreography) and `cdcApply` (ordered CDC commits): sequential
+    * single-file writes then ordered flat copies, so the source's
+    * (mod-time, path) ordering replays exactly one staged part per
+    * micro-batch. */
+  private[graft] def stagedStream(parts: Seq[DataFrame]): DataFrame = {
+    val spark = parts.head.sparkSession
+    val stage = java.nio.file.Files.createTempDirectory("staged_stream")
     val flat = stage.resolve("flat")
     java.nio.file.Files.createDirectory(flat)
-    parts.foreach { case (name, df) =>
-      val d = stage.resolve(name)
-      df.write.parquet(d.toString)
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val d = stage.resolve(s"p$i")
+      df.coalesce(1).write.parquet(d.toString)
       d.toFile.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex
-        .foreach { case (p, i) =>
-          java.nio.file.Files.copy(p.toPath, flat.resolve(s"${name}_$i.parquet"))
+        .foreach { case (p, j) =>
+          java.nio.file.Files.copy(p.toPath, flat.resolve(f"$i%03d_$j.parquet"))
         }
     }
     spark.readStream
       .schema(spark.read.parquet(flat.toString).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(flat.toString)
+  }
+
+  /** Streaming CDC ingestion into the log-structured versioned table
+    * (`Sinks.writeVersion`'s merge-on-read commit log): every
+    * micro-batch of the change stream lands as ONE append-only
+    * `__v=N` commit via `foreachBatch` — the standard
+    * stream-to-lakehouse-table pattern (micro-batch == transaction),
+    * per-commit cost O(batch) at any table size, earlier versions'
+    * files never touched. Resolution (`Sinks.readSnapshotAt`) is
+    * last-writer-wins over commit order == arrival order; a change
+    * feed whose per-key updates arrive in order (the CDC contract)
+    * resolves identically at ANY micro-batch slicing — batch
+    * boundaries only decide how many commits the same ordered log is
+    * split into. */
+  def cdcApply(changes: DataFrame, path: String): Unit = {
+    val q = changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.io.Sinks.writeVersion(batch.toDF(), path,
+            graft.io.Sinks.nextVersion(batch.sparkSession, path))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
   }
 
   /** Stream-stream interval LEFT OUTER join — attribution with the

@@ -897,6 +897,45 @@ class R9bOpsSpec extends SparkSpec {
     assert(ivf == got, s"full-probe IVF hard negatives diverge: ${(ivf diff got) ++ (got diff ivf)}")
   }
 
+  test("cdcApply: one commit per staged file; resolution invariant to slicing that respects per-key order") {
+    val docs = io.Tables(spark, sf, "documents").limit(60)
+      .select("doc_id", "text", "source").cache()
+    val upd = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      .withColumn("text", concat(lit("u "), col("text")))
+      .withColumn("__deleted", lit(false))
+    val del = docs.where(pmod(col("doc_id"), lit(3)) === 1)
+      .withColumn("__deleted", lit(true))
+    def apply(parts: Seq[org.apache.spark.sql.DataFrame]): (String, Map[Long, String]) = {
+      val path = java.nio.file.Files.createTempDirectory("cdcspec").toString + "/t"
+      io.Sinks.writeVersion(docs, path, 0)
+      streaming.StreamOps.cdcApply(streaming.StreamOps.stagedStream(parts), path)
+      (path,
+        io.Sinks.readSnapshotAt(spark, path, Long.MaxValue, "doc_id")
+          .select("doc_id", "text").as[(Long, String)].collect().toMap)
+    }
+    def versions(path: String): Set[Long] =
+      new java.io.File(path).listFiles().map(_.getName)
+        .filter(_.startsWith("__v=")).map(_.stripPrefix("__v=").toLong).toSet
+    val (p1, m1) = apply(Seq(upd, del))
+    assert(versions(p1) == Set(0L, 1L, 2L),
+      s"one staged file must become exactly one commit: ${versions(p1)}")
+    // finer slicing with per-key order preserved (the split halves of
+    // upd touch disjoint keys) must resolve to the same final state
+    val (p2, m2) = apply(Seq(
+      upd.where(pmod(col("doc_id"), lit(2)) === 0),
+      upd.where(pmod(col("doc_id"), lit(2)) === 1),
+      del))
+    assert(versions(p2) == Set(0L, 1L, 2L, 3L))
+    assert(m1 == m2, "micro-batch slicing changed the resolved table")
+    // semantics: %3==1 deleted, %3==0 updated, rest untouched
+    val base = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val expected = base.collect {
+      case (id, t) if id % 3 == 0 => id -> s"u $t"
+      case (id, t) if id % 3 == 2 => id -> t
+    }.toMap
+    assert(m1 == expected, "resolved state diverges from the CDC semantics")
+  }
+
   test("interleaveBySource: local replay of the rank/offset law; positions unique, residues by source") {
     import java.security.MessageDigest
     val docs = io.Tables(spark, sf, "documents").select("doc_id", "source")

@@ -267,16 +267,20 @@ object BenchScale {
           inflateDocs(docs0, f).select(col("doc_id"),
             substring(md5(col("doc_id").cast("string")), 1, 8).as("k8")),
           "doc_id", "k8")),
-      // per-source boilerplate scrub (round 9): affine copies multiply
-      // the SOURCE's docs and their shared windows alike, so the
-      // relative threshold keeps the hot set FIXED while the corpus
-      // inflates — the claim is the scan-bound slope of the
-      // decontaminate_strip family (hot set broadcast, corpus grams
-      // never shuffle), with the (source, h) doc-count agg the only
-      // corpus-wide exchange
+      // per-source boilerplate scrub (round 9): each affine copy
+      // becomes its own family of SITES (copy-scoped source ids — a
+      // crawl scales by adding sites, not by inflating one site 64×),
+      // so per-site doc counts and their shared-window structure are
+      // preserved under the per-copy translation while the site count
+      // grows ×f — the claim is the scan-bound slope of the
+      // decontaminate_strip family, with the (source, h) doc-count agg
+      // the only corpus-wide exchange
       ("strip_boilerplate", Int.MaxValue, (docs0, emb0, f) =>
         ext.TextAnalysis.stripBoilerplate(
-          inflateDocs(docs0, f), "doc_id", "text", "source")))
+          inflateDocs(docs0, f).withColumn("source",
+            concat(expr("doc_id div 1000000000"), lit("_src"),
+              pmod(pmod(col("doc_id"), lit(1000000000L)), lit(20)))),
+          "doc_id", "text", "source")))
 
     // ONE FRESH SparkContext PER (KERNEL, FACTOR) — the round-8
     // refinement of the per-kernel recycling above. AuditR8 showed the

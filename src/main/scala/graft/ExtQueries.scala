@@ -2218,6 +2218,38 @@ object ExtQueries {
     // min/max/nulls and the KMV rank-k estimate from distinct md5
     // slices — the same estimator arithmetic as the distinct sketches
     "stats_analyze" -> statsAnalyzeSql,
+    // exact scaled-integer sufficient statistics per column pair; the
+    // same round(×100) → DECIMAL(18,0) products → DECIMAL(38,0) sums
+    "stats_corr" ->
+      """WITH x AS (
+        |  SELECT CAST(round(l_quantity*100) AS DECIMAL(18,0)) AS q,
+        |         CAST(round(l_extendedprice*100) AS DECIMAL(18,0)) AS e,
+        |         CAST(round(l_discount*100) AS DECIMAL(18,0)) AS d,
+        |         CAST(round(l_tax*100) AS DECIMAL(18,0)) AS t
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+        |a AS (
+        |  SELECT count(*) AS n,
+        |         sum(q) AS s_q, sum(e) AS s_e, sum(d) AS s_d, sum(t) AS s_t,
+        |         sum(q*q) AS ss_q, sum(e*e) AS ss_e, sum(d*d) AS ss_d, sum(t*t) AS ss_t,
+        |         sum(q*e) AS sp_qe, sum(q*d) AS sp_qd, sum(q*t) AS sp_qt,
+        |         sum(e*d) AS sp_ed, sum(e*t) AS sp_et, sum(d*t) AS sp_dt
+        |  FROM x)
+        |SELECT col_a, col_b, n,
+        |       CAST(CAST(sum_a AS DECIMAL(38,0)) AS VARCHAR) AS sum_a,
+        |       CAST(CAST(sum_b AS DECIMAL(38,0)) AS VARCHAR) AS sum_b,
+        |       CAST(CAST(sum_aa AS DECIMAL(38,0)) AS VARCHAR) AS sum_aa,
+        |       CAST(CAST(sum_bb AS DECIMAL(38,0)) AS VARCHAR) AS sum_bb,
+        |       CAST(CAST(sum_ab AS DECIMAL(38,0)) AS VARCHAR) AS sum_ab
+        |FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n, s_q AS sum_a, s_e AS sum_b, ss_q AS sum_aa, ss_e AS sum_bb, sp_qe AS sum_ab FROM a
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', n, s_q, s_d, ss_q, ss_d, sp_qd FROM a
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', n, s_q, s_t, ss_q, ss_t, sp_qt FROM a
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', n, s_e, s_d, ss_e, ss_d, sp_ed FROM a
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', n, s_e, s_t, ss_e, ss_t, sp_et FROM a
+        |  UNION ALL SELECT 'l_discount', 'l_tax', n, s_d, s_t, ss_d, ss_t, sp_dt FROM a) u
+        |ORDER BY col_a, col_b""".stripMargin,
     // per-side n + KMV-ndv replay, the System-R product/max formula,
     // and the true join count for contrast — one row
     "stats_join_estimate" ->
@@ -2474,6 +2506,21 @@ object ExtQueries {
     // constants as the engine so the two can never silently desync
     "search_bm25" ->
       Search.bm25OracleSql(tokSql, Search.defaultTerms, Search.defaultK),
+    // phrase occurrences rebuilt from scratch: consecutive-window
+    // string equality over the same tokenizer's gram stream
+    "search_phrase" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, list_aggr(tk[i : i + 2], 'string_agg', ' ') AS gram
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+         |        FROM toks WHERE len(tk) >= 3) s),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_hits FROM g
+         |  WHERE gram = '${Search.defaultPhrase.mkString(" ")}'
+         |  GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
+         |FROM hits
+         |ORDER BY n_hits DESC, doc_id LIMIT ${Search.defaultK}""".stripMargin,
     // the persisted-index serving path must equal the scan path
     // bit-for-bit, so it shares the scan form's oracle — the artifact
     // round trip is what the query adds
@@ -3068,6 +3115,16 @@ object ExtQueries {
       // state), unpivoted to the stats-table shape a CBO consumes
       graft.ops.Sketches.analyzeColumns(t(s, dir, "lineitem"), statsCols)
         .orderBy("col_name")
+    },
+    "stats_corr" -> { (s, dir) =>
+      // one-pass pairwise correlation components over the fact
+      // table's numeric columns: exact integer sufficient statistics
+      // (scaled ×100, DECIMAL(38,0) sums) per column pair from a
+      // single partial-aggregated pass — Pearson r derives
+      // consumer-side, no float crosses the engine boundary
+      graft.ops.Sketches.corrComponents(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")
     },
     "stats_join_estimate" -> { (s, dir) =>
       // CBO-style pre-execution sizing: the product/max estimator off
@@ -3956,6 +4013,13 @@ object ExtQueries {
       Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
           Search.defaultTerms, k = Search.defaultK)
         .orderBy(desc("score"), col("doc_id"))
+    },
+    "search_phrase" -> { (s, dir) =>
+      // exact phrase matching — the capability bag-of-words BM25
+      // structurally lacks: the phrase is one m-token window against
+      // the doc's m-gram stream, map-only + TakeOrdered top-k
+      Search.phraseTopK(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(desc("n_hits"), col("doc_id"))
     },
     "corpus_mix_temperature" -> { (s, dir) =>
       // α=1/2 temperature mixture over sources: derived per-source

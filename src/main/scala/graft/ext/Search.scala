@@ -109,6 +109,45 @@ object Search {
       .limit(k)
   }
 
+  /** The shipped phrase query, shared with the oracle generator — a
+    * token run that actually occurs in the fixture corpus. */
+  val defaultPhrase: Seq[String] = Seq("row", "column", "sort")
+
+  /** Exact PHRASE search: documents containing the query tokens as a
+    * CONSECUTIVE run, ranked by occurrence count (ties to smaller id),
+    * top k — the capability term-at-a-time BM25 structurally lacks
+    * (bag-of-words scoring cannot tell "row column sort" from the
+    * three words scattered). The phrase is matched as ONE m-token
+    * window against the document's m-gram stream (the positional
+    * grams every span operator extracts), so the corpus side is
+    * map-only — no posting intersection, no position-adjacency join —
+    * and the ranking is a TakeOrdered top-k, ≤ k rows per partition.
+    * An index-backed variant would store positional postings; at one
+    * window string per position the scan IS the m-gram extraction, so
+    * the serve-from-index split only pays once the corpus is static —
+    * `writeTextIndex`'s tradeoff, deliberately not re-made here.
+    * `phrase` must be tokenizer-normalized words (lowercase, no
+    * punctuation — what `TextOps.tokens` emits). */
+  def phraseTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String] = defaultPhrase,
+      k: Int = defaultK): DataFrame = {
+    require(phrase.nonEmpty && phrase.size <= 16,
+      s"phrase must carry 1..16 tokens, got ${phrase.size}")
+    val p = phrase.mkString(" ")
+    docs
+      .select(col(idCol),
+        graft.ops.TextOps.wordNgramsFromTokens(
+          graft.ops.TextOps.tokens(col(textCol)), phrase.size).as("gs"))
+      .select(col(idCol),
+        size(filter(col("gs"), g => g === lit(p))).cast("long").as("n_hits"))
+      .where(col("n_hits") > 0)
+      .orderBy(desc("n_hits"), col(idCol))
+      .limit(k)
+  }
+
   /** The DuckDB replay of `bm25TopK` for the oracle generators: same
     * floor arithmetic, same bin()-derived idf, same (score, id) cut.
     * `tokSql` is the caller's token-array SQL for `text`. */

@@ -449,4 +449,60 @@ object Sketches {
         .otherwise(expr(s"(${(k - 1).toLong * space}L) div element_at(mins, $k)"))
         .cast("long").as("est"))
   }
+
+  /** ONE-PASS pairwise correlation components over numeric columns —
+    * the multi-column completion of the ANALYZE family: `analyzeColumns`
+    * profiles columns independently, this measures how they move
+    * TOGETHER, the statistic that breaks the independence assumption
+    * behind `estimateEquiJoin`-style cardinality models and the first
+    * screen an ML feature pipeline runs. Emits, per unordered column
+    * pair, the EXACT integer sufficient statistics (n, Σa, Σb, Σa²,
+    * Σb², Σab) with values scaled by `scale` (default 100 — exact for
+    * 2-decimal money/quantity columns) and accumulated in
+    * DECIMAL(18,0) products under DECIMAL(38,0) sums, so every cell
+    * is bit-reproducible in any engine; Pearson r = (n·Σab − Σa·Σb) /
+    * √((n·Σa²−Σa²ᵗ)(n·Σb²−Σb²ᵗ)) is one float the CONSUMER derives —
+    * no float ever crosses the engine boundary. Complete-case
+    * contract: rows with a null in ANY profiled column are dropped
+    * before accumulation, so all pairs share one n.
+    *
+    * Cost: ONE aggregation pass over the scan (k + k + k(k−1)/2
+    * sums in a single partial-aggregated HashAggregate — no shuffle
+    * wider than one row), then a map-only explode of the single
+    * result row into pair rows. */
+  def corrComponents(
+      df: DataFrame,
+      cols: Seq[String],
+      scale: Int = 100): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 16,
+      s"need 2..16 columns, got ${cols.size}")
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val ints = df.na.drop(cols)
+      .select(cols.map(c => round(col(c) * scale).cast(dec18).as(s"__$c")): _*)
+    val aggs =
+      cols.map(c => sum(col(s"__$c")).as(s"s_$c")) ++
+      cols.map(c => sum(col(s"__$c") * col(s"__$c")).as(s"ss_$c")) ++
+      pairs.map { case (a, b) =>
+        sum(col(s"__$a") * col(s"__$b")).as(s"sp_${a}_$b") } :+
+      count(lit(1)).as("n")
+    val row = ints.agg(aggs.head, aggs.tail: _*)
+    // the wide statistics travel as plain integer STRINGS: they exceed
+    // int64 at realistic scale, and both engines' DECIMAL(38)→float
+    // bridges are lossy — a string cell is the one representation that
+    // stays exact through every comparator
+    row.select(explode(array(pairs.map { case (a, b) =>
+        struct(
+          lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n"),
+          col(s"s_$a").cast(dec38).cast("string").as("sum_a"),
+          col(s"s_$b").cast(dec38).cast("string").as("sum_b"),
+          col(s"ss_$a").cast(dec38).cast("string").as("sum_aa"),
+          col(s"ss_$b").cast(dec38).cast("string").as("sum_bb"),
+          col(s"sp_${a}_$b").cast(dec38).cast("string").as("sum_ab"))
+      }: _*)).as("p"))
+      .select("p.*")
+  }
 }

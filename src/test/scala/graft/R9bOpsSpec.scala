@@ -897,6 +897,45 @@ class R9bOpsSpec extends SparkSpec {
     assert(ivf == got, s"full-probe IVF hard negatives diverge: ${(ivf diff got) ++ (got diff ivf)}")
   }
 
+  test("phraseTopK: consecutive runs only — scattered bag-of-words never matches") {
+    val docs = Seq(
+      (1L, "alpha row column sort beta row column sort"),
+      (2L, "row beta column gamma sort"),         // all three words, never consecutive
+      (3L, "gamma Row Column SORT."),             // tokenizer normalization applies
+      (4L, "row column"))                         // shorter than the phrase
+      .toDF("doc_id", "text")
+    val got = ext.Search.phraseTopK(docs, "doc_id", "text",
+        Seq("row", "column", "sort"), 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L),
+      s"phrase semantics wrong: $got")
+  }
+
+  test("corrComponents: hand-computed sufficient stats, null rows dropped, Pearson derives to ±1") {
+    val df = Seq(
+      (Option(1.0), Option(2.0), Option(10.0)),
+      (Option(2.0), Option(4.0), Option(8.0)),
+      (Option(3.0), Option(6.0), Option(6.0)),
+      (Option(4.0), Option(8.0), Option(4.0)),
+      (Option(9.0), Option.empty[Double], Option(1.0)))  // complete-case: dropped
+      .toDF("a", "b", "c")
+    val got = graft.ops.Sketches.corrComponents(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getString(3), r.getString(4), r.getString(5),
+          r.getString(6), r.getString(7)))).toMap
+    assert(got(("a", "b")) == ((4L, "1000", "2000", "300000", "1200000", "600000")))
+    assert(got(("a", "c")) == ((4L, "1000", "2800", "300000", "2160000", "600000")))
+    assert(got(("b", "c")) == ((4L, "2000", "2800", "1200000", "2160000", "1200000")))
+    def pearson(k: (String, String)): Double = {
+      val (n, sa, sb, saa, sbb, sab) = got(k)
+      val num = n.toDouble * sab.toDouble - sa.toDouble * sb.toDouble
+      num / math.sqrt((n.toDouble * saa.toDouble - sa.toDouble * sa.toDouble) *
+        (n.toDouble * sbb.toDouble - sb.toDouble * sb.toDouble))
+    }
+    assert(math.abs(pearson(("a", "b")) - 1.0) < 1e-12, "b = 2a must correlate at +1")
+    assert(math.abs(pearson(("a", "c")) + 1.0) < 1e-12, "c = 12 - 2a must correlate at -1")
+  }
+
   test("cdcApply: one commit per staged file; resolution invariant to slicing that respects per-key order") {
     val docs = io.Tables(spark, sf, "documents").limit(60)
       .select("doc_id", "text", "source").cache()

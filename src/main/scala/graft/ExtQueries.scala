@@ -2391,6 +2391,40 @@ object ExtQueries {
         |       CAST(CASE WHEN base_rows = 24 AND n * 100 * 24 > 300 * base_n
         |            THEN 1 ELSE 0 END AS BIGINT) AS is_anom
         |FROM w ORDER BY hour_ts, event_type""".stripMargin,
+    // session walk transitions: the sessionize CTEs, then each row
+    // contributes (prev|_start → cur) and the session tail adds
+    // (cur → _end) — same gap law, same (sec, event_id) order
+    "events_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, event_type, sec,
+        |    CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |         OR lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, event_id, event_type, sec,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged),
+        |linked AS (
+        |  SELECT event_type AS cur,
+        |    lag(event_type) OVER (PARTITION BY user_id, session_id
+        |                          ORDER BY sec, event_id) AS prev,
+        |    lead(event_type) OVER (PARTITION BY user_id, session_id
+        |                           ORDER BY sec, event_id) AS nxt
+        |  FROM sessions),
+        |trans AS (
+        |  SELECT coalesce(prev, '_start') AS src_type, cur AS dst_type
+        |  FROM linked
+        |  UNION ALL
+        |  SELECT cur, '_end' FROM linked WHERE nxt IS NULL)
+        |SELECT src_type, dst_type, count(*) AS n
+        |FROM trans GROUP BY src_type, dst_type
+        |ORDER BY src_type, dst_type""".stripMargin,
     "stream_topk_users" ->
       """WITH c AS (
         |  SELECT date_trunc('hour', ts) AS hr, user_id, count(*) AS n
@@ -3238,6 +3272,14 @@ object ExtQueries {
           date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
           col("event_type"), col("n"), col("base_n"), col("is_anom"))
         .orderBy("hour_ts", "event_type")
+    },
+    "events_transitions" -> { (s, dir) =>
+      // session-scoped Markov transition counts: consecutive
+      // event_type pairs within each 30-min-gap session, with virtual
+      // _start/_end endpoints so the walk balances — one user-window
+      // pass, output bounded by (|types|+2)², never event count
+      graft.ops.TimeSeries.sessionTransitions(t(s, dir, "events"))
+        .orderBy("src_type", "dst_type")
     },
     "stream_topk_users" -> { (s, dir) =>
       // trending entities per window: the streaming stateful part is

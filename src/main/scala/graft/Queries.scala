@@ -116,6 +116,71 @@ object Queries {
         |       CAST(length(text) AS BIGINT) AS n_text, source
         |FROM resolved WHERE rn = 1 AND NOT del
         |ORDER BY as_of, doc_id""".stripMargin,
+    // the change feed replayed from scratch: per (from, to) pair,
+    // resolve the touched keys at both endpoints, full-outer compare,
+    // drop identical rewrites — the exact snapshotDiff law
+    "io_change_feed" ->
+      """WITH ch1 AS (
+        |  SELECT doc_id, 'v2 ' || text AS text, source, FALSE AS del
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, text, source, TRUE
+        |  FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 100000, 'new ' || text, source, FALSE
+        |  FROM documents WHERE doc_id < 5),
+        |ch2 AS (
+        |  SELECT doc_id, 'v3 ' || text AS text, source, FALSE AS del
+        |  FROM documents WHERE doc_id % 10 = 2
+        |  UNION ALL SELECT doc_id + 100000, text, source, TRUE
+        |  FROM documents WHERE doc_id < 5
+        |  UNION ALL SELECT doc_id, 'back ' || text, source, FALSE
+        |  FROM documents WHERE doc_id % 100 = 1),
+        |logrel AS (
+        |  SELECT doc_id, text, source, FALSE AS del, 0 AS v FROM documents
+        |  UNION ALL SELECT doc_id, text, source, del, 1 FROM ch1
+        |  UNION ALL SELECT doc_id, text, source, del, 2 FROM ch2),
+        |pairs(from_v, to_v) AS (VALUES (0, 1), (1, 2)),
+        |touched AS (
+        |  SELECT DISTINCT p.from_v, p.to_v, l.doc_id
+        |  FROM pairs p JOIN logrel l ON l.v > p.from_v AND l.v <= p.to_v),
+        |oldr AS (
+        |  SELECT t.from_v, t.to_v, t.doc_id, l.text, l.source, l.del,
+        |    row_number() OVER (PARTITION BY t.from_v, t.to_v, t.doc_id
+        |                       ORDER BY l.v DESC) AS rn
+        |  FROM touched t JOIN logrel l
+        |    ON l.doc_id = t.doc_id AND l.v <= t.from_v),
+        |olds AS (SELECT from_v, to_v, doc_id, text, source
+        |         FROM oldr WHERE rn = 1 AND NOT del),
+        |newr AS (
+        |  SELECT t.from_v, t.to_v, t.doc_id, l.text, l.source, l.del,
+        |    row_number() OVER (PARTITION BY t.from_v, t.to_v, t.doc_id
+        |                       ORDER BY l.v DESC) AS rn
+        |  FROM touched t JOIN logrel l
+        |    ON l.doc_id = t.doc_id AND l.v <= t.to_v),
+        |news AS (SELECT from_v, to_v, doc_id, text, source
+        |         FROM newr WHERE rn = 1 AND NOT del),
+        |j AS (
+        |  SELECT t.from_v, t.to_v, t.doc_id,
+        |    o.text AS old_text, o.source AS old_source,
+        |    (o.doc_id IS NOT NULL) AS old_here,
+        |    n.text AS new_text, n.source AS new_source,
+        |    (n.doc_id IS NOT NULL) AS new_here
+        |  FROM touched t
+        |  LEFT JOIN olds o ON o.from_v = t.from_v AND o.to_v = t.to_v
+        |                  AND o.doc_id = t.doc_id
+        |  LEFT JOIN news n ON n.from_v = t.from_v AND n.to_v = t.to_v
+        |                  AND n.doc_id = t.doc_id)
+        |SELECT CAST(from_v AS BIGINT) AS from_v, CAST(to_v AS BIGINT) AS to_v,
+        |  doc_id,
+        |  CASE WHEN NOT old_here THEN 'insert'
+        |       WHEN NOT new_here THEN 'delete' ELSE 'update' END AS change,
+        |  CAST(coalesce(length(old_text), -1) AS BIGINT) AS n_old,
+        |  CAST(coalesce(length(new_text), -1) AS BIGINT) AS n_new
+        |FROM j
+        |WHERE (old_here OR new_here)
+        |  AND NOT (old_here AND new_here
+        |           AND old_text IS NOT DISTINCT FROM new_text
+        |           AND old_source IS NOT DISTINCT FROM new_source)
+        |ORDER BY from_v, doc_id""".stripMargin,
     // the streamed commit log resolves to the same final state as the
     // batch-applied log — io_time_travel's resolution at the head
     "stream_cdc_apply" ->
@@ -406,6 +471,52 @@ object Queries {
         .select(col("as_of"), col("doc_id"),
           length(col("text")).cast("long").as("n_text"), col("source"))
         .orderBy("as_of", "doc_id")
+    },
+    "io_change_feed" -> { (s, dir) =>
+      // row-level change feed between versions of the commit log: for
+      // each version step, every key whose RESOLVED state moved —
+      // insert/update/delete with old and new payload — derived from
+      // the same log io_time_travel builds (slimmed to a text+source
+      // payload so the diff's column-equality contract is fully
+      // exercised by the oracle). Only touched keys are resolved;
+      // identical rewrites are silent
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      val path =
+        java.nio.file.Files.createTempDirectory("chfeed").toString + "/tbl"
+      io.Sinks.writeVersion(docs, path, 0)
+      val up1 = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("text", concat(lit("v2 "), col("text")))
+        .withColumn("__deleted", lit(false))
+      val del1 = docs.where(pmod(col("doc_id"), lit(10)) === 1)
+        .withColumn("__deleted", lit(true))
+      val ins1 = docs.where(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", concat(lit("new "), col("text")))
+        .withColumn("__deleted", lit(false))
+      io.Sinks.writeVersion(up1.unionByName(del1).unionByName(ins1), path,
+        io.Sinks.nextVersion(s, path))
+      val up2 = docs.where(pmod(col("doc_id"), lit(10)) === 2)
+        .withColumn("text", concat(lit("v3 "), col("text")))
+        .withColumn("__deleted", lit(false))
+      val del2 = docs.where(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("__deleted", lit(true))
+      val rev2 = docs.where(pmod(col("doc_id"), lit(100)) === 1)
+        .withColumn("text", concat(lit("back "), col("text")))
+        .withColumn("__deleted", lit(false))
+      io.Sinks.writeVersion(up2.unionByName(del2).unionByName(rev2), path,
+        io.Sinks.nextVersion(s, path))
+      Seq((0L, 1L), (1L, 2L))
+        .map { case (f, v) =>
+          io.Sinks.snapshotDiff(s, path, f, v, "doc_id")
+            .withColumn("from_v", lit(f)).withColumn("to_v", lit(v))
+        }
+        .reduce(_ unionByName _)
+        .select(col("from_v"), col("to_v"), col("doc_id"), col("change"),
+          coalesce(length(col("old_text")), lit(-1)).cast("long").as("n_old"),
+          coalesce(length(col("new_text")), lit(-1)).cast("long").as("n_new"))
+        .orderBy("from_v", "doc_id")
     },
     "stream_cdc_apply" -> { (s, dir) =>
       // streaming CDC ingestion: io_time_travel's two change batches

@@ -191,6 +191,65 @@ object Sinks {
       .drop("__v", "__deleted")
   }
 
+  /** Row-level CHANGE FEED between two versions of a versioned table
+    * (Delta's `readChangeFeed` / Iceberg's changelog read, derived
+    * from the commit log rather than stored): for every key whose
+    * resolved state differs between `fromV` and `toV`, one row with
+    * `change` ∈ insert / update / delete plus the old and new payload
+    * columns (`old_<c>` / `new_<c>`, null on the absent side). A key
+    * rewritten with an IDENTICAL payload emits nothing — the feed
+    * reports state changes, not commit traffic — and a
+    * delete-then-revive across the range collapses to what the
+    * endpoints say (update if the payload moved, silence if it
+    * round-tripped home).
+    *
+    * Scale shape: only keys TOUCHED by a commit in `(fromV, toV]` can
+    * differ, so the log is first pruned to those keys with a LeftSemi
+    * join (the touched-key scan itself reads only the delta
+    * directories — `__v` is a partition column, pruned at listing
+    * time). After the prune, both endpoint resolutions are
+    * key-partitioned windows over ONE shared shuffle of the touched
+    * keys' history, and the final full-outer join is between two
+    * ≤|touched| relations on the same key — cost scales with the
+    * change set and its history, never the table. */
+  def snapshotDiff(
+      spark: SparkSession,
+      path: String,
+      fromV: Long,
+      toV: Long,
+      keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(0 <= fromV && fromV < toV, s"need 0 <= fromV < toV: $fromV/$toV")
+    val log = spark.read.parquet(path)
+      .withColumn("__v", col("__v").cast("long"))
+      .where(col("__v") <= toV)
+    val touched = log.where(col("__v") > fromV).select(keyCol).distinct()
+    val hist = log.join(touched, Seq(keyCol), "left_semi")
+    val payload = hist.columns.filterNot(
+      c => c == keyCol || c == "__v" || c == "__deleted").toSeq
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").desc)
+    // the presence marker rides the resolved relation itself (a
+    // literal true that the full-outer join nulls on the absent side),
+    // so absence detection never depends on payload nullability
+    def resolve(asOf: Long, side: String): DataFrame =
+      hist.where(col("__v") <= asOf)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1 && not(col("__deleted")))
+        .select(col(keyCol) +: lit(true).as(s"__${side}_here") +:
+          payload.map(c => col(c).as(s"${side}_$c")): _*)
+    val same = payload
+      .map(c => col(s"old_$c") <=> col(s"new_$c"))
+      .reduce(_ && _)
+    resolve(fromV, "old").join(resolve(toV, "new"), Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("__old_here").isNull, lit("insert"))
+          .when(col("__new_here").isNull, lit("delete"))
+          .otherwise(lit("update")))
+      .where(col("change") =!= "update" || not(same))
+      .drop("__old_here", "__new_here")
+  }
+
   /** Fold commits 0..`upTo` into a single resolved base partition:
     * rewrites `__v=upTo` as the materialized snapshot and drops the
     * older directories (write-then-swap via a temp dir, so a crash

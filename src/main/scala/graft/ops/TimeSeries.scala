@@ -200,4 +200,54 @@ object TimeSeries {
       .withColumn("rn", row_number()
         .over(Window.orderBy(desc("score"), asc(keyCol))).cast("long"))
   }
+
+  /** Session-scoped Markov transition counts — the behavioral model
+    * behind next-action prediction and journey analysis: within each
+    * user session (same `gapSeconds` boundary as the sessionize
+    * queries), count every consecutive `event_type` pair, with a
+    * virtual `_start` before each session's first event and `_end`
+    * after its last, so row counts at every state balance (in-degree =
+    * out-degree per session walk) and entry/exit probabilities fall
+    * out of the same relation as the interior transitions. Consumers
+    * divide by the per-src total for the transition matrix — this
+    * emits the exact integer counts.
+    *
+    * Scale shape: ONE user-partitioned window sort carries all three
+    * derivations (session flag, predecessor type, successor presence —
+    * same partition key and ordering, one exchange + one sort), the
+    * per-row expansion is ≤ 2 tiny structs through a generator, and
+    * the count aggregation map-side combines into an output bounded by
+    * (|type vocabulary| + 2)² rows — independent of event count. */
+  def sessionTransitions(
+      events: DataFrame,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      gapSeconds: Int = 1800): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapSeconds > 0, s"need gapSeconds > 0, got $gapSeconds")
+    val wu = Window.partitionBy(userCol).orderBy("sec", tieCol)
+    val wRun = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ws = Window.partitionBy(userCol, "session_id").orderBy("sec", tieCol)
+    events
+      .select(col(userCol), col(tieCol), col(typeCol).as("cur"),
+        unix_timestamp(col(tsCol)).as("sec"))
+      .withColumn("prev_sec", lag(col("sec"), 1).over(wu))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull ||
+          col("sec") - col("prev_sec") > gapSeconds, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .withColumn("prev", lag(col("cur"), 1).over(ws))
+      .withColumn("next", lead(col("cur"), 1).over(ws))
+      .select(explode(concat(
+        array(struct(coalesce(col("prev"), lit("_start")).as("src"),
+          col("cur").as("dst"))),
+        when(col("next").isNull,
+          array(struct(col("cur").as("src"), lit("_end").as("dst"))))
+          .otherwise(array().cast("array<struct<src:string,dst:string>>"))))
+        .as("t"))
+      .groupBy(col("t.src").as("src_type"), col("t.dst").as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -1071,4 +1071,74 @@ class R9bOpsSpec extends SparkSpec {
     assert(got == scratch,
       s"fixture: incremental and from-scratch disagree on ${(got.toSet diff scratch.toSet) ++ (scratch.toSet diff got.toSet)}")
   }
+
+  test("snapshotDiff: insert/update/delete classified; identical rewrites and round-trip revivals are silent") {
+    val dir = java.nio.file.Files.createTempDirectory("cft").toString + "/tbl"
+    val v0 = Seq((1L, "a"), (2L, "b"), (4L, "d"), (5L, "e"))
+      .toDF("k", "payload")
+    io.Sinks.writeVersion(v0, dir, 0)
+    val v1 = Seq((1L, "a2", false), (2L, "b", true), (3L, "c", false),
+      (4L, "d", false), // identical rewrite: touched, but no state change
+      (5L, "e", true))
+      .toDF("k", "payload", "__deleted")
+    io.Sinks.writeVersion(v1, dir, 1)
+    val v2 = Seq((5L, "e", false)) // revival with the ORIGINAL payload
+      .toDF("k", "payload", "__deleted")
+    io.Sinks.writeVersion(v2, dir, 2)
+
+    def diff(f: Long, t: Long): Map[Long, (String, Option[String], Option[String])] =
+      io.Sinks.snapshotDiff(spark, dir, f, t, "k")
+        .select("k", "change", "old_payload", "new_payload")
+        .as[(Long, String, Option[String], Option[String])]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    assert(diff(0, 1) == Map(
+      1L -> (("update", Some("a"), Some("a2"))),
+      2L -> (("delete", Some("b"), None)),
+      3L -> (("insert", None, Some("c"))),
+      5L -> (("delete", Some("e"), None))),
+      s"v0→v1 feed wrong: ${diff(0, 1)}")
+    assert(diff(1, 2) == Map(5L -> (("insert", None, Some("e")))),
+      s"v1→v2 feed wrong: ${diff(1, 2)}")
+    // endpoint semantics: 5 was deleted at v1 and revived at v2 with
+    // its original payload — over (0,2] the state round-tripped home,
+    // so the feed must be silent on it despite two commits of traffic
+    assert(diff(0, 2) == Map(
+      1L -> (("update", Some("a"), Some("a2"))),
+      2L -> (("delete", Some("b"), None)),
+      3L -> (("insert", None, Some("c")))),
+      s"v0→v2 endpoint law broken: ${diff(0, 2)}")
+  }
+
+  test("sessionTransitions: hand-computed walk counts; interior state flow balances") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    def ts2(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val events = Seq(
+      // user 1, session 1: a → b; session 2 (2h later): a alone
+      (10L, ts(0), 1L, "a"), (11L, ts(5), 1L, "b"), (12L, ts2(3), 1L, "a"),
+      // user 2: single event c
+      (20L, ts(1), 2L, "c"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.ops.TimeSeries.sessionTransitions(events)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      ("_start", "a") -> 2L, ("a", "b") -> 1L, ("b", "_end") -> 1L,
+      ("a", "_end") -> 1L, ("_start", "c") -> 1L, ("c", "_end") -> 1L),
+      s"transition counts wrong: $got")
+    // every interior state's in-flow equals its out-flow on the fixture
+    val fixture = graft.ops.TimeSeries.sessionTransitions(
+        io.Tables(spark, sf, "events"))
+      .as[(String, String, Long)].collect()
+    val interior = fixture.flatMap(t => Seq(t._1, t._2))
+      .filterNot(s => s == "_start" || s == "_end").distinct
+    interior.foreach { st =>
+      val in = fixture.filter(_._2 == st).map(_._3).sum
+      val out = fixture.filter(_._1 == st).map(_._3).sum
+      assert(in == out, s"state $st unbalanced: in=$in out=$out")
+    }
+    assert(fixture.filter(_._1 == "_start").map(_._3).sum ==
+      fixture.filter(_._2 == "_end").map(_._3).sum,
+      "session starts must equal session ends")
+  }
 }

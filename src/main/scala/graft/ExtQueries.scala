@@ -862,6 +862,16 @@ object ExtQueries {
            |gedges AS (SELECT probe_id AS src, vec_id AS dst FROM ranked WHERE rn <= 5),
            |gnodes AS (SELECT vec_id AS id FROM qv)""".stripMargin,
         "vec_id"),
+    // BFS hop distance over the same derived kNN graph: the oracle
+    // rebuilds the index + edges, then unrolls the 3 frontier
+    // expansions from the %97 seed set
+    "graph_bfs" ->
+      Graph.bfsOracleSql(
+        s"""WITH $ivfAssignSqlDerivedK,
+           |$knnRankedSql,
+           |gedges AS (SELECT probe_id AS src, vec_id AS dst FROM ranked WHERE rn <= 5),
+           |gnodes AS (SELECT vec_id AS id FROM qv)""".stripMargin,
+        "vec_id", "id % 97 = 0"),
     // deletion-neighborhood fuzzy join: DuckDB regenerates the exact
     // variant sets, candidate join, and levenshtein verify
     "join_fuzzy_blocked" ->
@@ -1718,6 +1728,32 @@ object ExtQueries {
          |SELECT doc_id, count(*) AS n_bigrams,
          |       CAST(sum(s) // count(*) AS BIGINT) AS lm_score
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // collocations rebuilt from scratch: same bigram stream, the
+    // marginals re-aggregated off the pair counts, HUGEINT products
+    // with DuckDB's // floor matching Spark's DECIMAL(38,0) div
+    "text_collocations" ->
+      s"""WITH toks AS (SELECT $tokSql AS tk FROM documents),
+         |bg AS (
+         |  SELECT unnest([tk[i] FOR i IN range(1, len(tk))]) AS w1,
+         |         unnest([tk[i+1] FOR i IN range(1, len(tk))]) AS w2
+         |  FROM toks WHERE len(tk) >= 2),
+         |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+         |pre AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
+         |suf AS (SELECT w2, sum(n2) AS n2b FROM c2 GROUP BY w2),
+         |tot AS (SELECT sum(n2) AS nb FROM c2),
+         |scored AS (
+         |  SELECT c2.w1, c2.w2, c2.n2 AS n_pair,
+         |    CAST((CAST(c2.n2 AS HUGEINT) * nb * 1000000)
+         |         // (CAST(pre.n1 AS HUGEINT) * suf.n2b) AS BIGINT) AS lift_ppm
+         |  FROM c2 JOIN pre USING (w1) JOIN suf USING (w2) CROSS JOIN tot
+         |  WHERE c2.n2 >= 10),
+         |top AS (
+         |  SELECT *, row_number() OVER (ORDER BY lift_ppm DESC, w1, w2) AS rn
+         |  FROM scored)
+         |SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, lift_ppm,
+         |       CAST(rn AS BIGINT) AS rn
+         |FROM top WHERE rn <= 30
+         |ORDER BY rn""".stripMargin,
     // DSIR selection rebuilt from scratch: same single-pass bigram
     // stats (target count as a conditional sum), same add-one integer
     // micro-ratio, same (score DESC, id) top-100 cut
@@ -2936,6 +2972,18 @@ object ExtQueries {
       Graph.triangleCounts(edges, "probe_id", "vec_id", emb, "vec_id")
         .orderBy("vec_id")
     },
+    "graph_bfs" -> { (s, dir) =>
+      // trust propagation over the derived similarity graph: hop
+      // distance from a deterministic seed set (depth 0) via 3
+      // synchronous frontier expansions over the symmetrized kNN
+      // edges — per round one src-keyed join + distinct + anti-join,
+      // visited relation O(nodes), lineage truncated per round
+      val emb = t(s, dir, "embeddings")
+      val edges = Similarity.knnGraphIvf(emb, "vec_id", "embedding", k = 5)
+      Graph.bfsDepth(edges, "probe_id", "vec_id", emb, "vec_id",
+          emb.where(pmod(col("vec_id"), lit(97)) === 0), "vec_id")
+        .orderBy("vec_id")
+    },
     "search_index_bm25" -> { (s, dir) =>
       // the serving form of search_bm25: build + persist the inverted
       // index (postings sorted by term for row-group pruning), then
@@ -3819,6 +3867,14 @@ object ExtQueries {
       // with no float drift for the oracle to trip on
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+    "text_collocations" -> { (s, dir) =>
+      // multiword-expression mining: top-30 bigrams by exact integer
+      // lift over the bigram event stream (support >= 10) — marginals
+      // re-aggregate the cached pair counts, never the corpus; ranking
+      // is a TakeOrdered top-k
+      TextAnalysis.collocations(t(s, dir, "documents"), "text")
+        .orderBy("rn")
     },
     "corpus_ccnet_buckets" -> { (s, dir) =>
       // CCNet head/middle/tail selection: LM-score each doc, bucket by

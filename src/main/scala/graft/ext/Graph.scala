@@ -302,4 +302,97 @@ object Graph {
        |SELECT g.id AS $idColOut, CAST(coalesce(cc.n, 0) AS BIGINT) AS n_tri
        |FROM gnodes g LEFT JOIN cc ON cc.id = g.id
        |ORDER BY $idColOut""".stripMargin
+
+  /** Shipped BFS horizon, shared with the oracle generator: hop
+    * distances in a kNN graph saturate fast (small-world), and a FIXED
+    * round count keeps the result an engine-replayable contract. */
+  val defaultBfsRounds: Int = 3
+
+  /** Multi-source BFS hop distance over the symmetrized graph — the
+    * reachability complement of the centrality family: seeds sit at
+    * depth 0, every other node gets the MINIMUM hop count from any
+    * seed within `rounds` hops, unreached nodes report -1. In a
+    * curation pipeline the seeds are a trusted set (hand-audited docs,
+    * a quality whitelist) and hop distance in the similarity graph is
+    * a trust-propagation signal — the graph-native version of "keep
+    * what is near known-good data".
+    *
+    * Runs EXACTLY `rounds` synchronous frontier expansions (no
+    * convergence race — the fixed-round contract every iterative op
+    * here follows). Per round: one src-keyed join of the cached
+    * symmetrized edges against the frontier, a distinct on the
+    * successor set, and one left-anti against the visited relation —
+    * all linear in |edges| + |visited|; the visited relation stays
+    * O(nodes) with a `localCheckpoint` per round (the pageRank lineage
+    * rule). An empty frontier makes the remaining rounds no-ops on
+    * empty relations. Nothing crosses the driver. */
+  def bfsDepth(
+      edges0: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nodes0: DataFrame,
+      idCol: String,
+      seeds0: DataFrame,
+      seedCol: String,
+      rounds: Int = defaultBfsRounds,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    require(rounds >= 0, s"need rounds >= 0; got $rounds")
+    val e = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = scope.cache(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .where(col("src") =!= col("dst")).distinct())
+    var visited = seeds0.select(col(seedCol).as("id")).distinct()
+      .withColumn("depth", lit(0L))
+      .localCheckpoint(false)
+    var frontier = visited
+    for (d <- 1 to rounds) {
+      val nxt = und.join(frontier, col("src") === col("id"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .withColumn("depth", lit(d.toLong))
+        .localCheckpoint(false)
+      visited = visited.unionByName(nxt).localCheckpoint(false)
+      frontier = nxt
+    }
+    nodes0.select(col(idCol).as("id"))
+      .join(visited, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("depth"), lit(-1L)).as("depth"))
+  }
+
+  /** DuckDB replay of `bfsDepth`: `edgesCte` must bind `gedges(src,
+    * dst)` and `gnodes(id)`; `seedSql` is a predicate over `id`
+    * selecting the seed rows from `gnodes`. Rounds unroll as
+    * v0..v{rounds} visited CTEs (MATERIALIZED — each is referenced by
+    * the next round's anti-join AND union, so inlining would
+    * re-evaluate the edge-derivation chain exponentially, the
+    * lpaOracleSql lesson). */
+  def bfsOracleSql(
+      edgesCte: String,
+      idColOut: String,
+      seedSql: String,
+      rounds: Int = defaultBfsRounds): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS id
+         |  FROM und e JOIN v${i - 1} v ON e.src = v.id AND v.depth = ${i - 1}
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} p WHERE p.id = e.dst)),
+         |v$i AS MATERIALIZED (
+         |  SELECT id, depth FROM v${i - 1}
+         |  UNION ALL SELECT id, $i FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |ge AS MATERIALIZED (SELECT src, dst FROM gedges),
+       |und AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst FROM ge UNION SELECT dst, src FROM ge) u
+       |  WHERE src <> dst),
+       |v0 AS MATERIALIZED (
+       |  SELECT id, 0 AS depth FROM gnodes WHERE $seedSql),
+       |$steps
+       |SELECT g.id AS $idColOut,
+       |       CAST(coalesce(v.depth, -1) AS BIGINT) AS depth
+       |FROM gnodes g LEFT JOIN v$rounds v ON v.id = g.id
+       |ORDER BY $idColOut""".stripMargin
+  }
 }

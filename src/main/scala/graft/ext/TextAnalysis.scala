@@ -523,6 +523,54 @@ object TextAnalysis {
         expr("sum(s) div count(1)").cast("long").as("lm_score"))
   }
 
+  /** Collocation mining — the multiword-expression signal tokenizer
+    * and vocabulary curation runs over a corpus (Church & Hanks' lift
+    * over adjacent pairs): the top-k bigrams by pointwise lift
+    * `P(w1,w2) / (P(w1 as prefix)·P(w2 as suffix))` over the bigram
+    * event stream, with a support floor so one-off juxtapositions
+    * can't claim infinite lift. The score is the EXACT integer
+    * `(n₂·N·10⁶) div (n₁·n₂ᵇ)` with the products carried in
+    * DECIMAL(38,0) (int64 would overflow at corpus scale) and ONE
+    * floor division at the end — log-free, so lift ORDER is exactly
+    * PMI order and any engine replays the bytes.
+    *
+    * Scale shape: the bigram extraction is map-only (`bigrams`), the
+    * three marginals are hash aggregations off ONE cached pair-count
+    * relation (prefix and suffix marginals re-aggregate the counts,
+    * never the corpus; the total crosses as a broadcast 1-row agg),
+    * scoring joins the count relation against its own two marginals —
+    * vocabulary-sized, heavy-tailed, AQE-skew-safe — and the ranking
+    * is a TakeOrdered top-k, ≤ k rows per partition. */
+  def collocations(
+      docs: DataFrame,
+      textCol: String,
+      k: Int = 30,
+      minSup: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && minSup > 0, s"need k > 0 and minSup > 0, got $k/$minSup")
+    val c2 = docs
+      .select(TextOps.tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(explode(bigrams(col("tk"))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n2"))
+      .cache()
+    val pre = c2.groupBy("w1").agg(sum("n2").as("n1"))
+    val suf = c2.groupBy("w2").agg(sum("n2").as("n2b"))
+    val tot = c2.agg(sum("n2").as("nb"))
+    c2.where(col("n2") >= minSup)
+      .join(pre, "w1").join(suf, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n2").as("n_pair"),
+        expr("""(CAST(n2 AS DECIMAL(38,0)) * nb * 1000000)
+                 div (CAST(n1 AS DECIMAL(38,0)) * n2b)""").as("lift_ppm"))
+      .orderBy(desc("lift_ppm"), col("w1"), col("w2"))
+      .limit(k)
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(desc("lift_ppm"), col("w1"), col("w2")))
+        .cast("long"))
+  }
+
   /** DSIR-style importance scores (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score each raw
     * document by how target-like its bigram distribution is. DSIR's

@@ -1072,6 +1072,44 @@ class R9bOpsSpec extends SparkSpec {
       s"fixture: incremental and from-scratch disagree on ${(got.toSet diff scratch.toSet) ++ (scratch.toSet diff got.toSet)}")
   }
 
+  test("bfsDepth: min-hop law on a known graph — symmetrized travel, multi-seed min, horizon cut, isolated -1") {
+    // path 1-2-3-4-5 (edges stored one direction only) + seed island 6
+    // + isolated 7; seeds {1, 6}
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val nodes = (1L to 7L).toDF("id")
+    val seeds = Seq(1L, 6L).toDF("id")
+    val got = Graph.bfsDepth(edges, "src", "dst", nodes, "id", seeds, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> -1L, // 4 hops — beyond the 3-round horizon
+      6L -> 0L, 7L -> -1L), s"bfs depths wrong: $got")
+    // a node adjacent to both seeds takes the MINIMUM distance
+    val got2 = Graph.bfsDepth(
+        Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst"),
+        "src", "dst", (1L to 4L).toDF("id"),
+        "id", Seq(1L, 4L).toDF("id"), "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 4L -> 0L),
+      s"multi-seed min law broken: $got2")
+  }
+
+  test("collocations: hand-computed integer lift, support floor, tie order") {
+    val docs = (
+      Seq.fill(12)("red apple") ++ Seq.fill(12)("red brick") ++
+        Seq.fill(24)("green tea") ++ Seq.fill(5)("blue sky"))
+      .toDF("text")
+    val got = ext.TextAnalysis.collocations(docs, "text")
+      .as[(String, String, Long, Long, Long)].collect()
+    // nb=53 bigram events; all three surviving pairs share the exact
+    // floor 12·53·10⁶ div (24·12) = 24·53·10⁶ div (24·24) = 2208333;
+    // (blue, sky) has support 5 < 10 and must be excluded
+    assert(got.toSeq == Seq(
+      ("green", "tea", 24L, 2208333L, 1L),
+      ("red", "apple", 12L, 2208333L, 2L),
+      ("red", "brick", 12L, 2208333L, 3L)),
+      s"collocation table wrong: ${got.toSeq}")
+  }
+
   test("snapshotDiff: insert/update/delete classified; identical rewrites and round-trip revivals are silent") {
     val dir = java.nio.file.Files.createTempDirectory("cft").toString + "/tbl"
     val v0 = Seq((1L, "a"), (2L, "b"), (4L, "d"), (5L, "e"))

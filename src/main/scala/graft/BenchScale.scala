@@ -534,6 +534,70 @@ object BenchScale {
       }
     }
     if (statsRuns.nonEmpty) secs("stats_analyze") = statsRuns
+    // change-feed derivation while the TABLE inflates ×f and the CDC
+    // batch stays FIXED 1×: version 0 is the ×f corpus, version 1 a
+    // 1×-sized commit (updates + tombstones + inserts on copy-0 ids),
+    // and snapshotDiff(0,1) is timed. The touched-key prune makes the
+    // shuffle/windows change-set-sized; the remaining f-dependent term
+    // is the shuffle-free broadcast-semi scan of the bigger base (the
+    // dedup_incremental_screen envelope — far below the ×f resolve-
+    // everything join of the contrast leg, which full-outer-compares
+    // BOTH complete snapshot resolutions). Diff rows constant by
+    // construction; both legs must agree on them.
+    val cfRuns = if (!gated("io_change_feed", "io_change_feed_full"))
+      Seq.empty[(Int, Double, Double, Long)]
+    else (factors :+ 256).map { f => // one octave past the suite: the
+      // legs only separate once resolve-everything has real volume
+      withSession { (spark, docs0, emb0) =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"cfeed_$f").toString + "/tbl"
+        val base = inflateDocs(docs0, f).select(col("doc_id"), col("text"))
+        io.Sinks.writeVersion(base, dir, 0) // untimed setup
+        // codegen/session warmup on a throwaway 1×-shaped diff
+        val wdir = java.nio.file.Files
+          .createTempDirectory(s"cfeedw_$f").toString + "/tbl"
+        io.Sinks.writeVersion(docs0.limit(200).select("doc_id", "text"), wdir, 0)
+        io.Sinks.writeVersion(docs0.limit(50).select("doc_id", "text")
+          .withColumn("text", lit("w")), wdir, 1)
+        io.Sinks.snapshotDiff(spark, wdir, 0, 1, "doc_id").count()
+        spark.catalog.clearCache()
+        val d0 = docs0.select(col("doc_id"), col("text"))
+        val batch = d0.where(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("text", concat(lit("v2 "), col("text")))
+          .withColumn("__deleted", lit(false))
+          .unionByName(d0.where(pmod(col("doc_id"), lit(10)) === 1)
+            .withColumn("__deleted", lit(true)))
+          .unionByName(d0.where(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + 3000000000000L)
+            .withColumn("__deleted", lit(false)))
+        io.Sinks.writeVersion(batch, dir, 1) // O(batch) append, untimed
+        val t0 = System.nanoTime()
+        val rows = io.Sinks.snapshotDiff(spark, dir, 0, 1, "doc_id").count()
+        val feedSec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        // contrast: resolve BOTH snapshots completely, compare all keys
+        val t1 = System.nanoTime()
+        val o = io.Sinks.readSnapshotAt(spark, dir, 0, "doc_id")
+          .select(col("doc_id"), col("text").as("ot"), lit(true).as("oh"))
+        val n = io.Sinks.readSnapshotAt(spark, dir, 1, "doc_id")
+          .select(col("doc_id"), col("text").as("nt"), lit(true).as("nh"))
+        val fullRows = o.join(n, Seq("doc_id"), "full_outer")
+          .where(col("oh").isNull || col("nh").isNull ||
+            not(col("ot") <=> col("nt")))
+          .count()
+        val fullSec = (System.nanoTime() - t1) / 1e9
+        require(rows == fullRows,
+          s"change-feed legs disagree: pruned=$rows full=$fullRows")
+        spark.catalog.clearCache()
+        System.err.println(
+          f"[scale] io_change_feed f=$f%-3d pruned ${feedSec}%8.2f s  resolve-all ${fullSec}%8.2f s  rows=$rows")
+        (f, feedSec, fullSec, rows)
+      }
+    }
+    if (cfRuns.nonEmpty) {
+      secs("io_change_feed") = cfRuns.map { case (f, p, _, r) => (f, p, r) }
+      secs("io_change_feed_full") = cfRuns.map { case (f, _, fu, r) => (f, fu, r) }
+    }
     // salted vs plain join on an ENGINEERED hot key (half the fact
     // rows on one key, the rest uniform). saltedJoin targets seams
     // where the dim side can't broadcast and AQE can't rewrite the

@@ -55,6 +55,33 @@ object ExtQueries {
        |                                     * CAST(floor(sqrt(dcc)) AS BIGINT)) END AS cos_micro
        |FROM d ORDER BY label""".stripMargin
 
+  // pairwise centroid affinity: the drift CTEs' centroid build, then a
+  // self-join over the label pairs — gc MATERIALIZED because both join
+  // sides reference it (the lpa-oracle inlining lesson)
+  private val embAffinitySql: String =
+    s"""WITH qv AS (
+       |  SELECT label,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |comp AS (SELECT label, i AS pos, q[i] AS qx FROM qv, range(1, 65) r(i)),
+       |sums AS (SELECT label, pos, CAST(sum(qx) AS BIGINT) AS s, count(*) AS n
+       |         FROM comp GROUP BY label, pos),
+       |gc AS MATERIALIZED (
+       |  SELECT label, list(s // n ORDER BY pos) AS gv,
+       |         CAST(min(n) AS BIGINT) AS n_vecs
+       |  FROM sums GROUP BY label),
+       |d AS (SELECT a.label AS label_a, b.label AS label_b,
+       |             a.n_vecs AS n_a, b.n_vecs AS n_b,
+       |             ${qdotIntSql("a.gv", "b.gv")} AS dab,
+       |             ${qdotIntSql("a.gv", "a.gv")} AS daa,
+       |             ${qdotIntSql("b.gv", "b.gv")} AS dbb
+       |      FROM gc a JOIN gc b ON a.label < b.label)
+       |SELECT label_a, label_b, n_a, n_b,
+       |       CASE WHEN daa = 0 OR dbb = 0 THEN NULL
+       |            ELSE (dab * 1000000) // (CAST(floor(sqrt(daa)) AS BIGINT)
+       |                                     * CAST(floor(sqrt(dbb)) AS BIGINT)) END AS cos_micro
+       |FROM d ORDER BY label_a, label_b""".stripMargin
+
   // MMR re-rank replay: brute top-16 shortlist, pairwise shortlist
   // sims, then k=5 UNROLLED greedy rounds (the Lloyd-round oracle
   // pattern) — each round penalizes remaining candidates by max sim to
@@ -1196,6 +1223,7 @@ object ExtQueries {
     // replay of the one-pass drift monitor: same truncating-div means
     // as the Lloyd recentering CTEs, floored correctly-rounded sqrt
     "emb_drift" -> embDriftSql,
+    "emb_affinity" -> embAffinitySql,
     "emb_semdedup" ->
       s"""WITH $ivfAssignSql,
          |pairs AS (
@@ -3431,6 +3459,14 @@ object ExtQueries {
       // count-based flags; one data pass, O(labels·64) metadata aggs
       Similarity.embeddingDrift(t(s, dir, "embeddings"), "label", "embedding")
         .orderBy("label")
+    },
+    "emb_affinity" -> { (s, dir) =>
+      // corpus-composition matrix: pairwise centroid cosine between
+      // every label pair — which sources mirror each other, which
+      // complement; one componentSums pass, then O(|labels|·64)
+      // metadata with a broadcast self-join
+      Similarity.centroidAffinity(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label_a", "label_b")
     },
     "emb_semdedup" -> { (s, dir) =>
       // SemDeDup: the trained coarse quantizer confines the all-pairs

@@ -637,6 +637,48 @@ object Similarity {
   def embeddingDrift(corpus: DataFrame, groupCol: String, vecCol: String): DataFrame =
     driftFromSums(componentSums(corpus, groupCol, vecCol), groupCol)
 
+  /** Pairwise source-affinity matrix — the corpus-composition
+    * diagnostic beside [[embeddingDrift]]: that compares each group's
+    * centroid against the CORPUS, this compares every group pair
+    * directly, surfacing which sources carry near-identical content
+    * (mirror sites, re-crawls — mixture-weight double counting) and
+    * which are genuinely complementary. One `(a, b)` row per unordered
+    * group pair with both group sizes and the integer-micro centroid
+    * cosine, the drift op's exact arithmetic.
+    *
+    * Scale shape: the ONE data pass is the shared `componentSums`
+    * aggregate; everything after is O(|groups|·dim) metadata — the
+    * pair join is a broadcast self-join of the |groups|-row centroid
+    * relation (sources are dozens, never data-scale), so the matrix
+    * costs nothing beyond the sums at any corpus size. */
+  def centroidAffinity(
+      corpus: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val gc = componentSums(corpus, groupCol, vecCol)
+      .select(col("grp"), col("pos"), expr("s div n").as("qc"), col("n"))
+      .groupBy("grp")
+      .agg(array_sort(collect_list(struct(col("pos"), col("qc")))).as("arr"),
+        min(col("n")).as("n_vecs"))
+      .select(col("grp"),
+        transform(col("arr"), e => e.getField("qc")).as("gv"), col("n_vecs"))
+    val a = gc.select(col("grp").as(s"${groupCol}_a"), col("gv").as("va"),
+      col("n_vecs").as("n_a"))
+    val b = gc.select(col("grp").as(s"${groupCol}_b"), col("gv").as("vb"),
+      col("n_vecs").as("n_b"))
+    a.join(broadcast(b), col(s"${groupCol}_a") < col(s"${groupCol}_b"))
+      .select(col(s"${groupCol}_a"), col(s"${groupCol}_b"),
+        col("n_a"), col("n_b"),
+        quantizedDot(col("va"), col("vb")).as("dab"),
+        quantizedDot(col("va"), col("va")).as("daa"),
+        quantizedDot(col("vb"), col("vb")).as("dbb"))
+      .select(col(s"${groupCol}_a"), col(s"${groupCol}_b"),
+        col("n_a"), col("n_b"),
+        when(col("daa") === 0L || col("dbb") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(dab * 1000000L) div (" +
+            "cast(floor(sqrt(cast(daa as double))) as long) * " +
+            "cast(floor(sqrt(cast(dbb as double))) as long))"))
+          .as("cos_micro"))
+  }
+
   /** The drift monitor's ONE data pass alone — (group, dim) quantized
     * component sums and counts. Split out because it is the exactly
     * streaming-legal half: a stream maintains these sums continuously

@@ -1110,6 +1110,31 @@ class R9bOpsSpec extends SparkSpec {
       s"collocation table wrong: ${got.toSeq}")
   }
 
+  test("centroidAffinity: parallel groups hit 10⁶ micro, orthogonal hit 0, one row per unordered pair") {
+    val vecs = Seq(
+      (1, Seq(1f, 0f, 0f, 0f)), (1, Seq(1f, 0f, 0f, 0f)),
+      (2, Seq(0f, 1f, 0f, 0f)),
+      (3, Seq(2f, 0f, 0f, 0f))) // parallel to group 1 at double norm
+      .toDF("label", "embedding")
+    val got = ext.Similarity.centroidAffinity(vecs, "label", "embedding")
+      .select("label_a", "label_b", "n_a", "n_b", "cos_micro")
+      .as[(Int, Int, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      (1, 2) -> ((2L, 1L, 0L)),
+      (1, 3) -> ((2L, 1L, 1000000L)),
+      (2, 3) -> ((1L, 1L, 0L))),
+      s"affinity matrix wrong: $got")
+    // fixture: 10 labels → exactly 45 unordered pairs, cos in
+    // [-10⁶, 10⁶] allowing the floor-sqrt slack
+    val fx = ext.Similarity.centroidAffinity(
+        io.Tables(spark, sf, "embeddings"), "label", "embedding")
+      .select("cos_micro").as[Long].collect()
+    assert(fx.length == 45, s"expected 45 pairs, got ${fx.length}")
+    assert(fx.forall(c => c >= -1010000L && c <= 1010000L),
+      s"cosine out of range: ${fx.filterNot(c => c >= -1010000L && c <= 1010000L).toSeq}")
+  }
+
   test("snapshotDiff: insert/update/delete classified; identical rewrites and round-trip revivals are silent") {
     val dir = java.nio.file.Files.createTempDirectory("cft").toString + "/tbl"
     val v0 = Seq((1L, "a"), (2L, "b"), (4L, "d"), (5L, "e"))
@@ -1146,6 +1171,14 @@ class R9bOpsSpec extends SparkSpec {
       2L -> (("delete", Some("b"), None)),
       3L -> (("insert", None, Some("c")))),
       s"v0→v2 endpoint law broken: ${diff(0, 2)}")
+    // structural guarantee: the touched-key prune plans as a LeftSemi
+    // join, so untouched base rows never reach the resolution windows
+    // (under AQE the executed plan exists only after an action)
+    val d = io.Sinks.snapshotDiff(spark, dir, 0, 1, "k")
+    d.collect()
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"touched-key semi-join prune missing from plan:\n$plan")
   }
 
   test("sessionTransitions: hand-computed walk counts; interior state flow balances") {

@@ -2455,6 +2455,39 @@ object ExtQueries {
         |       CAST(CASE WHEN base_rows = 24 AND n * 100 * 24 > 300 * base_n
         |            THEN 1 ELSE 0 END AS BIGINT) AS is_anom
         |FROM w ORDER BY hour_ts, event_type""".stripMargin,
+    // per-key OLS replay over the dense grid: the gap-fill CTEs, hour
+    // offsets from the spine min, HUGEINT sufficient statistics and
+    // the identical single floor division
+    "events_trend" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS b, event_type, count(*) AS n
+        |  FROM events GROUP BY b, event_type),
+        |sp AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT date_trunc('hour', min(ts)) FROM events),
+        |    (SELECT date_trunc('hour', max(ts)) FROM events),
+        |    INTERVAL 1 HOUR)) AS b),
+        |k AS (SELECT DISTINCT event_type FROM events),
+        |dense AS (
+        |  SELECT sp.b, k.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |  FROM sp CROSS JOIN k
+        |  LEFT JOIN c ON c.b = sp.b AND c.event_type = k.event_type),
+        |xy AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('hour', (SELECT min(b) FROM sp), b) AS HUGEINT) AS x,
+        |         CAST(n AS HUGEINT) AS y
+        |  FROM dense),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS nb,
+        |         sum(x) AS sx, sum(y) AS sy,
+        |         sum(x*x) AS sxx, sum(x*y) AS sxy
+        |  FROM xy GROUP BY event_type)
+        |SELECT event_type, CAST(nb AS BIGINT) AS n_buckets,
+        |       CAST(CASE WHEN nb * sxx - sx * sx = 0 THEN NULL
+        |            ELSE ((nb * sxy - sx * sy) * 1000000)
+        |                 // (nb * sxx - sx * sx) END AS BIGINT) AS slope_micro,
+        |       CAST((sy * 1000) // nb AS BIGINT) AS mean_milli
+        |FROM st ORDER BY event_type""".stripMargin,
     // session walk transitions: the sessionize CTEs, then each row
     // contributes (prev|_start → cur) and the session tail adds
     // (cur → _end) — same gap law, same (sec, event_id) order
@@ -3348,6 +3381,13 @@ object ExtQueries {
           date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
           col("event_type"), col("n"), col("base_n"), col("is_anom"))
         .orderBy("hour_ts", "event_type")
+    },
+    "events_trend" -> { (s, dir) =>
+      // exact per-type OLS trend over the dense hourly grid: gap-fill
+      // zeros included (a sparse fit biases dying series flat),
+      // DECIMAL(38,0) sufficient statistics, one integral division
+      graft.ops.TimeSeries.trendComponents(t(s, dir, "events"), "ts", "event_type")
+        .orderBy("event_type")
     },
     "events_transitions" -> { (s, dir) =>
       // session-scoped Markov transition counts: consecutive

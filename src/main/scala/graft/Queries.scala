@@ -242,6 +242,42 @@ object Queries {
         |       CAST(v AS BIGINT) AS eff_from, CAST(eff_to AS BIGINT) AS eff_to
         |FROM iv WHERE NOT del
         |ORDER BY doc_id, eff_from""".stripMargin,
+    // point-in-time replay: the SCD-2 interval CTEs joined by interval
+    // CONTAINMENT — the semantics the sort-based as-of + mask must
+    // reproduce exactly, coverage gaps as -1
+    "io_pit_enrich" ->
+      """WITH ch1 AS (
+        |  SELECT doc_id, 'v2 ' || text AS text, FALSE AS del
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, text, TRUE
+        |  FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 100000, 'new ' || text, FALSE
+        |  FROM documents WHERE doc_id < 5),
+        |ch2 AS (
+        |  SELECT doc_id, 'v3 ' || text AS text, FALSE AS del
+        |  FROM documents WHERE doc_id % 10 = 2
+        |  UNION ALL SELECT doc_id + 100000, text, TRUE
+        |  FROM documents WHERE doc_id < 5
+        |  UNION ALL SELECT doc_id, 'back ' || text, FALSE
+        |  FROM documents WHERE doc_id % 100 = 1),
+        |logrel AS (
+        |  SELECT doc_id, text, FALSE AS del, 0 AS v FROM documents
+        |  UNION ALL SELECT doc_id, text, del, 1 FROM ch1
+        |  UNION ALL SELECT doc_id, text, del, 2 FROM ch2),
+        |iv AS (
+        |  SELECT doc_id, text, del, v,
+        |         lead(v) OVER (PARTITION BY doc_id ORDER BY v) AS eff_to
+        |  FROM logrel),
+        |facts AS (
+        |  SELECT doc_id, at_v
+        |  FROM (SELECT DISTINCT doc_id FROM logrel) k
+        |  CROSS JOIN (VALUES (0), (1), (2)) a(at_v))
+        |SELECT CAST(f.at_v AS BIGINT) AS at_v, f.doc_id AS doc_id,
+        |       CAST(coalesce(length(i.text), -1) AS BIGINT) AS n_text
+        |FROM facts f
+        |LEFT JOIN iv i ON i.doc_id = f.doc_id AND NOT i.del
+        |  AND i.v <= f.at_v AND (i.eff_to IS NULL OR f.at_v < i.eff_to)
+        |ORDER BY 1, 2""".stripMargin,
     "corpus_shards" ->
       """SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16 AS shard,
         |       count(*) AS n_docs,
@@ -612,6 +648,49 @@ object Queries {
         .select(col("doc_id"), length(col("text")).cast("long").as("n_text"),
           col("source"), col("eff_from"), col("eff_to"))
         .orderBy("doc_id", "eff_from")
+    },
+    "io_pit_enrich" -> { (s, dir) =>
+      // point-in-time enrichment: every (key, probe-version) fact sees
+      // the dimension value whose SCD-2 validity interval CONTAINS its
+      // time — the leakage-safe feature join, composed as one
+      // key-sorted as-of pass + interval mask (never a per-key range
+      // join); coverage gaps (pre-insert, post-tombstone) come back
+      // null, exactly as history says
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents")
+      val path =
+        java.nio.file.Files.createTempDirectory("pit").toString + "/tbl"
+      io.Sinks.writeVersion(docs, path, 0)
+      val up1 = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("text", concat(lit("v2 "), col("text")))
+        .withColumn("__deleted", lit(false))
+      val del1 = docs.where(pmod(col("doc_id"), lit(10)) === 1)
+        .withColumn("__deleted", lit(true))
+      val ins1 = docs.where(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", concat(lit("new "), col("text")))
+        .withColumn("__deleted", lit(false))
+      io.Sinks.writeVersion(up1.unionByName(del1).unionByName(ins1), path,
+        io.Sinks.nextVersion(s, path))
+      val up2 = docs.where(pmod(col("doc_id"), lit(10)) === 2)
+        .withColumn("text", concat(lit("v3 "), col("text")))
+        .withColumn("__deleted", lit(false))
+      val del2 = docs.where(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("__deleted", lit(true))
+      val rev2 = docs.where(pmod(col("doc_id"), lit(100)) === 1)
+        .withColumn("text", concat(lit("back "), col("text")))
+        .withColumn("__deleted", lit(false))
+      io.Sinks.writeVersion(up2.unionByName(del2).unionByName(rev2), path,
+        io.Sinks.nextVersion(s, path))
+      val hist = io.Sinks.scd2History(s, path, "doc_id")
+      val facts = s.read.parquet(path).select("doc_id").distinct()
+        .crossJoin(s.range(3).select(col("id").as("at_v")))
+      graft.ops.AsOfJoin.pointInTime(facts, hist, "doc_id", "at_v",
+          "eff_from", "eff_to", Seq("text"))
+        .select(col("at_v"), col("doc_id"),
+          coalesce(length(col("asof_text")), lit(-1)).cast("long").as("n_text"))
+        .orderBy("at_v", "doc_id")
     },
     "corpus_shards" -> { (s, dir) =>
       // training-shard export round trip: the corpus lands as 16 hive

@@ -67,4 +67,40 @@ object AsOfJoin {
       .select(lCols.map(col) ++
         payload.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
+
+  /** Point-in-time enrichment against an SCD-2 interval dimension —
+    * the leakage-safe feature join (each fact sees the dimension value
+    * that was TRUE at its own time, never a later backfill): for each
+    * left row, the right row whose validity interval
+    * `[effFrom, effTo)` contains `leftTime` (effTo null = still
+    * current); facts falling in a coverage gap — before the first
+    * version, or after a tombstone closed the interval — get null
+    * payload, exactly as history says.
+    *
+    * Composed as [[asof]] on `effFrom` plus an interval-validity mask:
+    * the as-of picks the latest version STARTED at or before the fact,
+    * and the mask nulls it back out when that version had already
+    * ENDED — together exactly the interval-containment join (intervals
+    * per key are disjoint by SCD-2 construction). Scale shape: the
+    * same single key-partitioned sort as `asof` — linear in
+    * |facts|+|versions| per key where the naive `BETWEEN` range join
+    * is O(|facts|·|versions|) per key with no equi-predicate for the
+    * planner to hash on. */
+  def pointInTime(
+      left: DataFrame,
+      dim: DataFrame,
+      key: String,
+      leftTime: String,
+      effFrom: String,
+      effTo: String,
+      payload: Seq[String]): DataFrame = {
+    require(!payload.contains(effTo),
+      s"payload must not include the interval-end column $effTo")
+    val j = asof(left, dim, key, leftTime, effFrom, payload :+ effTo)
+    val valid = col(s"asof_$effTo").isNull ||
+      col(leftTime) < col(s"asof_$effTo")
+    j.select(left.columns.map(col) ++
+        payload.map(c => when(valid, col(s"asof_$c"))
+          .otherwise(lit(null)).as(s"asof_$c")): _*)
+  }
 }

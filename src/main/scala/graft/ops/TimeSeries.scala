@@ -201,6 +201,49 @@ object TimeSeries {
         .over(Window.orderBy(desc("score"), asc(keyCol))).cast("long"))
   }
 
+  /** Per-key ordinary-least-squares trend over the DENSE hourly grid —
+    * the "is this source growing or dying" statistic dashboards fit,
+    * computed exactly: slope in micro-units-per-hour as the floored
+    * quotient of the textbook sufficient statistics
+    * `(n·Σxy − Σx·Σy)·10⁶ div (n·Σx² − (Σx)²)`, plus the milli mean
+    * level. Fitting on the GAP-FILLED grid is load-bearing: a sparse
+    * rollup silently drops zero hours and biases every dying series'
+    * slope toward flat — `gapFillCounts` makes the zeros explicit, so
+    * the fit sees them (and inherits its broadcast-spine cost shape
+    * and `maxKeys` guard). Sums are carried in DECIMAL(38,0) (int64
+    * overflows at corpus scale; both engines' 38-digit exact envelopes
+    * match) and the only division is the final integral `div` — no
+    * float ever crosses the engine boundary. A single-bucket series
+    * has zero x-variance and reports a null slope.
+    *
+    * Scale shape: the event table pays gapFillCounts' ONE aggregation
+    * pass; the fit itself is one hash agg over the grid (five
+    * DECIMAL sums per key, map-side combined) — grid-sized, never
+    * event-sized — and the reference hour crosses as a broadcast
+    * 1-row min. */
+  def trendComponents(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String): DataFrame = {
+    val dense = gapFillCounts(df, tsCol, keyCol)
+    val t0 = dense.agg(min(col("bucket_ts")).as("t0"))
+    dense.crossJoin(broadcast(t0))
+      .select(col(keyCol),
+        expr("CAST(timestampdiff(HOUR, t0, bucket_ts) AS DECIMAL(18,0))").as("x"),
+        col("n").cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("y"))
+      .groupBy(keyCol)
+      .agg(
+        count(lit(1)).cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("nb"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col(keyCol),
+        col("nb").cast("long").as("n_buckets"),
+        expr("""CASE WHEN nb * sxx - sx * sx = 0 THEN NULL
+                ELSE ((nb * sxy - sx * sy) * 1000000)
+                     div (nb * sxx - sx * sx) END""").as("slope_micro"),
+        expr("(sy * 1000) div nb").as("mean_milli"))
+  }
+
   /** Session-scoped Markov transition counts — the behavioral model
     * behind next-action prediction and journey analysis: within each
     * user session (same `gapSeconds` boundary as the sessionize

@@ -1110,6 +1110,45 @@ class R9bOpsSpec extends SparkSpec {
       s"collocation table wrong: ${got.toSeq}")
   }
 
+  test("pointInTime: interval containment cell by cell — carry, switch, tombstone gap, pre-insert gap") {
+    val dim = Seq(
+      (1L, "a", 0L, Option(2L)), (1L, "a2", 2L, Option.empty[Long]),
+      (2L, "b", 0L, Option(1L)), // closed at 1, never reopened
+      (3L, "c", 5L, Option.empty[Long])) // starts beyond every fact
+      .toDF("k", "v", "eff_from", "eff_to")
+    val facts = (for { k <- 1L to 3L; t <- 0L to 3L } yield (k, t))
+      .toDF("k", "at")
+    val got = graft.ops.AsOfJoin.pointInTime(
+        facts, dim, "k", "at", "eff_from", "eff_to", Seq("v"))
+      .as[(Long, Long, Option[String])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val want = Map(
+      (1L, 0L) -> Some("a"), (1L, 1L) -> Some("a"),
+      (1L, 2L) -> Some("a2"), (1L, 3L) -> Some("a2"),
+      (2L, 0L) -> Some("b"), (2L, 1L) -> None,
+      (2L, 2L) -> None, (2L, 3L) -> None,
+      (3L, 0L) -> None, (3L, 1L) -> None, (3L, 2L) -> None, (3L, 3L) -> None)
+    assert(got == want, s"point-in-time cells wrong: ${got.toSeq.sortBy(_._1)}")
+  }
+
+  test("trendComponents: exact unit slopes on engineered series; zero-fill is part of the fit") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // "up" has NO events in hour 0 — the zero must come from gap-fill
+    val rows =
+      (for { h <- 0 to 3; _ <- 1 to h } yield (ts(h), "up")) ++
+      (for { h <- 0 to 3; _ <- 1 to (3 - h) } yield (ts(h), "down")) ++
+      (for { h <- 0 to 3; _ <- 1 to 2 } yield (ts(h), "flat"))
+    val got = graft.ops.TimeSeries.trendComponents(
+        rows.toDF("ts", "event_type"), "ts", "event_type")
+      .as[(String, Long, Option[Long], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      "up" -> ((4L, Some(1000000L), 1500L)),
+      "down" -> ((4L, Some(-1000000L), 1500L)),
+      "flat" -> ((4L, Some(0L), 2000L))),
+      s"trend fits wrong: $got")
+  }
+
   test("centroidAffinity: parallel groups hit 10⁶ micro, orthogonal hit 0, one row per unordered pair") {
     val vecs = Seq(
       (1, Seq(1f, 0f, 0f, 0f)), (1, Seq(1f, 0f, 0f, 0f)),

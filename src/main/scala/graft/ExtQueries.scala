@@ -369,8 +369,11 @@ object ExtQueries {
 
   // kNN-edge CTE block shared by emb_knn_graph and graph_pagerank:
   // every vector probes its nprobe=4 nearest trained lists, exact
-  // re-score within the list, id-broken ranks (consumers cut at rn<=k)
-  private val knnRankedSql: String =
+  // re-score within the list, id-broken ranks (consumers cut at rn<=k).
+  // candPred restricts CANDIDATES before the rank cut (matching
+  // knnGraphIvf's edgeFilter) — emb_bitext_mine passes the cross-side
+  // parity predicate so ranks count other-side neighbors only
+  private def knnRankedSqlWith(candPred: String): String =
     s"""pl AS (
        |  SELECT probe_id, list_id FROM (
        |    SELECT e.vec_id AS probe_id, c.cent_id AS list_id,
@@ -384,11 +387,13 @@ object ExtQueries {
        |  JOIN assign a ON a.list_id = pl.list_id
        |  JOIN qv e ON e.vec_id = a.vec_id
        |  JOIN qv p ON p.vec_id = pl.probe_id
-       |  WHERE a.vec_id <> pl.probe_id),
+       |  WHERE a.vec_id <> pl.probe_id AND ($candPred)),
        |ranked AS (
        |  SELECT probe_id, vec_id, qdot,
        |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rn
        |  FROM scored)""".stripMargin
+
+  private val knnRankedSql: String = knnRankedSqlWith("TRUE")
 
   // The full IVF-PQ search replay (coarse training + assignment via the
   // shared ivf CTEs, PQ codebook + encode via the shared pq CTEs, ADC,
@@ -852,6 +857,32 @@ object ExtQueries {
          |$knnRankedSql
          |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 5
          |ORDER BY probe_id, rn""".stripMargin,
+    // margin-based bitext mining replay: the trained index + the
+    // CROSS-SIDE-filtered kNN ranks (candPred = id parity differs),
+    // per-probe milli-avg neighborhood statistic with one truncating
+    // division, mutual-pair join, and the integer margin — every kept
+    // pair replays bit-for-bit
+    "emb_bitext_mine" ->
+      s"""WITH $ivfAssignSqlDerivedK,
+         |${knnRankedSqlWith("a.vec_id % 2 <> pl.probe_id % 2")},
+         |ce AS (SELECT probe_id, vec_id, qdot FROM ranked WHERE rn <= 5),
+         |st AS (
+         |  SELECT probe_id,
+         |         CAST(CAST(sum(qdot) AS BIGINT) * 1000 // count(*) AS BIGINT) AS avg_milli
+         |  FROM ce GROUP BY probe_id),
+         |fwd AS (SELECT probe_id AS id_a, vec_id AS id_b, qdot FROM ce WHERE probe_id % 2 = 0),
+         |rev AS (SELECT probe_id AS id_b, vec_id AS id_a FROM ce WHERE probe_id % 2 = 1),
+         |mut AS (SELECT f.id_a, f.id_b, f.qdot FROM fwd f JOIN rev r USING (id_a, id_b)),
+         |sc AS (
+         |  SELECT m.id_a, m.id_b, m.qdot,
+         |         CAST((m.qdot * 2000000) // (sa.avg_milli + sb.avg_milli) AS BIGINT) AS margin_milli
+         |  FROM mut m
+         |  JOIN st sa ON sa.probe_id = m.id_a
+         |  JOIN st sb ON sb.probe_id = m.id_b
+         |  WHERE m.qdot >= 0 AND sa.avg_milli + sb.avg_milli > 0)
+         |SELECT id_a, id_b, qdot, margin_milli FROM sc
+         |WHERE margin_milli >= 1000
+         |ORDER BY id_a, id_b""".stripMargin,
     // per-list prototype selection over the same replayed IVF index:
     // affinity of each vector to ITS list's centroid, rank-m cut with
     // id-broken ties
@@ -2522,6 +2553,37 @@ object ExtQueries {
         |SELECT src_type, dst_type, count(*) AS n
         |FROM trans GROUP BY src_type, dst_type
         |ORDER BY src_type, dst_type""".stripMargin,
+    // first-touch attribution replay: the sessionize CTEs, each
+    // session's first event type by the same (sec, event_id) order,
+    // conversions rolled up by that entry type
+    "events_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, event_type, sec,
+        |    CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |         OR lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, event_id, event_type, sec,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged),
+        |ft AS (
+        |  SELECT user_id, event_type,
+        |    first_value(event_type) OVER (PARTITION BY user_id, session_id
+        |      ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch
+        |  FROM sessions)
+        |SELECT first_touch AS first_touch_type,
+        |       CAST(count(*) AS BIGINT) AS n_conversions,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM ft WHERE event_type = 'purchase'
+        |GROUP BY first_touch
+        |ORDER BY first_touch_type""".stripMargin,
     "stream_topk_users" ->
       """WITH c AS (
         |  SELECT date_trunc('hour', ts) AS hr, user_id, count(*) AS n
@@ -2588,6 +2650,28 @@ object ExtQueries {
          |  + (CASE WHEN len(tk) = 0 THEN 0.0 ELSE len(list_filter(tk, x -> list_contains(['the','a','an','of','to','and','in','is','it','for','on','with'], x)))*1.0 / len(tk) END) * 0.3
          |  + (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[[:punct:]]'))*1.0 / length(text) END) * 0.2 AS qscore
          |FROM f
+         |ORDER BY doc_id""".stripMargin,
+    // Pareto-frontier replay: the same qscore expression micro-quantized
+    // to a BIGINT level, per-level max length, the strict running-max
+    // window over levels (higher-x levels only), and the level join-back
+    "docs_pareto" ->
+      s"""WITH f AS (SELECT doc_id, $tokSql AS tk, text, n_chars FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(round((least(len(tk) / 100.0, 1.0) * 0.5
+         |      + (CASE WHEN len(tk) = 0 THEN 0.0 ELSE len(list_filter(tk, x -> list_contains(['the','a','an','of','to','and','in','is','it','for','on','with'], x)))*1.0 / len(tk) END) * 0.3
+         |      + (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[[:punct:]]'))*1.0 / length(text) END) * 0.2) * 1000000) AS BIGINT) AS qscore_micro,
+         |    CAST(n_chars AS BIGINT) AS n_chars
+         |  FROM f),
+         |lv AS (SELECT qscore_micro, max(n_chars) AS maxy FROM q GROUP BY qscore_micro),
+         |pr AS (
+         |  SELECT qscore_micro, maxy,
+         |         max(maxy) OVER (ORDER BY qscore_micro DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+         |  FROM lv),
+         |keep AS (SELECT qscore_micro, maxy FROM pr WHERE hi IS NULL OR maxy > hi)
+         |SELECT q.doc_id, q.qscore_micro, q.n_chars
+         |FROM q JOIN keep k ON k.qscore_micro = q.qscore_micro AND q.n_chars = k.maxy
          |ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       s"""WITH f AS (SELECT doc_id, $tokSql AS tk FROM documents),
@@ -2917,6 +3001,21 @@ object ExtQueries {
           TextAnalysis.qualityScoreFromTokens(col("text"), col("tk")).as("qscore"))
         .orderBy("doc_id")
     },
+    "docs_pareto" -> { (s, dir) =>
+      // quality/length Pareto frontier: the undominated docs a
+      // curation budget sweep walks — x micro-quantized so the
+      // level relation (and its running-max window) stays bounded
+      // at ≤ 10⁶+1 rows at any corpus size
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          TextOps.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          round(TextAnalysis.qualityScoreFromTokens(col("text"), col("tk"))
+            * 1000000).cast("long").as("qscore_micro"),
+          col("n_chars"))
+      graft.ops.Skyline.frontierMax(d, "qscore_micro", "n_chars")
+        .orderBy("doc_id")
+    },
     "text_langid" -> { (s, dir) =>
       // same tokenize-once shape: four marker scans over one array
       t(s, dir, "documents")
@@ -2980,6 +3079,15 @@ object ExtQueries {
       Similarity.knnGraphIvf(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
         .select("probe_id", "vec_id", "qdot", "rn")
         .orderBy("probe_id", "rn")
+    },
+    "emb_bitext_mine" -> { (s, dir) =>
+      // margin-based parallel-pair mining (the CCMatrix selection
+      // rule): cross-side kNN through the trained IVF lists, mutual
+      // pairs kept by the integer margin vs both endpoints'
+      // neighborhood averages — sides from id parity
+      Similarity.mineBitext(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 5, minMarginMilli = 1000L)
+        .orderBy("id_a", "id_b")
     },
     "emb_diverse_sample" -> { (s, dir) =>
       // cluster-balanced coreset: the 4 most-central vectors of every
@@ -3396,6 +3504,14 @@ object ExtQueries {
       // pass, output bounded by (|types|+2)², never event count
       graft.ops.TimeSeries.sessionTransitions(t(s, dir, "events"))
         .orderBy("src_type", "dst_type")
+    },
+    "events_attribution" -> { (s, dir) =>
+      // first-touch attribution: each purchase credited to its
+      // session's entry event type — the session flag, id, and first
+      // type all ride ONE user-window sort; output bounded by the
+      // type vocabulary
+      graft.ops.TimeSeries.firstTouchAttribution(t(s, dir, "events"))
+        .orderBy("first_touch_type")
     },
     "stream_topk_users" -> { (s, dir) =>
       // trending entities per window: the streaming stateful part is

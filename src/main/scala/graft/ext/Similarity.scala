@@ -867,7 +867,8 @@ object Similarity {
       trainRounds: Int = defaultTrainRounds,
       trainSample: Int = defaultTrainSample,
       scope: graft.util.CacheScope = new graft.util.CacheScope,
-      eager: Boolean = true): DataFrame = {
+      eager: Boolean = true,
+      edgeFilter: Column = lit(true)): DataFrame = {
     // advised-eager contract (see Dedup.nearDupPairs): the assignment,
     // probe, and scoring shuffles execute here under a
     // data-proportional budget; the returned graph is a checkpoint
@@ -876,7 +877,8 @@ object Similarity {
     if (eager)
       return graft.util.ShuffleBudget.withAdvised(corpus, embShuffleInflate) {
         knnGraphIvf(corpus, idCol, vecCol, k, numCentroids, nprobe,
-          trainRounds, trainSample, scope, eager = false).localCheckpoint(true)
+          trainRounds, trainSample, scope, eager = false, edgeFilter)
+          .localCheckpoint(true)
       }
     // numCentroids <= 0 → derive the √n budget from a corpus-count
     // pre-pass (the lshGeometry precedent; one count job, O(1) driver
@@ -896,9 +898,75 @@ object Similarity {
     val corpusLists = corpus.select(col(idCol), col(vecCol)).join(lists, Seq(idCol))
     val rescored = probeLists.join(corpusLists, "list_id")
       .where(col(idCol) =!= col("probe_id"))
+      // edgeFilter restricts CANDIDATES (before the rank cut), so a
+      // caller gets "k nearest satisfying the predicate" — the
+      // cross-side contract mineBitext needs — not a post-filtered
+      // subset of the unconstrained top-k
+      .where(edgeFilter)
       .select(col("probe_id"), col(idCol),
         quantizedDot(col("pe"), col(vecCol)).as("qdot"))
     rankTopK(rescored, idCol, k)
+  }
+
+  /** Margin-based parallel-pair (bitext) mining — the selection rule
+    * behind large mined translation corpora (Artetxe & Schwenk,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings", ACL 2019; the CCMatrix recipe): a raw cosine
+    * threshold over-fires in dense regions and under-fires in sparse
+    * ones, so each candidate pair is scored by its similarity RELATIVE
+    * to both endpoints' neighborhoods — margin(x,y) =
+    * sim(x,y) / ((avgNN(x) + avgNN(y)) / 2) — and kept only when the
+    * pair is each side's mutual neighbor above a margin threshold.
+    *
+    * Sides come from the id's parity (a stand-in for the two language
+    * shards of an aligned id space; real corpora pass their own
+    * side-keyed relations through the same kernel). Per side, each
+    * point's k nearest CROSS-side neighbors come from the trained-IVF
+    * blocked self-join (`knnGraphIvf` with a cross-side edge filter —
+    * candidates restricted before the rank cut, so the neighborhood
+    * statistic is computed over the other side only, as the paper
+    * defines it). The margin is integer end-to-end: avgNN in
+    * milli-qdot units via one truncating division, margin_milli =
+    * (qdot·2'000'000) div (avg_a + avg_b) — so an external engine
+    * replays training, the graph, and every kept pair bit-for-bit.
+    *
+    * Scale shape: the expensive step IS the kNN graph (O(n^1.5) under
+    * the √n centroid budget, advised-eager); everything after it —
+    * the per-probe neighborhood aggregate, the mutual join (two ≤ n·k
+    * edge slivers on (id_a, id_b)), and the two stats joins — is
+    * linear in edge count with map-side combines. Nothing broadcasts
+    * but the centroids inside the graph build. */
+  def mineBitext(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      minMarginMilli: Long = 1000L): DataFrame = {
+    val crossSide =
+      pmod(col("probe_id"), lit(2)) =!= pmod(col(idCol), lit(2))
+    val g = knnGraphIvf(emb, idCol, vecCol, k, edgeFilter = crossSide)
+      .select(col("probe_id"), col(idCol).as("__nb"), col("qdot"))
+    // neighborhood statistic: average similarity of each point to its
+    // k nearest other-side neighbors, in exact milli-qdot integers
+    val stats = g.groupBy("probe_id")
+      .agg(sum(col("qdot")).as("__sq"), count(lit(1)).as("__cnt"))
+      .select(col("probe_id"), expr("(__sq * 1000) div __cnt").as("__avg"))
+    val fwd = g.where(pmod(col("probe_id"), lit(2)) === 0)
+      .select(col("probe_id").as("id_a"), col("__nb").as("id_b"), col("qdot"))
+    val rev = g.where(pmod(col("probe_id"), lit(2)) === 1)
+      .select(col("probe_id").as("id_b"), col("__nb").as("id_a"))
+    fwd.join(rev, Seq("id_a", "id_b"))
+      .join(stats.select(col("probe_id").as("id_a"), col("__avg").as("__ma")), "id_a")
+      .join(stats.select(col("probe_id").as("id_b"), col("__avg").as("__mb")), "id_b")
+      // margin is a similarity RATIO — only meaningful on the positive
+      // cone (both the pair score and the neighborhood averages > 0);
+      // mutual top-k pairs sit there by construction on any corpus
+      // where neighbors correlate, and the guard keeps the integer
+      // division's domain identical across engines
+      .where(col("qdot") >= 0 && (col("__ma") + col("__mb")) > 0)
+      .withColumn("margin_milli", expr("(qdot * 2000000) div (__ma + __mb)"))
+      .where(col("margin_milli") >= minMarginMilli)
+      .select("id_a", "id_b", "qdot", "margin_milli")
   }
 
   /** SemDeDup-style semantic deduplication (embedding-space near-dup

@@ -293,4 +293,47 @@ object TimeSeries {
       .groupBy(col("t.src").as("src_type"), col("t.dst").as("dst_type"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** First-touch conversion attribution: credit each conversion event
+    * to the type of the FIRST event in its session (same `gapSeconds`
+    * law as the sessionize family), answering "which entry action
+    * leads to conversions" — the classic marketing-attribution rollup,
+    * here over the engine's own session assignment so the answer is
+    * consistent with every other session-scoped query.
+    *
+    * Scale shape: one user-partitioned window sort carries the session
+    * flag, the running session id, AND the per-session first type
+    * (same partition key and ordering → one exchange + one sort);
+    * conversions then filter map-side and the rollup is bounded by the
+    * type vocabulary. The distinct-user count is the only extra
+    * exchange, keyed by (type, user) with partial aggregation. */
+  def firstTouchAttribution(
+      events: DataFrame,
+      conversionType: String = "purchase",
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      gapSeconds: Int = 1800): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapSeconds > 0, s"need gapSeconds > 0, got $gapSeconds")
+    val wu = Window.partitionBy(userCol).orderBy("sec", tieCol)
+    val wRun = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ws = Window.partitionBy(userCol, "session_id").orderBy("sec", tieCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(userCol), col(tieCol), col(typeCol).as("cur"),
+        unix_timestamp(col(tsCol)).as("sec"))
+      .withColumn("prev_sec", lag(col("sec"), 1).over(wu))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull ||
+          col("sec") - col("prev_sec") > gapSeconds, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .withColumn("first_touch", first(col("cur")).over(ws))
+      .where(col("cur") === conversionType)
+      .groupBy(col("first_touch").as("first_touch_type"))
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        countDistinct(col(userCol)).as("n_users"))
+  }
 }

@@ -162,6 +162,23 @@ object BenchScale {
           ext.Similarity.knnGraphIvf(infl, "vec_id", "embedding", k = 5),
           "probe_id", "vec_id", infl, "vec_id")
       }),
+      // margin bitext mining: the IVF kNN-graph build dominates (the
+      // same O(n^1.5) substrate as graph_pagerank, cross-side-filtered);
+      // the margin/mutual joins on top are linear in edges — the curve
+      // should track the graph build without the 5 rank rounds
+      ("emb_bitext_mine", Int.MaxValue, (docs0, emb0, f) =>
+        ext.Similarity.mineBitext(inflateEmbeddings(emb0, f), "vec_id", "embedding",
+          k = 5)),
+      // common-neighbor link prediction: wedge self-join bounded by
+      // the kNN graph's ≤2k degree — O(n·k²) on top of the graph
+      // build, so the curve should stay within a constant of
+      // graph_pagerank's
+      ("graph_linkpred", Int.MaxValue, (docs0, emb0, f) => {
+        val infl = inflateEmbeddings(emb0, f)
+        ext.Graph.linkPredict(
+          ext.Similarity.knnGraphIvf(infl, "vec_id", "embedding", k = 5),
+          "probe_id", "vec_id", k = 100)
+      }),
       ("emb_neardup_pairs", quadMax, (docs0, emb0, f) =>
         ext.Similarity.nearDupPairs(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           450000L, blocks = 16)),

@@ -820,6 +820,19 @@ object ExtQueries {
          |  FROM scored)
          |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
          |ORDER BY probe_id, rn""".stripMargin,
+    // OOD screen replay: pinned training (shared ivf CTEs), per-vector
+    // max prototype affinity, ascending bottom-50 with id-broken ranks
+    "emb_ood_screen" ->
+      s"""WITH $ivfAssignSql,
+         |best AS (
+         |  SELECT e.vec_id, max(2*${qdotIntSql("e.q", "c.cv")} - c.nrm) AS best_cd
+         |  FROM qv e CROSS JOIN cents c GROUP BY e.vec_id),
+         |r AS (
+         |  SELECT vec_id, CAST(best_cd AS BIGINT) AS best_cd,
+         |         CAST(row_number() OVER (ORDER BY best_cd, vec_id) AS BIGINT) AS rn
+         |  FROM best)
+         |SELECT vec_id, best_cd, rn FROM r WHERE rn <= 50
+         |ORDER BY rn""".stripMargin,
     "ann_mmr_topk" -> mmrOracleSql(k = 5, m = 16, lam = 700),
     // filtered search replay: the SAME index (training, assignment,
     // probe-list selection all on the full corpus), with the metadata
@@ -930,6 +943,24 @@ object ExtQueries {
            |gedges AS (SELECT probe_id AS src, vec_id AS dst FROM ranked WHERE rn <= 5),
            |gnodes AS (SELECT vec_id AS id FROM qv)""".stripMargin,
         "vec_id", "id % 97 = 0"),
+    // seeded-teleport PageRank over the same derived kNN graph: the
+    // oracle rebuilds the index, the edges, the %97 seed flags, and
+    // the 5 unrolled seed-gated integer rounds
+    "graph_trustrank" ->
+      Graph.trustRankOracleSql(
+        s"""WITH $ivfAssignSqlDerivedK,
+           |$knnRankedSql,
+           |gedges AS (SELECT probe_id AS src, vec_id AS dst FROM ranked WHERE rn <= 5),
+           |gnodes AS (SELECT vec_id AS id FROM qv)""".stripMargin,
+        "vec_id", "id % 97 = 0"),
+    // common-neighbor link prediction over the same derived kNN graph:
+    // symmetrize, wedge-count via the shared-neighbor self-join,
+    // non-edges only, integer Jaccard permille, top-100
+    "graph_linkpred" ->
+      Graph.linkPredictOracleSql(
+        s"""WITH $ivfAssignSqlDerivedK,
+           |$knnRankedSql,
+           |gedges AS (SELECT probe_id AS src, vec_id AS dst FROM ranked WHERE rn <= 5)""".stripMargin),
     // deletion-neighborhood fuzzy join: DuckDB regenerates the exact
     // variant sets, candidate join, and levenshtein verify
     "join_fuzzy_blocked" ->
@@ -2694,6 +2725,24 @@ object ExtQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sh, b.sh)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // locality-order replay: the same simhash recompute, token-less
+    // docs coalesced to fingerprint 0, dense row_number over (sh, id)
+    "corpus_order_locality" ->
+      s"""WITH f AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |wh AS (SELECT doc_id, unnest(tk) AS w FROM f),
+         |h AS (SELECT doc_id, CAST(concat('0x', substring(md5(w),1,15)) AS BIGINT) AS h FROM wh),
+         |bits AS (
+         |  SELECT doc_id, bb.b AS b,
+         |         sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS score
+         |  FROM h, (SELECT unnest(range(0,60)) AS b) bb
+         |  GROUP BY doc_id, bb.b),
+         |sh0 AS (SELECT doc_id, CAST(sum(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh
+         |        FROM bits GROUP BY doc_id),
+         |sh AS (SELECT d.doc_id, coalesce(s.sh, 0) AS sh
+         |       FROM documents d LEFT JOIN sh0 s USING (doc_id))
+         |SELECT doc_id, sh,
+         |       CAST(row_number() OVER (ORDER BY sh, doc_id) AS BIGINT) AS ord
+         |FROM sh ORDER BY doc_id""".stripMargin,
     "text_tfidf_top3" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(list_distinct(list_filter(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' '), x -> x <> ''))) AS word
@@ -2721,6 +2770,11 @@ object ExtQueries {
     // constants as the engine so the two can never silently desync
     "search_bm25" ->
       Search.bm25OracleSql(tokSql, Search.defaultTerms, Search.defaultK),
+    // N queries in one corpus pass: VALUES query relation, term-
+    // restricted postings, per-(qid, doc) score agg — same integer
+    // idf/saturation arithmetic as the single-query replay
+    "search_batch_bm25" ->
+      Search.batchBm25OracleSql(tokSql, Search.defaultBatch, Search.defaultK),
     // phrase occurrences rebuilt from scratch: consecutive-window
     // string equality over the same tokenizer's gram stream
     "search_phrase" ->
@@ -2895,6 +2949,19 @@ object ExtQueries {
       // oracle recomputes simhash from scratch in SQL)
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
+    },
+    "corpus_order_locality" -> { (s, dir) =>
+      // compression-locality layout: dense total order by (simhash,
+      // id), near-dups adjacent — one range shuffle via globalRank,
+      // never an Exchange SinglePartition
+      Dedup.localityOrder(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    "emb_ood_screen" -> { (s, dir) =>
+      // outlier triage: the 50 vectors farthest from EVERY trained
+      // prototype — O(n·K) broadcast affinity pass + TakeOrdered cut
+      Similarity.oodScreen(t(s, dir, "embeddings"), "vec_id", "embedding", k = 50)
+        .orderBy("rn")
     },
     "ann_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -3152,6 +3219,26 @@ object ExtQueries {
       Graph.bfsDepth(edges, "probe_id", "vec_id", emb, "vec_id",
           emb.where(pmod(col("vec_id"), lit(97)) === 0), "vec_id")
         .orderBy("vec_id")
+    },
+    "graph_trustrank" -> { (s, dir) =>
+      // TrustRank: PageRank whose teleport mass flows only to the
+      // vetted %97 seed set — link proximity to known-good data; per
+      // round same cost envelope as graph_pagerank, seed count crosses
+      // as a broadcast 1-row aggregate
+      val emb = t(s, dir, "embeddings")
+      val edges = Similarity.knnGraphIvf(emb, "vec_id", "embedding", k = 5)
+      Graph.trustRank(edges, "probe_id", "vec_id", emb, "vec_id",
+          emb.where(pmod(col("vec_id"), lit(97)) === 0), "vec_id")
+        .orderBy("vec_id")
+    },
+    "graph_linkpred" -> { (s, dir) =>
+      // near-miss pairs of the kNN cut: common-neighbor Jaccard over
+      // non-edges — wedge self-join bounded by the graph's ≤2k degree,
+      // LeftAnti drops existing edges, TakeOrdered top-100
+      val emb = t(s, dir, "embeddings")
+      val edges = Similarity.knnGraphIvf(emb, "vec_id", "embedding", k = 5)
+      Graph.linkPredict(edges, "probe_id", "vec_id", k = 100)
+        .orderBy("rn")
     },
     "search_index_bm25" -> { (s, dir) =>
       // the serving form of search_bm25: build + persist the inverted
@@ -4303,6 +4390,14 @@ object ExtQueries {
       Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
           Search.defaultTerms, k = Search.defaultK)
         .orderBy(desc("score"), col("doc_id"))
+    },
+    "search_batch_bm25" -> { (s, dir) =>
+      // many queries, ONE corpus pass: broadcast term-union filter
+      // keeps the (doc, term) exchange at matching postings only;
+      // per-query cut through the bounded-heap TopKPerKey
+      Search.batchBm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          Search.defaultBatch, k = Search.defaultK)
+        .orderBy("qid", "rn")
     },
     "search_phrase" -> { (s, dir) =>
       // exact phrase matching — the capability bag-of-words BM25

@@ -792,6 +792,35 @@ object Dedup {
         coalesce(col("canonical_id"), col(idCol)).as("canonical_id"))
   }
 
+  /** Similarity-locality corpus ordering: a dense total order (`ord`
+    * 1..n) over the corpus in which near-duplicate and same-template
+    * documents sit ADJACENT — sorting by the 60-bit SimHash fingerprint
+    * places small-Hamming neighbors into the same high-bit prefix
+    * range, then id breaks ties. Writing shards in this order is the
+    * standard storage trick for crawl-shaped corpora: general-purpose
+    * compressors only exploit redundancy inside their window, so
+    * clustering look-alikes buys the cross-document ratio a random
+    * (or crawl-order) layout leaves on the table. Token-less documents
+    * fingerprint to 0 and sort first, deterministically.
+    *
+    * Scale shape: the fingerprint is one map-only pass (the codegen'd
+    * `SimHash60` over md5 word hashes); the order comes from
+    * `GlobalSort.globalRank` — ONE range shuffle on sampled (sh, id)
+    * boundaries, per-partition sort, and a metadata-only offset job —
+    * never an Exchange SinglePartition. */
+  def localityOrder(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      parts: Int = 0): DataFrame = {
+    val p = if (parts > 0) parts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = df.select(col(idCol),
+      graft.functions.SimHash60.simhash60(
+        wordHashes(graft.ops.TextOps.tokens(col(textCol)))).as("sh"))
+    graft.ops.GlobalSort.globalRank(keyed, Seq(col("sh"), col(idCol)), p, "ord")
+  }
+
   /** md5-based 60-bit word hashes (md5 so the fingerprint is reproducible
     * in any engine; 60 bits = 15 hex chars keeps the value inside a
     * signed long). Materialize once before `simHashFromHashes` — same

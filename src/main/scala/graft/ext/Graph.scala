@@ -80,6 +80,190 @@ object Graph {
     ranks.select(col("id").as(idCol), col("r").as("pr"))
   }
 
+  /** Seeded (personalized) PageRank — the TrustRank form of the
+    * centrality family: teleport mass flows ONLY to a trusted seed set
+    * instead of uniformly, so a node's score measures its link
+    * proximity to known-good data (Gyöngyi et al., "Combating Web Spam
+    * with TrustRank", VLDB'04). Over a derived similarity graph this
+    * ranks documents by how reachable they are from vetted sources —
+    * the continuous complement of `bfsDepth`'s hop cut, and the spam /
+    * SEO-farm demotion signal a crawl-corpus curation pass wants:
+    * dense link families far from any seed settle at 0, not at a
+    * teleport floor.
+    *
+    * Same integer fixpoint discipline as `pageRank`, with the teleport
+    * term gated by seed membership:
+    * `r_{t+1}(v) = isSeed(v)·((100-d)·scale) div (100·|seeds|)
+    *              + (d·Σ_u r_t(u) div deg(u)) div 100` —
+    * all int64 floor division, replayable bit-for-bit. Seeds must be
+    * non-empty (an empty trust set makes every score 0 by round 1 —
+    * the honest answer, not an error).
+    *
+    * Scale shape: identical to `pageRank` — per round one src-keyed
+    * rank join + one dst-keyed contribution sum over the cached
+    * ids-only degree-joined edges, O(nodes) rank relation with
+    * per-round lineage truncation; the seed flag rides the cached
+    * node relation and the seed COUNT crosses as a broadcast 1-row
+    * aggregate. Nothing collects. */
+  def trustRank(
+      edges0: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nodes0: DataFrame,
+      idCol: String,
+      seeds0: DataFrame,
+      seedIdCol: String,
+      iters: Int = defaultIters,
+      scale: Long = defaultScale,
+      dampX100: Long = defaultDampX100,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    require(iters >= 0 && dampX100 >= 0 && dampX100 <= 100 && scale > 0,
+      s"need iters >= 0, 0 <= dampX100 <= 100, scale > 0; got $iters/$dampX100/$scale")
+    val edges = scope.cache(
+      edges0.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val ed = scope.cache(edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("d")), "src"))
+    val seedIds = seeds0.select(col(seedIdCol).as("id")).distinct()
+    val nodes = scope.cache(nodes0.select(col(idCol).as("id"))
+      .join(seedIds.withColumn("__s", lit(1L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s"), lit(0L)).as("isSeed")))
+    val sAgg = nodes.agg(sum(col("isSeed")).as("ns"))
+    var ranks = nodes.crossJoin(broadcast(sAgg))
+      .select(col("id"), col("isSeed"),
+        expr(s"(isSeed * ${scale}L) div ns").as("r"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(ranks.select("id", "r"), col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div d")).as("s"))
+      ranks = nodes.crossJoin(broadcast(sAgg))
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"), col("isSeed"),
+          (expr(s"(isSeed * ${(100L - dampX100) * scale}L) div (100 * ns)")
+            + expr(s"($dampX100 * coalesce(s, 0L)) div 100")).as("r"))
+        .localCheckpoint(false)
+    }
+    ranks.select(col("id").as(idCol), col("r").as("trust"))
+  }
+
+  /** Oracle generator for `trustRank`: the pageRank replay with the
+    * seed-gated teleport. `seedPredSql` is a predicate over `id`
+    * (e.g. "id % 97 = 0") — must match the seed set the engine was
+    * given. */
+  def trustRankOracleSql(
+      edgesCte: String,
+      idColOut: String,
+      seedPredSql: String,
+      iters: Int = defaultIters,
+      scale: Long = defaultScale,
+      dampX100: Long = defaultDampX100): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""t$i AS (
+         |  SELECT q.id, q.isSeed,
+         |         (q.isSeed * ${(100L - dampX100) * scale}) // (100 * n.ns)
+         |           + ($dampX100 * coalesce(c.s, 0)) // 100 AS r
+         |  FROM gseed q CROSS JOIN gs n
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum(t${i - 1}.r // gdeg.d) AS s
+         |    FROM gedges e
+         |    JOIN t${i - 1} ON e.src = t${i - 1}.id
+         |    JOIN gdeg ON gdeg.src = e.src
+         |    GROUP BY e.dst) c ON c.dst = q.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |gdeg AS (SELECT src, count(*) AS d FROM gedges GROUP BY src),
+       |gseed AS (SELECT id, CASE WHEN $seedPredSql THEN 1 ELSE 0 END AS isSeed FROM gnodes),
+       |gs AS (SELECT sum(isSeed) AS ns FROM gseed),
+       |t0 AS (SELECT id, isSeed, (isSeed * $scale) // ns AS r FROM gseed, gs),
+       |$rounds
+       |SELECT id AS $idColOut, CAST(r AS BIGINT) AS trust FROM t$iters
+       |ORDER BY $idColOut""".stripMargin
+  }
+
+  /** Common-neighbor link prediction over the symmetrized edge set:
+    * for every NON-adjacent pair sharing ≥ 1 neighbor, the Jaccard
+    * overlap of their neighborhoods in exact integer permille —
+    * `(common·1000) div (deg_a + deg_b − common)` — top-k by
+    * (score, id ties). On a derived similarity graph these are the
+    * "should-have-been-an-edge" pairs: near-duplicates the kNN cut
+    * narrowly missed (dedup recall auditing) and retrieval-expansion
+    * candidates.
+    *
+    * Scale shape: wedge generation is the y-keyed self-join of the
+    * cached symmetrized edges — O(Σ deg(y)²) pairs, which on a
+    * BOUNDED-DEGREE derived graph (a kNN graph has deg ≤ 2k by
+    * construction) is O(n·k²), linear in nodes; this operator is for
+    * such graphs, NOT for power-law webgraphs (contract documented,
+    * the same boundedness `triangleCounts` escapes via orientation —
+    * here both wedge endpoints are needed so orientation cannot
+    * halve the generation). The (a,b) count is map-side combined,
+    * existing edges leave via one LeftAnti against the cached edge
+    * set, degrees broadcast-join (O(nodes) relation), and the top-k
+    * cut ships ≤ k rows per partition through `TakeOrdered`. */
+  def linkPredict(
+      edges0: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int = 100,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    val e = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = scope.cache(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    // wedges through shared neighbor y: und(y→a) ⋈ und(y→b), a < b
+    val wa = und.select(col("src").as("y"), col("dst").as("id_a"))
+    val wb = und.select(col("src").as("y"), col("dst").as("id_b"))
+    val common = wa.join(wb, "y")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"))
+    val nonEdges = common.join(
+      und.select(col("src").as("id_a"), col("dst").as("id_b")),
+      Seq("id_a", "id_b"), "left_anti")
+    val scored = nonEdges
+      .join(deg.select(col("id").as("id_a"), col("d").as("__da")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("d").as("__db")), "id_b")
+      .withColumn("jac_milli",
+        expr("(common * 1000) div (__da + __db - common)"))
+      .select("id_a", "id_b", "common", "jac_milli")
+    val top = scored
+      .orderBy(desc("jac_milli"), desc("common"), asc("id_a"), asc("id_b"))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("jac_milli"), desc("common"), asc("id_a"), asc("id_b"))
+    top.withColumn("rn", row_number().over(w).cast("long"))
+  }
+
+  /** Oracle generator for `linkPredict` over a derived-graph CTE. */
+  def linkPredictOracleSql(edgesCte: String, k: Int = 100): String =
+    s"""$edgesCte,
+       |und AS (
+       |  SELECT src, dst FROM gedges
+       |  UNION
+       |  SELECT dst, src FROM gedges),
+       |gdeg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY src),
+       |cmn AS (
+       |  SELECT a.dst AS id_a, b.dst AS id_b, count(*) AS common
+       |  FROM und a JOIN und b ON a.src = b.src AND a.dst < b.dst
+       |  GROUP BY a.dst, b.dst),
+       |ne AS (
+       |  SELECT c.* FROM cmn c
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM und u WHERE u.src = c.id_a AND u.dst = c.id_b)),
+       |sc AS (
+       |  SELECT ne.id_a, ne.id_b, CAST(ne.common AS BIGINT) AS common,
+       |         CAST((ne.common * 1000) // (da.d + db.d - ne.common) AS BIGINT) AS jac_milli
+       |  FROM ne
+       |  JOIN gdeg da ON da.id = ne.id_a
+       |  JOIN gdeg db ON db.id = ne.id_b),
+       |r AS (
+       |  SELECT id_a, id_b, common, jac_milli,
+       |         CAST(row_number() OVER (
+       |           ORDER BY jac_milli DESC, common DESC, id_a, id_b) AS BIGINT) AS rn
+       |  FROM sc)
+       |SELECT id_a, id_b, common, jac_milli, rn FROM r WHERE rn <= $k
+       |ORDER BY rn""".stripMargin
+
   /** Shipped LPA round count, shared with the oracle generator. Four
     * synchronous rounds: template families in a near-dup graph are
     * shallow (diameter 2–3), and a FIXED round count is what makes the

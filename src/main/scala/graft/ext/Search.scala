@@ -109,6 +109,126 @@ object Search {
       .limit(k)
   }
 
+  /** The shipped query batch, shared with the oracle generator — the
+    * single-query defaults plus two more drawn from the fixture
+    * vocabulary, overlapping on `join` so one (doc, term) row provably
+    * serves two queries. */
+  val defaultBatch: Seq[(Long, Seq[String])] = Seq(
+    0L -> defaultTerms,
+    1L -> Seq("spark", "window"),
+    2L -> Seq("merge", "join", "scan"))
+
+  /** Batch BM25 serving: MANY queries answered in ONE corpus pass —
+    * the shape an evaluation harness or a contamination sweep needs,
+    * where running `bm25TopK` per query would re-scan the corpus
+    * |queries| times. Scores are bit-identical to `bm25TopK` on each
+    * query (same integer idf/saturation arithmetic), emitted as
+    * (qid, id, score, n_hits, rn).
+    *
+    * Scale shape: the corpus pays one tokenize pass; the per-row array
+    * filter against the BROADCAST union of query terms drops every
+    * unqueried token map-side, so the one (id, term) exchange carries
+    * only matching postings — O(matching tokens), not O(corpus
+    * tokens). df and the 1-row corpus stats are tiny aggregates over
+    * that relation; queries and df join back as broadcasts; the
+    * (qid, id) score agg map-side combines (a doc-term row fans out
+    * only to the queries containing that term); and the per-query cut
+    * ships ≤ k rows per qid per partition through the bounded-heap
+    * `TopKPerKey`. Query batches are bounded by contract (≤ 4096
+    * queries × ≤ 64 terms) — an unbounded query STREAM is the
+    * persisted-index (`indexTopK`) territory instead. */
+  def batchBm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(Long, Seq[String])] = defaultBatch,
+      k: Int = defaultK,
+      k1X1000: Long = 1200L,
+      bX1000: Long = 750L): DataFrame = {
+    require(queries.nonEmpty && queries.size <= 4096,
+      s"need 1..4096 queries, got ${queries.size}")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "query ids must be distinct")
+    queries.foreach { case (qid, ts) =>
+      require(ts.nonEmpty && ts.size <= 64 && ts.distinct.size == ts.size,
+        s"query $qid must carry 1..64 distinct terms, got $ts")
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qRel = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("qid", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val base = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), size(col("tk")).cast("long").as("dl"), col("tk"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tfRel = base
+      .select(col(idCol), col("dl"),
+        explode(filter(col("tk"), x => x.isInCollection(allTerms))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    val dfRel = tfRel.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tfRel
+      .join(broadcast(qRel), "term")
+      .join(broadcast(dfRel), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("k_x1000",
+        expr(s"($k1X1000 * ((1000 - $bX1000) + ($bX1000 * dl * n_docs) div sum_dl)) div 1000"))
+      .withColumn("__ts",
+        (length(bin(expr("(2 * n_docs) div df"))) - 1).cast("long")
+          * expr(s"(tf * ${k1X1000 + 1000L} * 1000) div (tf * 1000 + k_x1000)"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("__ts")).as("score"), count(lit(1)).as("n_hits"))
+      .where(col("score") > 0)
+    val top = graft.plans.TopKPerKey(
+      scored, Seq("qid"), Seq(("score", false), (idCol, true)), k)
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc(idCol))
+    top.withColumn("rn", row_number().over(w).cast("long"))
+  }
+
+  /** Oracle generator for `batchBm25TopK`: the bm25 replay arithmetic
+    * over a VALUES query relation and a term-restricted postings CTE. */
+  def batchBm25OracleSql(
+      tokSql: String,
+      queries: Seq[(Long, Seq[String])],
+      k: Int,
+      k1X1000: Long = 1200L,
+      bX1000: Long = 750L): String = {
+    val qValues = queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    val inList = queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, len(tk) AS dl, tk
+       |  FROM (SELECT doc_id, $tokSql AS tk FROM documents)),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base),
+       |q(qid, term) AS (VALUES $qValues),
+       |tf AS (
+       |  SELECT doc_id, dl, w AS term, count(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(tk) AS w FROM base) s
+       |  WHERE w IN ($inList)
+       |  GROUP BY doc_id, dl, w),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |sc0 AS (
+       |  SELECT q.qid, t.doc_id, t.tf, d.df, s.n_docs,
+       |         ($k1X1000 * ((1000 - $bX1000) + ($bX1000 * t.dl * s.n_docs) // s.sum_dl)) // 1000 AS k_x1000
+       |  FROM tf t JOIN q ON q.term = t.term JOIN df d ON d.term = t.term
+       |  CROSS JOIN stats s),
+       |sc AS (
+       |  SELECT qid, doc_id,
+       |         sum((length(bin(CAST((2*n_docs) // df AS BIGINT))) - 1)
+       |             * ((tf * ${k1X1000 + 1000L} * 1000) // (tf * 1000 + k_x1000))) AS score,
+       |         count(*) AS n_hits
+       |  FROM sc0 GROUP BY qid, doc_id),
+       |r AS (
+       |  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+       |         CAST(score AS BIGINT) AS score, CAST(n_hits AS BIGINT) AS n_hits,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+       |  FROM sc WHERE score > 0)
+       |SELECT qid, doc_id, score, n_hits, rn FROM r WHERE rn <= $k
+       |ORDER BY qid, rn""".stripMargin
+  }
+
   /** The shipped phrase query, shared with the oracle generator — a
     * token run that actually occurs in the fixture corpus. */
   val defaultPhrase: Seq[String] = Seq("row", "column", "sort")

@@ -969,6 +969,41 @@ object Similarity {
       .select("id_a", "id_b", "qdot", "margin_milli")
   }
 
+  /** Out-of-distribution screen: each vector's affinity to its NEAREST
+    * trained prototype — max over the Lloyd centroids of the integer
+    * Euclidean-argmax score 2·qdot − |c|² — ranked ascending, bottom-k
+    * returned. The vectors far from EVERY prototype are the encoder
+    * failures, corrupt inputs, and genuine novelties a curation pass
+    * routes to inspection (the complement of `diversitySample`, which
+    * keeps each list's MOST central members). Same pinned training as
+    * the point-query IVF family, so an external engine replays the
+    * centroids and every affinity exactly.
+    *
+    * Scale shape: one O(n·K) map-side pass against the broadcast
+    * constant-K centroid relation, a per-id partial-aggregated max,
+    * and a TakeOrdered cut — k rows per partition cross the shuffle,
+    * never the corpus; the trailing rank window sees only the ≤ k
+    * survivors. */
+  def oodScreen(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 50,
+      numCentroids: Int = 64,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    val cents = ivfCentroids(emb, idCol, vecCol, numCentroids,
+      defaultTrainRounds, defaultTrainSample, scope)
+    val best = emb.crossJoin(broadcast(cents))
+      .select(col(idCol),
+        (lit(2L) * quantizedDot(col(vecCol), col("cv")) - col("nrm")).as("cd"))
+      .groupBy(col(idCol))
+      .agg(max(col("cd")).as("best_cd"))
+      .orderBy(asc("best_cd"), asc(idCol))
+      .limit(k)
+    val w = Window.orderBy(asc("best_cd"), asc(idCol))
+    best.withColumn("rn", row_number().over(w).cast("long"))
+  }
+
   /** SemDeDup-style semantic deduplication (embedding-space near-dup
     * pruning): cluster the corpus with the SAME Lloyd-trained coarse
     * quantizer the IVF index uses, compare pairs only WITHIN a

@@ -86,6 +86,98 @@ class R9cOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("localityOrder is a dense (sh, id) total order that places duplicates adjacent") {
+    val docs = io.Tables(spark, sf, "documents").limit(40)
+      .select(col("doc_id"), col("text"))
+    // plant an exact duplicate family far apart in id space
+    val dup = docs.where(col("doc_id") === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val got = graft.ext.Dedup.localityOrder(docs.union(dup), "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    // dense permutation 1..n
+    assert(got.map(_._3).sorted.toSeq == (1L to got.length).toSeq)
+    // the order IS the (sh, id) sort
+    assert(got.sortBy(_._3).map(_._1).toSeq ==
+      got.sortBy(r => (r._2, r._1)).map(_._1).toSeq)
+    // identical texts fingerprint identically and sit adjacent
+    val byId = got.map(r => (r._1, r._3)).toMap
+    val sh = got.map(r => (r._1, r._2)).toMap
+    assert(sh(0L) == sh(10000L))
+    assert(math.abs(byId(0L) - byId(10000L)) == 1)
+  }
+
+  test("oodScreen's bottom-k cut matches the full ranking's bottom slice") {
+    val emb = io.Tables(spark, sf, "embeddings")
+    val k = 20
+    val cut = Similarity.oodScreen(emb, "vec_id", "embedding", k = k)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    val full = Similarity.oodScreen(emb, "vec_id", "embedding", k = 100000)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    // contiguous ascending ranks, affinity non-decreasing
+    assert(cut.map(_._3).toSeq == (1L to k).toSeq)
+    assert(cut.sliding(2).forall(p => p(0)._2 <= p(1)._2))
+    // the cut is exactly the full ranking's first k rows (same training)
+    assert(cut.toSeq == full.take(k).toSeq)
+    // nothing outside the screen is farther than anything inside
+    assert(full.drop(k).forall(_._2 >= cut.last._2))
+    spark.catalog.clearCache()
+  }
+
+  test("trustRank matches a local seed-gated integer replay; non-seeds get no teleport") {
+    // chain 1→2→3 plus isolated 4; seed = {1}
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val nodes = (1L to 4L).toDF("id")
+    val seeds = Seq(1L).toDF("id")
+    val got = graft.ext.Graph.trustRank(edges, "src", "dst", nodes, "id",
+        seeds, "id", iters = 3, scale = 1000000L, dampX100 = 85L)
+      .as[(Long, Long)].collect().toMap
+    // local replay of the exact integer law
+    val deg = Map(1L -> 1L, 2L -> 1L)
+    val adjIn = Map(2L -> Seq(1L), 3L -> Seq(2L))
+    var r = Map(1L -> 1000000L, 2L -> 0L, 3L -> 0L, 4L -> 0L)
+    for (_ <- 1 to 3) {
+      r = r.keys.map { v =>
+        val tele = if (v == 1L) (15L * 1000000L) / (100L * 1L) else 0L
+        val s = adjIn.getOrElse(v, Seq.empty).map(u => r(u) / deg(u)).sum
+        v -> (tele + (85L * s) / 100L)
+      }.toMap
+    }
+    assert(got == r)
+    // structural: only the seed holds teleport mass; the isolated
+    // non-seed is exactly 0; downstream trust decays but is positive
+    assert(got(4L) == 0L && got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > 0L)
+  }
+
+  test("linkPredict scores non-adjacent common-neighbor pairs and excludes existing edges") {
+    // square 1-2-3-4: diagonals (1,3) and (2,4) share two neighbors
+    // each and are not edges; every adjacent pair IS an edge and must
+    // be excluded no matter how many neighbors it shares
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = graft.ext.Graph.linkPredict(edges, "src", "dst", k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._5)
+    // jac = 2·1000 div (2 + 2 − 2) = 1000 for both diagonals
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      Seq((1L, 3L, 2L, 1000L), (2L, 4L, 2L, 1000L)))
+    assert(got.map(_._5).toSeq == Seq(1L, 2L))
+    spark.catalog.clearCache()
+  }
+
+  test("batchBm25TopK serves every query bit-identically to the single-query scan") {
+    import graft.ext.Search
+    val docs = io.Tables(spark, sf, "documents")
+    val batch = Search.batchBm25TopK(docs, "doc_id", "text",
+        Search.defaultBatch, k = 10)
+      .select("qid", "doc_id", "score", "n_hits", "rn")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    for ((qid, terms) <- Search.defaultBatch) {
+      val single = Search.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+        .as[(Long, Long, Long)].collect().toSeq
+      val got = batch.filter(_._1 == qid).sortBy(_._5)
+        .map(r => (r._2, r._3, r._4)).toSeq
+      assert(got == single, s"query $qid diverged from the scan form")
+    }
+  }
+
   test("firstTouchAttribution credits each conversion to its session's entry type") {
     val ev = Seq(
       // user 1, session 1: view → click → purchase  (credit: view)

@@ -1612,6 +1612,22 @@ object ExtQueries {
          |FROM g JOIN c USING (h)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    // first-occurrence novelty replay: distinct (doc, gram-hash),
+    // min-owner per gram, per-doc novel share in integer permille
+    "text_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |g0 AS (
+         |  SELECT doc_id, unnest([array_to_string(tk[i:i+7], ' ') FOR i IN range(1, len(tk) - 6)]) AS g
+         |  FROM toks WHERE len(tk) >= 8),
+         |g AS (
+         |  SELECT DISTINCT doc_id, CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS h FROM g0),
+         |fo AS (SELECT h, min(doc_id) AS fst FROM g GROUP BY h)
+         |SELECT doc_id, count(*) AS n_grams,
+         |       CAST(sum(CASE WHEN fst = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       CAST((sum(CASE WHEN fst = doc_id THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS novelty_permille
+         |FROM g JOIN fo USING (h)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     // duplicate-span removal rebuilt from scratch: same 1-based window
     // starts, same 60-bit gram hashes, corpus-wide ≥2 counts, and the
     // same keep rule (token j survives iff no duplicated window starts
@@ -2584,6 +2600,44 @@ object ExtQueries {
         |SELECT src_type, dst_type, count(*) AS n
         |FROM trans GROUP BY src_type, dst_type
         |ORDER BY src_type, dst_type""".stripMargin,
+    // RFM replay: per-user triple, broadcast bounds, min-max kilo-
+    // buckets, three strictly-below histogram windows, integer
+    // population quintiles, segment rollup
+    "events_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id, max(CAST(floor(epoch(ts)) AS BIGINT)) AS r_sec,
+        |         count(*) AS fq,
+        |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+        |  FROM events GROUP BY user_id),
+        |b AS (SELECT min(r_sec) AS rmin, max(r_sec) AS rmax,
+        |             min(fq) AS fmin, max(fq) AS fmax,
+        |             min(m_cents) AS mmin, max(m_cents) AS mmax,
+        |             count(*) AS nu FROM per),
+        |bk AS (SELECT user_id, m_cents,
+        |         ((r_sec - rmin) * 1000) // (rmax - rmin + 1) AS br,
+        |         ((fq - fmin) * 1000) // (fmax - fmin + 1) AS bf,
+        |         ((m_cents - mmin) * 1000) // (mmax - mmin + 1) AS bm
+        |       FROM per, b),
+        |hr AS (SELECT br, count(*) AS c FROM bk GROUP BY br),
+        |qr AS (SELECT br, (coalesce(sum(c) OVER (ORDER BY br
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5)
+        |         // (SELECT nu FROM b) AS q FROM hr),
+        |hf AS (SELECT bf, count(*) AS c FROM bk GROUP BY bf),
+        |qf AS (SELECT bf, (coalesce(sum(c) OVER (ORDER BY bf
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5)
+        |         // (SELECT nu FROM b) AS q FROM hf),
+        |hm AS (SELECT bm, count(*) AS c FROM bk GROUP BY bm),
+        |qm AS (SELECT bm, (coalesce(sum(c) OVER (ORDER BY bm
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5)
+        |         // (SELECT nu FROM b) AS q FROM hm),
+        |seg AS (
+        |  SELECT bk.user_id, qr.q * 100 + qf.q * 10 + qm.q AS segment, bk.m_cents
+        |  FROM bk JOIN qr USING (br) JOIN qf USING (bf) JOIN qm USING (bm))
+        |SELECT CAST(segment AS BIGINT) AS segment,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(m_cents) AS BIGINT) AS total_cents
+        |FROM seg GROUP BY segment
+        |ORDER BY segment""".stripMargin,
     // first-touch attribution replay: the sessionize CTEs, each
     // session's first event type by the same (sec, event_id) order,
     // conversions rolled up by that entry type
@@ -3600,6 +3654,13 @@ object ExtQueries {
       graft.ops.TimeSeries.firstTouchAttribution(t(s, dir, "events"))
         .orderBy("first_touch_type")
     },
+    "events_rfm" -> { (s, dir) =>
+      // RFM quintile segmentation: population quintiles from bounded
+      // bucket histograms (the qualityPercentiles discipline), never
+      // a global ntile window; ≤125 segment rows at any volume
+      graft.ops.TimeSeries.rfmSegments(t(s, dir, "events"))
+        .orderBy("segment")
+    },
     "stream_topk_users" -> { (s, dir) =>
       // trending entities per window: the streaming stateful part is
       // the (window, user) count — one state row per open pair — and
@@ -4027,6 +4088,14 @@ object ExtQueries {
         .where(col("rnk").isin(targets: _*))
         .select("rnk", "v")
         .orderBy("rnk")
+    },
+    "text_novelty" -> { (s, dir) =>
+      // first-occurrence credit: share of a doc's distinct 8-grams
+      // whose min-id owner is the doc itself — re-scrapes score ~0,
+      // new content ~1000; one distinct exchange + co-partitioned
+      // min-owner join, the dupNgramStats envelope
+      TextAnalysis.noveltyStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     },
     "text_dup_ngrams" -> { (s, dir) =>
       // substring-level dedup signal (Lee et al. 2022 "Deduplicating

@@ -144,6 +144,41 @@ object TextAnalysis {
       .withColumn("dup_permille", expr("(n_dup * 1000) div n_grams"))
   }
 
+  /** First-occurrence novelty per document: the share of a document's
+    * DISTINCT n-grams whose corpus-wide first owner (minimum id — ids
+    * are ingestion order by contract) is this document. The data-value
+    * signal behind first-occurrence credit: a crawl re-scrape scores
+    * near 0 (every gram already owned upstream), genuinely new content
+    * near 1000 — the per-doc complement of `dupNgramStats`' corpus-wide
+    * duplication score, and the batch form of what the incremental
+    * ingest screen decides one batch at a time.
+    *
+    * Scale shape: the distinct (id, gram-hash) relation pays one
+    * exchange; the min-owner agg keys by gram hash and map-side
+    * combines; the join back is co-partitioned on the same hash (no
+    * third data shuffle); the per-doc rollup is a partial-aggregated
+    * count pair. All linear in gram count — the `dupNgramStats`
+    * envelope with a min instead of a count. */
+  def noveltyStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), explode(TextOps.wordNgramsFromTokens(col("tk"), n)).as("g"))
+      .select(col(idCol),
+        conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val firstOwner = grams.groupBy("h").agg(min(col(idCol)).as("__first"))
+    grams.join(firstOwner, "h")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_permille", expr("(n_novel * 1000) div n_grams"))
+  }
+
   /** Duplicate-SPAN removal — the operational half of Lee et al. 2022
     * substring dedup that `dupNgramStats` only scores: rewrite each
     * document with every token covered by a corpus-duplicated n-token

@@ -294,6 +294,65 @@ object TimeSeries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** RFM user segmentation — recency / frequency / monetary quintiles,
+    * the classic audience-analytics rollup, built scale-safe: per
+    * metric, population quintiles are derived from a BOUNDED
+    * distinct-bucket histogram (each metric min-max-normalized into
+    * ≤ 1000 integer buckets off a broadcast 1-row bounds agg, then a
+    * cumulative window over the ≤ 1001-row histogram — the
+    * `qualityPercentiles` discipline), never a global ntile window
+    * (Exchange SinglePartition over every user at corpus scale).
+    * Quintile = (users strictly below the bucket · 5) div users —
+    * integer, population-based, tie-stable. Monetary sums in floored
+    * cents so no float crosses an engine boundary after the one
+    * deterministic floor. Output: one row per occupied segment code
+    * (`r·100 + f·10 + m`, each digit 0–4), with user count and total
+    * cents — ≤ 125 rows at any event volume.
+    *
+    * Scale shape: one per-user aggregation pass (the only data-scale
+    * exchange), a 1-row bounds agg, three bounded-histogram windows,
+    * three broadcast joins back onto the per-user relation, and a
+    * ≤125-row rollup. */
+  def rfmSegments(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = events.groupBy(col(userCol)).agg(
+      max(unix_timestamp(col(tsCol))).as("r_sec"),
+      count(lit(1)).as("fq"),
+      sum(floor(col(valueCol) * 100).cast("long")).as("m_cents"))
+    val bounds = per.agg(
+      min(col("r_sec")).as("rmin"), max(col("r_sec")).as("rmax"),
+      min(col("fq")).as("fmin"), max(col("fq")).as("fmax"),
+      min(col("m_cents")).as("mmin"), max(col("m_cents")).as("mmax"),
+      count(lit(1)).as("nu"))
+    val bk = per.crossJoin(broadcast(bounds)).select(
+      col(userCol), col("nu"), col("m_cents"),
+      expr("((r_sec - rmin) * 1000) div (rmax - rmin + 1)").as("br"),
+      expr("((fq - fmin) * 1000) div (fmax - fmin + 1)").as("bf"),
+      expr("((m_cents - mmin) * 1000) div (mmax - mmin + 1)").as("bm"))
+    // per metric: bounded histogram (≤ 1001 rows) → strictly-below
+    // cumulative → integer population quintile, broadcast back
+    def quintiles(bCol: String): DataFrame = {
+      val w = Window.orderBy(bCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bk.groupBy(col(bCol), col("nu"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
+        .select(col(bCol), expr("(__below * 5) div nu").as(s"q_$bCol"))
+    }
+    bk.join(broadcast(quintiles("br")), "br")
+      .join(broadcast(quintiles("bf")), "bf")
+      .join(broadcast(quintiles("bm")), "bm")
+      .select(col(userCol),
+        (col("q_br") * 100 + col("q_bf") * 10 + col("q_bm")).as("segment"),
+        col("m_cents"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_users"), sum(col("m_cents")).as("total_cents"))
+  }
+
   /** First-touch conversion attribution: credit each conversion event
     * to the type of the FIRST event in its session (same `gapSeconds`
     * law as the sessionize family), answering "which entry action

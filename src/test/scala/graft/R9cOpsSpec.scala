@@ -178,6 +178,46 @@ class R9cOpsSpec extends SparkSpec {
     }
   }
 
+  test("noveltyStats gives first owners full credit and re-scrapes zero") {
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")   // 13 distinct 8-grams
+    val fresh = (100 to 110).map(i => s"x$i").mkString(" ")
+    val half = ((1 to 10).map(i => s"w$i") ++ (200 to 209).map(i => s"y$i")).mkString(" ")
+    val docs = Seq((1L, a), (2L, a), (3L, fresh), (4L, half))
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.noveltyStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val byId = got.map(r => r._1 -> r).toMap
+    // doc 1 owns everything it has; its re-scrape doc 2 owns nothing
+    assert(byId(1L)._4 == 1000L && byId(2L)._4 == 0L)
+    // doc 3 shares no vocabulary: fully novel
+    assert(byId(3L)._4 == 1000L)
+    // doc 4: grams fully inside w1..w10 are owned by doc 1; every gram
+    // touching a y-token is novel — 20-token doc has 13 grams, 3 lie
+    // inside the shared prefix → 10/13 novel
+    assert(byId(4L)._2 == 13L && byId(4L)._3 == 10L)
+    assert(byId(4L)._4 == 10L * 1000L / 13L)
+    // permille law holds everywhere
+    got.foreach(r => assert(r._4 == r._3 * 1000L / r._2))
+  }
+
+  test("rfmSegments assigns population quintiles from bounded histograms") {
+    // 10 users, one event each: recency and monetary both ascend with
+    // i, frequency is constant (degenerate single bucket → quintile 0
+    // for everyone) — so q_r == q_m == (i-1) div 2 and the segment
+    // code is q·101
+    val ev = (1 to 10).map(i =>
+      (i.toLong, i.toLong, "view", i.toLong * 10000L, i.toDouble))
+      .toDF("event_id", "user_id", "event_type", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = TimeSeries.rfmSegments(ev)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val want = (0 to 4).map { q =>
+      val users = Seq(2 * q + 1, 2 * q + 2)
+      (q * 101L, 2L, users.map(_ * 100L).sum)
+    }
+    assert(got == want)
+  }
+
   test("firstTouchAttribution credits each conversion to its session's entry type") {
     val ev = Seq(
       // user 1, session 1: view → click → purchase  (credit: view)

@@ -198,8 +198,10 @@ object Graph {
     * here both wedge endpoints are needed so orientation cannot
     * halve the generation). The (a,b) count is map-side combined,
     * existing edges leave via one LeftAnti against the cached edge
-    * set, degrees broadcast-join (O(nodes) relation), and the top-k
-    * cut ships ≤ k rows per partition through `TakeOrdered`. */
+    * set, the O(nodes) degree relation joins back keyed by endpoint
+    * (two exchanges of the pair sliver — NOT a broadcast; nodes are
+    * corpus-scale), and the top-k cut ships ≤ k rows per partition
+    * through `TakeOrdered`. */
   def linkPredict(
       edges0: DataFrame,
       srcCol: String,

@@ -164,12 +164,15 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       n: Int = 8): DataFrame = {
+    // consumed twice (min-owner agg + join back): cached past the
+    // distinct so the corpus tokenizes once — the dupNgramStats rule
     val grams = docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
       .select(col(idCol), explode(TextOps.wordNgramsFromTokens(col("tk"), n)).as("g"))
       .select(col(idCol),
         conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
       .distinct()
+      .cache()
     val firstOwner = grams.groupBy("h").agg(min(col(idCol)).as("__first"))
     grams.join(firstOwner, "h")
       .groupBy(idCol)

@@ -317,7 +317,8 @@ object TimeSeries {
       events: DataFrame,
       userCol: String = "user_id",
       tsCol: String = "ts",
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value",
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val per = events.groupBy(col(userCol)).agg(
       max(unix_timestamp(col(tsCol))).as("r_sec"),
@@ -328,11 +329,14 @@ object TimeSeries {
       min(col("fq")).as("fmin"), max(col("fq")).as("fmax"),
       min(col("m_cents")).as("mmin"), max(col("m_cents")).as("mmax"),
       count(lit(1)).as("nu"))
-    val bk = per.crossJoin(broadcast(bounds)).select(
+    // consumed four times (three histograms + the final join): cached
+    // so the event table pays its per-user aggregation ONCE; lifecycle
+    // owned by `scope` (the nearDupPairs discipline)
+    val bk = scope.cache(per.crossJoin(broadcast(bounds)).select(
       col(userCol), col("nu"), col("m_cents"),
       expr("((r_sec - rmin) * 1000) div (rmax - rmin + 1)").as("br"),
       expr("((fq - fmin) * 1000) div (fmax - fmin + 1)").as("bf"),
-      expr("((m_cents - mmin) * 1000) div (mmax - mmin + 1)").as("bm"))
+      expr("((m_cents - mmin) * 1000) div (mmax - mmin + 1)").as("bm")))
     // per metric: bounded histogram (≤ 1001 rows) → strictly-below
     // cumulative → integer population quintile, broadcast back
     def quintiles(bCol: String): DataFrame = {

@@ -14,7 +14,7 @@ object AuditR9c {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "16,64")
-      .split(",").map(_.trim.toInt).toSeq
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
 
     def withSession[T](body: SparkSession => T): T = {
       val spark = SparkSession.builder()
@@ -34,6 +34,34 @@ object AuditR9c {
       val t0 = System.nanoTime()
       val r = body
       ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    // batch-serving amortization: N queries through ONE batchBm25TopK
+    // pass vs N single-query bm25TopK scans — the claim behind
+    // search_batch_bm25's design (each single serve re-tokenizes the
+    // corpus; the batch pays one pass for all)
+    if (sys.env.get("SPARK_GRAFT_AUDIT_BATCH").forall(_ == "1")) withSession { spark =>
+      val docs = io.Tables(spark, sfDir, "documents")
+      val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+        "value", "part", "hash", "merge", "batch", "spark", "line", "sort",
+        "window", "data", "column", "join", "small", "customer", "query",
+        "big", "stream", "group", "order", "filter", "vector")
+      val queries = (0 until 24).map { i =>
+        i.toLong -> Seq(vocab(i % vocab.size), vocab((i + 7) % vocab.size),
+          vocab((i + 13) % vocab.size))
+      }
+      // untimed warmup
+      ext.Search.bm25TopK(docs, "doc_id", "text", queries.head._2, 10).count()
+      val (tSingle, _) = time {
+        queries.foreach { case (_, ts) =>
+          ext.Search.bm25TopK(docs, "doc_id", "text", ts, 10).count()
+        }
+      }
+      val (tBatch, n) = time {
+        ext.Search.batchBm25TopK(docs, "doc_id", "text", queries, 10).count()
+      }
+      System.err.println(
+        f"[audit-r9c] batch-serve 24 queries: single-loop ${tSingle}%7.2f s  one-pass ${tBatch}%6.2f s  (${tSingle / tBatch}%4.1f×, $n rows)")
     }
 
     for (f <- factors) {

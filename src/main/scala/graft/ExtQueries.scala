@@ -820,6 +820,47 @@ object ExtQueries {
          |  FROM scored)
          |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
          |ORDER BY probe_id, rn""".stripMargin,
+    // recall@10 replay: the brute exact ranking AND the IVF serving
+    // path rebuilt in one WITH off the shared training CTEs, then a
+    // per-probe intersection count — the index-quality gate as a
+    // relation
+    "emb_recall_eval" ->
+      s"""WITH $ivfAssignSql,
+         |probes AS (SELECT vec_id AS probe_id, q AS pe FROM qv WHERE vec_id < 10),
+         |bsc AS (
+         |  SELECT p.probe_id, e.vec_id, ${qdotIntSql("p.pe", "e.q")} AS qdot
+         |  FROM probes p, qv e WHERE e.vec_id <> p.probe_id),
+         |bt AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS rn
+         |    FROM bsc) b WHERE rn <= 10),
+         |pl AS (
+         |  SELECT probe_id, list_id FROM (
+         |    SELECT p.probe_id, c.cent_id AS list_id,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY 2*${qdotIntSql("p.pe", "c.cv")} - c.nrm DESC, c.cent_id) AS pr
+         |    FROM probes p CROSS JOIN cents c) b
+         |  WHERE pr <= 4),
+         |isc AS (
+         |  SELECT pl.probe_id, a.vec_id, ${qdotIntSql("p.pe", "e.q")} AS qdot
+         |  FROM pl
+         |  JOIN assign a ON a.list_id = pl.list_id
+         |  JOIN qv e ON e.vec_id = a.vec_id
+         |  JOIN probes p ON p.probe_id = pl.probe_id
+         |  WHERE a.vec_id <> pl.probe_id),
+         |it AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS rn
+         |    FROM isc) i WHERE rn <= 10),
+         |o AS (
+         |  SELECT bt.probe_id, count(it.vec_id) AS n_hit
+         |  FROM bt LEFT JOIN it ON it.probe_id = bt.probe_id AND it.vec_id = bt.vec_id
+         |  GROUP BY bt.probe_id)
+         |SELECT probe_id, CAST(n_hit AS BIGINT) AS n_hit,
+         |       CAST((n_hit * 1000) // 10 AS BIGINT) AS recall_milli
+         |FROM o ORDER BY probe_id""".stripMargin,
     // OOD screen replay: pinned training (shared ivf CTEs), per-vector
     // max prototype affinity, ascending bottom-50 with id-broken ranks
     "emb_ood_screen" ->
@@ -2829,6 +2870,10 @@ object ExtQueries {
     // idf/saturation arithmetic as the single-query replay
     "search_batch_bm25" ->
       Search.batchBm25OracleSql(tokSql, Search.defaultBatch, Search.defaultK),
+    // retrieval-quality gate: the batch ranking + conjunctive-
+    // containment relevance + integer reciprocal rank
+    "search_eval_mrr" ->
+      Search.mrrOracleSql(tokSql, Search.defaultBatch, Search.defaultK),
     // phrase occurrences rebuilt from scratch: consecutive-window
     // string equality over the same tokenizer's gram stream
     "search_phrase" ->
@@ -3016,6 +3061,14 @@ object ExtQueries {
       // prototype — O(n·K) broadcast affinity pass + TakeOrdered cut
       Similarity.oodScreen(t(s, dir, "embeddings"), "vec_id", "embedding", k = 50)
         .orderBy("rn")
+    },
+    "emb_recall_eval" -> { (s, dir) =>
+      // index-quality gate: per-probe recall@10 of the IVF serving
+      // path vs the exact ranking — sampled probes, two ≤k·probes
+      // relations joined
+      Similarity.recallEval(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 10)
+        .orderBy("probe_id")
     },
     "ann_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -4467,6 +4520,14 @@ object ExtQueries {
       Search.batchBm25TopK(t(s, dir, "documents"), "doc_id", "text",
           Search.defaultBatch, k = Search.defaultK)
         .orderBy("qid", "rn")
+    },
+    "search_eval_mrr" -> { (s, dir) =>
+      // ranking-quality gate: first all-terms-relevant rank per query
+      // and its integer reciprocal — the rollout number for a ranking
+      // change, costing exactly one batch serve
+      Search.mrrEval(t(s, dir, "documents"), "doc_id", "text",
+          Search.defaultBatch, k = Search.defaultK)
+        .orderBy("qid")
     },
     "search_phrase" -> { (s, dir) =>
       // exact phrase matching — the capability bag-of-words BM25

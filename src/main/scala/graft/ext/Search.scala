@@ -193,12 +193,23 @@ object Search {
       queries: Seq[(Long, Seq[String])],
       k: Int,
       k1X1000: Long = 1200L,
+      bX1000: Long = 750L): String =
+    s"""WITH ${batchBm25CtesSql(tokSql, queries, k1X1000, bX1000)}
+       |SELECT qid, doc_id, score, n_hits, rn FROM r WHERE rn <= $k
+       |ORDER BY qid, rn""".stripMargin
+
+  /** The CTE block `batchBm25OracleSql` and the MRR-evaluation oracle
+    * share — ends with `r` = the full per-(qid, doc) ranking. */
+  private[graft] def batchBm25CtesSql(
+      tokSql: String,
+      queries: Seq[(Long, Seq[String])],
+      k1X1000: Long = 1200L,
       bX1000: Long = 750L): String = {
     val qValues = queries
       .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
       .mkString(", ")
     val inList = queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, len(tk) AS dl, tk
        |  FROM (SELECT doc_id, $tokSql AS tk FROM documents)),
        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base),
@@ -224,9 +235,65 @@ object Search {
        |  SELECT CAST(qid AS BIGINT) AS qid, doc_id,
        |         CAST(score AS BIGINT) AS score, CAST(n_hits AS BIGINT) AS n_hits,
        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rn
-       |  FROM sc WHERE score > 0)
-       |SELECT qid, doc_id, score, n_hits, rn FROM r WHERE rn <= $k
-       |ORDER BY qid, rn""".stripMargin
+       |  FROM sc WHERE score > 0)""".stripMargin
+  }
+
+  /** Retrieval-quality evaluation over the query batch — MRR-style,
+    * with the standard label-free proxy for relevance: a document is
+    * RELEVANT to a query iff it contains ALL the query's terms
+    * (`n_hits == |terms|` — conjunctive containment, the criterion
+    * grep-based triage would use). Per query: the rank of the first
+    * relevant document in the BM25 top-k (null when none surfaces)
+    * and its reciprocal rank in integer micro (0 when none) — the
+    * number a ranking change is gated on, as `recallEval` gates an
+    * ANN index rollout.
+    *
+    * Scale shape: exactly `batchBm25TopK` (the ranking IS the cost)
+    * plus a broadcast |queries|-row term-count join and a ≤ k·|queries|
+    * aggregation. */
+  def mrrEval(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(Long, Seq[String])] = defaultBatch,
+      k: Int = defaultK): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranked = batchBm25TopK(docs, idCol, textCol, queries, k)
+    val nTerms = queries.map { case (qid, ts) => (qid, ts.size.toLong) }
+      .toDF("qid", "__nt")
+    val hits = ranked.join(broadcast(nTerms), "qid")
+      .where(col("n_hits") === col("__nt"))
+      .groupBy("qid")
+      .agg(min(col("rn")).as("first_rank"))
+    queries.map(_._1).toDF("qid")
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("first_rank"),
+        coalesce(expr("1000000 div first_rank"), lit(0L)).as("rr_micro"))
+  }
+
+  /** Oracle generator for `mrrEval` — the batch replay's full ranking,
+    * a conjunctive-containment hit set, and the reciprocal-rank law. */
+  def mrrOracleSql(
+      tokSql: String,
+      queries: Seq[(Long, Seq[String])],
+      k: Int): String = {
+    val ntValues = queries.map { case (qid, ts) => s"($qid, ${ts.size})" }
+      .mkString(", ")
+    val qsValues = queries.map { case (qid, _) => s"($qid)" }.mkString(", ")
+    s"""WITH ${batchBm25CtesSql(tokSql, queries)},
+       |nt(qid, n_terms) AS (VALUES $ntValues),
+       |hit AS (
+       |  SELECT r.qid, min(rn) AS first_rank
+       |  FROM r JOIN nt ON nt.qid = r.qid
+       |  WHERE r.rn <= $k AND r.n_hits = nt.n_terms
+       |  GROUP BY r.qid),
+       |qs(qid) AS (VALUES $qsValues)
+       |SELECT CAST(qs.qid AS BIGINT) AS qid,
+       |       CAST(hit.first_rank AS BIGINT) AS first_rank,
+       |       CAST(coalesce(1000000 // hit.first_rank, 0) AS BIGINT) AS rr_micro
+       |FROM qs LEFT JOIN hit ON hit.qid = qs.qid
+       |ORDER BY qid""".stripMargin
   }
 
   /** The shipped phrase query, shared with the oracle generator — a

@@ -969,6 +969,44 @@ object Similarity {
       .select("id_a", "id_b", "qdot", "margin_milli")
   }
 
+  /** ANN recall evaluation as a first-class relation — the quality
+    * gauge a deployment runs BEFORE trusting an approximate index:
+    * per probe, how many of the exact top-k the IVF path returned
+    * (recall@k in integer permille). `AuditRecall` measures this
+    * offline across regimes; this operator makes the same number a
+    * queryable, externally-replayable relation over the production
+    * corpus, so an ingest pipeline can gate an index rollout on it
+    * (the `stats_constraints` admission-gate discipline, applied to
+    * index quality).
+    *
+    * Scale shape: the truth leg is the brute baseline — probes
+    * broadcast, corpus scanned once, bounded-heap `TopKPerKey` — so
+    * the evaluation costs O(|probes|·n) dots; run it on a SAMPLED
+    * probe set (the standard recall-audit practice), never all
+    * probes. The approx leg is the served `ivfTopK` path itself; the
+    * comparison joins two ≤ k·|probes| relations. */
+  def recallEval(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int = 10,
+      numCentroids: Int = 64,
+      nprobe: Int = 4): DataFrame = {
+    val probes = emb.where(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
+    val truth = bruteForceTopK(emb, probes, idCol, vecCol, "probe_id", "pe", k)
+      .select(col("probe_id"), col(idCol))
+    val approx = ivfTopK(emb, idCol, vecCol, probeFilter, k, numCentroids, nprobe)
+      .select(col("probe_id").as("__ap"), col(idCol).as("__av"))
+    truth
+      .join(approx,
+        col("probe_id") === col("__ap") && col(idCol) === col("__av"), "left")
+      .groupBy("probe_id")
+      .agg(count(col("__av")).as("n_hit"))
+      .withColumn("recall_milli", expr(s"(n_hit * 1000) div $k"))
+  }
+
   /** Out-of-distribution screen: each vector's affinity to its NEAREST
     * trained prototype — max over the Lloyd centroids of the integer
     * Euclidean-argmax score 2·qdot − |c|² — ranked ascending, bottom-k

@@ -218,6 +218,36 @@ class R9cOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("recallEval reads 1000 when the IVF path probes every list, and is bounded otherwise") {
+    val emb = io.Tables(spark, sf, "embeddings")
+    val full = Similarity.recallEval(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 10, nprobe = 64)
+      .as[(Long, Long, Long)].collect()
+    // nprobe == numCentroids → the approx leg IS exact → perfect recall
+    assert(full.length == 5 && full.forall(r => r._2 == 10L && r._3 == 1000L))
+    val part = Similarity.recallEval(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 5, k = 10)
+      .as[(Long, Long, Long)].collect()
+    // default nprobe=4: a strict subset of lists → recall in [0, 1000],
+    // permille law exact
+    assert(part.forall(r => r._2 >= 0L && r._2 <= 10L && r._3 == r._2 * 1000L / 10L))
+    spark.catalog.clearCache()
+  }
+
+  test("mrrEval finds the first conjunctively-relevant rank; queries with no such doc score 0") {
+    import graft.ext.Search
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val got = Search.mrrEval(docs, "doc_id", "text",
+        Seq(0L -> Seq("a", "c"), 1L -> Seq("b", "d")), k = 3)
+      .as[(Long, Option[Long], Long)].collect().sortBy(_._1)
+    // doc 1 is the only one holding both 'a' and 'c', and two matched
+    // terms outscore any single-term doc → first_rank 1, rr 10⁶
+    assert(got(0) == ((0L, Some(1L), 1000000L)))
+    // no document holds both 'b' and 'd' → null rank, reciprocal 0
+    assert(got(1) == ((1L, None, 0L)))
+  }
+
   test("firstTouchAttribution credits each conversion to its session's entry type") {
     val ev = Seq(
       // user 1, session 1: view → click → purchase  (credit: view)

@@ -79,7 +79,11 @@ object Bench {
       "dedup_clusters", "dedup_canonical", "dedup_jaccard_pairs",
       "dedup_neardup_pairs", "dedup_containment", "dedup_incremental",
       "dedup_stats", "dedup_soft_weights", "decontaminate_strip",
-      "search_index_bm25", "search_index_update", "stats_analyze")
+      "search_index_bm25", "search_index_update", "stats_analyze",
+      // round-9 quiet-host refresh: these read >4.5 s in light 12-query
+      // sessions — contain their decay in the small heavy tier too
+      "stream_join_outer", "dedup_clusters_update", "multimodal_neardup",
+      "search_phrase")
     def isHeavy(n: String): Boolean =
       n.startsWith("ann_") || n.startsWith("emb_") ||
         n.startsWith("graph_") || heavyExact(n)

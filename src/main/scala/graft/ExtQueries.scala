@@ -2641,6 +2641,26 @@ object ExtQueries {
         |SELECT src_type, dst_type, count(*) AS n
         |FROM trans GROUP BY src_type, dst_type
         |ORDER BY src_type, dst_type""".stripMargin,
+    // disorder replay: per-key running max over arrival order, lag
+    // bit-length buckets, ≤64-row rollup
+    "events_disorder" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS arrival,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |lagd AS (
+        |  SELECT greatest(coalesce(max(sec) OVER (PARTITION BY user_id ORDER BY arrival
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - sec, 0), 0) AS lag_sec
+        |  FROM e),
+        |bk AS (
+        |  SELECT CASE WHEN lag_sec = 0 THEN -1
+        |              ELSE length(bin(lag_sec)) - 1 END AS bucket, lag_sec
+        |  FROM lagd)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(max(lag_sec) AS BIGINT) AS max_lag_sec
+        |FROM bk GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
     // RFM replay: per-user triple, broadcast bounds, min-max kilo-
     // buckets, three strictly-below histogram windows, integer
     // population quintiles, segment rollup
@@ -3713,6 +3733,22 @@ object ExtQueries {
       // a global ntile window; ≤125 segment rows at any volume
       graft.ops.TimeSeries.rfmSegments(t(s, dir, "events"))
         .orderBy("segment")
+    },
+    "events_disorder" -> { (s, dir) =>
+      // watermark-delay profiling: per-key event-time lag behind the
+      // arrival-order running max, power-of-two histogram — one
+      // user-window pass, ≤64 output rows. The fixture's event_id is
+      // ts-ordered (zero disorder — the profile correctly reads one
+      // in-order bucket on it), so the query profiles a deterministic
+      // md5-scrambled arrival permutation: the shape a multi-source
+      // ingest actually delivers, and the case the histogram exists
+      // to measure
+      graft.ops.TimeSeries.disorderProfile(
+          t(s, dir, "events").withColumn("arrival",
+            conv(substring(md5(col("event_id").cast("string").cast("binary")), 1, 15),
+              16, 10).cast("long")),
+          tieCol = "arrival")
+        .orderBy("bucket")
     },
     "stream_topk_users" -> { (s, dir) =>
       // trending entities per window: the streaming stateful part is

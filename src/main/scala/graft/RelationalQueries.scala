@@ -234,6 +234,12 @@ object RelationalQueries {
         |  EXCEPT
         |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F') d
         |ORDER BY o_custkey""".stripMargin,
+    "q41_intersect" ->
+      """SELECT o_custkey FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F') d
+        |ORDER BY o_custkey""".stripMargin,
     "q28_pivot" ->
       """SELECT l_returnflag,
         |  CAST(round(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS qty_F,
@@ -735,6 +741,12 @@ object RelationalQueries {
       val o = t(s, dir, "orders")
       o.where(col("o_totalprice") > 450000).select("o_custkey").distinct()
         .except(o.where(col("o_orderstatus") === "F").select("o_custkey").distinct())
+        .orderBy("o_custkey")
+    },
+    "q41_intersect" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.where(col("o_totalprice") > 400000).select("o_custkey").distinct()
+        .intersect(o.where(col("o_orderstatus") === "F").select("o_custkey").distinct())
         .orderBy("o_custkey")
     },
     "q28_pivot" -> { (s, dir) =>

@@ -294,6 +294,42 @@ object TimeSeries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Event-time disorder profile — the measured input for choosing a
+    * streaming watermark delay: per event, how far its timestamp lags
+    * the maximum timestamp already seen in its key's ARRIVAL order
+    * (`tieCol` — commit/ingest order by contract), rolled up into a
+    * power-of-two histogram of lag seconds. A watermark of delay D
+    * drops exactly the events in buckets above D; reading the profile
+    * off the actual stream replaces guessing the
+    * `withWatermark("10 minutes")` constant. In-order events land in
+    * bucket −1 (lag 0).
+    *
+    * Scale shape: one key-partitioned window sort (running max over
+    * arrival order — the sessionize envelope), a map-only bucket
+    * expression (integer bit length), and a ≤ 64-bucket rollup. No
+    * global window: disorder is measured within each key's stream,
+    * which is what per-key watermarking actually sees. */
+  def disorderProfile(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(tieCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col(keyCol), col(tieCol), unix_timestamp(col(tsCol)).as("sec"))
+      .withColumn("lag_sec",
+        greatest(coalesce(max(col("sec")).over(w) - col("sec"), lit(0L)), lit(0L)))
+      // bucket = bit length of the lag (0 → −1): bucket b holds lags
+      // in [2^b, 2^(b+1))
+      .withColumn("bucket",
+        when(col("lag_sec") === 0L, lit(-1L))
+          .otherwise((length(bin(col("lag_sec"))) - 1).cast("long")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), max(col("lag_sec")).as("max_lag_sec"))
+  }
+
   /** RFM user segmentation — recency / frequency / monetary quintiles,
     * the classic audience-analytics rollup, built scale-safe: per
     * metric, population quintiles are derived from a BOUNDED

@@ -33,6 +33,16 @@ class R9cOpsSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 3L, 4L, 8L))
   }
 
+  test("frontierMax broadcasts the level relation and never plans a data-keyed exchange on the join") {
+    val pts = spark.range(0, 5000).selectExpr(
+      "id", "id % 97 AS x", "(id * 31) % 1000 AS y")
+    val out = Skyline.frontierMax(pts, "x", "y")
+    out.collect() // AQE: executedPlan is final only after an action
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frontier join-back must broadcast the bounded level relation:\n$plan")
+  }
+
   test("knnGraphIvf edgeFilter restricts candidates BEFORE the rank cut") {
     val emb = io.Tables(spark, sf, "embeddings")
     val crossSide = pmod(col("probe_id"), lit(2)) =!= pmod(col("vec_id"), lit(2))
@@ -246,6 +256,19 @@ class R9cOpsSpec extends SparkSpec {
     assert(got(0) == ((0L, Some(1L), 1000000L)))
     // no document holds both 'b' and 'd' → null rank, reciprocal 0
     assert(got(1) == ((1L, None, 0L)))
+  }
+
+  test("disorderProfile buckets event-time lag behind the arrival-order running max") {
+    // one user, arrival order = event_id; lags: 0, 50, 0, 10, 0
+    val ev = Seq(
+      (1L, 1L, 100L), (2L, 1L, 50L), (3L, 1L, 200L),
+      (4L, 1L, 190L), (5L, 1L, 1000L))
+      .toDF("event_id", "user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = TimeSeries.disorderProfile(ev)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // bucket −1 = in order; 10 → bucket 3 ([8,16)); 50 → bucket 5 ([32,64))
+    assert(got == Seq((-1L, 3L, 0L), (3L, 1L, 10L), (5L, 1L, 50L)))
   }
 
   test("firstTouchAttribution credits each conversion to its session's entry type") {

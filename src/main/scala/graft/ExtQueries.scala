@@ -820,6 +820,33 @@ object ExtQueries {
          |  FROM scored)
          |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
          |ORDER BY probe_id, rn""".stripMargin,
+    // training-triple replay: brute scores for the <50 anchor sample,
+    // top-1 above the near-dup band as positive, top-3 below as hard
+    // negatives, anchors without a positive dropped
+    "emb_training_triples" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |probes AS (SELECT vec_id AS probe_id, q AS pe FROM qv WHERE vec_id < 50),
+         |sc AS (
+         |  SELECT p.probe_id, e.vec_id, ${qdotIntSql("p.pe", "e.q")} AS qdot
+         |  FROM probes p, qv e WHERE e.vec_id <> p.probe_id),
+         |pos AS (
+         |  SELECT probe_id, vec_id AS pos_id, qdot AS pos_qdot FROM (
+         |    SELECT probe_id, vec_id, qdot,
+         |           row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS rn
+         |    FROM sc WHERE qdot >= 450000) p WHERE rn = 1),
+         |neg AS (
+         |  SELECT probe_id, vec_id AS neg_id, qdot AS neg_qdot,
+         |         CAST(rn AS BIGINT) AS neg_rank FROM (
+         |    SELECT probe_id, vec_id, qdot,
+         |           row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS rn
+         |    FROM sc WHERE qdot < 450000) n WHERE rn <= 3)
+         |SELECT p.probe_id AS anchor_id, p.pos_id, p.pos_qdot,
+         |       n.neg_id, n.neg_qdot, n.neg_rank
+         |FROM pos p JOIN neg n USING (probe_id)
+         |ORDER BY anchor_id, neg_rank""".stripMargin,
     // recall@10 replay: the brute exact ranking AND the IVF serving
     // path rebuilt in one WITH off the shared training CTEs, then a
     // per-probe intersection count — the index-quality gate as a
@@ -2825,6 +2852,15 @@ object ExtQueries {
          |SELECT doc_id, $langCaseSql AS pred_lang
          |FROM s
          |ORDER BY doc_id""".stripMargin,
+    // classifier-QA confusion matrix: labeled lang × the same langid
+    // prediction, ≤ |langs|² cells
+    "text_langid_confusion" ->
+      s"""WITH f AS (SELECT doc_id, lang, $tokSql AS tk FROM documents),
+         |s AS (SELECT doc_id, lang, $langScoreSql FROM f),
+         |p AS (SELECT lang, $langCaseSql AS pred_lang FROM s)
+         |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY lang, pred_lang
+         |ORDER BY lang, pred_lang""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH f AS (SELECT doc_id, $tokSql AS tk FROM documents),
          |wh AS (SELECT doc_id, unnest(tk) AS w FROM f),
@@ -3216,6 +3252,25 @@ object ExtQueries {
         .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
         .select(col("doc_id"), TextAnalysis.langIdFromTokens(col("tk")).as("pred_lang"))
         .orderBy("doc_id")
+    },
+    "text_langid_confusion" -> { (s, dir) =>
+      // classifier QA: labeled vs predicted language — one map-only
+      // prediction pass, rollup bounded by |langs|² cells
+      t(s, dir, "documents")
+        .select(col("lang"), TextOps.tokens(col("text")).as("tk"))
+        .select(col("lang"), TextAnalysis.langIdFromTokens(col("tk")).as("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    },
+    "emb_training_triples" -> { (s, dir) =>
+      // contrastive export: nearest above-band positive + 3 below-band
+      // hard negatives per sampled anchor; anchors without a positive
+      // dropped — the (anchor, pos, neg, rank) relation a retrieval
+      // trainer consumes
+      Similarity.trainingTriples(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeFilter = col("vec_id") < 50, negatives = 3)
+        .orderBy("anchor_id", "neg_rank")
     },
     "ann_lsh_topk" -> { (s, dir) =>
       // scale path: candidates only from matching random-hyperplane

@@ -969,6 +969,49 @@ object Similarity {
       .select("id_a", "id_b", "qdot", "margin_milli")
   }
 
+  /** Contrastive training-triple export: for each sampled anchor, its
+    * nearest ABOVE-band neighbor as the positive (a crawl duplicate /
+    * paraphrase — the self-supervised positive large retrieval models
+    * mine) and the k nearest BELOW-band vectors as hard negatives —
+    * `hardNegativesTopK`'s band discipline, packaged as the
+    * (anchor, positive, negative, rank) relation a training job
+    * exports directly. Anchors with no above-band neighbor are
+    * DROPPED (no positive exists to contrast against); the band
+    * threshold is `nearDupPairs`' 450 000 default, so "positive" and
+    * "flagged by the dedup screen" are the same set by construction.
+    *
+    * Scale shape: anchors are a bounded SAMPLE by contract
+    * (broadcast); the corpus is scanned once into a scored relation
+    * cached for the two band cuts (O(n·|anchors|) rows — the
+    * recallEval budget); both cuts rank through bounded heaps; the
+    * final join pairs two ≤ anchors·k relations. */
+  def trainingTriples(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      negatives: Int = 3,
+      minPosQdot: Long = 450000L,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    val probes = emb.where(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
+    val scored = scope.cache(
+      scoreAllPairs(emb, probes, idCol, vecCol, "probe_id", "pe"))
+    val pos = graft.plans.TopKPerKey(
+        scored.where(col("qdot") >= minPosQdot),
+        Seq("probe_id"), Seq(("qdot", false), (idCol, true)), 1)
+      .select(col("probe_id"),
+        col(idCol).as("pos_id"), col("qdot").as("pos_qdot"))
+    val neg = rankTopK(scored.where(col("qdot") < minPosQdot), idCol, negatives)
+      .select(col("probe_id"),
+        col(idCol).as("neg_id"), col("qdot").as("neg_qdot"),
+        col("rn").as("neg_rank"))
+    pos.join(neg, "probe_id")
+      .select(col("probe_id").as("anchor_id"),
+        col("pos_id"), col("pos_qdot"), col("neg_id"), col("neg_qdot"),
+        col("neg_rank"))
+  }
+
   /** ANN recall evaluation as a first-class relation — the quality
     * gauge a deployment runs BEFORE trusting an approximate index:
     * per probe, how many of the exact top-k the IVF path returned

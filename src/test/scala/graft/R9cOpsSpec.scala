@@ -271,6 +271,53 @@ class R9cOpsSpec extends SparkSpec {
     assert(got == Seq((-1L, 3L, 0L), (3L, 1L, 10L), (5L, 1L, 50L)))
   }
 
+  test("trainingTriples: positives above band, negatives below, local brute replay") {
+    val emb = io.Tables(spark, sf, "embeddings")
+    val got = Similarity.trainingTriples(emb, "vec_id", "embedding",
+        probeFilter = col("vec_id") < 50, negatives = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._6))
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._3 >= 450000L && r._5 < 450000L))
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._6).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // local brute replay off the raw vectors
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(graft.functions.QuantizedDot.q) }
+    def qd(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val want = (for {
+      (pid, pv) <- vecs.filter(_._1 < 50)
+      scored = vecs.filter(_._1 != pid).map { case (id, v) => (id, qd(pv, v)) }
+      pos <- scored.filter(_._2 >= 450000L)
+        .sortBy { case (id, q) => (-q, id) }.headOption.toSeq
+      ((nid, nq), i) <- scored.filter(_._2 < 450000L)
+        .sortBy { case (id, q) => (-q, id) }.take(3).zipWithIndex
+    } yield (pid, pos._1, pos._2, nid, nq, i + 1L)).sortBy(r => (r._1, r._6))
+    assert(got.toSeq == want.toSeq)
+    spark.catalog.clearCache()
+  }
+
+  test("langid confusion matrix conserves mass and matches the per-doc predictions") {
+    val docs = io.Tables(spark, sf, "documents")
+    val matrix = docs
+      .select(col("lang"), graft.ops.TextOps.tokens(col("text")).as("tk"))
+      .select(col("lang"),
+        graft.ext.TextAnalysis.langIdFromTokens(col("tk")).as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+    assert(matrix.map(_._3).sum == docs.count())
+    val perDoc = docs
+      .select(col("lang"), graft.ops.TextOps.tokens(col("text")).as("tk"))
+      .select(col("lang"),
+        graft.ext.TextAnalysis.langIdFromTokens(col("tk")).as("p"))
+      .as[(String, String)].collect()
+      .groupBy(identity).map { case (k, g) => (k._1, k._2, g.size.toLong) }.toSet
+    assert(matrix.toSet == perDoc)
+  }
+
   test("firstTouchAttribution credits each conversion to its session's entry type") {
     val ev = Seq(
       // user 1, session 1: view → click → purchase  (credit: view)

@@ -573,6 +573,26 @@ object ExtQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.ws, b.ws))*1.0 / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    // duplication provenance: the exact-Jaccard pair truth labeled by
+    // source on both ends, unordered source pair, counted
+    "dedup_pairs_by_source" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $shingleSql AS ws FROM toks WHERE len(tk) >= 3),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.ws, b.ws))*1.0 / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.6),
+         |lab AS (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |         greatest(da.source, db.source) AS source_b
+         |  FROM prs p
+         |  JOIN documents da ON da.doc_id = p.id_a
+         |  JOIN documents db ON db.doc_id = p.id_b)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM lab GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin,
     // near-dup clusters: connected components of the exact-Jaccard pair
     // graph, component id = min doc id; DuckDB recomputes reachability
     // from scratch with a recursive CTE
@@ -3018,6 +3038,25 @@ object ExtQueries {
       Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, threshold = 0.6)
         .orderBy("id_a", "id_b")
+    },
+    "dedup_pairs_by_source" -> { (s, dir) =>
+      // duplication provenance: near-dup pair counts per unordered
+      // source pair — mirror-site detection and the within- vs
+      // cross-source split; two id-keyed label joins over the ≤|pairs|
+      // sliver on top of the shared LSH→verify pipeline, output
+      // bounded by |sources|²
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.6)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), "id_b")
+        .select(least(col("__sa"), col("__sb")).as("source_a"),
+          greatest(col("__sa"), col("__sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
     },
     "dedup_clusters" -> { (s, dir) =>
       // MinHash-LSH pairs (exact-verified) → component labels: the full

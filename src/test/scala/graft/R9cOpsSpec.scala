@@ -318,6 +318,23 @@ class R9cOpsSpec extends SparkSpec {
     assert(matrix.toSet == perDoc)
   }
 
+  test("source-pair dedup provenance conserves the pair count and orders pairs canonically") {
+    val docs = io.Tables(spark, sf, "documents")
+    val pairs = graft.ext.Dedup.nearDupPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.6)
+    val src = docs.select(col("doc_id"), col("source"))
+    val bySrc = pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .as[(String, String, Long)].collect()
+    assert(bySrc.map(_._3).sum == pairs.count())
+    assert(bySrc.forall(r => r._1 <= r._2))
+    spark.catalog.clearCache()
+  }
+
   test("firstTouchAttribution credits each conversion to its session's entry type") {
     val ev = Seq(
       // user 1, session 1: view → click → purchase  (credit: view)

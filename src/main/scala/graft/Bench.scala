@@ -87,9 +87,23 @@ object Bench {
     def isHeavy(n: String): Boolean =
       n.startsWith("ann_") || n.startsWith("emb_") ||
         n.startsWith("graph_") || heavyExact(n)
-    val (heavy, light) = names.partition(isHeavy)
+    // Noise defense #4 (round 10): SINGLETON sessions for the trainer
+    // class. Even inside the 5-query heavy tier, BENCH_r09 (the driver's
+    // run) read ann_ivfpq_res_topk / corpus_ccnet_buckets /
+    // corpus_budget_select at ~3× their quiet-host medians while their
+    // own MINIMA sat at the quiet values — the classic within-session
+    // decay signature, concentrated on queries that train quantizers /
+    // run multi-job pipelines. These get a fresh SparkContext EACH
+    // (3 executions/session, the tightest decay bound available short
+    // of one-execution-per-JVM), per the round-9 verdict ask #1.
+    val singleton = Set(
+      "ann_ivfpq_res_topk", "ann_ivfpq_topk", "ann_mmr_topk",
+      "corpus_ccnet_buckets", "corpus_budget_select",
+      "stream_join", "stream_join_outer")
+    val (solo, rest) = names.partition(singleton)
+    val (heavy, light) = rest.partition(isHeavy)
     val heavyGroupSize = math.max(1, math.min(5, groupSize))
-    val groups =
+    val groups = solo.map(Seq(_)) ++
       heavy.grouped(heavyGroupSize).toSeq ++ light.grouped(groupSize).toSeq
     for (group <- groups) {
       val spark = newSession()

@@ -1359,6 +1359,11 @@ object ExtQueries {
     // alone, and the all-int64 index round-trips exactly, so the
     // replay still matches bit-for-bit
     "ann_index_probe" -> ivfPqSql("vec_id >= 10 AND vec_id < 20"),
+    // streaming ingest screen: SAME persisted-index truth as
+    // ann_index_probe (pinned training replay over the full corpus),
+    // the arrival batch as probes — the engine side answers it with a
+    // zero-shuffle streaming plan over the broadcast serving view
+    "stream_ann_screen" -> ivfPqSql("vec_id >= 30 AND vec_id < 40"),
     // incremental update: quantizers trained on the 80% slice only,
     // assignment + PQ encode over the WHOLE corpus (the engine's
     // append path), probes = a third batch
@@ -2697,7 +2702,7 @@ object ExtQueries {
         |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
         |  FROM events),
         |lagd AS (
-        |  SELECT greatest(coalesce(max(sec) OVER (PARTITION BY user_id ORDER BY arrival
+        |  SELECT greatest(coalesce(max(sec) OVER (PARTITION BY user_id ORDER BY arrival, sec
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - sec, 0), 0) AS lag_sec
         |  FROM e),
         |bk AS (
@@ -3519,6 +3524,32 @@ object ExtQueries {
       Similarity.probeIndex(Similarity.readAnnIndex(s, idxDir),
           emb, "vec_id", "embedding",
           probeFilter = col("vec_id") >= 10 && col("vec_id") < 20, k = 10)
+        .orderBy("probe_id", "rn")
+    },
+    "stream_ann_screen" -> { (s, dir) =>
+      // the embedding twin of stream_neardup: train + persist the
+      // index ONCE (quantizers pinned — never retrained per batch),
+      // run the arrival batch as a STREAM through the zero-shuffle
+      // row-local ADC screen against the broadcast packed-codes
+      // serving view, rank + exact re-rank batch-side per trigger —
+      // same pinned-training oracle replay as ann_index_probe with
+      // the arrival batch as probes
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files.createTempDirectory("ann_screen").toString
+      Similarity.writeAnnIndex(Similarity.annIndex(emb, "vec_id", "embedding"), idxDir)
+      val index = Similarity.readAnnIndex(s, idxDir)
+      Similarity.annServingView(index, "vec_id")
+        .write.mode("overwrite").parquet(s"$idxDir/serving")
+      val arrivals = StreamOps.readTable(s, dir, "embeddings")
+        .where(col("vec_id") >= 30 && col("vec_id") < 40)
+      val sunk = StreamOps.runToMemory(
+        StreamOps.annScreen(arrivals, index, s.read.parquet(s"$idxDir/serving"),
+          "vec_id", "embedding"),
+        "stream_ann_screen_sink")
+      Similarity.annScreenFinish(sunk,
+          emb.where(col("vec_id") >= 30 && col("vec_id") < 40)
+            .select(col("vec_id").as("probe_id"), col("embedding").as("pe")),
+          emb, "vec_id", "embedding", k = 10)
         .orderBy("probe_id", "rn")
     },
     "ann_index_update" -> { (s, dir) =>

@@ -95,9 +95,10 @@ object Graph {
     * term gated by seed membership:
     * `r_{t+1}(v) = isSeed(v)·((100-d)·scale) div (100·|seeds|)
     *              + (d·Σ_u r_t(u) div deg(u)) div 100` —
-    * all int64 floor division, replayable bit-for-bit. Seeds must be
-    * non-empty (an empty trust set makes every score 0 by round 1 —
-    * the honest answer, not an error).
+    * all int64 floor division, replayable bit-for-bit. An empty trust
+    * set yields every score 0 (the teleport term coalesces to 0 when
+    * |seeds| = 0, matching the same CASE guard in the oracle SQL —
+    * without it Spark's `div` returns NULL and DuckDB's `//` errors).
     *
     * Scale shape: identical to `pageRank` — per round one src-keyed
     * rank join + one dst-keyed contribution sum over the cached
@@ -130,7 +131,8 @@ object Graph {
     val sAgg = nodes.agg(sum(col("isSeed")).as("ns"))
     var ranks = nodes.crossJoin(broadcast(sAgg))
       .select(col("id"), col("isSeed"),
-        expr(s"(isSeed * ${scale}L) div ns").as("r"))
+        expr(s"case when ns = 0 then 0L else (isSeed * ${scale}L) div ns end")
+          .as("r"))
       .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val contrib = ed.join(ranks.select("id", "r"), col("src") === col("id"))
@@ -139,7 +141,8 @@ object Graph {
       ranks = nodes.crossJoin(broadcast(sAgg))
         .join(contrib, col("id") === col("dst"), "left")
         .select(col("id"), col("isSeed"),
-          (expr(s"(isSeed * ${(100L - dampX100) * scale}L) div (100 * ns)")
+          (expr(s"case when ns = 0 then 0L else " +
+              s"(isSeed * ${(100L - dampX100) * scale}L) div (100 * ns) end")
             + expr(s"($dampX100 * coalesce(s, 0L)) div 100")).as("r"))
         .localCheckpoint(false)
     }
@@ -160,7 +163,8 @@ object Graph {
     val rounds = (1 to iters).map { i =>
       s"""t$i AS (
          |  SELECT q.id, q.isSeed,
-         |         (q.isSeed * ${(100L - dampX100) * scale}) // (100 * n.ns)
+         |         CASE WHEN n.ns = 0 THEN 0 ELSE
+         |           (q.isSeed * ${(100L - dampX100) * scale}) // (100 * n.ns) END
          |           + ($dampX100 * coalesce(c.s, 0)) // 100 AS r
          |  FROM gseed q CROSS JOIN gs n
          |  LEFT JOIN (
@@ -174,7 +178,9 @@ object Graph {
        |gdeg AS (SELECT src, count(*) AS d FROM gedges GROUP BY src),
        |gseed AS (SELECT id, CASE WHEN $seedPredSql THEN 1 ELSE 0 END AS isSeed FROM gnodes),
        |gs AS (SELECT sum(isSeed) AS ns FROM gseed),
-       |t0 AS (SELECT id, isSeed, (isSeed * $scale) // ns AS r FROM gseed, gs),
+       |t0 AS (SELECT id, isSeed,
+       |         CASE WHEN ns = 0 THEN 0 ELSE (isSeed * $scale) // ns END AS r
+       |       FROM gseed, gs),
        |$rounds
        |SELECT id AS $idColOut, CAST(r AS BIGINT) AS trust FROM t$iters
        |ORDER BY $idColOut""".stripMargin

@@ -48,6 +48,12 @@ object Search {
   val defaultTerms: Seq[String] = Seq("dup", "join", "vector")
   val defaultK: Int = 25
 
+  /** SQL string literal for a query term in the generated oracle text:
+    * doubles embedded single quotes so a term like `don't` produces a
+    * valid (and correct) literal instead of breaking the oracle SQL.
+    * Oracle-side only — the engine side takes terms as Columns. */
+  private def sqlLit(t: String): String = s"'${t.replace("'", "''")}'"
+
   /** Top-k documents for a bag-of-words query, BM25-shaped integer
     * scoring, ties broken by ascending id. Emits (id, score, n_hits)
     * where n_hits is the number of distinct query terms present. */
@@ -206,9 +212,9 @@ object Search {
       k1X1000: Long = 1200L,
       bX1000: Long = 750L): String = {
     val qValues = queries
-      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, ${sqlLit(t)})") }
       .mkString(", ")
-    val inList = queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    val inList = queries.flatMap(_._2).distinct.map(sqlLit).mkString(", ")
     s"""base AS (
        |  SELECT doc_id, len(tk) AS dl, tk
        |  FROM (SELECT doc_id, $tokSql AS tk FROM documents)),
@@ -358,7 +364,7 @@ object Search {
       k1X1000: Long,
       bX1000: Long): String = {
     val tfDefs = terms.indices.map { i =>
-      s"len(list_filter(tk, x -> x = '${terms(i)}')) AS tf_$i"
+      s"len(list_filter(tk, x -> x = ${sqlLit(terms(i))})) AS tf_$i"
     }.mkString(",\n|         ")
     val dfDefs = terms.indices.map { i =>
       s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i"

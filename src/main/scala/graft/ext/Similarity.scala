@@ -1484,6 +1484,146 @@ object Similarity {
     rankTopK(rescored, idCol, k)
   }
 
+  /** The join-ready serving form of a persisted index's corpus half:
+    * one row per indexed vector, `(list_id, idCol, codes)` with the
+    * numSub PQ codes packed into a single array (ordered by subspace).
+    * Built once per index epoch and persisted next to the index — the
+    * in-RAM replica every IVFADC serving node keeps (PQ exists so the
+    * whole corpus compresses to numSub bytes/vector; at 8 codes per
+    * vector a billion-vector list fits executor memory, which is why
+    * [[annScreenScored]] can broadcast it). */
+  def annServingView(index: AnnIndex, idCol: String): DataFrame = {
+    val packed = index.codes.groupBy(idCol)
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    index.lists.join(packed, idCol)
+  }
+
+  /** ADC-score one batch of arriving vectors against a prebuilt index
+    * WITHOUT any probe-side shuffle — the ingest-screen form of
+    * [[probeIndex]], safe to apply to a STREAMING DataFrame (the
+    * embedding twin of `StreamOps.nearDupScreen`): flag semantic
+    * near-dups / contamination at arrival instead of in a nightly
+    * batch.
+    *
+    * [[probeIndex]] routes probes to lists with a window rank and
+    * sums ADC terms through a grouped aggregation — both shuffles,
+    * and windows are unsupported over streams. Here both collapse to
+    * ROW-LOCAL expressions by pulling the index METADATA (K coarse
+    * centroids + numSub·codebook PQ centroids — a few thousand
+    * int64[8..64]s, independent of corpus size) to the driver as
+    * array literals, exactly the in-RAM posture a FAISS-style serving
+    * node keeps:
+    *  - routing: per probe row, distances to all K centroids via a
+    *    `transform` over the centroid literal, top-nprobe by
+    *    (2·q·c − |c|² DESC, cent_id) from one row-local `sort_array`;
+    *  - the probe's full ADC lookup table: a numSub·codebook int64
+    *    array column (`‖q_sub − cv‖²` per (sub, code)) built by one
+    *    nested `transform`;
+    *  - candidate scoring: after the broadcast join against the
+    *    serving view, a candidate's ADC distance is a zip_with/
+    *    aggregate over its packed codes into the probe's table — no
+    *    per-(probe, sub) rows ever exist.
+    * So the arriving stream's plan is scan → projections → ONE
+    * broadcast hash join → projection: zero exchanges, zero state
+    * (spec-pinned). Arithmetic is bit-identical to [[probeIndex]]'s
+    * candidate stage (same quantization, same tie-breaks), so the
+    * batch finish ([[annScreenFinish]]) lands on the same rows as a
+    * batch [[probeIndex]] over the same arrivals — which is what lets
+    * `stream_ann_screen` share `ann_index_probe`'s oracle replay.
+    *
+    * Scale: per-probe cost is O(K·dim + numSub·codebook·subDim +
+    * nprobe·avg_list·numSub) — flat in corpus size for the routing
+    * and table halves; the candidate half touches only the broadcast
+    * codes replica. An index too large even in PQ form splits by
+    * list_id range into per-executor replicas (bucketed static side,
+    * arrival batch repartitioned — batch-bounded, still no
+    * corpus-side shuffle). */
+  def annScreenScored(
+      vecs: DataFrame,
+      index: AnnIndex,
+      servingView: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int = defaultNprobe,
+      numSub: Int = 8,
+      subDim: Int = 8,
+      codebook: Int = 16): DataFrame = {
+    val coarseRows = index.coarse.select("cent_id", "cv", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2)))
+      .sortBy(_._1)
+    require(coarseRows.nonEmpty, "annScreenScored: empty coarse codebook")
+    val k0 = coarseRows.length
+    val centIds = typedLit(coarseRows.map(_._1).toSeq)
+    val centVecs = typedLit(coarseRows.map(_._2).toSeq)
+    val centNrms = typedLit(coarseRows.map(_._3).toSeq)
+    val bookArr = new Array[Seq[Long]](numSub * codebook)
+    index.book.select("sub", "code", "cv").collect().foreach { r =>
+      val slot = r.getAs[Number]("sub").intValue() * codebook +
+        r.getAs[Number]("code").intValue()
+      bookArr(slot) = r.getSeq[Long](2).toSeq
+    }
+    require(!bookArr.contains(null),
+      s"annScreenScored: PQ codebook incomplete for numSub=$numSub codebook=$codebook")
+    val bookLit = typedLit(bookArr.toSeq)
+
+    val base = vecs.select(col(idCol).as("probe_id"), qvT(col(vecCol)).as("q"))
+    val cds = transform(sequence(lit(0), lit(k0 - 1)), i =>
+      struct(
+        (lit(0L) - (lit(2L) * quantizedDot(col("q"), element_at(centVecs, i + 1))
+          - element_at(centNrms, i + 1))).as("negcd"),
+        element_at(centIds, i + 1).as("cent_id")))
+    val routedLists = transform(
+      slice(sort_array(cds), 1, math.min(nprobe, k0)),
+      s => s.getField("cent_id"))
+    val adcTable = flatten(transform(sequence(lit(0), lit(numSub - 1)), sub =>
+      transform(sequence(lit(0), lit(codebook - 1)), code =>
+        qdist(
+          slice(col("q"), sub * lit(subDim) + lit(1), lit(subDim)),
+          element_at(bookLit, sub * lit(codebook) + code + lit(1))))))
+    val routed = base
+      .withColumn("adc_t", adcTable)
+      .select(col("probe_id"), col("adc_t"), explode(routedLists).as("list_id"))
+    routed
+      .join(broadcast(servingView.withColumnRenamed(idCol, "__cand")), "list_id")
+      .where(col("__cand") =!= col("probe_id"))
+      .select(col("probe_id"), col("__cand").as(idCol),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(numSub - 1)),
+            (code, sub) => element_at(col("adc_t"),
+              (sub * lit(codebook) + code + lit(1)).cast("int"))),
+          lit(0L), (acc, v) => acc + v).as("adc"))
+  }
+
+  /** Batch-side finish of the sunk screen rows — the
+    * `constraintGate`/`constraintReport` split applied to ANN serving:
+    * the stream maintains (probe, candidate, adc) statelessly, the
+    * per-trigger (or nightly) batch pass takes the refine-deep ADC
+    * shortlist per probe through the bounded-heap TopKPerKey, exact
+    * re-rank against raw corpus vectors, top-k — identical arithmetic
+    * and tie-breaks to [[probeIndex]]'s tail, which is the shared
+    * oracle contract. `probes` is the arrival batch with raw vectors
+    * as (probe_id, pe) — batch-bounded, broadcast. */
+  def annScreenFinish(
+      scored: DataFrame,
+      probes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      refine: Int = defaultRefine): DataFrame = {
+    val short = graft.plans.TopKPerKey(
+      scored, Seq("probe_id"), Seq(("adc", true), (idCol, true)), refine)
+      .select(col("probe_id"), col(idCol))
+    val rescored = short
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(probes), "probe_id")
+      .select(col("probe_id"), col(idCol),
+        quantizedDot(col("pe"), col(vecCol)).as("qdot"))
+    rankTopK(rescored, idCol, k)
+  }
+
   /** Residual IVF-PQ top-k — true IVFADC (Jégou et al. 2011,
     * "Product Quantization for Nearest Neighbor Search"): PQ encodes
     * each vector's RESIDUAL against its coarse centroid (x − c), not

@@ -163,16 +163,17 @@ object TextAnalysis {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int = 8): DataFrame = {
+      n: Int = 8,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
     // consumed twice (min-owner agg + join back): cached past the
-    // distinct so the corpus tokenizes once — the dupNgramStats rule
-    val grams = docs
+    // distinct so the corpus tokenizes once — the dupNgramStats rule;
+    // lifecycle owned by the caller's CacheScope like the sibling ops
+    val grams = scope.cache(docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
       .select(col(idCol), explode(TextOps.wordNgramsFromTokens(col("tk"), n)).as("g"))
       .select(col(idCol),
         conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
-      .distinct()
-      .cache()
+      .distinct())
     val firstOwner = grams.groupBy("h").agg(min(col(idCol)).as("__first"))
     grams.join(firstOwner, "h")
       .groupBy(idCol)

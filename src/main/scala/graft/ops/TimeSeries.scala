@@ -315,7 +315,13 @@ object TimeSeries {
       tsCol: String = "ts",
       tieCol: String = "event_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCol).orderBy(tieCol)
+    // secondary order by the event second: if the caller's tieCol
+    // collides within a key (caller-supplied ties, or the 60-bit
+    // md5-truncated arrival key in the events_disorder plan), the
+    // ROWS-frame running max would otherwise depend on tie placement;
+    // with (tieCol, sec) the only remaining ties have equal sec and
+    // are interchangeable w.r.t. max(sec) — deterministic either way
+    val w = Window.partitionBy(keyCol).orderBy(col(tieCol), col("sec"))
       .rowsBetween(Window.unboundedPreceding, -1)
     events
       .select(col(keyCol), col(tieCol), unix_timestamp(col(tsCol)).as("sec"))

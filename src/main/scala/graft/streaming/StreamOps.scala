@@ -429,6 +429,31 @@ object StreamOps {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Ingest-time semantic near-dup / contamination screen — the
+    * EMBEDDING twin of [[nearDupScreen]], completing the set (every
+    * static screen now has a streaming twin): arriving vectors are
+    * ADC-scored against the PERSISTED ANN index
+    * (`Similarity.readAnnIndex`) under its pinned quantizers — never
+    * retrained per batch, the `updateAnnIndex` discipline — via
+    * `Similarity.annScreenScored`, whose stream-side plan is scan →
+    * row-local routing/ADC projections → one broadcast join against
+    * the packed-codes serving view → projection. Zero stream-side
+    * exchanges, zero state (spec-pinned); rank + exact re-rank finish
+    * batch-side per trigger via `Similarity.annScreenFinish` (the
+    * `driftSums`/`driftReport` split). */
+  def annScreen(
+      streamVecs: DataFrame,
+      index: graft.ext.Similarity.AnnIndex,
+      servingView: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int = graft.ext.Similarity.defaultNprobe,
+      numSub: Int = 8,
+      subDim: Int = 8,
+      codebook: Int = 16): DataFrame =
+    graft.ext.Similarity.annScreenScored(
+      streamVecs, index, servingView, idCol, vecCol, nprobe, numSub, subDim, codebook)
+
   /** Run a streaming DataFrame to completion against the (bounded) input
     * and return the materialized result — batch-driven smoke execution
     * via the memory sink.

@@ -101,6 +101,29 @@ object AuditRecall {
         report(s"ann_ivfpq_topk np=$np rf=$rf",
           ext.Similarity.ivfPqTopK(emb, "vec_id", "embedding", pf, 10, nprobe = np, refine = rf))
       report("ann_ivfpq_res_topk", ext.Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding", pf, 10))
+      // persisted-index serving path (round 10): train-once, parquet
+      // round trip, probeIndex at the shipped defaults. By spec its
+      // arithmetic equals ivfPqTopK's, so recall must MATCH the
+      // nprobe=16/refine=160 row — a drift here means the serve path
+      // desynced from the inline one
+      report("ann_index_probe", {
+        val dirIdx = java.nio.file.Files
+          .createTempDirectory(s"recall_idx_$regime").toString
+        ext.Similarity.writeAnnIndex(
+          ext.Similarity.annIndex(emb, "vec_id", "embedding"), dirIdx)
+        ext.Similarity.probeIndex(
+          ext.Similarity.readAnnIndex(spark, dirIdx), emb, "vec_id", "embedding", pf, 10)
+      })
+      // does residual-PQ's reconstruction-error advantage survive
+      // clustering? ExtSpec measures it on the fixture (isotropic —
+      // where residuals ≈ raw, no centroid structure to subtract);
+      // clustered is where coupling the quantizers should win MORE
+      val qRaw = ext.Similarity.pqEncode(emb, "vec_id", "embedding")
+        .agg(avg(col("qerr"))).head.getDouble(0)
+      val qRes = ext.Similarity.pqEncodeResidual(emb, "vec_id", "embedding")
+        .agg(avg(col("qerr"))).head.getDouble(0)
+      println(f"[recall] $regime%-10s mean qerr: raw-PQ=$qRaw%.0f residual-PQ=$qRes%.0f ratio=${qRes / qRaw}%.3f")
+      spark.catalog.clearCache()
       emb.unpersist()
     }
     spark.stop()

@@ -99,7 +99,10 @@ object Bench {
     val singleton = Set(
       "ann_ivfpq_res_topk", "ann_ivfpq_topk", "ann_mmr_topk",
       "corpus_ccnet_buckets", "corpus_budget_select",
-      "stream_join", "stream_join_outer")
+      "stream_join", "stream_join_outer",
+      // r10: trains both quantizers + full encode per execution (the
+      // oracle must stand alone), plus streaming micro-batch machinery
+      "stream_ann_screen")
     val (solo, rest) = names.partition(singleton)
     val (heavy, light) = rest.partition(isHeavy)
     val heavyGroupSize = math.max(1, math.min(5, groupSize))

@@ -297,7 +297,64 @@ object BenchScale {
           inflateDocs(docs0, f).withColumn("source",
             concat(expr("doc_id div 1000000000"), lit("_src"),
               pmod(pmod(col("doc_id"), lit(1000000000L)), lit(20)))),
-          "doc_id", "text", "source")))
+          "doc_id", "text", "source")),
+      // r10: the round-9c additions get measured rows (SURVEY §9's
+      // "measured, not asserted" invariant). training triples: anchors
+      // FIXED at 50 while the corpus inflates — the O(n·|anchors|)
+      // brute scoring slope (the documented trade: exact triples for a
+      // bounded anchor sample)
+      ("emb_training_triples", Int.MaxValue, (docs0, emb0, f) =>
+        ext.Similarity.trainingTriples(inflateEmbeddings(emb0, f),
+          "vec_id", "embedding", probeFilter = col("vec_id") < 50,
+          negatives = 3)),
+      // provenance rollup on top of the shared LSH pipeline: the two
+      // label joins touch only the ≤|pairs| sliver and the rollup is
+      // ≤|sources|² rows, so this should track dedup_neardup_pairs
+      // with an O(pairs) epsilon; 20 sources per copy (bounded)
+      ("dedup_pairs_by_source", Int.MaxValue, (docs0, emb0, f) => {
+        val infl = inflateDocs(docs0, f)
+        val pairs = ext.Dedup.nearDupPairs(infl, "doc_id", "text",
+          shingleN = 3, threshold = 0.6)
+        val src = infl.select(col("doc_id"),
+          concat(expr("doc_id div 1000000000"), lit("_src"),
+            pmod(pmod(col("doc_id"), lit(1000000000L)), lit(20))).as("source"))
+        pairs
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), "id_b")
+          .select(least(col("__sa"), col("__sb")).as("source_a"),
+            greatest(col("__sa"), col("__sb")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+      }),
+      // one key-partitioned window + map-only bucketing + ≤64-row
+      // rollup over events ×f (user ids offset per copy, so per-key
+      // stream length is constant — the watermark-profiling shape)
+      ("events_disorder", Int.MaxValue, (docs0, emb0, f) => {
+        val ev0 = io.Tables(docs0.sparkSession,
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val infl = (0 until f).map(k => ev0.select(
+          (col("user_id") + lit(k.toLong * 1000000000L)).as("user_id"),
+          col("ts"),
+          (col("event_id") + lit(k.toLong * 1000000000L)).as("event_id")))
+          .reduce(_ unionByName _)
+        graft.ops.TimeSeries.disorderProfile(
+          infl.withColumn("arrival",
+            conv(substring(md5(col("event_id").cast("string").cast("binary")), 1, 15),
+              16, 10).cast("long")),
+          tieCol = "arrival")
+      }),
+      // map-only tokenize + langid pass, |langs|² rollup — the
+      // scan-bound text-analysis slope (10 labels per copy, bounded)
+      ("text_langid_confusion", Int.MaxValue, (docs0, emb0, f) =>
+        inflateDocs(docs0, f)
+          .withColumn("lang",
+            concat(lit("l"), pmod(col("doc_id"), lit(10)).cast("string")))
+          .select(col("lang"), ops.TextOps.tokens(col("text")).as("tk"))
+          .select(col("lang"),
+            ext.TextAnalysis.langIdFromTokens(col("tk")).as("pred_lang"))
+          .groupBy("lang", "pred_lang")
+          .agg(count(lit(1)).as("n"))))
 
     // ONE FRESH SparkContext PER (KERNEL, FACTOR) — the round-8
     // refinement of the per-kernel recycling above. AuditR8 showed the
@@ -614,6 +671,67 @@ object BenchScale {
     if (cfRuns.nonEmpty) {
       secs("io_change_feed") = cfRuns.map { case (f, p, _, r) => (f, p, r) }
       secs("io_change_feed_full") = cfRuns.map { case (f, _, fu, r) => (f, fu, r) }
+    }
+    // versioned-table maintenance (r10): the growth dimension of a
+    // commit chain is TIME — commits accumulate per retention window
+    // while ingest batches stay fixed-size — so the probe holds the
+    // base at 1× and inflates the COMMIT COUNT ×f (8f commits). The
+    // read-amp claim is head-log vs head-compacted: the log read
+    // resolves base + 8f delta relations (files, footers, and ~0.8f×
+    // base delta rows through the key window), the compacted read one
+    // folded base + 1 delta — flat in f. The fold itself costs one
+    // full resolution + rewrite (~ total log volume), paid once per
+    // retention window and amortized over every read after it.
+    val vacRuns = if (!gated("io_vacuum", "io_head_log", "io_head_compacted"))
+      Seq.empty[(Int, Double, Double, Double, Long)]
+    else factors.map { f =>
+      withSession { (spark, docs0, emb0) =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"vac_$f").toString + "/tbl"
+        val d0 = docs0.select(col("doc_id"), col("text"))
+        io.Sinks.writeVersion(d0, dir, 0) // untimed setup
+        // 8f CDC commits, each a fixed ~10% update batch, written as
+        // one job per PHYSICAL commit directory (hive-style __v=N
+        // partition dirs laid down in one pass would hide the
+        // per-commit file structure the read side actually faces)
+        (1 to 8 * f).foreach { v =>
+          io.Sinks.writeVersion(
+            d0.where(pmod(col("doc_id"), lit(10)) === (v % 10))
+              .withColumn("text", concat(lit(s"v$v "), col("text")))
+              .withColumn("__deleted", lit(false))
+              .coalesce(4),
+            dir, v)
+        }
+        // plan/codegen warmup on a throwaway tiny chain
+        val wdir = java.nio.file.Files
+          .createTempDirectory(s"vacw_$f").toString + "/tbl"
+        io.Sinks.writeVersion(docs0.limit(100).select("doc_id", "text"), wdir, 0)
+        io.Sinks.writeVersion(docs0.limit(20).select("doc_id", "text")
+          .withColumn("text", lit("w")), wdir, 1)
+        io.Sinks.readSnapshotAt(spark, wdir, Long.MaxValue, "doc_id").count()
+        io.Sinks.compactVersions(spark, wdir, upTo = 0, keyCol = "doc_id")
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rowsLog = io.Sinks
+          .readSnapshotAt(spark, dir, Long.MaxValue, "doc_id").count()
+        val logSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        io.Sinks.compactVersions(spark, dir, upTo = 8L * f - 1, keyCol = "doc_id")
+        val vacSec = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val rowsC = io.Sinks
+          .readSnapshotAt(spark, dir, Long.MaxValue, "doc_id").count()
+        val cSec = (System.nanoTime() - t2) / 1e9
+        require(rowsLog == rowsC, s"vacuum changed the head: $rowsLog vs $rowsC")
+        System.err.println(
+          f"[scale] io_vacuum f=$f%-3d head-log ${logSec}%8.2f s  fold ${vacSec}%8.2f s  head-compacted ${cSec}%8.2f s  rows=$rowsC")
+        (f, logSec, vacSec, cSec, rowsC)
+      }
+    }
+    if (vacRuns.nonEmpty) {
+      secs("io_head_log") = vacRuns.map { case (f, l, _, _, r) => (f, l, r) }
+      secs("io_vacuum") = vacRuns.map { case (f, _, v, _, r) => (f, v, r) }
+      secs("io_head_compacted") = vacRuns.map { case (f, _, _, c, r) => (f, c, r) }
     }
     // salted vs plain join on an ENGINEERED hot key (half the fact
     // rows on one key, the rest uniform). saltedJoin targets seams

@@ -35,6 +35,62 @@ object Queries {
 
   private def dsumExpr(c: Column): Column = round(sum(c), 2).cast("double")
 
+  /** The shared 3-commit CDC chain over `docs` — base at __v=0, then
+    * v1 (10% updated, 10% tombstoned, 5 inserts) and v2 (another 10%
+    * updated, the v1 inserts tombstoned, the %100==1 slice revived
+    * over its v1 tombstone). io_time_travel, io_change_feed, and
+    * io_vacuum all commit exactly this log; their oracles replay the
+    * same chain in SQL. */
+  private def writeCdcChain(s: SparkSession, docs: DataFrame, path: String): Unit = {
+    io.Sinks.writeVersion(docs, path, 0)
+    val up1 = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("text", concat(lit("v2 "), col("text")))
+      .withColumn("__deleted", lit(false))
+    val del1 = docs.where(pmod(col("doc_id"), lit(10)) === 1)
+      .withColumn("__deleted", lit(true))
+    val ins1 = docs.where(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(lit("new "), col("text")))
+      .withColumn("__deleted", lit(false))
+    io.Sinks.writeVersion(up1.unionByName(del1).unionByName(ins1), path,
+      io.Sinks.nextVersion(s, path))
+    val up2 = docs.where(pmod(col("doc_id"), lit(10)) === 2)
+      .withColumn("text", concat(lit("v3 "), col("text")))
+      .withColumn("__deleted", lit(false))
+    val del2 = docs.where(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("__deleted", lit(true))
+    val rev2 = docs.where(pmod(col("doc_id"), lit(100)) === 1)
+      .withColumn("text", concat(lit("back "), col("text")))
+      .withColumn("__deleted", lit(false))
+    io.Sinks.writeVersion(up2.unionByName(del2).unionByName(rev2), path,
+      io.Sinks.nextVersion(s, path))
+  }
+
+  /** SQL replay of [[writeCdcChain]] — ends with `logrel` =
+    * (doc_id, text, source, del, v), the full commit log as a relation.
+    * Interpolated by the io_time_travel / io_change_feed / io_vacuum
+    * oracles (single-source-of-truth rule). */
+  private val cdcChainCteSql: String =
+    """ch1 AS (
+      |  SELECT doc_id, 'v2 ' || text AS text, source, FALSE AS del
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id, text, source, TRUE
+      |  FROM documents WHERE doc_id % 10 = 1
+      |  UNION ALL SELECT doc_id + 100000, 'new ' || text, source, FALSE
+      |  FROM documents WHERE doc_id < 5),
+      |ch2 AS (
+      |  SELECT doc_id, 'v3 ' || text AS text, source, FALSE AS del
+      |  FROM documents WHERE doc_id % 10 = 2
+      |  UNION ALL SELECT doc_id + 100000, text, source, TRUE
+      |  FROM documents WHERE doc_id < 5
+      |  UNION ALL SELECT doc_id, 'back ' || text, source, FALSE
+      |  FROM documents WHERE doc_id % 100 = 1),
+      |logrel AS (
+      |  SELECT doc_id, text, source, FALSE AS del, 0 AS v FROM documents
+      |  UNION ALL SELECT doc_id, text, source, del, 1 FROM ch1
+      |  UNION ALL SELECT doc_id, text, source, del, 2 FROM ch2)""".stripMargin
+
   private val one = lit(1).cast(DecimalType(18, 6))
 
   // revenue term: l_extendedprice * (1 - l_discount), exact
@@ -89,24 +145,7 @@ object Queries {
         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_text, source
         |FROM merged ORDER BY doc_id""".stripMargin,
     "io_time_travel" ->
-      """WITH ch1 AS (
-        |  SELECT doc_id, 'v2 ' || text AS text, source, FALSE AS del
-        |  FROM documents WHERE doc_id % 10 = 0
-        |  UNION ALL SELECT doc_id, text, source, TRUE
-        |  FROM documents WHERE doc_id % 10 = 1
-        |  UNION ALL SELECT doc_id + 100000, 'new ' || text, source, FALSE
-        |  FROM documents WHERE doc_id < 5),
-        |ch2 AS (
-        |  SELECT doc_id, 'v3 ' || text AS text, source, FALSE AS del
-        |  FROM documents WHERE doc_id % 10 = 2
-        |  UNION ALL SELECT doc_id + 100000, text, source, TRUE
-        |  FROM documents WHERE doc_id < 5
-        |  UNION ALL SELECT doc_id, 'back ' || text, source, FALSE
-        |  FROM documents WHERE doc_id % 100 = 1),
-        |logrel AS (
-        |  SELECT doc_id, text, source, FALSE AS del, 0 AS v FROM documents
-        |  UNION ALL SELECT doc_id, text, source, del, 1 FROM ch1
-        |  UNION ALL SELECT doc_id, text, source, del, 2 FROM ch2),
+      s"""WITH $cdcChainCteSql,
         |resolved AS (
         |  SELECT a.as_of, l.doc_id, l.text, l.source, l.del,
         |         row_number() OVER (PARTITION BY a.as_of, l.doc_id
@@ -116,28 +155,27 @@ object Queries {
         |       CAST(length(text) AS BIGINT) AS n_text, source
         |FROM resolved WHERE rn = 1 AND NOT del
         |ORDER BY as_of, doc_id""".stripMargin,
+    // VACUUM invariance: one head resolution of the full chain,
+    // expected VERBATIM under both phase labels — if compaction
+    // changed a single resolved row, "after" hash-mismatches
+    "io_vacuum" ->
+      s"""WITH $cdcChainCteSql,
+        |resolved AS (
+        |  SELECT l.doc_id, l.text, l.source, l.del,
+        |         row_number() OVER (PARTITION BY l.doc_id
+        |                            ORDER BY l.v DESC) AS rn
+        |  FROM logrel l),
+        |head AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_text, source
+        |  FROM resolved WHERE rn = 1 AND NOT del)
+        |SELECT p.phase, h.doc_id, h.n_text, h.source
+        |FROM (VALUES ('before'), ('after')) p(phase) CROSS JOIN head h
+        |ORDER BY p.phase, h.doc_id""".stripMargin,
     // the change feed replayed from scratch: per (from, to) pair,
     // resolve the touched keys at both endpoints, full-outer compare,
     // drop identical rewrites — the exact snapshotDiff law
     "io_change_feed" ->
-      """WITH ch1 AS (
-        |  SELECT doc_id, 'v2 ' || text AS text, source, FALSE AS del
-        |  FROM documents WHERE doc_id % 10 = 0
-        |  UNION ALL SELECT doc_id, text, source, TRUE
-        |  FROM documents WHERE doc_id % 10 = 1
-        |  UNION ALL SELECT doc_id + 100000, 'new ' || text, source, FALSE
-        |  FROM documents WHERE doc_id < 5),
-        |ch2 AS (
-        |  SELECT doc_id, 'v3 ' || text AS text, source, FALSE AS del
-        |  FROM documents WHERE doc_id % 10 = 2
-        |  UNION ALL SELECT doc_id + 100000, text, source, TRUE
-        |  FROM documents WHERE doc_id < 5
-        |  UNION ALL SELECT doc_id, 'back ' || text, source, FALSE
-        |  FROM documents WHERE doc_id % 100 = 1),
-        |logrel AS (
-        |  SELECT doc_id, text, source, FALSE AS del, 0 AS v FROM documents
-        |  UNION ALL SELECT doc_id, text, source, del, 1 FROM ch1
-        |  UNION ALL SELECT doc_id, text, source, del, 2 FROM ch2),
+      s"""WITH $cdcChainCteSql,
         |pairs(from_v, to_v) AS (VALUES (0, 1), (1, 2)),
         |touched AS (
         |  SELECT DISTINCT p.from_v, p.to_v, l.doc_id
@@ -476,29 +514,7 @@ object Queries {
       val docs = t(s, dir, "documents")
       val path =
         java.nio.file.Files.createTempDirectory("ttravel").toString + "/tbl"
-      io.Sinks.writeVersion(docs, path, 0)
-      val up1 = docs.where(pmod(col("doc_id"), lit(10)) === 0)
-        .withColumn("text", concat(lit("v2 "), col("text")))
-        .withColumn("__deleted", lit(false))
-      val del1 = docs.where(pmod(col("doc_id"), lit(10)) === 1)
-        .withColumn("__deleted", lit(true))
-      val ins1 = docs.where(col("doc_id") < 5)
-        .withColumn("doc_id", col("doc_id") + 100000L)
-        .withColumn("text", concat(lit("new "), col("text")))
-        .withColumn("__deleted", lit(false))
-      io.Sinks.writeVersion(up1.unionByName(del1).unionByName(ins1), path,
-        io.Sinks.nextVersion(s, path))
-      val up2 = docs.where(pmod(col("doc_id"), lit(10)) === 2)
-        .withColumn("text", concat(lit("v3 "), col("text")))
-        .withColumn("__deleted", lit(false))
-      val del2 = docs.where(col("doc_id") < 5)
-        .withColumn("doc_id", col("doc_id") + 100000L)
-        .withColumn("__deleted", lit(true))
-      val rev2 = docs.where(pmod(col("doc_id"), lit(100)) === 1)
-        .withColumn("text", concat(lit("back "), col("text")))
-        .withColumn("__deleted", lit(false))
-      io.Sinks.writeVersion(up2.unionByName(del2).unionByName(rev2), path,
-        io.Sinks.nextVersion(s, path))
+      writeCdcChain(s, docs, path)
       val v1 = io.Sinks.readSnapshotAt(s, path, 1, "doc_id")
         .withColumn("as_of", lit(1L))
       val v2 = io.Sinks.readSnapshotAt(s, path, 2, "doc_id")
@@ -507,6 +523,32 @@ object Queries {
         .select(col("as_of"), col("doc_id"),
           length(col("text")).cast("long").as("n_text"), col("source"))
         .orderBy("as_of", "doc_id")
+    },
+    "io_vacuum" -> { (s, dir) =>
+      // versioned-table maintenance (VACUUM): fold commits <= horizon
+      // into one resolved base partition — the read-amplification fix
+      // a forever-growing merge-on-read commit chain needs at 100 TB.
+      // The query materializes the HEAD before vacuuming at v=1, then
+      // reads the head again from the compacted table: the two phases
+      // must be byte-identical, which is exactly what the oracle
+      // checks (one head resolution, crossed with both phase labels).
+      // Reads below the horizon now fail loud (spec-pinned) instead
+      // of resolving an empty snapshot
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents")
+      val base = java.nio.file.Files.createTempDirectory("vacuum").toString
+      val path = base + "/tbl"
+      writeCdcChain(s, docs, path)
+      def head = io.Sinks.readSnapshotAt(s, path, 2, "doc_id")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_text"), col("source"))
+      // materialize the pre-vacuum head NOW — the returned plan is
+      // lazy, and the compaction below must not leak into "before"
+      head.write.parquet(s"$base/before")
+      io.Sinks.compactVersions(s, path, upTo = 1, keyCol = "doc_id")
+      s.read.parquet(s"$base/before").withColumn("phase", lit("before"))
+        .unionByName(head.withColumn("phase", lit("after")))
+        .orderBy("phase", "doc_id")
     },
     "io_change_feed" -> { (s, dir) =>
       // row-level change feed between versions of the commit log: for
@@ -520,29 +562,7 @@ object Queries {
       val docs = t(s, dir, "documents").select("doc_id", "text", "source")
       val path =
         java.nio.file.Files.createTempDirectory("chfeed").toString + "/tbl"
-      io.Sinks.writeVersion(docs, path, 0)
-      val up1 = docs.where(pmod(col("doc_id"), lit(10)) === 0)
-        .withColumn("text", concat(lit("v2 "), col("text")))
-        .withColumn("__deleted", lit(false))
-      val del1 = docs.where(pmod(col("doc_id"), lit(10)) === 1)
-        .withColumn("__deleted", lit(true))
-      val ins1 = docs.where(col("doc_id") < 5)
-        .withColumn("doc_id", col("doc_id") + 100000L)
-        .withColumn("text", concat(lit("new "), col("text")))
-        .withColumn("__deleted", lit(false))
-      io.Sinks.writeVersion(up1.unionByName(del1).unionByName(ins1), path,
-        io.Sinks.nextVersion(s, path))
-      val up2 = docs.where(pmod(col("doc_id"), lit(10)) === 2)
-        .withColumn("text", concat(lit("v3 "), col("text")))
-        .withColumn("__deleted", lit(false))
-      val del2 = docs.where(col("doc_id") < 5)
-        .withColumn("doc_id", col("doc_id") + 100000L)
-        .withColumn("__deleted", lit(true))
-      val rev2 = docs.where(pmod(col("doc_id"), lit(100)) === 1)
-        .withColumn("text", concat(lit("back "), col("text")))
-        .withColumn("__deleted", lit(false))
-      io.Sinks.writeVersion(up2.unionByName(del2).unionByName(rev2), path,
-        io.Sinks.nextVersion(s, path))
+      writeCdcChain(s, docs, path)
       Seq((0L, 1L), (1L, 2L))
         .map { case (f, v) =>
           io.Sinks.snapshotDiff(s, path, f, v, "doc_id")

@@ -89,16 +89,22 @@ object Sinks {
       .parquet(path.stripSuffix("/") + s"/__v=$version")
   }
 
-  /** Next free version number = 1 + max committed (0 for a fresh path). */
-  def nextVersion(spark: SparkSession, path: String): Long = {
+  /** Versions currently committed under `path` (ascending) — one
+    * directory listing, the same metadata read every planner pass
+    * pays. After `compactVersions` the minimum is the retention
+    * horizon: history below it no longer exists. */
+  def committedVersions(spark: SparkSession, path: String): Seq[Long] = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) 0L
+    if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).map(_.getPath.getName)
       .filter(_.startsWith("__v="))
-      .map(_.stripPrefix("__v=").toLong)
-      .foldLeft(-1L)(math.max) + 1L
+      .map(_.stripPrefix("__v=").toLong).toSeq.sorted
   }
+
+  /** Next free version number = 1 + max committed (0 for a fresh path). */
+  def nextVersion(spark: SparkSession, path: String): Long =
+    committedVersions(spark, path).foldLeft(-1L)(math.max) + 1L
 
   /** Reconstruct the snapshot as of `asOf`: of each key's row versions
     * with `__v <= asOf`, the LATEST wins; a winning tombstone deletes
@@ -119,6 +125,15 @@ object Sinks {
       keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, not, row_number}
+    // fail LOUD below the retention horizon: after compactVersions the
+    // oldest directory is a folded base, so a read at asOf < min would
+    // silently resolve against zero commits (an empty "snapshot"), the
+    // worst failure mode a retired-history read can have
+    val vs = committedVersions(spark, path)
+    require(vs.nonEmpty, s"readSnapshotAt: no committed versions under $path")
+    require(asOf >= vs.min,
+      s"readSnapshotAt($asOf): history before __v=${vs.min} was retired " +
+        s"by compaction/vacuum — earliest readable snapshot is ${vs.min}")
     val all = spark.read.parquet(path)
       .where(col("__v").cast("long") <= asOf)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").cast("long").desc)
@@ -221,6 +236,12 @@ object Sinks {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     require(0 <= fromV && fromV < toV, s"need 0 <= fromV < toV: $fromV/$toV")
+    // same retention guard as readSnapshotAt: a diff FROM a retired
+    // version would silently read an empty "old" side
+    val vs = committedVersions(spark, path)
+    require(vs.nonEmpty && fromV >= vs.min,
+      s"snapshotDiff($fromV, $toV): history before __v=${vs.headOption.getOrElse(-1L)} " +
+        "was retired by compaction/vacuum")
     val log = spark.read.parquet(path)
       .withColumn("__v", col("__v").cast("long"))
       .where(col("__v") <= toV)
@@ -255,7 +276,9 @@ object Sinks {
     * older directories (write-then-swap via a temp dir, so a crash
     * never leaves the table truncated). Reads at any `asOf >= upTo`
     * are unchanged; history BEFORE `upTo` is retired — the retention
-    * trade every log-structured table format makes. */
+    * trade every log-structured table format makes — and a read below
+    * the horizon fails loud (`readSnapshotAt`/`snapshotDiff` check the
+    * listing), never returns an empty snapshot. */
   def compactVersions(
       spark: SparkSession,
       path: String,

@@ -392,6 +392,50 @@ object Sketches {
         .cast("long").as("ndv_est"))
   }
 
+  /** Feed the engine's own ANALYZE into Catalyst — the missing half of
+    * `stats_analyze`: the one-pass (min, max, null-count, KMV-ndv)
+    * report becomes `CatalogStatistics` on the named catalog table, so
+    * CBO's filter/join cardinality estimation prices plans with the
+    * engine's numbers instead of raw file sizes. At 100 TB this is
+    * what flips a post-filter dim-table join to broadcast and lets
+    * join reordering see true cardinalities — `CboSpec` pins exactly
+    * that decision flip on an engineered pair.
+    *
+    * `cols` must be integral (the ANALYZE pass's contract); row count
+    * rides the same scan budget (a parquet `count()` is answered from
+    * footers). Stats are installed transactionally via one
+    * `alterTableStats` — re-running refreshes them; the mergeable
+    * [[analyzeState]]/[[mergeAnalyzeStates]] path keeps maintenance
+    * O(batch) between refreshes. Returns the installed (n_rows,
+    * size_bytes) for the caller's audit trail. */
+  def analyzeToCatalog(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      cols: Seq[String],
+      k: Int = 256,
+      bits: Int = 44): (Long, Long) = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+    val df = spark.table(table)
+    val nRows = df.count()
+    val colStats = analyzeColumns(df, cols, k, bits).collect().map { r =>
+      r.getString(0) -> CatalogColumnStat(
+        distinctCount = Some(BigInt(r.getLong(4))),
+        min = if (r.isNullAt(1)) None else Some(r.getLong(1).toString),
+        max = if (r.isNullAt(2)) None else Some(r.getLong(2).toString),
+        nullCount = Some(BigInt(r.getLong(3))),
+        avgLen = Some(8L),
+        maxLen = Some(8L))
+    }.toMap
+    // sizeInBytes from schema default widths — under CBO the planner
+    // re-derives output sizes from rowCount × per-column stats anyway;
+    // this is the fallback for size-only consumers
+    val sizeInBytes =
+      nRows * df.schema.map(_.dataType.defaultSize.toLong).sum
+    org.apache.spark.sql.GraftBridge.alterTableStats(spark, table,
+      Some(CatalogStatistics(BigInt(sizeInBytes), Some(BigInt(nRows)), colStats)))
+    (nRows, sizeInBytes)
+  }
+
   /** Textbook equi-join cardinality estimate from one-pass per-side
     * sketches — what a cost-based optimizer computes BEFORE running
     * the join: `est = n_a·n_b div max(ndv_a, ndv_b)` (the uniform-

@@ -28,4 +28,17 @@ object GraftBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Install table-level statistics on a catalog table — the write
+    * half of `ANALYZE TABLE`, fed by the engine's own one-pass stats
+    * (`graft.ops.Sketches.analyzeToCatalog`) instead of Spark's
+    * rescan. The session catalog's `alterTableStats` is
+    * `private[sql]`, hence the bridge. */
+  def alterTableStats(
+      spark: SparkSession,
+      table: String,
+      stats: Option[org.apache.spark.sql.catalyst.catalog.CatalogStatistics]): Unit = {
+    val ss = spark.asInstanceOf[classic.SparkSession].sessionState
+    ss.catalog.alterTableStats(ss.sqlParser.parseTableIdentifier(table), stats)
+  }
 }

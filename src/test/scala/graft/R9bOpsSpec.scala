@@ -700,20 +700,49 @@ class R9bOpsSpec extends SparkSpec {
       Seq((1L, "a2", false), (3L, "c", false)).toDF("k", "s", "__deleted"), dir, 1)
     io.Sinks.writeVersion(
       Seq((2L, "x", true)).toDF("k", "s", "__deleted"), dir, 2)
-    val at2 = io.Sinks.readSnapshotAt(spark, dir, 2, "k")
+    // three more single-row commits fattening the chain — the 100 TB
+    // shape this maintenance exists for: many small CDC commits
+    // accumulating per retention window
+    (3 to 5).foreach { v =>
+      io.Sinks.writeVersion(
+        Seq((1L, s"a$v", false)).toDF("k", "s", "__deleted").coalesce(1), dir, v)
+    }
+    val at5 = io.Sinks.readSnapshotAt(spark, dir, 5, "k")
       .as[(Long, String)].collect().sorted.toSeq
-    io.Sinks.compactVersions(spark, dir, upTo = 1, keyCol = "k")
-    // history >= horizon unchanged; directories below it are gone
-    assert(io.Sinks.readSnapshotAt(spark, dir, 2, "k")
-      .as[(Long, String)].collect().sorted.toSeq == at2)
-    assert(io.Sinks.readSnapshotAt(spark, dir, 1, "k")
-      .as[(Long, String)].collect().sorted.toSeq ==
-      Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+    val at4 = io.Sinks.readSnapshotAt(spark, dir, 4, "k")
+      .as[(Long, String)].collect().sorted.toSeq
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countFiles() = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val filesBefore = countFiles()
+    io.Sinks.compactVersions(spark, dir, upTo = 4, keyCol = "k")
+    // history >= horizon unchanged; directories below it are gone
+    assert(io.Sinks.readSnapshotAt(spark, dir, 5, "k")
+      .as[(Long, String)].collect().sorted.toSeq == at5)
+    assert(io.Sinks.readSnapshotAt(spark, dir, 4, "k")
+      .as[(Long, String)].collect().sorted.toSeq == at4)
+    assert(at4 == Seq((1L, "a4"), (3L, "c")))
     val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .map(_.getPath.getName).filter(_.startsWith("__v=")).sorted.toSeq
-    assert(dirs == Seq("__v=1", "__v=2"), s"expected compacted {1,2}, got $dirs")
+    assert(dirs == Seq("__v=4", "__v=5"), s"expected compacted {4,5}, got $dirs")
+    // the vacuum's reason to exist: the read path opens fewer files
+    val filesAfter = countFiles()
+    assert(filesAfter < filesBefore,
+      s"expected file count to drop, $filesBefore -> $filesAfter")
+    // reads below the retention horizon fail LOUD, never resolve empty
+    val e = intercept[IllegalArgumentException] {
+      io.Sinks.readSnapshotAt(spark, dir, 3, "k")
+    }
+    assert(e.getMessage.contains("retired"))
+    val e2 = intercept[IllegalArgumentException] {
+      io.Sinks.snapshotDiff(spark, dir, 3, 5, "k")
+    }
+    assert(e2.getMessage.contains("retired"))
   }
 
   test("dedupSpansKeepFirst keeps exactly the corpus-first copy of a shared span") {

@@ -344,6 +344,28 @@ object BenchScale {
               16, 10).cast("long")),
           tieCol = "arrival")
       }),
+      // attribution fan-out on the broadcast-screen slope: corpus ×f,
+      // bench FIXED (copy-0 slice split into 3 labels) — cost must
+      // track `decontaminate`'s scan-bound shape, the per-benchmark
+      // key riding only the contaminated sliver
+      ("decontaminate_attrib", Int.MaxValue, (docs0, emb0, f) =>
+        ext.TextAnalysis.contaminationAttribution(
+          inflateDocs(docs0, f).where(pmod(col("doc_id"), lit(7)) =!= 0),
+          docs0.where(pmod(col("doc_id"), lit(7)) === 0)
+            .withColumn("bench",
+              concat(lit("b"), pmod(col("doc_id"), lit(3)).cast("string"))),
+          "doc_id", "text", "bench")),
+      // two ×f parity slices through the shared-histogram TV gate:
+      // one scan per side + two ≤ cols·1001-row relations — the
+      // stats_analyze scan-bound envelope
+      ("stats_drift_tv", Int.MaxValue, (docs0, emb0, f) => {
+        val infl = inflateDocs(docs0, f)
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        graft.ops.Sketches.histogramDriftTv(
+          infl.where(pmod(col("doc_id"), lit(2)) === 0),
+          infl.where(pmod(col("doc_id"), lit(2)) === 1),
+          Seq("doc_id", "n_chars"))
+      }),
       // map-only tokenize + langid pass, |langs|² rollup — the
       // scan-bound text-analysis slope (10 labels per copy, bounded)
       ("text_langid_confusion", Int.MaxValue, (docs0, emb0, f) =>

@@ -1398,6 +1398,25 @@ object ExtQueries {
     // strings) — two grams colliding in 44 bits must count once in both
     // engines or the bit-for-bit contract breaks.
     "decontaminate" -> deconScreenSql,
+    // per-benchmark attribution: the same distinct-gram screen with
+    // the bench side keyed by its synthetic eval-set label — a gram
+    // in several benchmarks credits each (provenance, not dedup)
+    "decontaminate_attrib" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest([array_to_string(tk[i:i+4], ' ') FOR i IN range(1, len(tk) - 3)]) AS g
+         |  FROM toks WHERE len(tk) >= 5),
+         |h AS (
+         |  SELECT DISTINCT doc_id, CAST(concat('0x', substring(md5(g), 1, 11)) AS BIGINT) AS h FROM sh),
+         |bench AS (
+         |  SELECT DISTINCT 'b' || CAST(doc_id % 3 AS VARCHAR) AS bench, h
+         |  FROM h WHERE doc_id % 7 = 0)
+         |SELECT h.doc_id, b.bench, count(*) AS n_hits
+         |FROM h JOIN bench b USING (h)
+         |WHERE h.doc_id % 7 <> 0
+         |GROUP BY h.doc_id, b.bench
+         |ORDER BY doc_id, bench""".stripMargin,
     // the streaming screen is row-identical to the batch screen on the
     // same input by construction (shared gram extraction) — one oracle
     "stream_decontaminate" -> deconScreenSql,
@@ -2453,6 +2472,34 @@ object ExtQueries {
     // min/max/nulls and the KMV rank-k estimate from distinct md5
     // slices — the same estimator arithmetic as the distinct sketches
     "stats_analyze" -> statsAnalyzeSql,
+    // TV-drift replay: union bounds, shared integer bucketing, per-side
+    // floor-permille shares, half the absolute-difference sum
+    "stats_drift_tv" -> {
+      val colRel = statsCols.map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS BIGINT) AS v, l_orderkey % 2 AS side FROM lineitem WHERE $c IS NOT NULL")
+        .mkString("\n|           UNION ALL ")
+      s"""WITH vals AS (
+         |  $colRel),
+         |bd AS (SELECT col_name, min(v) AS mn, max(v) AS mx FROM vals GROUP BY col_name),
+         |bk AS (
+         |  SELECT v.col_name, v.side,
+         |         CASE WHEN bd.mx = bd.mn THEN 0
+         |              ELSE ((v.v - bd.mn) * 1000) // (bd.mx - bd.mn + 1) END AS bucket
+         |  FROM vals v JOIN bd USING (col_name)),
+         |ha AS (SELECT col_name, bucket, count(*) AS ca FROM bk WHERE side = 0 GROUP BY 1, 2),
+         |hb AS (SELECT col_name, bucket, count(*) AS cb FROM bk WHERE side = 1 GROUP BY 1, 2),
+         |na AS (SELECT col_name, sum(ca) AS n_a FROM ha GROUP BY 1),
+         |nb AS (SELECT col_name, sum(cb) AS n_b FROM hb GROUP BY 1),
+         |j AS (
+         |  SELECT col_name, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+         |  FROM ha FULL OUTER JOIN hb USING (col_name, bucket))
+         |SELECT j.col_name, CAST(max(na.n_a) AS BIGINT) AS n_a,
+         |       CAST(max(nb.n_b) AS BIGINT) AS n_b,
+         |       CAST(sum(abs((j.ca * 1000) // na.n_a - (j.cb * 1000) // nb.n_b)) // 2 AS BIGINT) AS tv_permille
+         |FROM j JOIN na USING (col_name) JOIN nb USING (col_name)
+         |GROUP BY j.col_name
+         |ORDER BY col_name""".stripMargin
+    },
     // exact scaled-integer sufficient statistics per column pair; the
     // same round(×100) → DECIMAL(18,0) products → DECIMAL(38,0) sums
     "stats_corr" ->
@@ -3756,6 +3803,21 @@ object ExtQueries {
             graft.ops.Sketches.analyzeState(batch, statsCols))))
         .orderBy("col_name")
     },
+    "stats_drift_tv" -> { (s, dir) =>
+      // scalar data-drift gate: per-column total variation distance
+      // between two ingest slices over a shared bounded histogram —
+      // union-bounds broadcast, one map-combined (col, bucket) count
+      // per side scanned ONCE for all columns, comparison over two
+      // ≤ cols·1001-row relations; integer floor-permille shares so
+      // the metric replays externally (the reason it's TV, not a
+      // float KL/PSI)
+      val li = t(s, dir, "lineitem")
+      graft.ops.Sketches.histogramDriftTv(
+          li.where(pmod(col("l_orderkey"), lit(2)) === 0),
+          li.where(pmod(col("l_orderkey"), lit(2)) === 1),
+          statsCols)
+        .orderBy("col_name")
+    },
     "stats_constraints" -> { (s, dir) =>
       // declarative admission gate: every row rule a conditional sum
       // in ONE aggregation pass, uniqueness riding the same agg as
@@ -4005,6 +4067,21 @@ object ExtQueries {
         docs.where(col("doc_id") % 7 === 0),
         "doc_id", "text", n = 5)
         .orderBy("doc_id")
+    },
+    "decontaminate_attrib" -> { (s, dir) =>
+      // multi-benchmark provenance: the bench slice split into 3
+      // synthetic eval sets; per (doc, benchmark) distinct
+      // shared-5-gram counts — same broadcast discipline as
+      // `decontaminate`, hit rows fan out by benchmark only for
+      // contaminated docs (which eval set leaked decides the fix)
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contaminationAttribution(
+          docs.where(col("doc_id") % 7 =!= 0),
+          docs.where(col("doc_id") % 7 === 0)
+            .withColumn("bench",
+              concat(lit("b"), pmod(col("doc_id"), lit(3)).cast("string"))),
+          "doc_id", "text", "bench")
+        .orderBy("doc_id", "bench")
     },
     "decontaminate_semantic" -> { (s, dir) =>
       // embedding-space decon twin of `decontaminate`: corpus vectors

@@ -539,6 +539,41 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Multi-benchmark contamination ATTRIBUTION — the provenance form
+    * of [[contaminationScreen]]: a production pipeline screens against
+    * MANY eval sets at once and needs to know WHICH benchmark each
+    * flagged doc leaks (a doc contaminating GSM8K gets handled
+    * differently from one grazing a translation set). Per (doc,
+    * benchmark): the count of distinct word n-grams the doc shares
+    * with that benchmark. A gram present in several benchmarks counts
+    * toward each — attribution, not global dedup of the hit.
+    *
+    * Scale shape: identical to the single-set screen — the (bench, h)
+    * relation is eval-set-sized by contract and broadcast, corpus
+    * grams never shuffle, and only per-(doc, bench) hit counts (the
+    * contaminated sliver × benchmark fan-out) reach the aggregation.
+    * Clean docs die at the broadcast join. */
+  def contaminationAttribution(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchCol: String,
+      n: Int = 5): DataFrame = {
+    def grams(df: DataFrame, key: Column, keyName: String) = df.select(
+      key.as(keyName),
+      explode(graft.functions.ShingleMd5Hashes.shingleMd5(
+        TextOps.tokens(col(textCol)), n)).as("h"))
+    val benchHashes = grams(bench, col(benchCol), "bench").distinct()
+    grams(corpus, col(idCol), idCol)
+      .join(broadcast(benchHashes), "h")
+      // per-doc hashes are distinct (ShingleMd5Hashes dedups) and the
+      // bench side is (bench, h)-distinct, so this count IS the
+      // distinct shared-gram count per (doc, benchmark)
+      .groupBy(idCol, "bench")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // the (id, w1, w2) relation feeds three consumers (pair counts,
     // prefix counts via c2, and the scoring join) — cache it or the

@@ -392,6 +392,73 @@ object Sketches {
         .cast("long").as("ndv_est"))
   }
 
+  /** Per-column data-drift gate between two relations — total
+    * variation distance over a shared bounded histogram, the scalar
+    * twin of `Similarity.embeddingDrift`: yesterday's ingest vs
+    * today's (or train vs serve) per feature, the acceptance number a
+    * pipeline alerts on when an upstream source silently changes
+    * units, truncates a field, or shifts its distribution.
+    *
+    * Definition (all integer, externally replayable): both sides
+    * bucket each column against UNION min-max bounds into ≤ `buckets`
+    * integer bins; per side the bin share is floored permille
+    * (`cnt·1000 div n_side`); `tv_permille = Σ|p_a − p_b| div 2` over
+    * the bins. TV is the [0, 1000] metric with the cleanest gate
+    * semantics (= max probability mass any event class can disagree
+    * by); the floor-permille form adds ≤ buckets/1000 rounding — a
+    * DETERMINISTIC bias both engines reproduce bit-for-bit, unlike a
+    * float KL/PSI whose log has no exact integer twin. NULLs drop per
+    * side (their rate is `analyzeColumns`' n_nulls, a separate gate).
+    *
+    * Scale shape: one broadcast 1-row union-bounds agg, one map-side
+    * combined (column, bucket) count per side — each side is scanned
+    * ONCE for all columns via a packed explode — and the comparison
+    * joins two ≤ cols·(buckets+1)-row relations. No per-row product,
+    * no driver state beyond the bounds row; permille shares (never
+    * cross-side count products) keep every intermediate in int64 at
+    * any row count. */
+  def histogramDriftTv(
+      a: DataFrame,
+      b: DataFrame,
+      cols: Seq[String],
+      buckets: Int = 1000): DataFrame = {
+    require(cols.nonEmpty && buckets > 1, s"need cols and buckets > 1")
+    def longify(df: DataFrame) =
+      df.select(cols.map(c => col(c).cast("long").as(c)): _*)
+    val la = longify(a)
+    val lb = longify(b)
+    val boundAggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    val bounds = la.unionByName(lb).agg(boundAggs.head, boundAggs.tail: _*)
+    def hist(df: DataFrame, side: String) = df
+      .crossJoin(broadcast(bounds))
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        when(col(c).isNull, lit(null).cast("long"))
+          .when(col(s"mx_$c") === col(s"mn_$c"), lit(0L))
+          .otherwise(expr(s"(($c - mn_$c) * $buckets) div (mx_$c - mn_$c + 1)"))
+          .as("bucket"))): _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.bucket").as("bucket"))
+      .where(col("bucket").isNotNull)
+      .groupBy("col_name", "bucket")
+      .agg(count(lit(1)).as(s"cnt_$side"))
+    val ha = hist(la, "a")
+    val hb = hist(lb, "b")
+    // per-column non-null totals: ≤ |cols| rows each, broadcast back
+    def totals(h: DataFrame, side: String) = h.groupBy("col_name")
+      .agg(sum(col(s"cnt_$side")).as(s"n_$side"))
+    ha.join(hb, Seq("col_name", "bucket"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .join(broadcast(totals(ha, "a")), "col_name")
+      .join(broadcast(totals(hb, "b")), "col_name")
+      .select(col("col_name"), col("n_a"), col("n_b"),
+        expr("(cnt_a * 1000) div n_a").as("pa"),
+        expr("(cnt_b * 1000) div n_b").as("pb"))
+      .groupBy("col_name")
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        expr("sum(abs(pa - pb)) div 2").as("tv_permille"))
+  }
+
   /** Feed the engine's own ANALYZE into Catalyst — the missing half of
     * `stats_analyze`: the one-pass (min, max, null-count, KMV-ndv)
     * report becomes `CatalogStatistics` on the named catalog table, so

@@ -410,47 +410,47 @@ object Sketches {
     * float KL/PSI whose log has no exact integer twin. NULLs drop per
     * side (their rate is `analyzeColumns`' n_nulls, a separate gate).
     *
-    * Scale shape: one broadcast 1-row union-bounds agg, one map-side
-    * combined (column, bucket) count per side — each side is scanned
-    * ONCE for all columns via a packed explode — and the comparison
-    * joins two ≤ cols·(buckets+1)-row relations. No per-row product,
-    * no driver state beyond the bounds row; permille shares (never
-    * cross-side count products) keep every intermediate in int64 at
-    * any row count. */
+    * Scale shape: each input is scanned ONCE — a side-tagged packed
+    * explode to (col_name, v, side) rows, cached into `scope` because
+    * the bounds agg and the histogram both consume it (the
+    * dupNgramStats multi-consumer rule; the first version rescanned
+    * the raw inputs up to 6× and the scale probe caught it at 45 s /
+    * 64×) — then ≤ cols bounds rows broadcast back, ONE joint
+    * (column, bucket) aggregation counting both sides (map-side
+    * combined; no full-outer join of per-side histograms exists), and
+    * the permille comparison over ≤ cols·(buckets+1) rows. No per-row
+    * product, no driver state; permille shares (never cross-side
+    * count products) keep every intermediate in int64 at any row
+    * count. */
   def histogramDriftTv(
       a: DataFrame,
       b: DataFrame,
       cols: Seq[String],
-      buckets: Int = 1000): DataFrame = {
+      buckets: Int = 1000,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
     require(cols.nonEmpty && buckets > 1, s"need cols and buckets > 1")
-    def longify(df: DataFrame) =
-      df.select(cols.map(c => col(c).cast("long").as(c)): _*)
-    val la = longify(a)
-    val lb = longify(b)
-    val boundAggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
-    val bounds = la.unionByName(lb).agg(boundAggs.head, boundAggs.tail: _*)
-    def hist(df: DataFrame, side: String) = df
-      .crossJoin(broadcast(bounds))
+    def packed(df: DataFrame, side: Int) = df
       .select(explode(array(cols.map(c => struct(
-        lit(c).as("col_name"),
-        when(col(c).isNull, lit(null).cast("long"))
-          .when(col(s"mx_$c") === col(s"mn_$c"), lit(0L))
-          .otherwise(expr(s"(($c - mn_$c) * $buckets) div (mx_$c - mn_$c + 1)"))
-          .as("bucket"))): _*)).as("e"))
-      .select(col("e.col_name").as("col_name"), col("e.bucket").as("bucket"))
-      .where(col("bucket").isNotNull)
+        lit(c).as("col_name"), col(c).cast("long").as("v"))): _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+      .where(col("v").isNotNull)
+      .select(col("col_name"), col("v"), lit(side).as("side"))
+    val vals = scope.cache(packed(a, 0).unionByName(packed(b, 1)))
+    val bounds = vals.groupBy("col_name")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val hist = vals.join(broadcast(bounds), "col_name")
+      .select(col("col_name"), col("side"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(expr(s"((v - mn) * $buckets) div (mx - mn + 1)"))
+          .as("bucket"))
       .groupBy("col_name", "bucket")
-      .agg(count(lit(1)).as(s"cnt_$side"))
-    val ha = hist(la, "a")
-    val hb = hist(lb, "b")
-    // per-column non-null totals: ≤ |cols| rows each, broadcast back
-    def totals(h: DataFrame, side: String) = h.groupBy("col_name")
-      .agg(sum(col(s"cnt_$side")).as(s"n_$side"))
-    ha.join(hb, Seq("col_name", "bucket"), "full_outer")
-      .na.fill(0L, Seq("cnt_a", "cnt_b"))
-      .join(broadcast(totals(ha, "a")), "col_name")
-      .join(broadcast(totals(hb, "b")), "col_name")
+      .agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("cnt_b"))
+    val totals = hist.groupBy("col_name")
+      .agg(sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"))
+    hist.join(broadcast(totals), "col_name")
+      .where(col("n_a") > 0 && col("n_b") > 0)
       .select(col("col_name"), col("n_a"), col("n_b"),
         expr("(cnt_a * 1000) div n_a").as("pa"),
         expr("(cnt_b * 1000) div n_b").as("pb"))

@@ -60,4 +60,44 @@ class CboSpec extends SparkSpec {
       }
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("engine ANALYZE stats drive a cost-based join reorder") {
+    // three catalog tables joined on k in a deliberately bad syntactic
+    // order (big ⋈ mid first → 100k intermediate rows; big ⋈ small
+    // first → ≤100). CostBasedJoinReorder only fires when EVERY
+    // relation carries row-count stats — which is exactly what
+    // analyzeToCatalog installs — so the leaf order flip below is
+    // driven end-to-end by the engine's own numbers.
+    val names = Seq("graft_cbo_big" -> 1000000L, "graft_cbo_mid" -> 100000L,
+      "graft_cbo_small" -> 100L)
+    names.foreach { case (t, _) => spark.sql(s"DROP TABLE IF EXISTS $t") }
+    names.foreach { case (t, n) =>
+      spark.range(n).select(col("id").as("k")).write.saveAsTable(t)
+    }
+    try {
+      withConfs(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "false") {
+        def leafOrder(): Seq[String] = {
+          val q = spark.table("graft_cbo_big")
+            .join(spark.table("graft_cbo_mid"), "k")
+            .join(spark.table("graft_cbo_small"), "k")
+          q.queryExecution.optimizedPlan.collectLeaves().map(_.toString)
+            .map(s => names.map(_._1).find(s.contains).getOrElse("?"))
+        }
+        val before = leafOrder()
+        assert(before == Seq("graft_cbo_big", "graft_cbo_mid", "graft_cbo_small"),
+          s"without stats the syntactic order must survive, got $before")
+        names.foreach { case (t, _) =>
+          ops.Sketches.analyzeToCatalog(spark, t, Seq("k"))
+        }
+        val after = leafOrder()
+        assert(after != before && after.indexOf("graft_cbo_small") < 2,
+          s"with engine stats CBO must pull the 100-row table forward, got $after")
+      }
+    } finally names.foreach { case (t, _) =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }

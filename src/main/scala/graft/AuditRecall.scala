@@ -101,6 +101,13 @@ object AuditRecall {
         report(s"ann_ivfpq_topk np=$np rf=$rf",
           ext.Similarity.ivfPqTopK(emb, "vec_id", "embedding", pf, 10, nprobe = np, refine = rf))
       report("ann_ivfpq_res_topk", ext.Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding", pf, 10))
+      // SQ8 (round 10): per-dimension 8-bit codes — unlike the
+      // bucketed/list paths its candidate set is the WHOLE corpus and
+      // only the refine cut loses truth, so recall isolates pure
+      // scalar-quantization ordering noise; sweep refine like PQ's
+      for (rf <- Seq(40, 160))
+        report(s"ann_sq8_topk rf=$rf",
+          ext.Similarity.sq8TopK(emb, "vec_id", "embedding", pf, 10, refine = rf))
       // persisted-index serving path (round 10): train-once, parquet
       // round trip, probeIndex at the shipped defaults. By spec its
       // arithmetic equals ivfPqTopK's, so recall must MATCH the

@@ -788,6 +788,47 @@ object ExtQueries {
          |  FROM scored)
          |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
          |ORDER BY probe_id, rn""".stripMargin,
+    // SQ8 replay: exact per-dimension int64 bounds, 256-level floor
+    // codes, bucket-midpoint decode, asymmetric approximate dot,
+    // refine shortlist, exact re-rank — every division has a
+    // non-negative numerator, so `div` and `//` agree
+    "ann_sq8_topk" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |dims AS (
+         |  SELECT i AS pos, min(q[i]) AS mn, max(q[i]) AS mx
+         |  FROM qv, range(1, 65) r(i)
+         |  GROUP BY i),
+         |bnd AS (SELECT list(mn ORDER BY pos) AS mnl, list(mx ORDER BY pos) AS mxl FROM dims),
+         |recon AS (
+         |  SELECT vec_id,
+         |         list_transform(range(1, 65), i ->
+         |           mnl[i] + ((2 * (((q[i] - mnl[i]) * 256) // (mxl[i] - mnl[i] + 1)) + 1)
+         |                     * (mxl[i] - mnl[i] + 1)) // 512) AS rv
+         |  FROM qv, bnd),
+         |probes AS (SELECT vec_id AS probe_id, q AS pe FROM qv WHERE vec_id < 10),
+         |approx AS (
+         |  SELECT p.probe_id, r.vec_id, ${qdotIntSql("p.pe", "r.rv")} AS sq8
+         |  FROM probes p CROSS JOIN recon r
+         |  WHERE r.vec_id <> p.probe_id),
+         |short AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id ORDER BY sq8 DESC, vec_id) AS sr
+         |    FROM approx) s
+         |  WHERE sr <= ${Similarity.defaultRefine}),
+         |scored AS (
+         |  SELECT sh.probe_id, sh.vec_id, ${qdotIntSql("p.pe", "e.q")} AS qdot
+         |  FROM short sh JOIN probes p ON p.probe_id = sh.probe_id
+         |  JOIN qv e ON e.vec_id = sh.vec_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, qdot,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
+         |ORDER BY probe_id, rn""".stripMargin,
     "emb_neardup_pairs" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${qdotSql("a.embedding", "b.embedding")} AS qdot
          |FROM embeddings a, embeddings b
@@ -3223,6 +3264,19 @@ object ExtQueries {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       Similarity
         .bruteForceTopK(emb, probes, "vec_id", "embedding", "probe_id", "pe", 10)
+        .select("probe_id", "vec_id", "qdot", "rn")
+        .orderBy("probe_id", "rn")
+    },
+    "ann_sq8_topk" -> { (s, dir) =>
+      // scalar-quantization ANN: per-dimension 8-bit codes against
+      // corpus (min, max) bounds — the 4×-compressed serving store with
+      // affine decode (no codebook); asymmetric midpoint scoring over
+      // the codes, exact re-rank of the refine shortlist. Bounds = one
+      // posexplode scan to an O(dim) broadcast row; encode and scoring
+      // are map-only over the broadcast probes.
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .sq8TopK(emb, "vec_id", "embedding", col("vec_id") < 10, 10)
         .select("probe_id", "vec_id", "qdot", "rn")
         .orderBy("probe_id", "rn")
     },

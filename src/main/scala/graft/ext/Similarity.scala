@@ -1864,4 +1864,90 @@ object Similarity {
       .select(col("probe_id"), col(idCol), quantizedDot(col("pe"), col(vecCol)).as("qdot"))
     rankTopK(scored, idCol, k)
   }
+
+  /** Per-dimension SQ8 bounds — the scalar quantizer's entire trained
+    * state: ONE (mnl, mxl) row of dim-length int64 arrays, from a
+    * single posexplode scan map-combined to `dim` rows (partial agg
+    * state = 2 longs per dimension) and packed by the
+    * collect-and-sort-a-struct discipline. O(dim) metadata; broadcast
+    * into the encode and scoring passes, never collected. */
+  private[ext] def sq8Bounds(q: DataFrame): DataFrame = q
+    .select(posexplode(col("q")).as(Seq("pos", "v")))
+    .groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+    .agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+        e => e.getField("mn")).as("mnl"),
+      transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+        e => e.getField("mx")).as("mxl"))
+
+  /** Scalar-quantization (SQ8) approximate top-k — the third quantizer
+    * family next to PQ (subspace codebooks) and LSH (sign buckets),
+    * FAISS's `IndexScalarQuantizer` shape: every dimension is squeezed
+    * INDEPENDENTLY into an 8-bit code against per-dimension corpus
+    * bounds, so the serving store is dim bytes per vector (4× under
+    * float32) and, unlike PQ, decoding is a two-multiply affine map
+    * with no codebook lookup — the cheapest compressed store that
+    * still preserves per-dimension resolution. Candidates are scored
+    * asymmetrically (probe exact, candidate decoded to its bucket
+    * MIDPOINT), the best `refine` per probe re-scored exactly, ranked.
+    *
+    * Training is the smallest in the family — no Lloyd rounds, no
+    * sample bound: exact per-dimension (min, max) costs the one scan a
+    * sample would ([[sq8Bounds]]). All arithmetic is int64 floor
+    * division with non-negative numerators (where Spark `div` and
+    * DuckDB `//` provably agree): code = ((v − mn)·256) div
+    * (mx − mn + 1) ∈ [0, 255], decode = mn + ((2·code + 1)·
+    * (mx − mn + 1)) div 512 — so the oracle rebuilds the identical
+    * index from scratch.
+    *
+    * Scale shape: bounds scan + map-only encode produce the compressed
+    * artifact a deployment persists; scoring follows the brute-force
+    * discipline over CODES (probes broadcast, corpus scanned once,
+    * decode-and-dot fused in one codegen'd HOF chain, bounded-heap
+    * shortlist ≤ refine rows per probe per partition); raw vectors are
+    * fetched only for the ≤ refine·probes re-rank sliver. When a
+    * corpus outgrows the flat scan, SQ8 composes with IVF routing
+    * exactly as PQ does (encode per inverted list, probe nprobe
+    * lists). */
+  def sq8TopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      refine: Int = defaultRefine): DataFrame = {
+    val q = corpus.select(col(idCol), qvT(col(vecCol)).as("q"))
+    val bnd = sq8Bounds(q)
+    // the persisted artifact: dim 8-bit codes per vector (int64-typed
+    // here — the engine's array element contract — but range-bounded
+    // to [0, 255] by construction)
+    val codes = q.crossJoin(broadcast(bnd))
+      .select(col(idCol), expr(
+        """transform(q, (v, i) ->
+          |  ((v - element_at(mnl, i + 1)) * 256)
+          |    div (element_at(mxl, i + 1) - element_at(mnl, i + 1) + 1))"""
+          .stripMargin).as("codes"))
+    val probes = corpus.where(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
+    val probesQ = probes.select(col("probe_id"), qvT(col("pe")).as("pq"))
+    val scored = codes.crossJoin(broadcast(bnd)).crossJoin(broadcast(probesQ))
+      .where(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol), expr(
+        """aggregate(
+          |  transform(codes, (c, i) ->
+          |    element_at(pq, i + 1) *
+          |      (element_at(mnl, i + 1) +
+          |       ((2 * c + 1) *
+          |        (element_at(mxl, i + 1) - element_at(mnl, i + 1) + 1)) div 512)),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("sq8"))
+    val short = graft.plans.TopKPerKey(
+      scored, Seq("probe_id"), Seq(("sq8", false), (idCol, true)), refine)
+      .select(col("probe_id"), col(idCol))
+    val rescored = short
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(probes), "probe_id")
+      .select(col("probe_id"), col(idCol),
+        quantizedDot(col("pe"), col(vecCol)).as("qdot"))
+    rankTopK(rescored, idCol, k)
+  }
 }

@@ -53,4 +53,57 @@ class R10OpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].head()
     assert(row._2 == 1000L && row._3 == 1000L)
   }
+
+  test("sq8TopK with full refine equals the exact brute force (sf0.001)") {
+    // refine >= corpus makes the SQ8 shortlist total, so the exact
+    // re-rank must reproduce bruteForceTopK bit-for-bit — the scalar
+    // quantization can only ever act through the SHORTLIST cut
+    val emb = io.Tables(spark, sf, "embeddings")
+    val n = emb.count().toInt
+    val probes = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val exact = ext.Similarity
+      .bruteForceTopK(emb, probes, "vec_id", "embedding", "probe_id", "pe", 5)
+      .select("probe_id", "vec_id", "qdot", "rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val sq8 = ext.Similarity
+      .sq8TopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 5, refine = n)
+      .select("probe_id", "vec_id", "qdot", "rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(sq8 == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("sq8TopK survives a constant dimension (zero-width bucket) and plans bounded-heap ranking") {
+    // dim 2 is constant across the corpus -> mx == mn; the +1 width
+    // guard must keep the code at 0 and the decode at mn, never a
+    // division by zero
+    val vs = Seq(
+      (1L, Array(1.0f, 0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.9f, 0.5f, 0.35f, 0.1f)),
+      (3L, Array(-0.8f, 0.5f, 0.15f, 0.9f)),
+      (4L, Array(0.1f, 0.5f, 0.85f, -0.4f)),
+      (5L, Array(0.3f, 0.5f, -0.45f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val got = ext.Similarity
+      .sq8TopK(vs, "vec_id", "embedding", col("vec_id") === 1L, k = 4, refine = 5)
+      .select("probe_id", "vec_id", "qdot", "rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val probes = vs.where(col("vec_id") === 1L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val exact = ext.Similarity
+      .bruteForceTopK(vs, probes, "vec_id", "embedding", "probe_id", "pe", 4)
+      .select("probe_id", "vec_id", "qdot", "rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == exact)
+
+    val plan = ext.Similarity
+      .sq8TopK(vs, "vec_id", "embedding", col("vec_id") === 1L, k = 4)
+      .queryExecution.executedPlan.toString
+    // shortlist and final ranking both run through the bounded heap;
+    // the one-row bounds and the probe batch reach the scoring scan as
+    // broadcasts, never a cartesian product
+    assert(plan.contains("TopKPerKey"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }

@@ -2638,6 +2638,28 @@ object ExtQueries {
         |       CAST(count(DISTINCT (lang, source)) - count(DISTINCT lang) AS BIGINT)
         |FROM documents
         |ORDER BY rule""".stripMargin,
+    // k-anonymity/l-diversity replay: one grouped count +
+    // count-distinct per equivalence class, boolean gates inline
+    "privacy_k_anon" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |       count(*) AS n_rows,
+        |       CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sensitive,
+        |       count(*) >= 10 AS k_anonymous,
+        |       count(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) >= 2 AS l_diverse
+        |FROM customer
+        |GROUP BY c_mktsegment, c_nationkey
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    // suppression replay: the semi-join against the passing classes
+    "privacy_suppress" ->
+      """WITH ok AS (
+        |  SELECT c_mktsegment, c_nationkey
+        |  FROM customer
+        |  GROUP BY c_mktsegment, c_nationkey
+        |  HAVING count(*) >= 10
+        |     AND count(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) >= 2)
+        |SELECT c.c_custkey, c.c_mktsegment, c.c_nationkey
+        |FROM customer c JOIN ok USING (c_mktsegment, c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
     // the streaming gate carries the row rules only (exact uniqueness
     // is corpus-wide — a batch/compaction check, not ingest-time)
     "stream_constraints" ->
@@ -3074,7 +3096,11 @@ object ExtQueries {
     // priority sample rebuilt from scratch: same md5 uniform, same
     // integer floor division, same (priority, id) order
     "sample_weighted" ->
-      Sampling.prioritySampleOracleSql("n_chars", Sampling.defaultPriorityK)
+      Sampling.prioritySampleOracleSql("n_chars", Sampling.defaultPriorityK),
+    // epoch schedule rebuilt from scratch: per-source token sums,
+    // sqrt-temperature allocation, capped milli-epoch repeat factors
+    "corpus_epochs" ->
+      Sampling.epochScheduleOracleSql("source", "n_chars", Sampling.defaultEpochBudget)
   )
 
   val plans: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3895,6 +3921,30 @@ object ExtQueries {
             "doc_id_determines_lang" -> ((Seq("doc_id"), Seq("lang"))),
             "lang_determines_source" -> ((Seq("lang"), Seq("source")))))
         .orderBy("rule")
+    },
+    "privacy_k_anon" -> { (s, dir) =>
+      // re-identification audit before person-derived data joins a
+      // corpus: per (segment, nation) quasi-identifier class, its size
+      // (k-anonymity, k=10) and the diversity of the sensitive
+      // delinquency flag within it (l-diversity, l=2 — a class whose
+      // members all share the flag discloses it by membership alone).
+      // ONE hash agg, O(classes) output
+      val c = t(s, dir, "customer")
+      graft.ops.Constraints.privacyReport(c,
+          Seq("c_mktsegment", "c_nationkey"),
+          when(col("c_acctbal") < 0, 1).otherwise(0), k = 10L, l = 2L)
+        .orderBy("c_mktsegment", "c_nationkey")
+    },
+    "privacy_suppress" -> { (s, dir) =>
+      // the suppression release: rows of classes passing BOTH gates,
+      // via an O(classes) broadcast semi-join — the corpus pass never
+      // shuffles
+      val c = t(s, dir, "customer")
+      graft.ops.Constraints.suppressNonAnonymous(c,
+          Seq("c_mktsegment", "c_nationkey"),
+          when(col("c_acctbal") < 0, 1).otherwise(0), k = 10L, l = 2L)
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+        .orderBy("c_custkey")
     },
     "stream_constraints" -> { (s, dir) =>
       // the admission gate at the STREAM boundary: the same row rules
@@ -4841,6 +4891,15 @@ object ExtQueries {
       Sampling.prioritySample(t(s, dir, "documents"),
           "doc_id", "n_chars", k = Sampling.defaultPriorityK)
         .orderBy("priority", "doc_id")
+    },
+    "corpus_epochs" -> { (s, dir) =>
+      // data-constrained training schedule: the char budget spread by
+      // the sqrt-temperature law, converted to per-source repeat
+      // factors capped at 4 epochs — one sum per source, a 1-row Σw
+      // broadcast, nothing else moves
+      Sampling.epochSchedule(t(s, dir, "documents"),
+          "source", col("n_chars"), budgetTokens = Sampling.defaultEpochBudget)
+        .orderBy("source")
     }
   )
 

@@ -24,6 +24,13 @@ object Sampling {
   val defaultMixBudget: Long = 250L
   val defaultPriorityK: Int = 100
 
+  /** `corpus_epochs` parameters: ~4× the sf0.01 corpus mass, so the
+    * 4-epoch repeat cap BINDS for the small sources and not the large
+    * ones at the gate SF (both branches exercised); at larger SFs the
+    * same budget is just a deeper single-epoch mix. */
+  val defaultEpochBudget: Long = 600000L
+  val defaultMaxEpochsMilli: Long = 4000L
+
   /** The md5-derived 60-bit uniform used by every sampling query
     * (split_assign et al.) — deterministic, engine-independent. */
   private[graft] def md5Hash(id: Column): Column =
@@ -179,6 +186,73 @@ object Sampling {
        |       CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) // $weightCol AS BIGINT) AS priority
        |FROM documents WHERE $weightCol > 0
        |ORDER BY priority, doc_id LIMIT $k""".stripMargin
+
+  /** Data-constrained epoch schedule (the Muennighoff et al. 2023
+    * regime — repeating data beyond ~4 epochs stops buying loss):
+    * given a total token budget, spread it over sources by the same
+    * √n temperature law as [[temperatureMixture]], then convert each
+    * source's allocation into a REPEAT factor in milli-epochs, capped
+    * at `maxEpochsMilli`. The report is the training schedule: how
+    * many times each source's tokens are seen, what its allocation
+    * was, and the effective tokens actually consumed — the cap's
+    * unused budget shows up as effective < alloc and is reported, not
+    * silently redistributed (redistribution is a policy choice; rerun
+    * with different shares if the gap matters).
+    *
+    * Integer arithmetic end-to-end on the [[temperatureMixture]]
+    * determinism contract: w = floor(sqrt(n_tokens·10⁶)) is exact
+    * while n_tokens·10⁶ < 2⁵³ (IEEE sqrt is correctly rounded on
+    * exact inputs); everything after is floor division.
+    *
+    * Scale shape: ONE map-side-combined sum per source (O(sources)
+    * rows), a 1-row Σw broadcast — the corpus is scanned once and
+    * nothing else moves. The schedule feeds `interleaveBySource` /
+    * `corpus_pack` downstream. */
+  def epochSchedule(
+      docs: DataFrame,
+      groupCol: String,
+      sizeExpr: Column,
+      budgetTokens: Long,
+      maxEpochsMilli: Long = defaultMaxEpochsMilli): DataFrame = {
+    require(budgetTokens > 0, s"need a positive budget, got $budgetTokens")
+    require(maxEpochsMilli > 0, s"need a positive epoch cap, got $maxEpochsMilli")
+    val counts = docs.groupBy(col(groupCol))
+      .agg(sum(sizeExpr.cast("long")).as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("w", floor(sqrt(col("n_tokens") * 1000000L)).cast("long"))
+    val tot = counts.agg(sum(col("w")).cast("long").as("sum_w"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_tokens"),
+        expr(s"($budgetTokens * w) div sum_w").as("alloc_tokens"))
+      .withColumn("epochs_milli",
+        least(lit(maxEpochsMilli), expr("(alloc_tokens * 1000) div n_tokens")))
+      .withColumn("effective_tokens", expr("(n_tokens * epochs_milli) div 1000"))
+  }
+
+  /** DuckDB replay of `epochSchedule` over `documents`. */
+  def epochScheduleOracleSql(
+      groupCol: String,
+      sizeCol: String,
+      budgetTokens: Long,
+      maxEpochsMilli: Long = defaultMaxEpochsMilli): String =
+    s"""WITH counts AS (
+       |  SELECT $groupCol, CAST(sum($sizeCol) AS BIGINT) AS n_tokens,
+       |         CAST(floor(sqrt(sum($sizeCol) * 1000000)) AS BIGINT) AS w
+       |  FROM documents GROUP BY $groupCol HAVING sum($sizeCol) > 0),
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM counts),
+       |alloc AS (
+       |  SELECT $groupCol, n_tokens,
+       |         CAST(($budgetTokens * w) // sum_w AS BIGINT) AS alloc_tokens
+       |  FROM counts, tot),
+       |ep AS (
+       |  SELECT $groupCol, n_tokens, alloc_tokens,
+       |         least($maxEpochsMilli, (alloc_tokens * 1000) // n_tokens) AS epochs_milli
+       |  FROM alloc)
+       |SELECT $groupCol, n_tokens, alloc_tokens,
+       |       CAST(epochs_milli AS BIGINT) AS epochs_milli,
+       |       CAST((n_tokens * epochs_milli) // 1000 AS BIGINT) AS effective_tokens
+       |FROM ep
+       |ORDER BY $groupCol""".stripMargin
 
   /** Deterministic source-INTERLEAVED training order: `corpus_shuffle`
     * randomizes the corpus globally, but a multi-source mix wants the

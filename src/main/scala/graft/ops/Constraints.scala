@@ -119,4 +119,59 @@ object Constraints {
     require(bad.isEmpty, s"retyped columns cannot evolve in place: $bad")
     drift
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+    * al. 2007) — the re-identification gate a privacy review runs
+    * before person-derived data joins a training corpus: every
+    * EQUIVALENCE CLASS over the quasi-identifier columns (the
+    * attributes an attacker can link against outside data) with its
+    * size and the diversity of the sensitive attribute within it. A
+    * class below `k` rows re-identifies its members by linkage; a
+    * class whose members all share one sensitive value discloses that
+    * value to anyone who can place a person in the class even when the
+    * class is large (the homogeneity attack l-diversity exists for).
+    * The full per-class report — not just the violators — so the same
+    * relation drives the release decision, the risk dashboard, and
+    * [[suppressNonAnonymous]]'s keep set.
+    *
+    * Scale shape: ONE hash aggregate over the quasi columns (map-side
+    * partials; the `count_distinct` rides the same agg as the FD rules
+    * in [[check]] — one expand + distinct exchange, the honest minimum
+    * for exact diversity). The result is O(classes) rows, bounded by
+    * the quasi-identifier domain product — small by definition, or
+    * k-anonymity would be unachievable on the table at all. */
+  def privacyReport(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitive: Column,
+      k: Long,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1 && l >= 1, s"need k >= 1 and l >= 1, got k=$k l=$l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(sensitive).as("n_sensitive"))
+      .select(quasiCols.map(col) ++ Seq(
+        col("n_rows"), col("n_sensitive"),
+        (col("n_rows") >= k).as("k_anonymous"),
+        (col("n_sensitive") >= l).as("l_diverse")): _*)
+  }
+
+  /** Suppression release transform: keep only rows whose equivalence
+    * class passes BOTH gates of [[privacyReport]] — the simplest
+    * k-anonymization (drop the linkable sliver) and the baseline every
+    * generalization scheme is judged against. The passing-class keys
+    * are O(classes) rows broadcast back into a map-side semi-join, so
+    * the corpus pass never shuffles. */
+  def suppressNonAnonymous(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitive: Column,
+      k: Long,
+      l: Long): DataFrame = {
+    val keep = privacyReport(df, quasiCols, sensitive, k, l)
+      .where(col("k_anonymous") && col("l_diverse"))
+      .select(quasiCols.map(col): _*)
+    df.join(broadcast(keep), quasiCols)
+  }
 }

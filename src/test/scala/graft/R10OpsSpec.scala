@@ -106,4 +106,51 @@ class R10OpsSpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("privacyReport flags small and homogeneous classes; suppression keeps exactly the passing rows") {
+    // class (a, 1): large and diverse -> passes both gates
+    // class (a, 2): large but every member shares the sensitive value
+    //               -> k-anonymous, NOT l-diverse (homogeneity attack)
+    // class (b, 1): small -> not k-anonymous (diverse or not)
+    val rows = Seq(
+      ("a", 1, 0), ("a", 1, 1), ("a", 1, 0),
+      ("a", 2, 1), ("a", 2, 1), ("a", 2, 1),
+      ("b", 1, 0)).toDF("seg", "nat", "flag")
+    val rep = ops.Constraints
+      .privacyReport(rows, Seq("seg", "nat"), col("flag"), k = 3L, l = 2L)
+      .as[(String, Int, Long, Long, Boolean, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(rep(("a", 1)) == ((3L, 2L, true, true)))
+    assert(rep(("a", 2)) == ((3L, 1L, true, false)))
+    assert(rep(("b", 1)) == ((1L, 1L, false, false)))
+
+    val kept = ops.Constraints
+      .suppressNonAnonymous(rows, Seq("seg", "nat"), col("flag"), k = 3L, l = 2L)
+      .select("seg", "nat").distinct()
+      .as[(String, Int)].collect().toSet
+    assert(kept == Set(("a", 1)))
+  }
+
+  test("epochSchedule: caps bind per source, effective <= alloc, uncapped epochs consume the allocation") {
+    // tiny source gets a sqrt-law upweight big enough to hit the cap;
+    // the large source stays under it
+    val docs = Seq.tabulate(100)(i => (s"d$i", "big", 100L)) ++
+      Seq(("t1", "tiny", 100L), ("t2", "tiny", 100L))
+    val df = docs.toDF("doc_id", "source", "n_tokens")
+    val got = ext.Sampling
+      .epochSchedule(df, "source", col("n_tokens"), budgetTokens = 20000L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val (bn, ba, be, bf) = got("big")
+    val (tn, ta, te, tf) = got("tiny")
+    assert(bn == 10000L && tn == 200L)
+    // sqrt temperature: the tiny source's allocation per token is far
+    // larger; its repeat factor hits the 4-epoch cap
+    assert(te == 4000L && tf == 800L, s"tiny: $ta/$te/$tf")
+    assert(be < 4000L, s"big should stay under the cap, got $be")
+    // uncapped epochs consume the allocation up to flooring; capped
+    // effective tokens fall short of the allocation (the reported gap)
+    assert(bf <= ba && ba - bf < 1000L)
+    assert(tf < ta)
+  }
 }

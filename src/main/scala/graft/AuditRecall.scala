@@ -108,6 +108,13 @@ object AuditRecall {
       for (rf <- Seq(40, 160))
         report(s"ann_sq8_topk rf=$rf",
           ext.Similarity.sq8TopK(emb, "vec_id", "embedding", pf, 10, refine = rf))
+      // IVF+SQ8 at the shipped defaults: the coarse probe is now the
+      // binding cut (SQ8 in-list ordering is near-exact per the rows
+      // above), so this should read ≈ ann_ivf_topk at the same nprobe
+      // and ABOVE ann_ivfpq_topk at matched knobs — the recall the 4×
+      // (vs PQ's 32×) compression buys back
+      report("ann_ivf_sq8_topk",
+        ext.Similarity.ivfSq8TopK(emb, "vec_id", "embedding", pf, 10))
       // persisted-index serving path (round 10): train-once, parquet
       // round trip, probeIndex at the shipped defaults. By spec its
       // arithmetic equals ivfPqTopK's, so recall must MATCH the

@@ -198,6 +198,40 @@ object BenchScale {
       ("ann_ivfpq_topk", Int.MaxValue, (docs0, emb0, f) =>
         ext.Similarity.ivfPqTopK(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10)),
+      // SQ8 flat-scan ANN (round 10): bounds + encode are one linear
+      // scan each and the candidate pass is O(n·probes) decode-and-dot
+      // over the compressed codes — slope should be cleanly ×f at
+      // constant probes; this is the flat-scan baseline IVF routing
+      // exists to beat, benched so the contrast stays measured
+      ("ann_sq8_topk", Int.MaxValue, (docs0, emb0, f) =>
+        ext.Similarity.sq8TopK(inflateEmbeddings(emb0, f), "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 10)),
+      // IVF+SQ8 (round 10): routing bounds the decode-dot pass at
+      // probes·nprobe·n/K — should grow like ann_ivf_topk (constant
+      // trainers + linear assignment/encode) and beat the flat sq8
+      // kernel's slope at the top factors
+      ("ann_ivf_sq8_topk", Int.MaxValue, (docs0, emb0, f) =>
+        ext.Similarity.ivfSq8TopK(inflateEmbeddings(emb0, f), "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 10)),
+      // privacy audit (round 10): ONE map-combined hash agg to a
+      // constant 125-class report (quasi classes derive from the
+      // pre-offset id, so the class set is factor-invariant while rows
+      // grow ×f) — flat per-row cost is the claim
+      ("privacy_k_anon", Int.MaxValue, (docs0, emb0, f) =>
+        ops.Constraints.privacyReport(
+          inflateDocs(docs0, f)
+            .withColumn("seg", pmod(pmod(col("doc_id"), lit(1000000000L)), lit(125L))),
+          Seq("seg"), pmod(length(col("text")), lit(2)), k = 10L, l = 2L)),
+      // epoch schedule (round 10): one sum per synthetic source
+      // (constant 20 sources at any factor) + a 1-row Σw broadcast —
+      // the corpus scan is the whole cost; budget scales with f so the
+      // allocation arithmetic stays in the same regime at every factor
+      ("corpus_epochs", Int.MaxValue, (docs0, emb0, f) =>
+        ext.Sampling.epochSchedule(
+          inflateDocs(docs0, f)
+            .withColumn("src",
+              pmod(pmod(col("doc_id"), lit(1000000000L)), lit(20L)).cast("string")),
+          "src", length(col("text")), budgetTokens = 1000000L * f)),
       // benchmark FIXED at the copy-0 slice while the corpus inflates
       // ×f — the production shape (benchmarks don't grow with the
       // crawl). True hits stay constant (ciphered copies share no
@@ -754,6 +788,69 @@ object BenchScale {
       secs("io_head_log") = vacRuns.map { case (f, l, _, _, r) => (f, l, r) }
       secs("io_vacuum") = vacRuns.map { case (f, _, v, _, r) => (f, v, r) }
       secs("io_head_compacted") = vacRuns.map { case (f, _, _, c, r) => (f, c, r) }
+    }
+    // incremental MV maintenance (r10): the table inflates ×f while
+    // the change batch stays FIXED (copy-0's %10==0 slice — constant
+    // rows at any factor), the production shape (a day's ingest
+    // doesn't grow with the table). The maintenance cycle reads the
+    // pruned change history and shuffles only O(changes)+O(groups)
+    // rows; the recompute leg shuffles the whole table through the
+    // resolution window + aggregate — the gap between the two slopes
+    // is what maintenance buys. The maintained view is checked equal
+    // to the recompute (untimed) at every factor.
+    // probed two octaves further (the exact-dedup precedent): both
+    // legs are cheap and the crossover — flat maintenance vs linear
+    // recompute — sits above the shared top factor at this base size
+    val mvFactors =
+      if (factors.max >= 64) factors ++ Seq(factors.max * 2, factors.max * 4)
+      else factors
+    val mvRuns = if (!gated("io_mv_maintain", "io_mv_recompute"))
+      Seq.empty[(Int, Double, Double, Long)]
+    else mvFactors.map { f =>
+      withSession { (spark, docs0, emb0) =>
+        val base = java.nio.file.Files.createTempDirectory(s"mv_$f").toString
+        val dir = base + "/tbl"
+        val d0 = inflateDocs(docs0, f).select(col("doc_id"), col("text"),
+          pmod(pmod(col("doc_id"), lit(1000000000L)), lit(20L))
+            .cast("string").as("src"))
+        io.Sinks.writeVersion(d0, dir, 0) // untimed setup
+        io.Sinks.writeVersion(
+          d0.where(col("doc_id") < 1000000000L && pmod(col("doc_id"), lit(10)) === 0)
+            .withColumn("text", concat(lit("u "), col("text")))
+            .withColumn("__deleted", lit(false))
+            .coalesce(4),
+          dir, 1)
+        // the stored view a deployment maintains — seeded untimed
+        def agg(df: DataFrame) = df.groupBy("src")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(length(col("text")).cast("long")).as("sum_val"))
+        agg(io.Sinks.readSnapshotAt(spark, dir, 0, "doc_id"))
+          .write.parquet(s"$base/mv")
+        spark.catalog.clearCache()
+        def maintained = io.Sinks.maintainAggView(
+          spark.read.parquet(s"$base/mv")
+            .select(col("src"), col("n_rows"), col("sum_val")),
+          io.Sinks.snapshotDiff(spark, dir, 0, 1, "doc_id"),
+          "src", oldVal = length(col("old_text")), newVal = length(col("new_text")))
+        val t0 = System.nanoTime()
+        maintained.write.format("noop").mode("overwrite").save()
+        val maintSec = (System.nanoTime() - t0) / 1e9
+        def recomputed = agg(io.Sinks.readSnapshotAt(spark, dir, 1, "doc_id"))
+        val t1 = System.nanoTime()
+        recomputed.write.format("noop").mode("overwrite").save()
+        val recompSec = (System.nanoTime() - t1) / 1e9
+        // law at scale (untimed): maintained state == recompute
+        val a = maintained.collect().map(_.toSeq).toSet
+        val b = recomputed.collect().map(_.toSeq).toSet
+        require(a == b, s"maintained view drifted from recompute at f=$f")
+        System.err.println(
+          f"[scale] io_mv_maintain f=$f%-3d maintain ${maintSec}%8.2f s  recompute ${recompSec}%8.2f s  groups=${a.size}")
+        (f, maintSec, recompSec, a.size.toLong)
+      }
+    }
+    if (mvRuns.nonEmpty) {
+      secs("io_mv_maintain") = mvRuns.map { case (f, m, _, g) => (f, m, g) }
+      secs("io_mv_recompute") = mvRuns.map { case (f, _, rc, g) => (f, rc, g) }
     }
     // salted vs plain join on an ENGINEERED hot key (half the fact
     // rows on one key, the rest uniform). saltedJoin targets seams

@@ -829,6 +829,54 @@ object ExtQueries {
          |  FROM scored)
          |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
          |ORDER BY probe_id, rn""".stripMargin,
+    // IVF+SQ8 replay: the shared Lloyd-training/assignment CTE chain
+    // routes probes, then the SQ8 midpoint-decode scoring runs only
+    // inside the probed lists — same bounds/codes arithmetic as the
+    // flat ann_sq8_topk oracle
+    "ann_ivf_sq8_topk" ->
+      s"""WITH ${ivfAssignSqlWith("64")},
+         |dims AS (
+         |  SELECT i AS pos, min(q[i]) AS mn, max(q[i]) AS mx
+         |  FROM qv, range(1, 65) r(i)
+         |  GROUP BY i),
+         |bnd AS (SELECT list(mn ORDER BY pos) AS mnl, list(mx ORDER BY pos) AS mxl FROM dims),
+         |recon AS (
+         |  SELECT vec_id,
+         |         list_transform(range(1, 65), i ->
+         |           mnl[i] + ((2 * (((q[i] - mnl[i]) * 256) // (mxl[i] - mnl[i] + 1)) + 1)
+         |                     * (mxl[i] - mnl[i] + 1)) // 512) AS rv
+         |  FROM qv, bnd),
+         |probes AS (SELECT vec_id AS probe_id, q AS pe FROM qv WHERE vec_id < 10),
+         |pl AS (
+         |  SELECT probe_id, list_id FROM (
+         |    SELECT p.probe_id, c.cent_id AS list_id,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY 2*${qdotIntSql("p.pe", "c.cv")} - c.nrm DESC, c.cent_id) AS pr
+         |    FROM probes p CROSS JOIN cents c) b
+         |  WHERE pr <= ${Similarity.defaultNprobe}),
+         |approx AS (
+         |  SELECT pl.probe_id, a.vec_id, ${qdotIntSql("p.pe", "r.rv")} AS sq8
+         |  FROM pl
+         |  JOIN assign a ON a.list_id = pl.list_id
+         |  JOIN recon r ON r.vec_id = a.vec_id
+         |  JOIN probes p ON p.probe_id = pl.probe_id
+         |  WHERE a.vec_id <> pl.probe_id),
+         |short AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id ORDER BY sq8 DESC, vec_id) AS sr
+         |    FROM approx) s
+         |  WHERE sr <= ${Similarity.defaultRefine}),
+         |scored AS (
+         |  SELECT sh.probe_id, sh.vec_id, ${qdotIntSql("p.pe", "e.q")} AS qdot
+         |  FROM short sh JOIN probes p ON p.probe_id = sh.probe_id
+         |  JOIN qv e ON e.vec_id = sh.vec_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, qdot,
+         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT probe_id, vec_id, qdot, rn FROM ranked WHERE rn <= 10
+         |ORDER BY probe_id, rn""".stripMargin,
     "emb_neardup_pairs" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${qdotSql("a.embedding", "b.embedding")} AS qdot
          |FROM embeddings a, embeddings b
@@ -3303,6 +3351,18 @@ object ExtQueries {
       val emb = t(s, dir, "embeddings")
       Similarity
         .sq8TopK(emb, "vec_id", "embedding", col("vec_id") < 10, 10)
+        .select("probe_id", "vec_id", "qdot", "rn")
+        .orderBy("probe_id", "rn")
+    },
+    "ann_ivf_sq8_topk" -> { (s, dir) =>
+      // the composed big-corpus recipe (FAISS "IVF64,SQ8"): coarse
+      // routing bounds the candidate set at probes·nprobe·avg_list,
+      // SQ8 compresses the lists 4× with affine decode — flat sq8's
+      // O(n·probes) scan becomes O(probes·nprobe·n/K) over the same
+      // compressed store
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .ivfSq8TopK(emb, "vec_id", "embedding", col("vec_id") < 10, 10)
         .select("probe_id", "vec_id", "qdot", "rn")
         .orderBy("probe_id", "rn")
     },

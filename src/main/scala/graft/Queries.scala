@@ -171,6 +171,21 @@ object Queries {
         |SELECT p.phase, h.doc_id, h.n_text, h.source
         |FROM (VALUES ('before'), ('after')) p(phase) CROSS JOIN head h
         |ORDER BY p.phase, h.doc_id""".stripMargin,
+    // MV-maintenance law: the incrementally maintained rollup equals
+    // the recompute over the resolved head — the oracle IS the
+    // recompute, so any retraction/addition drift hash-mismatches
+    "io_mv_maintain" ->
+      s"""WITH $cdcChainCteSql,
+        |resolved AS (
+        |  SELECT l.doc_id, l.text, l.source, l.del,
+        |         row_number() OVER (PARTITION BY l.doc_id
+        |                            ORDER BY l.v DESC) AS rn
+        |  FROM logrel l)
+        |SELECT source, count(*) AS n_rows,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_val
+        |FROM resolved WHERE rn = 1 AND NOT del
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     // the change feed replayed from scratch: per (from, to) pair,
     // resolve the touched keys at both endpoints, full-outer compare,
     // drop identical rewrites — the exact snapshotDiff law
@@ -549,6 +564,29 @@ object Queries {
       s.read.parquet(s"$base/before").withColumn("phase", lit("before"))
         .unionByName(head.withColumn("phase", lit("after")))
         .orderBy("phase", "doc_id")
+    },
+    "io_mv_maintain" -> { (s, dir) =>
+      // incremental materialized-view maintenance: the per-source
+      // (count, sum-of-chars) rollup is seeded from the base commit,
+      // then folded forward with the 0→2 change feed — each changed
+      // key retracts its old contribution and adds its new one, so
+      // the maintained view must equal a recompute over the resolved
+      // head (the oracle) while the maintenance cycle only ever
+      // touches the CHANGED keys and the O(groups) view
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      val path =
+        java.nio.file.Files.createTempDirectory("mvmaint").toString + "/tbl"
+      writeCdcChain(s, docs, path)
+      val mv0 = io.Sinks.readSnapshotAt(s, path, 0, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(length(col("text")).cast("long")).as("sum_val"))
+      io.Sinks.maintainAggView(
+          mv0, io.Sinks.snapshotDiff(s, path, 0, 2, "doc_id"),
+          "source",
+          oldVal = length(col("old_text")), newVal = length(col("new_text")))
+        .orderBy("source")
     },
     "io_change_feed" -> { (s, dir) =>
       // row-level change feed between versions of the commit log: for

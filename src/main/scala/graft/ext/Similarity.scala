@@ -1880,6 +1880,25 @@ object Similarity {
       transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
         e => e.getField("mx")).as("mxl"))
 
+  /** SQ8 encode: dim 8-bit codes per vector, map-only once the one-row
+    * bounds are broadcast alongside (`mnl`/`mxl` columns in scope). */
+  private def sq8EncodeExpr = expr(
+    """transform(q, (v, i) ->
+      |  ((v - element_at(mnl, i + 1)) * 256)
+      |    div (element_at(mxl, i + 1) - element_at(mnl, i + 1) + 1))""".stripMargin)
+
+  /** SQ8 asymmetric score: the probe's exact quantized vector (`pq`)
+    * against the candidate's bucket-midpoint decode — one codegen'd
+    * HOF chain over the `codes` column, bounds in scope as above. */
+  private def sq8ScoreExpr = expr(
+    """aggregate(
+      |  transform(codes, (c, i) ->
+      |    element_at(pq, i + 1) *
+      |      (element_at(mnl, i + 1) +
+      |       ((2 * c + 1) *
+      |        (element_at(mxl, i + 1) - element_at(mnl, i + 1) + 1)) div 512)),
+      |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+
   /** Scalar-quantization (SQ8) approximate top-k — the third quantizer
     * family next to PQ (subspace codebooks) and LSH (sign buckets),
     * FAISS's `IndexScalarQuantizer` shape: every dimension is squeezed
@@ -1915,31 +1934,92 @@ object Similarity {
       vecCol: String,
       probeFilter: Column,
       k: Int,
-      refine: Int = defaultRefine): DataFrame = {
+      refine: Int = defaultRefine,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
     val q = corpus.select(col(idCol), qvT(col(vecCol)).as("q"))
-    val bnd = sq8Bounds(q)
+    // cached: the one-row bounds broadcast into BOTH the encode and the
+    // scoring branch — uncached, each broadcast re-runs the full
+    // posexplode bounds scan of the corpus
+    val bnd = scope.cache(sq8Bounds(q))
     // the persisted artifact: dim 8-bit codes per vector (int64-typed
     // here — the engine's array element contract — but range-bounded
     // to [0, 255] by construction)
     val codes = q.crossJoin(broadcast(bnd))
-      .select(col(idCol), expr(
-        """transform(q, (v, i) ->
-          |  ((v - element_at(mnl, i + 1)) * 256)
-          |    div (element_at(mxl, i + 1) - element_at(mnl, i + 1) + 1))"""
-          .stripMargin).as("codes"))
+      .select(col(idCol), sq8EncodeExpr.as("codes"))
     val probes = corpus.where(probeFilter)
       .select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
     val probesQ = probes.select(col("probe_id"), qvT(col("pe")).as("pq"))
     val scored = codes.crossJoin(broadcast(bnd)).crossJoin(broadcast(probesQ))
       .where(col(idCol) =!= col("probe_id"))
-      .select(col("probe_id"), col(idCol), expr(
-        """aggregate(
-          |  transform(codes, (c, i) ->
-          |    element_at(pq, i + 1) *
-          |      (element_at(mnl, i + 1) +
-          |       ((2 * c + 1) *
-          |        (element_at(mxl, i + 1) - element_at(mnl, i + 1) + 1)) div 512)),
-          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("sq8"))
+      .select(col("probe_id"), col(idCol), sq8ScoreExpr.as("sq8"))
+    val short = graft.plans.TopKPerKey(
+      scored, Seq("probe_id"), Seq(("sq8", false), (idCol, true)), refine)
+      .select(col("probe_id"), col(idCol))
+    val rescored = short
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(probes), "probe_id")
+      .select(col("probe_id"), col(idCol),
+        quantizedDot(col("pe"), col(vecCol)).as("qdot"))
+    rankTopK(rescored, idCol, k)
+  }
+
+  /** IVF + SQ8 — the composed big-corpus serving recipe (FAISS
+    * "IVF<K>,SQ8"): the Lloyd-trained coarse quantizer routes each
+    * probe to its `nprobe` inverted lists, candidates inside those
+    * lists are scored from their 8-bit SQ codes (asymmetric midpoint
+    * decode, as [[sq8TopK]]), and the best `refine` per probe are
+    * re-scored exactly. Where flat [[sq8TopK]] pays O(n·probes)
+    * decode-dots, routing cuts the candidate pass to
+    * O(probes·nprobe·n/K) over the SAME compressed store — the two
+    * knobs (nprobe for recall, SQ8 for memory) compose independently,
+    * which is why this pairing is the deployment default when PQ's
+    * deeper compression isn't needed.
+    *
+    * Scale shape: both trainers are bounded (Lloyd on the
+    * `trainSample`; SQ8 bounds are one scan of O(dim) state); the
+    * corpus pass is the one-list assignment plus the map-only encode;
+    * candidate scoring joins codes by `list_id` with the O(probes·
+    * nprobe) routing sliver; only the ≤ refine·probes shortlist
+    * touches raw vectors. All int64 id-broken arithmetic — training,
+    * routing, codes, and ranks replay externally. */
+  def ivfSq8TopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      numCentroids: Int = 64,
+      nprobe: Int = defaultNprobe,
+      refine: Int = defaultRefine,
+      trainRounds: Int = defaultTrainRounds,
+      trainSample: Int = defaultTrainSample,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, numCentroids, trainRounds, trainSample, scope)
+    val lists = ivfAssign(corpus, idCol, vecCol, cents)
+    val q = corpus.select(col(idCol), qvT(col(vecCol)).as("q"))
+    // cached for the same two-broadcast reason as sq8TopK
+    val bnd = scope.cache(sq8Bounds(q))
+    val codes = q.crossJoin(broadcast(bnd))
+      .select(col(idCol), sq8EncodeExpr.as("codes"))
+    val probes = corpus.where(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pe"))
+    val wp = Window.partitionBy("probe_id").orderBy(desc("cd"), asc("cent_id"))
+    val probeLists = probes.crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("cent_id"),
+        (lit(2L) * quantizedDot(col("pe"), col("cv")) - col("nrm")).as("cd"))
+      .withColumn("pr", row_number().over(wp))
+      .where(col("pr") <= nprobe)
+      .select(col("probe_id"), col("cent_id").as("list_id"))
+    val probesQ = probes.select(col("probe_id"), qvT(col("pe")).as("pq"))
+    // candidates carry CODES only; the probed-list join bounds them at
+    // probes·nprobe·avg_list rows before any scoring work
+    val scored = probeLists.join(lists, "list_id")
+      .where(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol))
+      .join(codes, idCol)
+      .join(broadcast(probesQ), "probe_id")
+      .crossJoin(broadcast(bnd))
+      .select(col("probe_id"), col(idCol), sq8ScoreExpr.as("sq8"))
     val short = graft.plans.TopKPerKey(
       scored, Seq("probe_id"), Seq(("sq8", false), (idCol, true)), refine)
       .select(col("probe_id"), col(idCol))

@@ -271,6 +271,54 @@ object Sinks {
       .drop("__old_here", "__new_here")
   }
 
+  /** Incremental materialized-view maintenance for distributive
+    * group aggregates (count + sum) from a [[snapshotDiff]] change
+    * feed — the pattern that keeps a 100 TB table's rollups fresh
+    * WITHOUT re-aggregating the table: each changed key contributes
+    * its new value to its new group and retracts its old value from
+    * its old group, so inserts (no old side), deletes (no new side),
+    * in-place updates, and GROUP MOVES (retract there, add here) are
+    * all the same two-sided rule. The per-group delta folds into the
+    * stored view with a full-outer merge; groups whose count reaches
+    * zero leave the view (a re-appearing group re-enters through the
+    * add side) — maintained state is bit-equal to a recompute over
+    * the resolved head, which is exactly what the oracle checks.
+    *
+    * Scale shape: the change feed is already pruned to touched keys
+    * (snapshotDiff's LeftSemi discipline); the delta agg is
+    * map-combined to O(changed groups) rows and the merge joins two
+    * O(groups) relations — per-cycle cost scales with the CHANGES and
+    * the view, never the table.
+    *
+    * Contracts: `mv` has columns (grpCol, n_rows, sum_val) — the shape
+    * this function itself returns, so cycles chain; the group column
+    * is non-null in table data; `oldVal`/`newVal` are the SAME value
+    * expression over the feed's `old_`/`new_`-prefixed payload. */
+  def maintainAggView(
+      mv: DataFrame,
+      changes: DataFrame,
+      grpCol: String,
+      oldVal: Column,
+      newVal: Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(mv.columns.toSeq == Seq(grpCol, "n_rows", "sum_val"),
+      s"mv must be ($grpCol, n_rows, sum_val), got ${mv.columns.toSeq}")
+    val adds = changes.where(col("change") =!= "delete")
+      .select(col(s"new_$grpCol").as(grpCol),
+        lit(1L).as("dn"), newVal.cast("long").as("dv"))
+    val subs = changes.where(col("change") =!= "insert")
+      .select(col(s"old_$grpCol").as(grpCol),
+        lit(-1L).as("dn"), (-oldVal.cast("long")).as("dv"))
+    val delta = adds.unionByName(subs)
+      .groupBy(col(grpCol))
+      .agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
+    mv.join(delta, Seq(grpCol), "full_outer")
+      .select(col(grpCol),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
+        (coalesce(col("sum_val"), lit(0L)) + coalesce(col("dv"), lit(0L))).as("sum_val"))
+      .where(col("n_rows") > 0)
+  }
+
   /** Fold commits 0..`upTo` into a single resolved base partition:
     * rewrites `__v=upTo` as the materialized snapshot and drops the
     * older directories (write-then-swap via a temp dir, so a crash

@@ -107,6 +107,29 @@ class R10OpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("ivfSq8TopK with full probe width and full refine equals the exact brute force (sf0.001)") {
+    // nprobe = numCentroids scans every list and refine >= corpus
+    // makes the SQ8 shortlist total — the composed path must reproduce
+    // bruteForceTopK bit-for-bit, as both approximations act only
+    // through the routing and shortlist cuts
+    val emb = io.Tables(spark, sf, "embeddings")
+    val n = emb.count().toInt
+    val probes = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val exact = ext.Similarity
+      .bruteForceTopK(emb, probes, "vec_id", "embedding", "probe_id", "pe", 5)
+      .select("probe_id", "vec_id", "qdot", "rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val got = ext.Similarity
+      .ivfSq8TopK(emb, "vec_id", "embedding", col("vec_id") < 5, k = 5,
+        numCentroids = 8, nprobe = 8, refine = n)
+      .select("probe_id", "vec_id", "qdot", "rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == exact)
+    assert(exact.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("privacyReport flags small and homogeneous classes; suppression keeps exactly the passing rows") {
     // class (a, 1): large and diverse -> passes both gates
     // class (a, 2): large but every member shares the sensitive value
@@ -129,6 +152,43 @@ class R10OpsSpec extends SparkSpec {
       .select("seg", "nat").distinct()
       .as[(String, Int)].collect().toSet
     assert(kept == Set(("a", 1)))
+  }
+
+  test("maintainAggView: group moves, emptied groups, and chained cycles all equal the recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("mvspec").toString + "/tbl"
+    // base: grp a = {k1: 10, k2: 20}, grp b = {k3: 30}
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("k", "grp", "v")
+    io.Sinks.writeVersion(base, dir, 0)
+    // v1: k2 MOVES a→b with a new value; k3 deleted (empties nothing
+    // yet); k4 inserted into c
+    io.Sinks.writeVersion(Seq(
+      (2L, "b", 25L, false), (3L, "b", 30L, true), (4L, "c", 7L, false))
+      .toDF("k", "grp", "v", "__deleted"), dir, 1)
+    // v2: k1 deleted -> grp a EMPTIES and must leave the view
+    io.Sinks.writeVersion(Seq((1L, "a", 10L, true))
+      .toDF("k", "grp", "v", "__deleted"), dir, 2)
+
+    def mvOf(asOf: Long) = io.Sinks.readSnapshotAt(spark, dir, asOf, "k")
+      .groupBy("grp").agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_val"))
+    def maintained(from: Long, to: Long, mv: org.apache.spark.sql.DataFrame) =
+      io.Sinks.maintainAggView(mv,
+        io.Sinks.snapshotDiff(spark, dir, from, to, "k"),
+        "grp", oldVal = col("old_v"), newVal = col("new_v"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long)].collect().toSet
+
+    // one cycle over the move commit
+    val m1 = maintained(0, 1, mvOf(0))
+    assert(rows(m1) == rows(mvOf(1)))
+    assert(rows(m1) == Set(("a", 1L, 10L), ("b", 1L, 25L), ("c", 1L, 7L)))
+    // chained second cycle off the MAINTAINED state (not a recompute):
+    // grp a empties and leaves the view
+    val m2 = maintained(1, 2, m1)
+    assert(rows(m2) == rows(mvOf(2)))
+    assert(rows(m2) == Set(("b", 1L, 25L), ("c", 1L, 7L)))
+    // one big cycle 0→2 equals the two chained ones
+    assert(rows(maintained(0, 2, mvOf(0))) == rows(m2))
   }
 
   test("epochSchedule: caps bind per source, effective <= alloc, uncapped epochs consume the allocation") {

@@ -41,8 +41,10 @@ object Queries {
     * over its v1 tombstone). io_time_travel, io_change_feed, and
     * io_vacuum all commit exactly this log; their oracles replay the
     * same chain in SQL. */
-  private def writeCdcChain(s: SparkSession, docs: DataFrame, path: String): Unit = {
-    io.Sinks.writeVersion(docs, path, 0)
+  /** The chain's two change batches alone — shared by the batch
+    * committer below and the streaming twins (`stream_mv_maintain`
+    * delivers exactly these as micro-batches). */
+  private def cdcBatches(docs: DataFrame): (DataFrame, DataFrame) = {
     val up1 = docs.where(pmod(col("doc_id"), lit(10)) === 0)
       .withColumn("text", concat(lit("v2 "), col("text")))
       .withColumn("__deleted", lit(false))
@@ -52,8 +54,6 @@ object Queries {
       .withColumn("doc_id", col("doc_id") + 100000L)
       .withColumn("text", concat(lit("new "), col("text")))
       .withColumn("__deleted", lit(false))
-    io.Sinks.writeVersion(up1.unionByName(del1).unionByName(ins1), path,
-      io.Sinks.nextVersion(s, path))
     val up2 = docs.where(pmod(col("doc_id"), lit(10)) === 2)
       .withColumn("text", concat(lit("v3 "), col("text")))
       .withColumn("__deleted", lit(false))
@@ -63,8 +63,15 @@ object Queries {
     val rev2 = docs.where(pmod(col("doc_id"), lit(100)) === 1)
       .withColumn("text", concat(lit("back "), col("text")))
       .withColumn("__deleted", lit(false))
-    io.Sinks.writeVersion(up2.unionByName(del2).unionByName(rev2), path,
-      io.Sinks.nextVersion(s, path))
+    (up1.unionByName(del1).unionByName(ins1),
+      up2.unionByName(del2).unionByName(rev2))
+  }
+
+  private def writeCdcChain(s: SparkSession, docs: DataFrame, path: String): Unit = {
+    io.Sinks.writeVersion(docs, path, 0)
+    val (b1, b2) = cdcBatches(docs)
+    io.Sinks.writeVersion(b1, path, io.Sinks.nextVersion(s, path))
+    io.Sinks.writeVersion(b2, path, io.Sinks.nextVersion(s, path))
   }
 
   /** SQL replay of [[writeCdcChain]] — ends with `logrel` =
@@ -175,6 +182,21 @@ object Queries {
     // the recompute over the resolved head — the oracle IS the
     // recompute, so any retraction/addition drift hash-mismatches
     "io_mv_maintain" ->
+      s"""WITH $cdcChainCteSql,
+        |resolved AS (
+        |  SELECT l.doc_id, l.text, l.source, l.del,
+        |         row_number() OVER (PARTITION BY l.doc_id
+        |                            ORDER BY l.v DESC) AS rn
+        |  FROM logrel l)
+        |SELECT source, count(*) AS n_rows,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_val
+        |FROM resolved WHERE rn = 1 AND NOT del
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    // the streaming twin maintains the SAME view the batch cycle does
+    // (per-trigger fold == one batch fold over the union of commits),
+    // so it shares the recompute oracle verbatim
+    "stream_mv_maintain" ->
       s"""WITH $cdcChainCteSql,
         |resolved AS (
         |  SELECT l.doc_id, l.text, l.source, l.del,
@@ -586,6 +608,33 @@ object Queries {
           mv0, io.Sinks.snapshotDiff(s, path, 0, 2, "doc_id"),
           "source",
           oldVal = length(col("old_text")), newVal = length(col("new_text")))
+        .orderBy("source")
+    },
+    "stream_mv_maintain" -> { (s, dir) =>
+      // the streaming twin of io_mv_maintain: the same two change
+      // batches arrive as micro-batches, each committing one __v=N
+      // version and folding its own change feed into the stored view
+      // (write-then-swap) — after the stream drains, the stored view
+      // must equal the batch recompute over the resolved head, so the
+      // query shares io_mv_maintain's oracle verbatim
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      val base = java.nio.file.Files.createTempDirectory("mvstream").toString
+      val path = base + "/tbl"
+      io.Sinks.writeVersion(docs, path, 0)
+      // the deployment's initial backfill: seed the stored view once
+      io.Sinks.readSnapshotAt(s, path, 0, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(length(col("text")).cast("long")).as("sum_val"))
+        .write.parquet(s"$base/mv")
+      val (b1, b2) = cdcBatches(docs)
+      streaming.StreamOps.mvMaintainApply(
+        streaming.StreamOps.stagedStream(Seq(b1, b2)), path, s"$base/mv",
+        "doc_id", "source",
+        oldVal = length(col("old_text")), newVal = length(col("new_text")))
+      s.read.parquet(s"$base/mv")
+        .select(col("source"), col("n_rows"), col("sum_val"))
         .orderBy("source")
     },
     "io_change_feed" -> { (s, dir) =>

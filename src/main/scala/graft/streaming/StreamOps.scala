@@ -289,6 +289,57 @@ object StreamOps {
     q.stop()
   }
 
+  /** Streaming materialized-view maintenance — the stream-to-lakehouse
+    * twin of `Sinks.maintainAggView`, completing the family: every
+    * micro-batch commits as ONE append-only `__v=N` version (exactly
+    * [[cdcApply]]) and then folds its OWN change feed (the
+    * `snapshotDiff` of just that commit) into the stored view, written
+    * next-then-swapped so a crash never leaves a half-updated MV
+    * behind a committed version. The view the stream maintains is
+    * therefore bit-equal, after every trigger, to what a batch
+    * recompute over the resolved head would produce — which is what
+    * lets `stream_mv_maintain` share `io_mv_maintain`'s recompute
+    * oracle verbatim.
+    *
+    * Per-cycle cost is the batch twin's: the diff prunes to the
+    * commit's touched keys, the fold shuffles O(changes)+O(groups)
+    * rows, and the table is never re-aggregated. The caller seeds the
+    * stored view from the base version before starting the stream
+    * (the deployment's initial backfill). */
+  def mvMaintainApply(
+      changes: DataFrame,
+      path: String,
+      mvPath: String,
+      keyCol: String,
+      grpCol: String,
+      oldVal: org.apache.spark.sql.Column,
+      newVal: org.apache.spark.sql.Column): Unit = {
+    val q = changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val v = graft.io.Sinks.nextVersion(s, path)
+          graft.io.Sinks.writeVersion(batch.toDF(), path, v)
+          val updated = graft.io.Sinks.maintainAggView(
+            s.read.parquet(mvPath)
+              .select(col(grpCol), col("n_rows"), col("sum_val")),
+            graft.io.Sinks.snapshotDiff(s, path, v - 1, v, keyCol),
+            grpCol, oldVal, newVal)
+          val fs = new org.apache.hadoop.fs.Path(mvPath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val tmp = new org.apache.hadoop.fs.Path(mvPath + s".next_v$v")
+          updated.write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(new org.apache.hadoop.fs.Path(mvPath), true)
+          fs.rename(tmp, new org.apache.hadoop.fs.Path(mvPath))
+          ()
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Stream-stream interval LEFT OUTER join — attribution with the
     * unconverted rows kept: every purchase, matched to same-user
     * clicks in the preceding `windowSeconds`, or emitted once with

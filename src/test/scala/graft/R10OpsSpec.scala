@@ -191,6 +191,34 @@ class R10OpsSpec extends SparkSpec {
     assert(rows(maintained(0, 2, mvOf(0))) == rows(m2))
   }
 
+  test("mvMaintainApply: the stored view equals the recompute after every trigger, across stream restarts") {
+    val base = java.nio.file.Files.createTempDirectory("mvstream_spec").toString
+    val dir = base + "/tbl"
+    val rows = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("k", "grp", "v")
+    io.Sinks.writeVersion(rows, dir, 0)
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_val"))
+    agg(io.Sinks.readSnapshotAt(spark, dir, 0, "k")).write.parquet(s"$base/mv")
+    val b1 = Seq((2L, "b", 25L, false), (4L, "c", 7L, false))
+      .toDF("k", "grp", "v", "__deleted")
+    val b2 = Seq((1L, "a", 10L, true)).toDF("k", "grp", "v", "__deleted")
+    def stored = spark.read.parquet(s"$base/mv")
+      .as[(String, Long, Long)].collect().toSet
+    def recompute(asOf: Long) = agg(io.Sinks.readSnapshotAt(spark, dir, asOf, "k"))
+      .as[(String, Long, Long)].collect().toSet
+    def drain(b: org.apache.spark.sql.DataFrame): Unit =
+      streaming.StreamOps.mvMaintainApply(
+        streaming.StreamOps.stagedStream(Seq(b)), dir, s"$base/mv",
+        "k", "grp", oldVal = col("old_v"), newVal = col("new_v"))
+    drain(b1) // trigger 1: move + insert
+    assert(stored == recompute(1))
+    drain(b2) // a SEPARATE stream session resumes off the stored view
+    assert(stored == recompute(2))
+    // grp a emptied by the delete; b holds the moved k2 plus base k3
+    assert(stored == Set(("b", 2L, 55L), ("c", 1L, 7L)))
+  }
+
   test("epochSchedule: caps bind per source, effective <= alloc, uncapped epochs consume the allocation") {
     // tiny source gets a sqrt-law upweight big enough to hit the cap;
     // the large source stays under it

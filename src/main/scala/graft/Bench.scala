@@ -83,7 +83,10 @@ object Bench {
       // round-9 quiet-host refresh: these read >4.5 s in light 12-query
       // sessions — contain their decay in the small heavy tier too
       "stream_join_outer", "dedup_clusters_update", "multimodal_neardup",
-      "search_phrase")
+      "search_phrase",
+      // r10 wave 3: builds + purges a full text index per execution
+      // (the oracle must stand alone) — same class as search_index_*
+      "privacy_purge_text")
     def isHeavy(n: String): Boolean =
       n.startsWith("ann_") || n.startsWith("emb_") ||
         n.startsWith("graph_") || heavyExact(n)
@@ -102,7 +105,10 @@ object Bench {
       "stream_join", "stream_join_outer",
       // r10: trains both quantizers + full encode per execution (the
       // oracle must stand alone), plus streaming micro-batch machinery
-      "stream_ann_screen")
+      "stream_ann_screen",
+      // r10 wave 3: trains both quantizers + full encode + purge
+      // rewrite per execution — the heaviest trainer shape in the suite
+      "privacy_purge_ann")
     val (solo, rest) = names.partition(singleton)
     val (heavy, light) = rest.partition(isHeavy)
     val heavyGroupSize = math.max(1, math.min(5, groupSize))

@@ -936,6 +936,89 @@ object BenchScale {
       secs("skew_salted_maxtask") = skewRuns.map { case (f, s, _, _, r) => (f, s._2, r) }
       secs("skew_plain_maxtask") = skewRuns.map { case (f, _, p, _, r) => (f, p._2, r) }
     }
+    // ---- right-to-be-forgotten purge (round 10): the subtraction
+    // pass against BOTH persisted indexes. The claim under test: purge
+    // cost tracks the INDEX size (one broadcast anti-join pass), i.e.
+    // a ~f slope with a constant far below the build's (build slopes
+    // live in search_index_build / ann_index_build) — the 100 TB
+    // deployment answers a GDPR batch without a rebuild. Rows = the
+    // retained postings/codes the pass rewrote.
+    val purgeRuns = if (!gated("privacy_purge_text", "privacy_purge_ann"))
+      Seq.empty[(Int, Double, Double, Long, Long)]
+    else withSession { (spark, docs0, emb0) =>
+      factors.map { f =>
+        val docs = inflateDocs(docs0, f)
+        val dT = java.nio.file.Files.createTempDirectory(s"purge_txt_$f").toString
+        ext.Search.writeTextIndex(docs, "doc_id", "text", dT)
+        val t0 = System.nanoTime()
+        ext.Search.purgeTextIndex(spark, dT,
+          docs.where(pmod(col("doc_id"), lit(37)) === 3).select("doc_id"),
+          "doc_id")
+        val textSec = (System.nanoTime() - t0) / 1e9
+        val postRows = spark.read.parquet(s"$dT/postings").count()
+        val infl = inflateEmbeddings(emb0, f)
+        val dA = java.nio.file.Files.createTempDirectory(s"purge_ann_$f").toString
+        val scope = new graft.util.CacheScope
+        ext.Similarity.writeAnnIndex(
+          ext.Similarity.annIndex(infl, "vec_id", "embedding", scope = scope), dA)
+        scope.close()
+        val t1 = System.nanoTime()
+        ext.Similarity.purgeAnnIndex(spark, dA,
+          infl.where(pmod(col("vec_id"), lit(37)) === 3).select("vec_id"),
+          "vec_id")
+        val annSec = (System.nanoTime() - t1) / 1e9
+        val codeRows = spark.read.parquet(s"$dA/codes").count()
+        spark.catalog.clearCache()
+        System.err.println(
+          f"[scale] purge f=$f%-3d text ${textSec}%8.2f s ($postRows postings)  ann ${annSec}%8.2f s ($codeRows codes)")
+        (f, textSec, annSec, postRows, codeRows)
+      }
+    }
+    if (purgeRuns.nonEmpty) {
+      secs("privacy_purge_text") = purgeRuns.map { case (f, t, _, pr, _) => (f, t, pr) }
+      secs("privacy_purge_ann") = purgeRuns.map { case (f, _, a, _, cr) => (f, a, cr) }
+    }
+
+    // ---- event-sequence kernels (round 10): the concurrency sweep is
+    // sessionize + ONE distributed prefix sum over all endpoints (the
+    // n log n alternative to the O(n·m) interval join), pattern
+    // funnels are one user-shuffle + per-user linear regex. Copies
+    // shift user/event ids and keep timestamps, so sessions and
+    // endpoints scale exactly ×f over an unchanged time range — the
+    // worst case for the sweep (density grows, the sort must absorb
+    // it).
+    val evRuns = if (!gated("events_concurrency", "events_pattern"))
+      Seq.empty[(Int, Double, Double, Long, Long)]
+    else withSession { (spark, _, _) =>
+      val ev0 = io.Tables(spark, sfDir, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+      ev0.count()
+      def inflateEvents(f: Int) = (0 until f).map { k =>
+        ev0.select(
+          (col("event_id") + lit(k.toLong * 1000000000000L)).as("event_id"),
+          (col("user_id") + lit(k.toLong * 1000000000L)).as("user_id"),
+          col("ts"), col("event_type"))
+      }.reduce(_ unionByName _)
+      factors.map { f =>
+        val ev = inflateEvents(f)
+        val t0 = System.nanoTime()
+        val concRows = ops.TimeSeries.concurrencyProfile(ev).count()
+        val concSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val patRows = ops.TimeSeries.patternFunnels(ev, "vc*p",
+          Seq("view" -> "v", "click" -> "c", "purchase" -> "p",
+            "signup" -> "s", "error" -> "e")).count()
+        val patSec = (System.nanoTime() - t1) / 1e9
+        System.err.println(
+          f"[scale] events f=$f%-3d concurrency ${concSec}%8.2f s ($concRows)  pattern ${patSec}%8.2f s ($patRows)")
+        (f, concSec, patSec, concRows, patRows)
+      }
+    }
+    if (evRuns.nonEmpty) {
+      secs("events_concurrency") = evRuns.map { case (f, c, _, r, _) => (f, c, r) }
+      secs("events_pattern") = evRuns.map { case (f, _, p, _, r) => (f, p, r) }
+    }
+
     val qJson = secs.map { case (n, runs) =>
       "\"" + n + "\":{" + runs.map { case (f, s, _) => "\"" + f + "\":" + s }.mkString(",") + "}"
     }.mkString("{", ",", "}")

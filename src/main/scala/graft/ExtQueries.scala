@@ -403,7 +403,16 @@ object ExtQueries {
   // the ENGINE answers from a persisted index — same SQL truth, because
   // training is deterministic and the all-int64 index parquet
   // round-trips exactly.
-  private def ivfPqSql(probePred: String, trainPred: String = "TRUE"): String =
+  // candPred restricts which ids may appear as CANDIDATES (and so as
+  // results); reference the assignment row as `a.vec_id` (the
+  // knnRankedSqlWith alias convention). The purge oracle passes the
+  // retention predicate, so the replay IS "assignment/encode over the
+  // retained corpus under the full-corpus pinned quantizers" — exactly
+  // what a purged index serves
+  private def ivfPqSql(
+      probePred: String,
+      trainPred: String = "TRUE",
+      candPred: String = "TRUE"): String =
     s"""WITH ${ivfAssignSqlWith("64", trainPred)},
        |${pqCentsSql(trainPred = trainPred)},
        |codes AS (
@@ -433,6 +442,7 @@ object ExtQueries {
        |  JOIN codes co ON co.vec_id = a.vec_id
        |  JOIN adc ON adc.probe_id = pl.probe_id AND adc.sub = co.sub AND adc.code = co.code
        |  WHERE a.vec_id <> pl.probe_id
+       |    AND ($candPred)
        |  GROUP BY pl.probe_id, a.vec_id),
        |short AS (
        |  SELECT probe_id, vec_id FROM (
@@ -1458,6 +1468,13 @@ object ExtQueries {
     // append path), probes = a third batch
     "ann_index_update" ->
       ivfPqSql("vec_id >= 20 AND vec_id < 30", "vec_id % 5 <> 0"),
+    // purge: quantizers stay trained on the FULL corpus (pinned — the
+    // index was built before the delete request), candidates restricted
+    // to the retained ids, probes from the retained slice — a purged id
+    // surviving any inverted list or code row would hash-mismatch
+    "privacy_purge_ann" ->
+      ivfPqSql("vec_id < 10 AND vec_id % 37 <> 3",
+        candPred = "a.vec_id % 37 <> 3"),
     // SemDeDup rebuilt from scratch: identical quantizer training +
     // assignment (shared CTE), then within-list pairs above the
     // threshold and the keep-first anti-join
@@ -2871,6 +2888,63 @@ object ExtQueries {
         |       CAST(max(lag_sec) AS BIGINT) AS max_lag_sec
         |FROM bk GROUP BY bucket
         |ORDER BY bucket""".stripMargin,
+    // concurrency replay: the q29 sessionize CTEs, half-open endpoint
+    // rows, ONE global running sum over the total endpoint order, and
+    // the per-hour peak as max(greatest(after, before)) — before =
+    // after - d reads the level a bucket inherited when it only falls
+    "events_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, sec,
+        |    CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |         OR lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, sec,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, sid, min(sec) AS t0, max(sec) + 1 AS t1
+        |  FROM sessions GROUP BY user_id, sid),
+        |pts AS (
+        |  SELECT user_id, sid, t0 AS t, CAST(1 AS BIGINT) AS d FROM sess
+        |  UNION ALL
+        |  SELECT user_id, sid, t1, CAST(-1 AS BIGINT) FROM sess),
+        |run AS (
+        |  SELECT t, d,
+        |    sum(d) OVER (ORDER BY t, d, user_id, sid ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM pts)
+        |SELECT strftime(make_timestamp(((t // 3600) * 3600) * 1000000),
+        |                '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |       CAST(max(greatest(s, s - d)) AS BIGINT) AS max_conc,
+        |       CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        |       CAST(sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
+        |FROM run GROUP BY hour_ts
+        |ORDER BY hour_ts""".stripMargin,
+    // pattern replay: same per-user encoded sequence (string_agg over
+    // the identical total order), same regex — Java and RE2 agree on
+    // the restricted alphabet patternFunnels enforces
+    "events_pattern" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+        |              WHEN 'error' THEN 'e' ELSE '#' END AS ch
+        |  FROM events),
+        |seqs AS (
+        |  SELECT user_id, string_agg(ch, '' ORDER BY sec, event_id) AS seq,
+        |         count(*) AS n_events
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id,
+        |       CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_matches,
+        |       CAST(n_events AS BIGINT) AS n_events
+        |FROM seqs
+        |WHERE len(regexp_extract_all(seq, 'vc*p')) > 0
+        |ORDER BY user_id""".stripMargin,
     // RFM replay: per-user triple, broadcast bounds, min-max kilo-
     // buckets, three strictly-below histogram windows, integer
     // population quintiles, segment rollup
@@ -3137,6 +3211,14 @@ object ExtQueries {
     // exactly — same oracle again
     "search_index_update" ->
       Search.bm25OracleSql(tokSql, Search.defaultTerms, Search.defaultK),
+    // purge must equal a rebuild on the RETAINED corpus: the oracle is
+    // the scan replay over that slice — deleted docs out of the
+    // ranking AND out of every corpus statistic (df, N, Σdl), so a
+    // stale idf or length norm hash-mismatches even when the deleted
+    // docs weren't in the top-k
+    "privacy_purge_text" ->
+      Search.bm25OracleSql(tokSql, Search.defaultTerms, Search.defaultK,
+        fromSql = "(SELECT * FROM documents WHERE doc_id % 37 <> 3)"),
     // temperature mixture rebuilt from scratch: per-source counts,
     // scaled-integer sqrt weights, floor-division rates, md5 threshold
     "corpus_mix_temperature" ->
@@ -3681,6 +3763,22 @@ object ExtQueries {
       Search.indexTopK(s, p0, Search.defaultTerms, Search.defaultK)
         .orderBy(desc("score"), col("doc_id"))
     },
+    "privacy_purge_text" -> { (s, dir) =>
+      // right-to-be-forgotten against the SERVING artifact: index the
+      // full corpus, then purge a deterministic delete set (~2.7% of
+      // ids) from the index WITHOUT re-reading the corpus — one
+      // broadcast anti-join pass over postings plus O(terms) stat
+      // decrements — and serve. Must equal a rebuild on the retained
+      // corpus (the oracle), stats and all
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("txtpurge").toString
+      Search.writeTextIndex(docs, "doc_id", "text", path)
+      Search.purgeTextIndex(s, path,
+        docs.where(pmod(col("doc_id"), lit(37)) === 3).select("doc_id"),
+        "doc_id")
+      Search.indexTopK(s, path, Search.defaultTerms, Search.defaultK)
+        .orderBy(desc("score"), col("doc_id"))
+    },
     "search_hybrid_rrf" -> { (s, dir) =>
       // RAG-serving hybrid: BM25 lexical leg + single-probe exact dense
       // leg, reciprocal-rank fusion in integer arithmetic — each leg a
@@ -3757,6 +3855,25 @@ object ExtQueries {
       Similarity.probeIndex(Similarity.readAnnIndex(s, idxDir),
           emb, "vec_id", "embedding",
           probeFilter = col("vec_id") >= 20 && col("vec_id") < 30, k = 10)
+        .orderBy("probe_id", "rn")
+    },
+    "privacy_purge_ann" -> { (s, dir) =>
+      // right-to-be-forgotten for the vector store: purge the delete
+      // set from the persisted index's lists and codes (one broadcast
+      // anti-join pass each; quantizers pinned, never retrained), then
+      // serve retained probes against the retained corpus — the oracle
+      // replays full-corpus training with candidates restricted to
+      // retained ids, so any surviving trace of a purged vector
+      // hash-mismatches
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files.createTempDirectory("ann_purge").toString
+      Similarity.writeAnnIndex(Similarity.annIndex(emb, "vec_id", "embedding"), idxDir)
+      Similarity.purgeAnnIndex(s, idxDir,
+        emb.where(pmod(col("vec_id"), lit(37)) === 3).select("vec_id"), "vec_id")
+      val retained = emb.where(pmod(col("vec_id"), lit(37)) =!= 3)
+      Similarity.probeIndex(Similarity.readAnnIndex(s, idxDir),
+          retained, "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 10)
         .orderBy("probe_id", "rn")
     },
     "ann_ivfpq_res_topk" -> { (s, dir) =>
@@ -4100,6 +4217,26 @@ object ExtQueries {
               16, 10).cast("long")),
           tieCol = "arrival")
         .orderBy("bucket")
+    },
+    "events_concurrency" -> { (s, dir) =>
+      // peak-concurrency capacity profile: sessionize, two endpoint
+      // rows per session, one DISTRIBUTED prefix sum over the global
+      // endpoint order (range partition + per-partition offsets —
+      // never an interval self-join, never Exchange SinglePartition),
+      // per-hour peak/start/end rollup
+      graft.ops.TimeSeries.concurrencyProfile(t(s, dir, "events"))
+        .orderBy("hour_ts")
+    },
+    "events_pattern" -> { (s, dir) =>
+      // MATCH_RECOGNIZE-lite: per-user event types in (time, id) order
+      // encoded to a 1-char alphabet, matched against 'vc*p' — a view,
+      // any clicks, then purchase, CONSECUTIVELY (the structural
+      // funnel; events_funnel answers the ordinal one). One shuffle,
+      // per-user linear state
+      graft.ops.TimeSeries.patternFunnels(t(s, dir, "events"), "vc*p",
+          Seq("view" -> "v", "click" -> "c", "purchase" -> "p",
+            "signup" -> "s", "error" -> "e"))
+        .orderBy("user_id")
     },
     "stream_topk_users" -> { (s, dir) =>
       // trending entities per window: the streaming stateful part is

@@ -349,20 +349,24 @@ object Search {
       terms: Seq[String],
       k: Int,
       k1X1000: Long = 1200L,
-      bX1000: Long = 750L): String =
-    s"""WITH ${bm25CtesSql(tokSql, terms, k1X1000, bX1000)}
+      bX1000: Long = 750L,
+      fromSql: String = "documents"): String =
+    s"""WITH ${bm25CtesSql(tokSql, terms, k1X1000, bX1000, fromSql)}
        |SELECT doc_id, CAST(score AS BIGINT) AS score, CAST(n_hits AS BIGINT) AS n_hits
        |FROM scored WHERE score > 0
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
 
   /** The `base`/`stats`/`scored` CTE block both `bm25OracleSql` and the
     * hybrid-fusion oracle interpolate — one source of truth for the
-    * integer-BM25 replay arithmetic. */
+    * integer-BM25 replay arithmetic. `fromSql` is the corpus relation
+    * (default the full `documents` table; the purge oracle passes the
+    * retained slice so the replay IS the rebuild-from-scratch truth). */
   private def bm25CtesSql(
       tokSql: String,
       terms: Seq[String],
       k1X1000: Long,
-      bX1000: Long): String = {
+      bX1000: Long,
+      fromSql: String = "documents"): String = {
     val tfDefs = terms.indices.map { i =>
       s"len(list_filter(tk, x -> x = ${sqlLit(terms(i))})) AS tf_$i"
     }.mkString(",\n|         ")
@@ -380,7 +384,7 @@ object Search {
     s"""base AS (
        |  SELECT doc_id, len(tk) AS dl,
        |         $tfDefs
-       |  FROM (SELECT doc_id, $tokSql AS tk FROM documents)),
+       |  FROM (SELECT doc_id, $tokSql AS tk FROM $fromSql)),
        |stats AS (
        |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
        |         $dfDefs
@@ -601,6 +605,86 @@ object Search {
       .write.mode("overwrite").parquet(s"$path/term_df.compacting")
     readRel(spark, path, "meta")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path/meta.compacting")
+    val f = hadoopFs(spark, path)
+    for (rel <- indexRels) {
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), true)
+      deltaDirs(spark, path, rel)
+        .foreach(d => f.delete(new org.apache.hadoop.fs.Path(d), true))
+      f.rename(new org.apache.hadoop.fs.Path(s"$path/$rel.compacting"),
+        new org.apache.hadoop.fs.Path(s"$path/$rel"))
+    }
+  }
+
+  /** Right-to-be-forgotten propagation into the persisted index: drop
+    * every trace of `deleteIds` from the three relations WITHOUT
+    * re-reading the corpus — the deletion side of the maintenance
+    * story `updateTextIndex` tells for ingest. A 100 TB deployment
+    * cannot rebuild the index per GDPR request; it must subtract.
+    *
+    * Exactness (the law `PurgeSpec` pins): the purged index serves
+    * bit-identically to `writeTextIndex` run from scratch on the
+    * retained corpus, because every relation is a sum of independent
+    * per-document contributions —
+    *  - postings: per-(term, doc) rows, so the anti-join drops exactly
+    *    the deleted docs' rows;
+    *  - term_df: the deleted docs' postings sliver (O(deletes ·
+    *    terms/doc) rows, read via a broadcast semi-join) aggregates to
+    *    the per-term decrement; terms reaching 0 disappear, as a
+    *    rebuild would have them;
+    *  - meta: the same sliver's distinct (id, dl) rows are the n_docs /
+    *    sum_dl decrement.
+    * Contract: deleted ids must have ≥ 1 token. A token-less document
+    * leaves no postings, so its +1 in n_docs is not recoverable from
+    * the index alone — it can never be SERVED (score 0 always), and the
+    * periodic full rebuild that re-centers any index clears the count.
+    *
+    * Cost: one pass over base ∪ delta postings (the anti-join rewrite,
+    * which also folds deltas — a purge IS a compaction) with the
+    * delete set broadcast; term_df/meta rewrites touch O(terms) and
+    * 1-row relations. Crash discipline identical to
+    * `compactTextIndex`: all three `.compacting` writes complete
+    * before any delete/rename. */
+  def purgeTextIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      deleteIds: DataFrame,
+      idCol: String): Unit = {
+    // eager op (every write completes before return), so the scope is
+    // owned and closed HERE — unlike the lazy-pipeline operators that
+    // must delegate lifecycle to the caller
+    val scope = new graft.util.CacheScope
+    try purgeTextIndexImpl(spark, path, deleteIds, idCol, scope)
+    finally scope.close()
+  }
+
+  private def purgeTextIndexImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      deleteIds: DataFrame,
+      idCol: String,
+      scope: graft.util.CacheScope): Unit = {
+    val del = deleteIds.select(col(idCol).as("id")).distinct()
+    val post = readRel(spark, path, "postings")
+    // the deleted docs' postings sliver — everything the decrements need
+    val gone = scope.cache(post.join(broadcast(del), Seq("id"), "left_semi")
+      .select("id", "term", "dl"))
+    post.join(broadcast(del), Seq("id"), "left_anti")
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/postings.compacting")
+    readRel(spark, path, "term_df")
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .join(broadcast(gone.groupBy("term").agg(count(lit(1)).as("dec"))),
+        Seq("term"), "left")
+      .select(col("term"), (col("df") - coalesce(col("dec"), lit(0L))).as("df"))
+      .where(col("df") > 0)
+      .write.mode("overwrite").parquet(s"$path/term_df.compacting")
+    readRel(spark, path, "meta")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .crossJoin(broadcast(gone.select("id", "dl").distinct()
+        .agg(count(lit(1)).as("nd"), coalesce(sum(col("dl")), lit(0L)).as("sd"))))
+      .select((col("n_docs") - col("nd")).as("n_docs"),
+        (col("sum_dl") - col("sd")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$path/meta.compacting")
     val f = hadoopFs(spark, path)
     for (rel <- indexRels) {

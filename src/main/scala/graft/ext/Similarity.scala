@@ -1428,6 +1428,42 @@ object Similarity {
       .write.mode("append").parquet(s"$dir/codes")
   }
 
+  /** Right-to-be-forgotten propagation into the persisted ANN index —
+    * the deletion twin of `updateAnnIndex`, same pinned-quantizer
+    * discipline: `lists` and `codes` are rewritten WITHOUT the deleted
+    * ids (one anti-join pass each, delete set broadcast), while
+    * `coarse` and `book` are untouched — quantizers are index metadata,
+    * not per-document state, and retraining them on the retained slice
+    * would silently desync every surviving code. `probeIndex` over the
+    * purged artifact is therefore bit-identical to an index whose
+    * assignment/encode ran only over the retained corpus under the SAME
+    * pinned quantizers (`privacy_purge_ann`'s oracle replays exactly
+    * that), and a purged id can never surface: it is absent from every
+    * inverted list and every code row. Rewrites land as `.compacting`
+    * siblings first and swap only after both complete — the
+    * `compactTextIndex` crash discipline (stale extras possible, a
+    * truncated index never). The rewrite also folds accumulated
+    * append-part files, so a purge doubles as the small-file
+    * compaction pass. */
+  def purgeAnnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      deleteIds: DataFrame,
+      idCol: String): Unit = {
+    val del = broadcast(deleteIds.select(col(idCol)).distinct())
+    spark.read.parquet(s"$dir/lists").join(del, Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(s"$dir/lists.compacting")
+    spark.read.parquet(s"$dir/codes").join(del, Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(s"$dir/codes.compacting")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (rel <- Seq("lists", "codes")) {
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true)
+      f.rename(new org.apache.hadoop.fs.Path(s"$dir/$rel.compacting"),
+        new org.apache.hadoop.fs.Path(s"$dir/$rel"))
+    }
+  }
+
   /** Serve one probe batch from a prebuilt index — the per-query cost a
     * production IVFADC deployment actually pays: route each probe to its
     * `nprobe` nearest lists (centroids broadcast), ADC-score candidates

@@ -441,4 +441,110 @@ object TimeSeries {
         count(lit(1)).as("n_conversions"),
         countDistinct(col(userCol)).as("n_users"))
   }
+
+  /** Interval-concurrency profile — per hour bucket, the PEAK number of
+    * simultaneously active sessions plus the start/end endpoint counts:
+    * the capacity question (how many concurrent users must the serving
+    * tier hold?) that an interval self-join answers in O(n·m) and this
+    * answers in O(n log n).
+    *
+    * Shape: sessionize (the `q29` gap rule — one window per user, the
+    * natural partitioning), emit two endpoint rows per session
+    * (half-open [first, last+1), so back-to-back sessions never
+    * overlap), then ONE distributed prefix sum over the global
+    * endpoint order (`GlobalSort.globalPrefixSum` — range partition +
+    * per-partition offsets, never an Exchange SinglePartition) turns
+    * ±1 deltas into the running active count. Peak within a bucket is
+    * `max(greatest(after, before))` where before = after - d, which
+    * correctly reads a concurrency level that only FALLS inside the
+    * bucket (the first end's before-value carries the level the bucket
+    * inherited). Hours with no endpoints are omitted — between
+    * endpoints concurrency is constant, and the dense-spine fill is
+    * `gapFillCounts`'s job if a consumer wants it.
+    *
+    * The endpoint order (t, d, uid, sid) is total (sid unique per uid)
+    * and puts ends before starts at equal t (d = -1 < +1) — the
+    * half-open-interval tie rule. */
+  def concurrencyProfile(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      gapSec: Long = 1800L,
+      parts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapSec > 0, s"need gapSec > 0, got $gapSec")
+    val w = Window.partitionBy("uid").orderBy("sec", "tie")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events
+      .select(col(userCol).as("uid"), col(tieCol).as("tie"),
+        unix_timestamp(col(tsCol)).as("sec"))
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev").isNull || col("sec") - col("prev") > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(wRun))
+      .groupBy("uid", "sid")
+      .agg(min(col("sec")).as("t0"), (max(col("sec")) + 1L).as("t1"))
+    val pts = sess.select(col("uid"), col("sid"), col("t0").as("t"),
+        lit(1L).as("d"))
+      .unionByName(sess.select(col("uid"), col("sid"), col("t1").as("t"),
+        lit(-1L).as("d")))
+    GlobalSort.globalPrefixSum(pts,
+        Seq(col("t"), col("d"), col("uid"), col("sid")), "d", parts)
+      .withColumn("conc", col("cum") + col("d"))
+      .groupBy(date_format(
+        timestamp_seconds(expr("(t div 3600) * 3600")),
+        "yyyy-MM-dd HH:mm:ss").as("hour_ts"))
+      .agg(
+        max(greatest(col("conc"), col("cum"))).as("max_conc"),
+        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("d") === -1L, 1L).otherwise(0L)).as("n_ends"))
+  }
+
+  /** Per-user event-sequence pattern matching — the MATCH_RECOGNIZE
+    * capability in its distributed-friendly form: each user's event
+    * types, ordered by (time, tieCol), are encoded to a one-char
+    * alphabet and matched against a regex; emits users with ≥ 1
+    * non-overlapping match. The funnel question `funnelStages` answers
+    * ordinally (reached step i somewhere) this answers structurally
+    * (the steps occurred CONSECUTIVELY up to the pattern's own
+    * tolerance, e.g. `vc*p` = a view, any clicks, then purchase with
+    * nothing else between).
+    *
+    * Scale shape: one shuffle (groupBy user), per-user state O(their
+    * history) — the same per-entity bound every sessionization carries
+    * — and the regex pass is per-user linear. Event types outside
+    * `encode` map to '#', which matches nothing in the sane pattern
+    * alphabet and so acts as an adjacency breaker. `pattern` is
+    * restricted to a quote-free alphabet so both engines' regex
+    * dialects (Java here, RE2 in the DuckDB oracle) agree and the
+    * oracle SQL interpolation is injection-safe. */
+  def patternFunnels(
+      events: DataFrame,
+      pattern: String,
+      encode: Seq[(String, String)],
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(pattern.nonEmpty && pattern.forall(c =>
+        c.isLetterOrDigit || "*+?|()[]".contains(c)),
+      s"pattern must use only [A-Za-z0-9*+?|()\\[\\]], got '$pattern'")
+    require(encode.nonEmpty && encode.forall(_._2.length == 1),
+      "encode must map each event type to exactly one character")
+    val m = map(encode.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    events
+      .select(col(userCol).as("user_id"),
+        struct(unix_timestamp(col(tsCol)).as("sec"), col(tieCol).as("tie"),
+          coalesce(m(col(typeCol)), lit("#")).as("ch")).as("s"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), collect_list(col("s")).as("ss"))
+      .select(col("user_id"),
+        size(expr(s"regexp_extract_all(concat_ws('', transform(" +
+          s"array_sort(ss), x -> x.ch)), '$pattern', 0)"))
+          .cast("long").as("n_matches"),
+        col("n_events"))
+      .where(col("n_matches") > 0)
+  }
 }

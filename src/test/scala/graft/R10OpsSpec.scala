@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Round-10 operator laws: multi-benchmark contamination attribution
-  * and the TV-distance drift gate. */
+/** Round-10 operator laws: multi-benchmark contamination attribution,
+  * the TV-distance drift gate, SQ8 ANN, privacy gates, the epoch
+  * scheduler, MV maintenance, the interval-concurrency profile, and
+  * per-user pattern funnels. */
 class R10OpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -240,5 +242,72 @@ class R10OpsSpec extends SparkSpec {
     // effective tokens fall short of the allocation (the reported gap)
     assert(bf <= ba && ba - bf < 1000L)
     assert(tf < ta)
+  }
+
+  private def eventsDf(rows: Seq[(Long, Long, Long, String)]) =
+    rows.toDF("event_id", "user_id", "sec", "event_type")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("sec")).as("ts"), col("event_type"))
+
+  test("concurrencyProfile: overlap peak, per-hour rollup, no single-partition exchange") {
+    // u1 session [10,101), u2 [50,51), u4 [3500,3501) — all hour 0,
+    // peak 2 at sec 50; u3 [7000,7001) alone in hour 1
+    val ev = eventsDf(Seq(
+      (1L, 1L, 10L, "view"), (2L, 1L, 100L, "view"),
+      (3L, 2L, 50L, "view"),
+      (4L, 3L, 7000L, "view"),
+      (5L, 4L, 3500L, "view")))
+    val got = ops.TimeSeries.concurrencyProfile(ev)
+      .orderBy("hour_ts")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("1970-01-01 00:00:00", 2L, 3L, 3L),
+      ("1970-01-01 01:00:00", 1L, 1L, 1L)), got.toString)
+    // the running count must never plan a global single-partition sort
+    val plan = ops.TimeSeries.concurrencyProfile(ev)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("concurrencyProfile reads the inherited level in a bucket where concurrency only falls") {
+    // one session [3000, 4001): hour 1 contains ONLY its end — the
+    // peak there is the inherited level 1, not the after-value 0
+    val ev = eventsDf(Seq((1L, 5L, 3000L, "view"), (2L, 5L, 4000L, "view")))
+    val got = ops.TimeSeries.concurrencyProfile(ev)
+      .orderBy("hour_ts")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("1970-01-01 00:00:00", 1L, 1L, 0L),
+      ("1970-01-01 01:00:00", 1L, 0L, 1L)), got.toString)
+  }
+
+  test("patternFunnels counts non-overlapping consecutive matches; foreign types break adjacency") {
+    val enc = Seq("view" -> "v", "click" -> "c", "purchase" -> "p",
+      "error" -> "e")
+    val ev = eventsDf(Seq(
+      // u10: v c c p -> one match
+      (1L, 10L, 0L, "view"), (2L, 10L, 1L, "click"),
+      (3L, 10L, 2L, "click"), (4L, 10L, 3L, "purchase"),
+      // u11: v e p -> error breaks vc*p adjacency, no match
+      (5L, 11L, 0L, "view"), (6L, 11L, 1L, "error"),
+      (7L, 11L, 2L, "purchase"),
+      // u12: v p v c p -> two matches
+      (8L, 12L, 0L, "view"), (9L, 12L, 1L, "purchase"),
+      (10L, 12L, 2L, "view"), (11L, 12L, 3L, "click"),
+      (12L, 12L, 4L, "purchase"),
+      // u13: p v c -> no purchase after the view, filtered out
+      (13L, 13L, 0L, "purchase"), (14L, 13L, 1L, "view"),
+      (15L, 13L, 2L, "click"),
+      // u14: v ? p with an UNMAPPED type -> '#' breaks adjacency
+      (16L, 14L, 0L, "view"), (17L, 14L, 1L, "weird"),
+      (18L, 14L, 2L, "purchase")))
+    val got = ops.TimeSeries.patternFunnels(ev, "vc*p", enc)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(10L -> ((1L, 4L)), 12L -> ((2L, 5L))), got.toString)
+    // unsafe patterns are rejected before any SQL interpolation
+    intercept[IllegalArgumentException] {
+      ops.TimeSeries.patternFunnels(ev, "v'p", enc)
+    }
   }
 }

@@ -108,7 +108,10 @@ object Bench {
       "stream_ann_screen",
       // r10 wave 3: trains both quantizers + full encode + purge
       // rewrite per execution — the heaviest trainer shape in the suite
-      "privacy_purge_ann")
+      "privacy_purge_ann",
+      // r10 wave 4: full index build + a two-trigger purge stream per
+      // execution
+      "stream_index_purge")
     val (solo, rest) = names.partition(singleton)
     val (heavy, light) = rest.partition(isHeavy)
     val heavyGroupSize = math.max(1, math.min(5, groupSize))

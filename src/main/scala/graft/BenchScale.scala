@@ -308,6 +308,15 @@ object BenchScale {
           ext.Similarity.knnGraphIvf(infl, "vec_id", "embedding", k = 5),
           "probe_id", "vec_id", infl, "vec_id")
       }),
+      // k-core peel (round 10): kNN build dominates like the other
+      // graph kernels; the peel itself is 6 rounds of degree-agg +
+      // semi-joins over an only-shrinking edge set
+      ("graph_kcore", Int.MaxValue, (docs0, emb0, f) => {
+        val infl = inflateEmbeddings(emb0, f)
+        ext.Graph.kCore(
+          ext.Similarity.knnGraphIvf(infl, "vec_id", "embedding", k = 5),
+          "probe_id", "vec_id", k = 6)
+      }),
       // deletion-neighborhood fuzzy join (round 9) on 8-char hex keys
       // derived from the inflated ids: the variant relation is 9 rows
       // per key and candidates are birthday-rare, so the probe

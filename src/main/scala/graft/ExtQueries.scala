@@ -1152,6 +1152,15 @@ object ExtQueries {
     // variant sets, candidate join, and levenshtein verify
     "join_fuzzy_blocked" ->
       graft.ops.FuzzyJoin.editDist1OracleSql("supplier", "s_suppkey", "s_name"),
+    // k-core peel replay: symmetrize/dedup, then one degree/keep/
+    // restrict CTE triple per fixed round — the monotone-shrink
+    // contract makes the unrolled chain exact
+    "graph_kcore" ->
+      Graph.kCoreOracleSql(
+        s"""WITH $ivfAssignSqlDerivedK,
+           |$knnRankedSql,
+           |gedges AS (SELECT probe_id AS src, vec_id AS dst FROM ranked WHERE rn <= 5)""".stripMargin,
+        k = 6, rounds = Graph.defaultKCoreRounds, idColOut = "vec_id"),
     // per-node triangles over the same derived kNN graph: the oracle
     // rebuilds the index + edges, then replays the degree orientation,
     // wedge join, and closing-edge EXISTS
@@ -2714,6 +2723,26 @@ object ExtQueries {
         |FROM customer
         |GROUP BY c_mktsegment, c_nationkey
         |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    // DP release replay: grouped counts + the seeded geometric noise —
+    // md5 slices, exact integer clog2 via bin() length, two-sided
+    // difference. Determinism is the oracle contract; see the operator
+    // scaladoc for the production fresh-randomness swap
+    "privacy_dp_counts" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS n,
+        |         md5(concat_ws('|', 'graft-dp-v1', c_mktsegment,
+        |                       CAST(c_nationkey AS VARCHAR))) AS hx
+        |  FROM customer GROUP BY c_mktsegment, c_nationkey),
+        |m AS (
+        |  SELECT c_mktsegment, c_nationkey, n,
+        |         CAST(concat('0x', substring(hx, 1, 8)) AS BIGINT) AS u1,
+        |         CAST(concat('0x', substring(hx, 9, 8)) AS BIGINT) AS u2
+        |  FROM g)
+        |SELECT c_mktsegment, c_nationkey,
+        |       CAST(n + (CASE WHEN u2 <= 0 THEN 0 ELSE length(bin(u2)) END)
+        |              - (CASE WHEN u1 <= 0 THEN 0 ELSE length(bin(u1)) END) AS BIGINT) AS dp_count
+        |FROM m
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
     // suppression replay: the semi-join against the passing classes
     "privacy_suppress" ->
       """WITH ok AS (
@@ -3219,6 +3248,13 @@ object ExtQueries {
     "privacy_purge_text" ->
       Search.bm25OracleSql(tokSql, Search.defaultTerms, Search.defaultK,
         fromSql = "(SELECT * FROM documents WHERE doc_id % 37 <> 3)"),
+    // the streaming twin drains TWO delete batches; per-batch purges
+    // compose (independent per-document subtractions), so the oracle
+    // is the rebuild replay on the corpus minus their union
+    "stream_index_purge" ->
+      Search.bm25OracleSql(tokSql, Search.defaultTerms, Search.defaultK,
+        fromSql =
+          "(SELECT * FROM documents WHERE doc_id % 37 <> 3 AND doc_id % 37 <> 5)"),
     // temperature mixture rebuilt from scratch: per-source counts,
     // scaled-integer sqrt weights, floor-division rates, md5 threshold
     "corpus_mix_temperature" ->
@@ -3230,7 +3266,14 @@ object ExtQueries {
     // epoch schedule rebuilt from scratch: per-source token sums,
     // sqrt-temperature allocation, capped milli-epoch repeat factors
     "corpus_epochs" ->
-      Sampling.epochScheduleOracleSql("source", "n_chars", Sampling.defaultEpochBudget)
+      Sampling.epochScheduleOracleSql("source", "n_chars", Sampling.defaultEpochBudget),
+    // DoReMi-step replay: per-domain mean loss, corpus-mean excess,
+    // clamped multiplicative update, permille renormalization — the
+    // shipped eta=5000 makes the +/-500 clamp BIND on both tails at
+    // the gate SF (excess range [-148, 132])
+    "corpus_mix_reweight" ->
+      Sampling.mixtureReweightOracleSql("source",
+        "CASE WHEN n_chars < 400 THEN 1000 ELSE 0 END", etaPermille = 5000L)
   )
 
   val plans: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3693,6 +3736,19 @@ object ExtQueries {
           t(s, dir, "supplier"), "s_suppkey", "s_name")
         .orderBy("id1", "id2")
     },
+    "graph_kcore" -> { (s, dir) =>
+      // dense-duplication mass: the k=6 core of the symmetrized kNN
+      // graph — template farms and mirror families survive the peel,
+      // organic documents shed early (at the gate SF the peel keeps
+      // 273 of 4000 nodes, so the cascade is exercised, not vacuous).
+      // Six synchronous peels, each one degree agg + two ids-only
+      // semi-joins over a monotonically shrinking edge set
+      val emb = t(s, dir, "embeddings")
+      val edges = Similarity.knnGraphIvf(emb, "vec_id", "embedding", k = 5)
+      Graph.kCore(edges, "probe_id", "vec_id", k = 6)
+        .select(col("id").as("vec_id"), col("deg"))
+        .orderBy("vec_id")
+    },
     "graph_triangles" -> { (s, dir) =>
       // local-density QA over the derived similarity graph: per-node
       // triangle counts via degree orientation — wedges only from
@@ -3776,6 +3832,23 @@ object ExtQueries {
       Search.purgeTextIndex(s, path,
         docs.where(pmod(col("doc_id"), lit(37)) === 3).select("doc_id"),
         "doc_id")
+      Search.indexTopK(s, path, Search.defaultTerms, Search.defaultK)
+        .orderBy(desc("score"), col("doc_id"))
+    },
+    "stream_index_purge" -> { (s, dir) =>
+      // the STREAMING right-to-be-forgotten: delete requests arrive as
+      // two micro-batches, each folded into the persisted index per
+      // trigger (foreachBatch -> purgeTextIndex); purges compose, so
+      // the drained index must serve exactly like a rebuild on the
+      // corpus minus the union of arrivals
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("sidxpurge").toString
+      Search.writeTextIndex(docs, "doc_id", "text", path)
+      StreamOps.indexPurgeApply(
+        StreamOps.stagedStream(Seq(
+          docs.where(pmod(col("doc_id"), lit(37)) === 3).select("doc_id"),
+          docs.where(pmod(col("doc_id"), lit(37)) === 5).select("doc_id"))),
+        path, "doc_id")
       Search.indexTopK(s, path, Search.defaultTerms, Search.defaultK)
         .orderBy(desc("score"), col("doc_id"))
     },
@@ -4110,6 +4183,16 @@ object ExtQueries {
       graft.ops.Constraints.privacyReport(c,
           Seq("c_mktsegment", "c_nationkey"),
           when(col("c_acctbal") < 0, 1).otherwise(0), k = 10L, l = 2L)
+        .orderBy("c_mktsegment", "c_nationkey")
+    },
+    "privacy_dp_counts" -> { (s, dir) =>
+      // the third leg of the privacy family: publish the per-class
+      // counts under the geometric mechanism (discrete Laplace,
+      // eps = ln 2, sensitivity-1 contract) — seeded noise so the
+      // release replays; one hash agg, noise math on the O(classes)
+      // sliver
+      graft.ops.Constraints.dpGroupCounts(t(s, dir, "customer"),
+          Seq("c_mktsegment", "c_nationkey"))
         .orderBy("c_mktsegment", "c_nationkey")
     },
     "privacy_suppress" -> { (s, dir) =>
@@ -5096,6 +5179,18 @@ object ExtQueries {
       // broadcast, nothing else moves
       Sampling.epochSchedule(t(s, dir, "documents"),
           "source", col("n_chars"), budgetTokens = Sampling.defaultEpochBudget)
+        .orderBy("source")
+    },
+    "corpus_mix_reweight" -> { (s, dir) =>
+      // one DoReMi exponentiated-gradient step on the domain mixture:
+      // domains whose mean proxy loss exceeds the corpus mean get
+      // upweighted, multipliers clamped at +/-500 permille (binding on
+      // both tails at this eta), shares renormalized — the update rule
+      // is loss-agnostic; the short-doc indicator stands in for per-row
+      // proxy-model scores. One agg to O(domains), sliver math after
+      Sampling.mixtureReweight(t(s, dir, "documents"), "source",
+          when(col("n_chars") < 400, 1000L).otherwise(0L),
+          etaPermille = 5000L)
         .orderBy("source")
     }
   )

@@ -495,6 +495,83 @@ object Graph {
        |FROM gnodes g LEFT JOIN cc ON cc.id = g.id
        |ORDER BY $idColOut""".stripMargin
 
+  /** Shipped k-core peel rounds, shared with the oracle generator —
+    * the fixed-round contract every iterative op here follows. */
+  val defaultKCoreRounds: Int = 6
+
+  /** k-core decomposition by synchronous peeling: repeatedly delete
+    * every node whose (symmetrized, deduped) degree is below `k`, a
+    * fixed `rounds` times, and report the surviving subgraph's nodes
+    * with their residual degrees. Over a near-dup / kNN similarity
+    * graph the k-core is the "dense duplication mass" — template
+    * farms, mirror families, boilerplate hubs sit in high cores while
+    * organic documents shed early (the graph-QA complement of
+    * `connectedComponents`, which counts membership but not density).
+    *
+    * Fixed rounds, not run-to-fixpoint: identical results in both
+    * engines by construction, and each peel is a monotone shrink so a
+    * non-converged run is a sound OVER-approximation of the true core
+    * (only extra rounds remove more). Survivors whose residual degree
+    * still sits below `k` mean exactly "not yet converged at this
+    * horizon" — reported as-is, the same honesty contract as
+    * `bfsDepth`'s -1.
+    *
+    * Scale shape: per round one hash-agg degree count plus two
+    * semi-joins of the ids-only edge relation against the O(nodes)
+    * keep set — all linear in surviving |E|, which only shrinks;
+    * lineage truncated per round (the pageRank rule). Nothing
+    * collects, nothing broadcasts but join slivers the planner
+    * chooses. */
+  def kCore(
+      edges0: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Long,
+      rounds: Int = defaultKCoreRounds,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    require(k >= 1 && rounds >= 0, s"need k >= 1, rounds >= 0; got $k/$rounds")
+    val e = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var und = scope.cache(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .where(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(false))
+    for (_ <- 1 to rounds) {
+      val keep = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select("id")
+      und = scope.cache(und
+        .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(false))
+    }
+    und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** DuckDB replay of `kCore`: `edgesCte` must bind `gedges(src, dst)`.
+    * One degree/keep/restrict CTE triple per peel round, MATERIALIZED
+    * because each round's edge relation is referenced by both the next
+    * degree count and the next restriction. */
+  def kCoreOracleSql(edgesCte: String, k: Long, rounds: Int, idColOut: String): String = {
+    val head =
+      s"""$edgesCte,
+         |und0 AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst FROM gedges UNION SELECT dst, src FROM gedges) u
+         |  WHERE src <> dst)""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      s"""keep$r AS MATERIALIZED (
+         |  SELECT src AS id FROM und${r - 1} GROUP BY src HAVING count(*) >= $k),
+         |und$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM und${r - 1} e
+         |  JOIN keep$r a ON a.id = e.src
+         |  JOIN keep$r b ON b.id = e.dst)""".stripMargin
+    }
+    (Seq(head) ++ peels).mkString(",\n") +
+      s"""
+         |SELECT src AS $idColOut, CAST(count(*) AS BIGINT) AS deg
+         |FROM und$rounds GROUP BY src
+         |ORDER BY $idColOut""".stripMargin
+  }
+
   /** Shipped BFS horizon, shared with the oracle generator: hop
     * distances in a kNN graph saturate fast (small-world), and a FIXED
     * round count keeps the result an engine-replayable contract. */

@@ -254,6 +254,74 @@ object Sampling {
        |FROM ep
        |ORDER BY $groupCol""".stripMargin
 
+  /** One exponentiated-gradient step of domain-mixture reweighting —
+    * the DoReMi-shaped update (Xie et al., 2023: upweight the domains
+    * where the proxy model's excess loss is largest) in exact integer
+    * arithmetic: from uniform weights, each domain's multiplier is
+    * `1000 + clamp(η·excess, ±clamp)` permille where excess = the
+    * domain's mean per-row loss minus the corpus mean, and the new
+    * share is the multiplier renormalized over domains. `lossExpr` is
+    * any per-row integer loss in permille (the shipped query uses a
+    * short-document indicator; a real run plugs in per-row proxy-model
+    * scores) — the operator is the UPDATE RULE, deliberately agnostic
+    * to the loss.
+    *
+    * All divisions are truncating in both engines (Spark `div` ==
+    * DuckDB `//`, signed — both truncate toward zero), so the oracle
+    * replays bit-for-bit. One map-combined agg to O(domains) rows;
+    * everything after runs on the sliver with 1-row broadcasts. */
+  def mixtureReweight(
+      docs: DataFrame,
+      domainCol: String,
+      lossExpr: Column,
+      etaPermille: Long = 2000L,
+      clampPermille: Long = 500L): DataFrame = {
+    require(etaPermille > 0, s"need a positive learning rate, got $etaPermille")
+    require(clampPermille > 0 && clampPermille < 1000,
+      s"need 0 < clamp < 1000 (multipliers must stay positive), got $clampPermille")
+    val per = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(lossExpr.cast("long")).as("sl"))
+    val tot = per.agg(sum(col("sl")).as("tsl"), sum(col("n_docs")).as("tn"))
+    val f = per.crossJoin(broadcast(tot))
+      .select(col(domainCol), col("n_docs"),
+        expr("sl div n_docs").as("loss_pm"),
+        expr("(sl div n_docs) - (tsl div tn)").as("excess_pm"))
+      .withColumn("factor_pm",
+        lit(1000L) + greatest(lit(-clampPermille),
+          least(lit(clampPermille), expr(s"($etaPermille * excess_pm) div 1000"))))
+    val sf = f.agg(sum(col("factor_pm")).as("sum_f"))
+    f.crossJoin(broadcast(sf))
+      .select(col(domainCol), col("n_docs"), col("loss_pm"), col("excess_pm"),
+        expr("(factor_pm * 1000) div sum_f").as("share_pm"))
+  }
+
+  /** DuckDB replay of `mixtureReweight` over `documents`. `lossSql` is
+    * the per-row loss expression in SQL. */
+  def mixtureReweightOracleSql(
+      groupCol: String,
+      lossSql: String,
+      etaPermille: Long = 2000L,
+      clampPermille: Long = 500L): String =
+    s"""WITH per AS (
+       |  SELECT $groupCol, count(*) AS n_docs, sum($lossSql) AS sl
+       |  FROM documents GROUP BY $groupCol),
+       |tot AS (SELECT sum(sl) AS tsl, sum(n_docs) AS tn FROM per),
+       |e AS (
+       |  SELECT $groupCol, n_docs, sl // n_docs AS loss_pm,
+       |         (sl // n_docs) - (tsl // tn) AS excess_pm
+       |  FROM per, tot),
+       |f AS (
+       |  SELECT *, 1000 + greatest(-$clampPermille,
+       |           least($clampPermille, ($etaPermille * excess_pm) // 1000)) AS factor_pm
+       |  FROM e),
+       |s AS (SELECT sum(factor_pm) AS sum_f FROM f)
+       |SELECT $groupCol, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(loss_pm AS BIGINT) AS loss_pm,
+       |       CAST(excess_pm AS BIGINT) AS excess_pm,
+       |       CAST((factor_pm * 1000) // sum_f AS BIGINT) AS share_pm
+       |FROM f, s
+       |ORDER BY $groupCol""".stripMargin
+
   /** Deterministic source-INTERLEAVED training order: `corpus_shuffle`
     * randomizes the corpus globally, but a multi-source mix wants the
     * sources WOVEN at a fixed cadence — concatenated sources make

@@ -174,4 +174,54 @@ object Constraints {
       .select(quasiCols.map(col): _*)
     df.join(broadcast(keep), quasiCols)
   }
+
+  /** Differentially-private release of grouped counts — the geometric
+    * mechanism (Ghosh–Roughgarden–Sundararajan, the utility-optimal
+    * one for counts): each class count is published with additive
+    * two-sided-geometric noise X = G₁ − G₂ where the Gᵢ are iid
+    * Geometric(1/2), i.e. P(X = d) ∝ 2^(−|d|) — the discrete Laplace
+    * that is ε-DP at ε = ln 2 for sensitivity-1 queries (contract:
+    * each individual contributes ≤ 1 row per class — the same
+    * quasi-identifier framing [[privacyReport]] audits; the third leg
+    * of the privacy family next to suppression and index purge).
+    *
+    * The noise is SEEDED: both geometrics derive from bit slices of
+    * md5(seed ‖ class key), so the release replays bit-for-bit — the
+    * oracle/test requirement that makes the artifact auditable here.
+    * A production publication substitutes fresh randomness per release
+    * (a re-derivable seed re-identifies trivially); the mechanism,
+    * sensitivity accounting, and post-processing safety are unchanged
+    * by that swap, which is the part this operator exists to get
+    * right.
+    *
+    * Geometric sampling is exact integer arithmetic, no floats: for U
+    * uniform on {1..2^32} (a 32-bit md5 slice + 1), 32 − ceil(log₂ U)
+    * is Geometric(1/2) truncated at 32, and ceil(log₂ n) =
+    * length(bin(n−1)) for n ≥ 2 — the bin()-length idiom the BM25 idf
+    * already relies on in both engines. The published value is
+    * n + clog₂(u₂) − clog₂(u₁) (the two 32s cancel).
+    *
+    * Scale shape: ONE map-combined hash agg to O(classes) rows; all
+    * noise math runs on that sliver. */
+  def dpGroupCounts(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      seed: String = "graft-dp-v1"): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one group column")
+    require(!seed.contains("'") && !seed.contains("|"),
+      "seed must avoid quote/separator chars (oracle SQL literal + key framing)")
+    val key = concat_ws("|",
+      (lit(seed) +: quasiCols.map(c => col(c).cast("string"))): _*)
+    val h = md5(key.cast("binary"))
+    // clog2(u) for the (slice+1) uniform: 0 when u = 0, bin-length of
+    // u otherwise — exact ceil(log2(u+1))
+    def clog2(from: Int): Column = {
+      val u = conv(substring(h, from, 8), 16, 10).cast("long")
+      when(u <= 0L, 0L).otherwise(length(bin(u)).cast("long"))
+    }
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(quasiCols.map(col) :+
+        (col("__n") + clog2(9) - clog2(1)).as("dp_count"): _*)
+  }
 }

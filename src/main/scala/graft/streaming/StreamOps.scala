@@ -340,6 +340,35 @@ object StreamOps {
     q.stop()
   }
 
+  /** Streaming right-to-be-forgotten: delete requests arriving as a
+    * stream are folded into the persisted text index one micro-batch
+    * at a time via `Search.purgeTextIndex` — deletion keeps pace with
+    * the request stream instead of queuing for a rebuild window,
+    * completing the streaming-twin family (every batch maintenance op
+    * here has one: fold-in, MV, CDC — now the subtraction too).
+    *
+    * Per-trigger cost is the batch purge's: one broadcast anti-join
+    * pass over the index relations + O(batch·terms/doc) stat
+    * decrements; the corpus is never read. Purging is idempotent per
+    * id (an absent id subtracts nothing — its sliver is empty) and
+    * batch-composable (each pass subtracts independent per-document
+    * contributions), so after the stream drains the index equals ONE
+    * batch purge of the union of all arrived ids — which is why
+    * `stream_index_purge` shares `privacy_purge_text`'s
+    * rebuild-on-the-retained-corpus oracle shape. */
+  def indexPurgeApply(deletes: DataFrame, path: String, idCol: String): Unit = {
+    val q = deletes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.ext.Search.purgeTextIndex(
+            batch.sparkSession, path, batch.toDF(), idCol)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Stream-stream interval LEFT OUTER join — attribution with the
     * unconverted rows kept: every purchase, matched to same-user
     * clicks in the preceding `windowSeconds`, or emitted once with

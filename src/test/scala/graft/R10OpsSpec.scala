@@ -310,4 +310,88 @@ class R10OpsSpec extends SparkSpec {
       ops.TimeSeries.patternFunnels(ev, "v'p", enc)
     }
   }
+
+  test("dpGroupCounts: deterministic, bounded geometric noise, seed-sensitive") {
+    val df = io.Tables(spark, sf, "customer")
+    def release(seed: String) = ops.Constraints
+      .dpGroupCounts(df, Seq("c_mktsegment", "c_nationkey"), seed)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val a = release("graft-dp-v1")
+    // bit-for-bit replayable — the seeded-mechanism contract
+    assert(a == release("graft-dp-v1"))
+    // noise = G1 - G2 with each Geometric(1/2) truncated at 32
+    val truth = df.groupBy("c_mktsegment", "c_nationkey").count()
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(a.keySet == truth.keySet)
+    val noises = a.map { case (k, v) => v - truth(k) }
+    assert(noises.forall(n => math.abs(n) <= 32L))
+    // a mechanism whose noise never moves isn't one: across ~100
+    // classes, P(all zero) = (1/2)^~100
+    assert(noises.exists(_ != 0L))
+    // different seed, different release (same bound)
+    val b = release("graft-dp-v2")
+    assert(a != b)
+    intercept[IllegalArgumentException] {
+      ops.Constraints.dpGroupCounts(df, Seq("c_mktsegment"), "bad'seed")
+    }
+  }
+
+  test("kCore peels cascades, not just low-degree nodes in one pass") {
+    // K4 clique (1..4) + node 5 hanging off {1, 2, 6} + pendant 6:
+    // round 1 drops 6 (deg 1), round 2 drops 5 (deg fell 3 -> 2) —
+    // a single-pass degree filter would keep 5
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (5L, 2L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = ext.Graph.kCore(edges, "src", "dst", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+  }
+
+  test("mixtureReweight: upweights high-loss domains, clamps both tails, shares renormalize") {
+    // hard: loss 1000 every row; easy: 0; mid: exactly the corpus mean
+    val docs = (Seq.tabulate(50)(i => (s"h$i", "hard", 1000L)) ++
+      Seq.tabulate(50)(i => (s"e$i", "easy", 0L)) ++
+      Seq.tabulate(100)(i => (s"m$i", "mid", 500L)))
+      .toDF("doc_id", "source", "loss")
+    val got = ext.Sampling
+      .mixtureReweight(docs, "source", col("loss"), etaPermille = 2000L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    // corpus mean = 500; excess = +500 / -500 / 0; eta*excess/1000 =
+    // +/-1000 -> clamped to +/-500 -> factors 1500/500/1000, sum 3000
+    assert(got("hard") == ((1000L, 500L, 500L)), got.toString)
+    assert(got("easy") == ((0L, -500L, 166L)), got.toString)
+    assert(got("mid") == ((500L, 0L, 333L)), got.toString)
+    // invalid knobs rejected
+    intercept[IllegalArgumentException] {
+      ext.Sampling.mixtureReweight(docs, "source", col("loss"),
+        clampPermille = 1000L)
+    }
+  }
+
+  test("streaming two-batch index purge equals one batch purge of the union") {
+    val docs = io.Tables(spark, sf, "documents")
+    val pS = java.nio.file.Files.createTempDirectory("sidx_spec").toString
+    val pB = java.nio.file.Files.createTempDirectory("bidx_spec").toString
+    ext.Search.writeTextIndex(docs, "doc_id", "text", pS)
+    ext.Search.writeTextIndex(docs, "doc_id", "text", pB)
+    val d1 = docs.where(pmod(col("doc_id"), lit(37)) === 3).select("doc_id")
+    val d2 = docs.where(pmod(col("doc_id"), lit(37)) === 5).select("doc_id")
+    streaming.StreamOps.indexPurgeApply(
+      streaming.StreamOps.stagedStream(Seq(d1, d2)), pS, "doc_id")
+    ext.Search.purgeTextIndex(spark, pB, d1.unionByName(d2), "doc_id")
+    def rel(p: String, r: String) = spark.read.parquet(s"$p/$r")
+    for ((r, cols) <- Seq(
+        "postings" -> Seq("term", "id", "dl", "tf"),
+        "term_df" -> Seq("term", "df"),
+        "meta" -> Seq("n_docs", "sum_dl"))) {
+      val s = rel(pS, r).select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      val b = rel(pB, r).select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      assert(s == b, r)
+    }
+  }
 }

@@ -111,7 +111,10 @@ object Bench {
       "privacy_purge_ann",
       // r10 wave 4: full index build + a two-trigger purge stream per
       // execution
-      "stream_index_purge")
+      "stream_index_purge",
+      // r10 wave 6: quantizer training + encode + a two-trigger purge
+      // stream per execution
+      "stream_ann_purge")
     val (solo, rest) = names.partition(singleton)
     val (heavy, light) = rest.partition(isHeavy)
     val heavyGroupSize = math.max(1, math.min(5, groupSize))

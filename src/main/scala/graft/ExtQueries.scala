@@ -1484,6 +1484,12 @@ object ExtQueries {
     "privacy_purge_ann" ->
       ivfPqSql("vec_id < 10 AND vec_id % 37 <> 3",
         candPred = "a.vec_id % 37 <> 3"),
+    // the streaming twin drains TWO delete batches; per-trigger purges
+    // compose under the pinned quantizers, so the replay restricts
+    // candidates to the corpus minus their union
+    "stream_ann_purge" ->
+      ivfPqSql("vec_id < 10 AND vec_id % 37 <> 3 AND vec_id % 37 <> 5",
+        candPred = "a.vec_id % 37 <> 3 AND a.vec_id % 37 <> 5"),
     // SemDeDup rebuilt from scratch: identical quantizer training +
     // assignment (shared CTE), then within-list pairs above the
     // threshold and the keep-first anti-join
@@ -3944,6 +3950,28 @@ object ExtQueries {
       Similarity.purgeAnnIndex(s, idxDir,
         emb.where(pmod(col("vec_id"), lit(37)) === 3).select("vec_id"), "vec_id")
       val retained = emb.where(pmod(col("vec_id"), lit(37)) =!= 3)
+      Similarity.probeIndex(Similarity.readAnnIndex(s, idxDir),
+          retained, "vec_id", "embedding",
+          probeFilter = col("vec_id") < 10, k = 10)
+        .orderBy("probe_id", "rn")
+    },
+    "stream_ann_purge" -> { (s, dir) =>
+      // streaming right-to-be-forgotten for the vector store: two
+      // delete batches drain through foreachBatch -> purgeAnnIndex
+      // (quantizers pinned across every trigger), then retained probes
+      // serve from the drained artifact — must equal one batch purge
+      // of the union, which is what the restricted-candidate replay
+      // checks
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files.createTempDirectory("ann_spurge").toString
+      Similarity.writeAnnIndex(Similarity.annIndex(emb, "vec_id", "embedding"), idxDir)
+      StreamOps.annPurgeApply(
+        StreamOps.stagedStream(Seq(
+          emb.where(pmod(col("vec_id"), lit(37)) === 3).select("vec_id"),
+          emb.where(pmod(col("vec_id"), lit(37)) === 5).select("vec_id"))),
+        idxDir, "vec_id")
+      val retained = emb.where(
+        pmod(col("vec_id"), lit(37)) =!= 3 && pmod(col("vec_id"), lit(37)) =!= 5)
       Similarity.probeIndex(Similarity.readAnnIndex(s, idxDir),
           retained, "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10)

@@ -178,6 +178,31 @@ object Queries {
         |SELECT p.phase, h.doc_id, h.n_text, h.source
         |FROM (VALUES ('before'), ('after')) p(phase) CROSS JOIN head h
         |ORDER BY p.phase, h.doc_id""".stripMargin,
+    // RESTORE law, three reads at once: the post-restore head must
+    // equal the target snapshot VERBATIM (phases 'head' and 'target'
+    // share one resolution), while time travel to the pre-restore
+    // state still works (phase 'forensic' resolves v<=2) — rollback by
+    // reverse-delta commit, never by deleting history
+    "io_restore" ->
+      s"""WITH $cdcChainCteSql,
+        |r1 AS (
+        |  SELECT l.doc_id, l.text, l.source, l.del,
+        |         row_number() OVER (PARTITION BY l.doc_id
+        |                            ORDER BY l.v DESC) AS rn
+        |  FROM logrel l WHERE l.v <= 1),
+        |r2 AS (
+        |  SELECT l.doc_id, l.text, l.source, l.del,
+        |         row_number() OVER (PARTITION BY l.doc_id
+        |                            ORDER BY l.v DESC) AS rn
+        |  FROM logrel l WHERE l.v <= 2),
+        |h1 AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_text, source
+        |       FROM r1 WHERE rn = 1 AND NOT del),
+        |h2 AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_text, source
+        |       FROM r2 WHERE rn = 1 AND NOT del)
+        |SELECT 'forensic' AS phase, doc_id, n_text, source FROM h2
+        |UNION ALL SELECT 'head', doc_id, n_text, source FROM h1
+        |UNION ALL SELECT 'target', doc_id, n_text, source FROM h1
+        |ORDER BY phase, doc_id""".stripMargin,
     // MV-maintenance law: the incrementally maintained rollup equals
     // the recompute over the resolved head — the oracle IS the
     // recompute, so any retraction/addition drift hash-mismatches
@@ -585,6 +610,27 @@ object Queries {
       io.Sinks.compactVersions(s, path, upTo = 1, keyCol = "doc_id")
       s.read.parquet(s"$base/before").withColumn("phase", lit("before"))
         .unionByName(head.withColumn("phase", lit("after")))
+        .orderBy("phase", "doc_id")
+    },
+    "io_restore" -> { (s, dir) =>
+      // undo the bad ingest: the v2 commit is declared bad, RESTORE to
+      // v1 lands as commit v3 carrying only the reverse delta
+      // (O(|diff|), not O(table)); the new head must read identically
+      // to the v1 snapshot while v2 stays time-travelable for the
+      // post-mortem — rollback without history loss or rebuild
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      val path =
+        java.nio.file.Files.createTempDirectory("restore").toString + "/tbl"
+      writeCdcChain(s, docs, path)
+      val v = io.Sinks.restoreVersion(s, path, toVersion = 1, "doc_id")
+      def read(asOf: Long, phase: String) =
+        io.Sinks.readSnapshotAt(s, path, asOf, "doc_id")
+          .select(lit(phase).as("phase"), col("doc_id"),
+            length(col("text")).cast("long").as("n_text"), col("source"))
+      read(v, "head")
+        .unionByName(read(1, "target"))
+        .unionByName(read(2, "forensic"))
         .orderBy("phase", "doc_id")
     },
     "io_mv_maintain" -> { (s, dir) =>

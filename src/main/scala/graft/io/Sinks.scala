@@ -271,6 +271,53 @@ object Sinks {
       .drop("__old_here", "__new_here")
   }
 
+  /** ROLLBACK as a new commit (Delta RESTORE / Iceberg rollback
+    * semantics): make the table's head equal its snapshot at
+    * `toVersion` by COMMITTING the reverse delta — never by deleting
+    * history. Keys changed since `toVersion` get their old payload
+    * reasserted; keys created since get a tombstone; unchanged keys
+    * don't appear (the commit is O(|diff|), not O(table)). Because
+    * restore is itself a commit, it composes with everything else in
+    * the family: time travel still reads the PRE-restore states (the
+    * bad-ingest forensics), the change feed of the restore commit is
+    * exactly the inverse of what it undoes, and a later
+    * `compactVersions` retires the detour like any other history.
+    * This is the "undo the bad ingest" lever a 100 TB table needs at
+    * 3 a.m. — rebuild-free, audit-preserving, O(damage)-sized.
+    *
+    * Returns the new head version. Restoring TO the current head
+    * commits an empty delta (harmless, explicit). */
+  def restoreVersion(
+      spark: SparkSession,
+      path: String,
+      toVersion: Long,
+      keyCol: String): Long = {
+    import org.apache.spark.sql.functions._
+    val head = nextVersion(spark, path) - 1
+    require(head >= 0, s"restoreVersion: no committed versions under $path")
+    require(toVersion <= head,
+      s"restoreVersion($toVersion): head is $head — cannot restore forward")
+    val v = head + 1
+    if (toVersion == head) {
+      writeVersion(spark.read.parquet(s"$path/__v=$head").limit(0)
+        .drop("__deleted"), path, v)
+      return v
+    }
+    val diff = snapshotDiff(spark, path, toVersion, head, keyCol)
+    val payload = diff.columns
+      .filter(_.startsWith("old_")).map(_.stripPrefix("old_")).toSeq
+    val reassert = diff.where(col("change") =!= "insert")
+      .select(col(keyCol) +:
+        payload.map(c => col(s"old_$c").as(c)) :+
+        lit(false).as("__deleted"): _*)
+    val tomb = diff.where(col("change") === "insert")
+      .select(col(keyCol) +:
+        payload.map(c => col(s"new_$c").as(c)) :+
+        lit(true).as("__deleted"): _*)
+    writeVersion(reassert.unionByName(tomb), path, v)
+    v
+  }
+
   /** Incremental materialized-view maintenance for distributive
     * group aggregates (count + sum) from a [[snapshotDiff]] change
     * feed — the pattern that keeps a 100 TB table's rollups fresh

@@ -369,6 +369,26 @@ object StreamOps {
     q.stop()
   }
 
+  /** The ANN-side twin of [[indexPurgeApply]]: delete requests folded
+    * into the persisted vector index per trigger via
+    * `Similarity.purgeAnnIndex` — same idempotent, batch-composable
+    * subtraction (lists/codes anti-joins; quantizers pinned
+    * throughout, so codes stay comparable across every trigger), so
+    * the drained index equals one batch purge of the union of
+    * arrivals. */
+  def annPurgeApply(deletes: DataFrame, dir: String, idCol: String): Unit = {
+    val q = deletes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.ext.Similarity.purgeAnnIndex(
+            batch.sparkSession, dir, batch.toDF(), idCol)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Stream-stream interval LEFT OUTER join — attribution with the
     * unconverted rows kept: every purchase, matched to same-user
     * clicks in the preceding `windowSeconds`, or emitted once with

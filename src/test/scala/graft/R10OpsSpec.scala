@@ -373,6 +373,63 @@ class R10OpsSpec extends SparkSpec {
     }
   }
 
+  test("restoreVersion: reverse-delta commit is O(diff), idempotent, history-preserving") {
+    val docs = io.Tables(spark, sf, "documents")
+      .select("doc_id", "text", "source")
+    val path = java.nio.file.Files
+      .createTempDirectory("restore_spec").toString + "/tbl"
+    io.Sinks.writeVersion(docs, path, 0)
+    // a "bad ingest": rewrite 10% of keys, insert 3 strays
+    val bad = docs.where(pmod(col("doc_id"), lit(10)) === 7)
+      .withColumn("text", concat(lit("BAD "), col("text")))
+      .withColumn("__deleted", lit(false))
+      .unionByName(docs.where(col("doc_id") < 3)
+        .withColumn("doc_id", col("doc_id") + 900000L)
+        .withColumn("__deleted", lit(false)))
+    io.Sinks.writeVersion(bad, path, 1)
+    def head(asOf: Long) = io.Sinks.readSnapshotAt(spark, path, asOf, "doc_id")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    val v0 = head(0)
+    val v1 = head(1)
+    assert(v1 != v0)
+    val v = io.Sinks.restoreVersion(spark, path, 0, "doc_id")
+    assert(v == 2L)
+    // head == target, forensic state untouched
+    assert(head(v) == v0)
+    assert(head(1) == v1)
+    // the restore commit carries ONLY the reverse delta, not the table
+    val badRows = spark.read.parquet(s"$path/__v=1").count()
+    assert(spark.read.parquet(s"$path/__v=2").count() == badRows)
+    // idempotent: restoring again to the same target commits an empty
+    // delta and the head doesn't move
+    val v2 = io.Sinks.restoreVersion(spark, path, 0, "doc_id")
+    assert(spark.read.parquet(s"$path/__v=$v2").isEmpty)
+    assert(head(v2) == v0)
+    // forward "restore" rejected
+    intercept[IllegalArgumentException] {
+      io.Sinks.restoreVersion(spark, path, 99, "doc_id")
+    }
+  }
+
+  test("streaming two-batch ANN purge equals one batch purge of the union") {
+    val emb = io.Tables(spark, sf, "embeddings")
+    val pS = java.nio.file.Files.createTempDirectory("sann_spec").toString
+    val pB = java.nio.file.Files.createTempDirectory("bann_spec").toString
+    val idx = ext.Similarity.annIndex(emb, "vec_id", "embedding")
+    ext.Similarity.writeAnnIndex(idx, pS)
+    ext.Similarity.writeAnnIndex(idx, pB)
+    val d1 = emb.where(pmod(col("vec_id"), lit(37)) === 3).select("vec_id")
+    val d2 = emb.where(pmod(col("vec_id"), lit(37)) === 5).select("vec_id")
+    streaming.StreamOps.annPurgeApply(
+      streaming.StreamOps.stagedStream(Seq(d1, d2)), pS, "vec_id")
+    ext.Similarity.purgeAnnIndex(spark, pB, d1.unionByName(d2), "vec_id")
+    for (rel <- Seq("lists", "codes")) {
+      val s = spark.read.parquet(s"$pS/$rel").collect().map(_.toSeq).toSet
+      val b = spark.read.parquet(s"$pB/$rel").collect().map(_.toSeq).toSet
+      assert(s == b, rel)
+    }
+  }
+
   test("streaming two-batch index purge equals one batch purge of the union") {
     val docs = io.Tables(spark, sf, "documents")
     val pS = java.nio.file.Files.createTempDirectory("sidx_spec").toString

@@ -2736,8 +2736,11 @@ object ExtQueries {
     "privacy_dp_counts" ->
       """WITH g AS (
         |  SELECT c_mktsegment, c_nationkey, count(*) AS n,
-        |         md5(concat_ws('|', 'graft-dp-v1', c_mktsegment,
-        |                       CAST(c_nationkey AS VARCHAR))) AS hx
+        |         md5(concat_ws('|', 'graft-dp-v1',
+        |               concat(CAST(length(c_mktsegment) AS VARCHAR), ':',
+        |                      c_mktsegment),
+        |               concat(CAST(length(CAST(c_nationkey AS VARCHAR)) AS VARCHAR),
+        |                      ':', CAST(c_nationkey AS VARCHAR)))) AS hx
         |  FROM customer GROUP BY c_mktsegment, c_nationkey),
         |m AS (
         |  SELECT c_mktsegment, c_nationkey, n,

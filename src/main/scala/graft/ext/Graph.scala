@@ -531,17 +531,19 @@ object Graph {
       scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
     require(k >= 1 && rounds >= 0, s"need k >= 1, rounds >= 0; got $k/$rounds")
     val e = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    var und = scope.cache(
-      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .where(col("src") =!= col("dst")).distinct()
-        .localCheckpoint(false))
+    // bare localCheckpoint per round (the pageRank idiom): it already
+    // persists the RDD for the two downstream references — wrapping it
+    // in scope.cache would hold every round's edge relation twice
+    var und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val keep = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
         .where(col("d") >= k).select("id")
-      und = scope.cache(und
+      und = und
         .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint(false))
+        .localCheckpoint(false)
     }
     und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
   }

@@ -606,14 +606,8 @@ object Search {
     readRel(spark, path, "meta")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$path/meta.compacting")
-    val f = hadoopFs(spark, path)
-    for (rel <- indexRels) {
-      f.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), true)
-      deltaDirs(spark, path, rel)
-        .foreach(d => f.delete(new org.apache.hadoop.fs.Path(d), true))
-      f.rename(new org.apache.hadoop.fs.Path(s"$path/$rel.compacting"),
-        new org.apache.hadoop.fs.Path(s"$path/$rel"))
-    }
+    graft.io.Sinks.swapCompacting(spark, path, indexRels,
+      indexRels.flatMap(deltaDirs(spark, path, _)))
   }
 
   /** Right-to-be-forgotten propagation into the persisted index: drop
@@ -686,14 +680,8 @@ object Search {
       .select((col("n_docs") - col("nd")).as("n_docs"),
         (col("sum_dl") - col("sd")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$path/meta.compacting")
-    val f = hadoopFs(spark, path)
-    for (rel <- indexRels) {
-      f.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), true)
-      deltaDirs(spark, path, rel)
-        .foreach(d => f.delete(new org.apache.hadoop.fs.Path(d), true))
-      f.rename(new org.apache.hadoop.fs.Path(s"$path/$rel.compacting"),
-        new org.apache.hadoop.fs.Path(s"$path/$rel"))
-    }
+    graft.io.Sinks.swapCompacting(spark, path, indexRels,
+      indexRels.flatMap(deltaDirs(spark, path, _)))
   }
 
   /** Serve a bag-of-words query from a persisted `writeTextIndex`

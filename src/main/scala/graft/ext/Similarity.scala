@@ -1440,9 +1440,9 @@ object Similarity {
     * pinned quantizers (`privacy_purge_ann`'s oracle replays exactly
     * that), and a purged id can never surface: it is absent from every
     * inverted list and every code row. Rewrites land as `.compacting`
-    * siblings first and swap only after both complete — the
-    * `compactTextIndex` crash discipline (stale extras possible, a
-    * truncated index never). The rewrite also folds accumulated
+    * siblings first and swap in through `Sinks.swapCompacting`
+    * (park-old / rename-in / drop-old — no window ever holds the only
+    * copy of a relation). The rewrite also folds accumulated
     * append-part files, so a purge doubles as the small-file
     * compaction pass. */
   def purgeAnnIndex(
@@ -1455,13 +1455,7 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/lists.compacting")
     spark.read.parquet(s"$dir/codes").join(del, Seq(idCol), "left_anti")
       .write.mode("overwrite").parquet(s"$dir/codes.compacting")
-    val f = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (rel <- Seq("lists", "codes")) {
-      f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true)
-      f.rename(new org.apache.hadoop.fs.Path(s"$dir/$rel.compacting"),
-        new org.apache.hadoop.fs.Path(s"$dir/$rel"))
-    }
+    graft.io.Sinks.swapCompacting(spark, dir, Seq("lists", "codes"))
   }
 
   /** Serve one probe batch from a prebuilt index — the per-query cost a

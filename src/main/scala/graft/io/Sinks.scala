@@ -271,6 +271,35 @@ object Sinks {
       .drop("__old_here", "__new_here")
   }
 
+  /** Swap freshly-written `<rel>.compacting` directories into place —
+    * the shared crash discipline of every index-artifact rewrite
+    * (text-index compact/purge, ANN purge). Per relation: park the
+    * current base at `<rel>.old`, rename `.compacting` in, delete the
+    * parked copy; then delete `extraDirs` (delta directories an index
+    * rewrite also folds in). No window ever holds the ONLY copy of a
+    * relation: between the two renames the base name is briefly
+    * absent, but both the parked old and the complete new directory
+    * exist on disk — a crash there leaves a loud path-not-found (never
+    * a silent truncation) and recovery is one rename. A stale `.old`
+    * from a prior crash is cleared first, so the swap is re-runnable. */
+  def swapCompacting(
+      spark: SparkSession,
+      root: String,
+      rels: Seq[String],
+      extraDirs: Seq[String] = Nil): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (rel <- rels) {
+      val base = new Path(s"$root/$rel")
+      val old = new Path(s"$root/$rel.old")
+      val next = new Path(s"$root/$rel.compacting")
+      if (fs.exists(old)) fs.delete(old, true)
+      fs.rename(base, old)
+      fs.rename(next, base)
+      fs.delete(old, true)
+    }
+    extraDirs.foreach(d => fs.delete(new Path(d), true))
+  }
+
   /** ROLLBACK as a new commit (Delta RESTORE / Iceberg rollback
     * semantics): make the table's head equal its snapshot at
     * `toVersion` by COMMITTING the reverse delta — never by deleting

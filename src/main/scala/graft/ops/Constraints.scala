@@ -186,7 +186,9 @@ object Constraints {
     * of the privacy family next to suppression and index purge).
     *
     * The noise is SEEDED: both geometrics derive from bit slices of
-    * md5(seed ‖ class key), so the release replays bit-for-bit — the
+    * md5(seed ‖ class key), the key LENGTH-PREFIX-FRAMED per component
+    * so distinct classes can never share a hash key (and so a noise
+    * draw), and the release replays bit-for-bit — the
     * oracle/test requirement that makes the artifact auditable here.
     * A production publication substitutes fresh randomness per release
     * (a re-derivable seed re-identifies trivially); the mechanism,
@@ -210,8 +212,15 @@ object Constraints {
     require(quasiCols.nonEmpty, "need at least one group column")
     require(!seed.contains("'") && !seed.contains("|"),
       "seed must avoid quote/separator chars (oracle SQL literal + key framing)")
-    val key = concat_ws("|",
-      (lit(seed) +: quasiCols.map(c => col(c).cast("string"))): _*)
+    // length-prefix framing makes the class key INJECTIVE: without it,
+    // classes ("x|y", "z") and ("x", "y|z") would share one hash key
+    // and so one noise draw — perfectly correlated noise across
+    // distinct classes, which differencing defeats
+    def framed(c: String): Column = {
+      val v = col(c).cast("string")
+      concat(length(v).cast("string"), lit(":"), v)
+    }
+    val key = concat_ws("|", (lit(seed) +: quasiCols.map(framed)): _*)
     val h = md5(key.cast("binary"))
     // clog2(u) for the (slice+1) uniform: 0 when u = 0, bin-length of
     // u otherwise — exact ceil(log2(u+1))

@@ -411,6 +411,23 @@ class R10OpsSpec extends SparkSpec {
     }
   }
 
+  test("swapCompacting: swaps content in, clears stale .old from a prior crash, leaves no siblings") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("swap_spec").toString
+    def write(dir: String, marker: String): Unit = {
+      Files.createDirectories(Paths.get(s"$root/$dir"))
+      Files.writeString(Paths.get(s"$root/$dir/m"), marker)
+    }
+    write("rel", "old-content")
+    write("rel.compacting", "new-content")
+    write("rel.old", "stale-crash-leftover")
+    write("rel_delta_0", "delta")
+    io.Sinks.swapCompacting(spark, root, Seq("rel"), Seq(s"$root/rel_delta_0"))
+    assert(Files.readString(Paths.get(s"$root/rel/m")) == "new-content")
+    for (gone <- Seq("rel.compacting", "rel.old", "rel_delta_0"))
+      assert(!Files.exists(Paths.get(s"$root/$gone")), gone)
+  }
+
   test("streaming two-batch ANN purge equals one batch purge of the union") {
     val emb = io.Tables(spark, sf, "embeddings")
     val pS = java.nio.file.Files.createTempDirectory("sann_spec").toString

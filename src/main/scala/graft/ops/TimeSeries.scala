@@ -464,16 +464,22 @@ object TimeSeries {
     *
     * The endpoint order (t, d, uid, sid) is total (sid unique per uid)
     * and puts ends before starts at equal t (d = -1 < +1) — the
-    * half-open-interval tie rule. */
+    * half-open-interval tie rule.
+    *
+    * `parts` = 0 (default) sizes the range partitioning from the
+    * events relation via `ShuffleBudget.advise` — the library's
+    * data-proportional discipline; endpoints are ≤ 2 rows per event,
+    * so the un-inflated source estimate already errs upward. */
   def concurrencyProfile(
       events: DataFrame,
       userCol: String = "user_id",
       tsCol: String = "ts",
       tieCol: String = "event_id",
       gapSec: Long = 1800L,
-      parts: Int = 32): DataFrame = {
+      parts: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(gapSec > 0, s"need gapSec > 0, got $gapSec")
+    val p = if (parts > 0) parts else graft.util.ShuffleBudget.advise(events)
     val w = Window.partitionBy("uid").orderBy("sec", "tie")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sess = events
@@ -491,7 +497,7 @@ object TimeSeries {
       .unionByName(sess.select(col("uid"), col("sid"), col("t1").as("t"),
         lit(-1L).as("d")))
     GlobalSort.globalPrefixSum(pts,
-        Seq(col("t"), col("d"), col("uid"), col("sid")), "d", parts)
+        Seq(col("t"), col("d"), col("uid"), col("sid")), "d", p)
       .withColumn("conc", col("cum") + col("d"))
       .groupBy(date_format(
         timestamp_seconds(expr("(t div 3600) * 3600")),

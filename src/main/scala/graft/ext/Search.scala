@@ -666,9 +666,13 @@ object Search {
     post.join(broadcast(del), Seq("id"), "left_anti")
       .repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$path/postings.compacting")
+    // no broadcast hint on the decrement side: it is bounded by the
+    // deleted docs' DISTINCT terms, which for a large GDPR batch can
+    // approach vocabulary size — let the planner (AQE) choose; for
+    // request-sized deletes it will broadcast on its own estimate
     readRel(spark, path, "term_df")
       .groupBy("term").agg(sum(col("df")).as("df"))
-      .join(broadcast(gone.groupBy("term").agg(count(lit(1)).as("dec"))),
+      .join(gone.groupBy("term").agg(count(lit(1)).as("dec")),
         Seq("term"), "left")
       .select(col("term"), (col("df") - coalesce(col("dec"), lit(0L))).as("df"))
       .where(col("df") > 0)

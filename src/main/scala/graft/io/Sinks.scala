@@ -293,8 +293,10 @@ object Sinks {
       val old = new Path(s"$root/$rel.old")
       val next = new Path(s"$root/$rel.compacting")
       if (fs.exists(old)) fs.delete(old, true)
-      fs.rename(base, old)
-      fs.rename(next, base)
+      // Hadoop rename reports failure by RETURN VALUE, not exception —
+      // an unchecked false here would silently corrupt the artifact
+      require(fs.rename(base, old), s"swapCompacting: rename $base -> $old failed")
+      require(fs.rename(next, base), s"swapCompacting: rename $next -> $base failed")
       fs.delete(old, true)
     }
     extraDirs.foreach(d => fs.delete(new Path(d), true))

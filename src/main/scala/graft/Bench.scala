@@ -118,37 +118,91 @@ object Bench {
     val (solo, rest) = names.partition(singleton)
     val (heavy, light) = rest.partition(isHeavy)
     val heavyGroupSize = math.max(1, math.min(5, groupSize))
+    def groupsOf(ns: Seq[String]): Seq[Seq[String]] = {
+      val (so, re) = ns.partition(singleton)
+      val (he, li) = re.partition(isHeavy)
+      so.map(Seq(_)) ++
+        he.grouped(heavyGroupSize).toSeq ++ li.grouped(groupSize).toSeq
+    }
     val groups = solo.map(Seq(_)) ++
       heavy.grouped(heavyGroupSize).toSeq ++ light.grouped(groupSize).toSeq
-    for (group <- groups) {
-      val spark = newSession()
-      for (_ <- 1 to passes; name <- group) {
-        val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        // a FAILED pass records no time: a fast-failing query would
-        // otherwise deflate its median (and the headline total) while only
-        // the `failed` array flagged it
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // Noise defense #5 (round 11, verdict ask #1): an UNTIMED first
+    // execution of every query inside its own session. The table-count
+    // warmup above doesn't warm a query's codegen/broadcast/stream
+    // machinery, so pass 1 routinely read above passes 2–3 and the
+    // median leaned on a cold sample — in r10's driver artifact
+    // corpus_budget_select's 3-sample window read 4.4× its quiet median
+    // while its own min sat BELOW it. One extra execution per query
+    // (~+1/3 suite time) buys medians whose samples are all warm.
+    val warmQ = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMQ", "1") == "1"
+    def runGroups(
+        gs: Seq[Seq[String]],
+        sink: scala.collection.mutable.Map[String, List[Double]]): Unit =
+      for (group <- gs) {
+        val spark = newSession()
+        if (warmQ) for (name <- group) {
+          try SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          spark.catalog.clearCache()
         }
-        // caches opened while building a query must not leak into the
-        // next measurement (or accumulate over passes × group queries)
-        spark.catalog.clearCache()
+        for (_ <- 1 to passes; name <- group) {
+          val fn = SparkEntry.queries(name)
+          val t0 = System.nanoTime()
+          // a FAILED pass records no time: a fast-failing query would
+          // otherwise deflate its median (and the headline total) while only
+          // the `failed` array flagged it
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            sink(name) = ((System.nanoTime() - t0) / 1e9) :: sink.getOrElse(name, Nil)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          // caches opened while building a query must not leak into the
+          // next measurement (or accumulate over passes × group queries)
+          spark.catalog.clearCache()
+        }
+        spark.stop()
       }
-      spark.stop()
-    }
+    runGroups(groups, times)
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       s(s.length / 2)
     }
+    // Noise defense #6 (round 11, verdict ask #1): a RETRY pass for any
+    // query whose median sits over 2× its own min — the signature of a
+    // host-contention window owning that query's whole sample triple
+    // (all three samples run consecutively in one session, so the
+    // within-group interleave can't defend against a minutes-long
+    // window; r10's driver run had a contiguous 20-query stretch at
+    // 2–2.9× quiet). The retry runs in fresh sessions in REVERSE group
+    // order — a different wall-clock alignment — and the reported
+    // number is min(median_main, median_retry): each median is itself
+    // noise-robust within its window, and contention only ever
+    // INFLATES, so the smaller window median is the better estimate of
+    // the quiet cost.
+    val retried = names.filter { n =>
+      val xs = times.getOrElse(n, Nil)
+      xs.nonEmpty && median(xs) > 2.0 * xs.min
+    }
+    val retryTimes = scala.collection.mutable.Map.empty[String, List[Double]]
+    if (retried.nonEmpty) {
+      System.err.println(s"[bench] retrying ${retried.size} noisy queries: " +
+        retried.mkString(", "))
+      runGroups(groupsOf(retried).reverse, retryTimes)
+    }
     // a query is failed only when NO pass succeeded; medians are over
     // the passes that did succeed
     val (ok, failed) = names.partition(n => times.getOrElse(n, Nil).nonEmpty)
-    val med = ok.map(n => n -> median(times(n)))
+    val med = ok.map { n =>
+      val m = median(times(n))
+      n -> retryTimes.get(n).filter(_.nonEmpty)
+        .map(r => math.min(m, median(r))).getOrElse(m)
+    }
+    def allSamples(n: String): List[Double] =
+      times.getOrElse(n, Nil) ++ retryTimes.getOrElse(n, Nil)
+    val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = med.map(_._2).sum
     // stdout gets a COMPACT line (3-decimal medians, no per-query min
@@ -162,9 +216,9 @@ object Bench {
     println(
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"passes":$passes,"failed":$failedJson,"sf":"$sfDir"}""")
     val qs = med.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val mins = ok.map(n => "\"" + n + "\":" + times(n).min).mkString("{", ",", "}")
+    val mins = ok.map(n => "\"" + n + "\":" + allSamples(n).min).mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"passes":$passes,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"passes":$passes,"failed":$failedJson,"retried":$retriedJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
   }

@@ -3268,6 +3268,79 @@ object ExtQueries {
     // scaled-integer sqrt weights, floor-division rates, md5 threshold
     "corpus_mix_temperature" ->
       Sampling.temperatureMixtureOracleSql("source", Sampling.defaultMixBudget),
+    // the capstone chain, stage CTEs composed verbatim from the
+    // individual oracles: holdout → langid+quality → keep-first dedup
+    // → 5-gram decon → temperature mixture → split law → prefix-sum
+    // packing → shard law — every stage's integer/double arithmetic
+    // identical to its standalone query's oracle
+    "corpus_pipeline" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, source, $tokSql AS tk, text
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |s AS (SELECT doc_id, source, tk, text, $langScoreSql FROM f),
+         |lq AS (
+         |  SELECT doc_id, source, tk, text,
+         |         CAST(len(tk) AS BIGINT) AS n_tokens,
+         |         $langCaseSql AS lang,
+         |         least(len(tk) / 100.0, 1.0) * 0.5
+         |         + (CASE WHEN len(tk) = 0 THEN 0.0 ELSE len(list_filter(tk, x -> list_contains([$stopwordsSql], x)))*1.0 / len(tk) END) * 0.3
+         |         + (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[[:punct:]]'))*1.0 / length(text) END) * 0.2 AS qscore
+         |  FROM s),
+         |kept AS (
+         |  SELECT doc_id, source, tk, text, n_tokens FROM lq
+         |  WHERE lang = 'en' AND qscore >= 0.5),
+         |dd AS (
+         |  SELECT doc_id, source, tk, n_tokens FROM (
+         |    SELECT doc_id, source, tk, n_tokens,
+         |           row_number() OVER (
+         |             PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g')))
+         |             ORDER BY doc_id) AS rn
+         |    FROM kept) z
+         |  WHERE rn = 1),
+         |bh AS (
+         |  SELECT DISTINCT CAST(concat('0x', substring(md5(g), 1, 11)) AS BIGINT) AS h
+         |  FROM (
+         |    SELECT unnest([array_to_string(tk[i:i+4], ' ') FOR i IN range(1, len(tk) - 3)]) AS g
+         |    FROM (SELECT $tokSql AS tk FROM documents WHERE doc_id % 7 = 0) bt
+         |    WHERE len(tk) >= 5) bg),
+         |dirty AS (
+         |  SELECT DISTINCT cg.doc_id
+         |  FROM (
+         |    SELECT doc_id, CAST(concat('0x', substring(md5(g), 1, 11)) AS BIGINT) AS h
+         |    FROM (
+         |      SELECT doc_id, unnest([array_to_string(tk[i:i+4], ' ') FOR i IN range(1, len(tk) - 3)]) AS g
+         |      FROM dd WHERE len(tk) >= 5) cgrams) cg
+         |  JOIN bh USING (h)),
+         |clean AS (
+         |  SELECT doc_id, source, n_tokens FROM dd
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |counts AS (
+         |  SELECT source, count(*) AS n_grp,
+         |         CAST(floor(sqrt(count(*) * 1000000)) AS BIGINT) AS w
+         |  FROM clean GROUP BY source),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM counts),
+         |rates AS (
+         |  SELECT source,
+         |         least(1000, CAST((1000 * ${Sampling.defaultPipelineBudget} * w) // (sum_w * n_grp) AS BIGINT)) AS rate
+         |  FROM counts, tot),
+         |hashed AS (
+         |  SELECT c.doc_id, c.source, c.n_tokens, r.rate,
+         |         CAST(concat('0x', substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+         |  FROM clean c JOIN rates r USING (source)),
+         |train AS (
+         |  SELECT doc_id, source, n_tokens FROM hashed
+         |  WHERE hh % 1000 < rate AND hh % 100 < 80),
+         |ps AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(coalesce(sum(n_tokens) OVER (
+         |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+         |  FROM train)
+         |SELECT doc_id, source, n_tokens,
+         |       start // 256 AS pack_id,
+         |       start % 256 AS pack_offset,
+         |       (start // 256) % 16 AS shard
+         |FROM ps
+         |ORDER BY doc_id""".stripMargin,
     // priority sample rebuilt from scratch: same md5 uniform, same
     // integer floor division, same (priority, id) order
     "sample_weighted" ->
@@ -3284,6 +3357,68 @@ object ExtQueries {
       Sampling.mixtureReweightOracleSql("source",
         "CASE WHEN n_chars < 400 THEN 1000 ELSE 0 END", etaPermille = 5000L)
   )
+
+  /** `corpus_pipeline`'s stage chain through the hash split — exposed
+    * for the plan-guard spec (PipelineSpec audits the raw uncached DAG
+    * for its exchange budget). Stages: benchmark holdout → tokenize-
+    * once langid + quality gate (broadcast-policy pushdown barrier) →
+    * exact keep-first dedup (bounded-heap TopKPerKey) → 5-gram
+    * decontamination (bench hashes broadcast, survivors anti-join) →
+    * √n temperature mixture (O(sources) rates broadcast back) → md5
+    * hash split (map-only). `cache` = cache the deduped survivors, the
+    * one relation every downstream consumer (decon screen, mixture
+    * sizing, packing passes) re-reads. */
+  private[graft] def pipelineTrain(
+      s: SparkSession, dir: String, cache: Boolean): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val bench = docs.where(col("doc_id") % 7 === 0)
+    val corpus = docs.where(col("doc_id") % 7 =!= 0)
+    val policy = Seq(("en", 0.5)).toDF("lang", "min_qscore")
+    val kept = corpus
+      .select(col("doc_id"), col("source"), col("text"),
+        TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"), col("text"),
+        TextAnalysis.langIdFromTokens(col("tk")).as("lang"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScoreFromTokens(col("text"), col("tk")).as("qscore"))
+      .join(broadcast(policy), Seq("lang"))
+      .where(col("qscore") >= col("min_qscore"))
+      .select("doc_id", "source", "text", "n_tokens")
+    // lifecycle: Verify/Bench clear the session cache per query (the
+    // dupNgramStats multi-consumer rule). Two cache points: the deduped
+    // survivors (re-read by the decon screen, the mixture sizing agg,
+    // and the packing passes) and the decontaminated corpus (re-read by
+    // the mixture's rate/apply sides) — in a persisted deployment these
+    // are exactly the two relations a pipeline would materialize
+    // between macro-stages.
+    val scope = new graft.util.CacheScope
+    def c(df: DataFrame): DataFrame = if (cache) scope.cache(df) else df
+    val deduped = c(Dedup.exactKeepFirst(kept, "text", "doc_id"))
+    val dirty = TextAnalysis.contaminationScreen(
+        deduped, bench, "doc_id", "text", n = 5)
+      .select("doc_id")
+    val clean = c(deduped
+      .join(broadcast(dirty), Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "n_tokens"))
+    Sampling.temperatureMixture(clean, "doc_id", "source",
+        Sampling.defaultPipelineBudget, scope)
+      .where(pmod(Sampling.md5Hash(col("doc_id")), lit(100L)) < 80)
+      .select("doc_id", "source", "n_tokens")
+  }
+
+  /** [[pipelineTrain]] + 256-token sequence packing (distributed
+    * prefix sum in doc order) + the round-robin shard law. */
+  private[graft] def pipelinePacked(
+      s: SparkSession, dir: String, cache: Boolean): DataFrame =
+    graft.ops.GlobalSort.globalPrefixSum(
+        pipelineTrain(s, dir, cache), Seq(col("doc_id").asc), "n_tokens",
+        parts = s.conf.get("spark.sql.shuffle.partitions").toInt,
+        cumCol = "start")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("start div 256").as("pack_id"),
+        expr("start % 256").as("pack_offset"))
+      .withColumn("shard", pmod(col("pack_id"), lit(16L)))
 
   val plans: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> { (s, dir) =>
@@ -5133,6 +5268,24 @@ object ExtQueries {
         .select("doc_id", "n_tokens", "qscore")
         .orderBy("doc_id")
     },
+    "corpus_pipeline" -> { (s, dir) =>
+      // THE CAPSTONE: the reference's defining property is job
+      // CHAINING (w6/docs/design.md:74), and this query chains every
+      // curation stage end-to-end as ONE lazy DAG — benchmark holdout
+      // → tokenize-once langid + quality gate (broadcast-policy
+      // pushdown barrier, the corpus_select discipline) → exact
+      // keep-first dedup (bounded-heap TopKPerKey) → 5-gram
+      // decontamination (bench hashes broadcast, survivors anti-join)
+      // → √n temperature mixture (O(sources) rates broadcast back) →
+      // md5 hash split (map-only) → 256-token sequence packing
+      // (distributed prefix sum, never Exchange SinglePartition) →
+      // round-robin shard law. ONE cache point — the deduped
+      // survivors — feeds the decon screen, the mixture sizing agg,
+      // and the packing passes; everything downstream of it is
+      // map-only or broadcast. PipelineSpec counts the exchanges and
+      // pins the no-rescan shape.
+      pipelinePacked(s, dir, cache = true).orderBy("doc_id")
+    },
     "text_tfidf_top3" -> { (s, dir) =>
       // two chained wordcount-shaped jobs (the reference's job-chaining
       // pattern, design.md:74): per-doc tf then corpus df, joined; the
@@ -5194,6 +5347,7 @@ object ExtQueries {
       // rates from scaled-integer sqrt weights, md5-per-mille keep
       Sampling.temperatureMixture(t(s, dir, "documents"),
           "doc_id", "source", budget = Sampling.defaultMixBudget)
+        .select("doc_id", "source", "rate")
         .orderBy("doc_id")
     },
     "sample_weighted" -> { (s, dir) =>

@@ -527,13 +527,16 @@ object Graph {
       srcCol: String,
       dstCol: String,
       k: Long,
-      rounds: Int = defaultKCoreRounds,
-      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+      rounds: Int = defaultKCoreRounds): DataFrame = {
     require(k >= 1 && rounds >= 0, s"need k >= 1, rounds >= 0; got $k/$rounds")
     val e = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // bare localCheckpoint per round (the pageRank idiom): it already
     // persists the RDD for the two downstream references — wrapping it
-    // in scope.cache would hold every round's edge relation twice
+    // in a CacheScope would hold every round's edge relation twice (no
+    // scope param: there is no managed lifecycle to delegate here).
+    // Superseded rounds' checkpointed RDDs are retained until the
+    // session's cache clear, bounded by `rounds` ids-only relations
+    // that only SHRINK as the peel proceeds
     var und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst")).distinct()
       .localCheckpoint(false)

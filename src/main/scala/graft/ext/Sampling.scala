@@ -24,6 +24,12 @@ object Sampling {
   val defaultMixBudget: Long = 250L
   val defaultPriorityK: Int = 100
 
+  /** `corpus_pipeline`'s mixture budget — sized so the temperature
+    * stage actually SUBSAMPLES at the sf0.01 gate (the quality/langid/
+    * dedup/decon stages leave ~200 docs; 120 puts most sources' rates
+    * well under 1000‰, exercising both the keep and drop branches). */
+  val defaultPipelineBudget: Long = 120L
+
   /** `corpus_epochs` parameters: ~4× the sf0.01 corpus mass, so the
     * 4-epoch repeat cap BINDS for the small sources and not the large
     * ones at the gate SF (both branches exercised); at larger SFs the
@@ -59,10 +65,16 @@ object Sampling {
       docs: DataFrame,
       idCol: String,
       groupCol: String,
-      budget: Long): DataFrame = {
-    val counts = docs.groupBy(col(groupCol))
+      budget: Long,
+      scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
+    // the O(sources) count relation feeds BOTH the rate derivation and
+    // the Σw total; uncached, Catalyst plans those as two independent
+    // subtrees whose pushed filters differ — i.e. TWO full corpus
+    // sizing scans. Caching ≤|sources| rows converts that to one scan
+    // (lifecycle: caller's scope, or the Verify/Bench per-query clear)
+    val counts = scope.cache(docs.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_grp"))
-      .withColumn("w", floor(sqrt(col("n_grp") * 1000000L)).cast("long"))
+      .withColumn("w", floor(sqrt(col("n_grp") * 1000000L)).cast("long")))
     // Σw as a 1-row broadcast against the O(sources) counts — no
     // driver collect, no window over a single partition
     val tot = counts.agg(sum(col("w")).cast("long").as("sum_w"))
@@ -75,7 +87,10 @@ object Sampling {
     docs
       .join(broadcast(rates), Seq(groupCol))
       .where(pmod(md5Hash(col(idCol)), lit(1000L)) < col("rate"))
-      .select(col(idCol), col(groupCol), col("rate"))
+      // preserve the caller's columns (plus the derived rate): a
+      // pipeline stage must not strip the annotations later stages
+      // consume (the capstone carries n_tokens through to packing)
+      .select(docs.columns.map(col) :+ col("rate"): _*)
   }
 
   /** DuckDB replay of `temperatureMixture` over `documents` for the

@@ -596,6 +596,9 @@ object Search {
   def compactTextIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
+    // roll forward (or clear) any crash-interrupted rewrite BEFORE
+    // reading: a mixed-relation state would silently mis-compact
+    graft.io.Sinks.recoverSwap(spark, path, indexRels)
     if (indexRels.forall(rel => deltaDirs(spark, path, rel).isEmpty)) return
     readRel(spark, path, "postings")
       .repartitionByRange(col("term")).sortWithinPartitions("term")
@@ -658,11 +661,27 @@ object Search {
       deleteIds: DataFrame,
       idCol: String,
       scope: graft.util.CacheScope): Unit = {
+    // roll forward (or clear) any crash-interrupted rewrite BEFORE
+    // computing the deleted sliver: after a half-applied swap the
+    // postings may already be purged, and decrements recomputed from
+    // them would be empty while term_df/meta still carry the old mass
+    graft.io.Sinks.recoverSwap(spark, path, indexRels)
     val del = deleteIds.select(col(idCol).as("id")).distinct()
     val post = readRel(spark, path, "postings")
     // the deleted docs' postings sliver — everything the decrements need
     val gone = scope.cache(post.join(broadcast(del), Seq("id"), "left_semi")
       .select("id", "term", "dl"))
+    // contract check (cheap: the sliver is delete-batch-sized): an id
+    // ingested twice with CONFLICTING lengths — an updateTextIndex
+    // no-collision violation — would silently under-decrement
+    // n_docs/sum_dl below; surface it as an error instead
+    val conflicts = gone.select("id", "dl").distinct()
+      .groupBy("id").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).limit(1).collect()
+    require(conflicts.isEmpty,
+      s"purgeTextIndex: deleted id ${conflicts.headOption.map(_.get(0)).orNull} " +
+        "carries conflicting document lengths in the index — " +
+        "updateTextIndex's no-collision contract was violated upstream")
     post.join(broadcast(del), Seq("id"), "left_anti")
       .repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$path/postings.compacting")

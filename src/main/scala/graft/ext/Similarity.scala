@@ -1450,6 +1450,9 @@ object Similarity {
       dir: String,
       deleteIds: DataFrame,
       idCol: String): Unit = {
+    // roll forward (or clear) any crash-interrupted rewrite first —
+    // the same mixed-relation hazard as the text-index purge
+    graft.io.Sinks.recoverSwap(spark, dir, Seq("lists", "codes"))
     val del = broadcast(deleteIds.select(col(idCol)).distinct())
     spark.read.parquet(s"$dir/lists").join(del, Seq(idCol), "left_anti")
       .write.mode("overwrite").parquet(s"$dir/lists.compacting")

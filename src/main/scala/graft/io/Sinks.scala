@@ -280,26 +280,105 @@ object Sinks {
     * relation: between the two renames the base name is briefly
     * absent, but both the parked old and the complete new directory
     * exist on disk — a crash there leaves a loud path-not-found (never
-    * a silent truncation) and recovery is one rename. A stale `.old`
-    * from a prior crash is cleared first, so the swap is re-runnable. */
+    * a silent truncation).
+    *
+    * Cross-relation atomicity rides a swap JOURNAL: before the first
+    * rename, every `.compacting` sibling is verified COMPLETE (its
+    * parquet `_SUCCESS` marker) and the (rels, extraDirs) manifest is
+    * written to `<root>/_swap_inprogress`; the journal is removed only
+    * after every rename AND every extra-dir delete. A crash anywhere
+    * inside the window therefore leaves the journal on disk, and
+    * [[recoverSwap]] — which every compact/purge entry point calls
+    * FIRST — rolls the interrupted swap FORWARD from the journaled
+    * manifest. Without the journal, a crash between two relations'
+    * swaps (say after postings, before term_df) would leave a MIXED
+    * index that a naive re-run silently mis-repairs: the retry would
+    * recompute its decrements from the already-purged postings, find
+    * an empty deleted sliver, and install stale term_df/meta stats. */
   def swapCompacting(
       spark: SparkSession,
       root: String,
       rels: Seq[String],
       extraDirs: Seq[String] = Nil): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(swapJournal(root)),
+      s"swapCompacting: unrecovered interrupted swap under $root — " +
+        "call recoverSwap before starting a new rewrite")
+    // verify EVERY replacement is complete before touching ANY base:
+    // a half-written .compacting must fail here, not get installed
     for (rel <- rels) {
-      val base = new Path(s"$root/$rel")
-      val old = new Path(s"$root/$rel.old")
       val next = new Path(s"$root/$rel.compacting")
-      if (fs.exists(old)) fs.delete(old, true)
-      // Hadoop rename reports failure by RETURN VALUE, not exception —
-      // an unchecked false here would silently corrupt the artifact
-      require(fs.rename(base, old), s"swapCompacting: rename $base -> $old failed")
-      require(fs.rename(next, base), s"swapCompacting: rename $next -> $base failed")
-      fs.delete(old, true)
+      require(fs.exists(new Path(next, "_SUCCESS")),
+        s"swapCompacting: $next is missing its _SUCCESS marker — " +
+          "refusing to install a possibly-truncated relation")
     }
+    val out = fs.create(swapJournal(root), true)
+    try out.write(
+      (rels.map("rel " + _) ++ extraDirs.map("extra " + _))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    for (rel <- rels) swapOneRel(fs, root, rel)
     extraDirs.foreach(d => fs.delete(new Path(d), true))
+    fs.delete(swapJournal(root), false)
+  }
+
+  private def swapJournal(root: String): Path =
+    new Path(s"$root/_swap_inprogress")
+
+  /** One relation's park/rename/drop, resumable from any crash point:
+    * a missing `.compacting` means this relation already swapped (only
+    * its parked `.old` may remain to clear); base present + `.old`
+    * present means the crash fell between park and install. */
+  private def swapOneRel(fs: FileSystem, root: String, rel: String): Unit = {
+    val base = new Path(s"$root/$rel")
+    val old = new Path(s"$root/$rel.old")
+    val next = new Path(s"$root/$rel.compacting")
+    if (fs.exists(next)) {
+      if (fs.exists(base)) {
+        if (fs.exists(old)) fs.delete(old, true)
+        // Hadoop rename reports failure by RETURN VALUE, not exception —
+        // an unchecked false here would silently corrupt the artifact
+        require(fs.rename(base, old), s"swapCompacting: rename $base -> $old failed")
+      }
+      require(fs.rename(next, base), s"swapCompacting: rename $next -> $base failed")
+    }
+    require(fs.exists(base),
+      s"swapCompacting: $base absent with no $next to install — corrupt index")
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+
+  /** Crash recovery for [[swapCompacting]] — idempotent; every
+    * compact/purge entry point calls this before reading the index.
+    *
+    * With a journal on disk, the interrupted swap is rolled FORWARD:
+    * the journal is only ever written after every `.compacting`
+    * replacement verified complete, so finishing the remaining
+    * renames (and extra-dir deletes) reaches exactly the state the
+    * crashed rewrite was committing. Without a journal, any leftover
+    * `.compacting`/`.old` siblings are from a crash BEFORE the swap
+    * began — every base is still the pre-rewrite original — so the
+    * leftovers are deleted and the caller recomputes from a
+    * consistent base. Returns true when an interrupted swap was
+    * completed (the caller's rewrite is then already applied). */
+  def recoverSwap(spark: SparkSession, root: String, rels: Seq[String]): Boolean = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(swapJournal(root))) {
+      val in = fs.open(swapJournal(root))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val lines = text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      val jRels = lines.collect { case l if l.startsWith("rel ") => l.stripPrefix("rel ") }
+      val jExtras = lines.collect { case l if l.startsWith("extra ") => l.stripPrefix("extra ") }
+      for (rel <- jRels) swapOneRel(fs, root, rel)
+      jExtras.foreach(d => fs.delete(new Path(d), true))
+      fs.delete(swapJournal(root), false)
+      true
+    } else {
+      for (rel <- rels) {
+        fs.delete(new Path(s"$root/$rel.compacting"), true)
+        fs.delete(new Path(s"$root/$rel.old"), true)
+      }
+      false
+    }
   }
 
   /** ROLLBACK as a new commit (Delta RESTORE / Iceberg rollback

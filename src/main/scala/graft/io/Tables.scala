@@ -32,7 +32,7 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       val raw =
-        try spark.read.parquet(s"$dir/$name.parquet")
+        try read(spark, dir, name)
         catch {
           case e: org.apache.spark.sql.AnalysisException
               if e.getMessage != null && e.getMessage.toLowerCase.contains("nanos") =>
@@ -48,8 +48,55 @@ object Tables {
         case _ => raw
       }
     } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+      read(spark, dir, name)
     }
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (cboEnabled) catalogTable(spark, dir, name)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** CBO feed (SURVEY §9 / round-11 verdict ask #4): with
+    * `SPARK_GRAFT_CBO=1` every table read is served through a CATALOG
+    * table carrying the engine's own one-pass ANALYZE output
+    * (`Sketches.computeCatalogStats` → `CatalogStatistics`), so all
+    * suite plans price joins/filters with real row counts, NDVs, and
+    * min/max instead of raw file sizes — the broadcast-flip and
+    * join-reorder decisions `CboSpec` pins, now suite-wide. Default
+    * OFF: the driver's gate-of-record artifacts stay comparable
+    * across rounds. */
+  private def cboEnabled: Boolean =
+    sys.props.get("graft.cbo").orElse(sys.env.get("SPARK_GRAFT_CBO")).contains("1")
+
+  // the ANALYZE pass is per-(dir, table) memoized ACROSS sessions —
+  // the bench recycles ~60 SparkContexts and must not pay a stats
+  // rescan in each; only the metadata-sized catalog install repeats
+  private val statsMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.catalyst.catalog.CatalogStatistics]
+
+  private def catalogTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val tbl = s"graft_$name"
+    val marker = s"graft.cbo.registered.$tbl"
+    if (!spark.conf.getOption(marker).contains(dir)) synchronized {
+      if (!spark.conf.getOption(marker).contains(dir)) {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.catalog.createTable(tbl, "parquet",
+          Map("path" -> s"$dir/$name.parquet"))
+        // integral columns only — the one-pass ANALYZE contract
+        val integral = spark.table(tbl).schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.LongType ||
+            f.dataType == org.apache.spark.sql.types.IntegerType ||
+            f.dataType == org.apache.spark.sql.types.ShortType => f.name
+        }.toSeq
+        val stats = statsMemo.getOrElseUpdate((dir, name),
+          graft.ops.Sketches.computeCatalogStats(spark.table(tbl), integral))
+        org.apache.spark.sql.GraftBridge.alterTableStats(spark, tbl, Some(stats))
+        spark.conf.set(marker, dir)
+      }
+    }
+    spark.table(tbl)
+  }
 
   /** Load a text "container": one row per line, column `value`.
     * Equivalent of the reference's blob-container input

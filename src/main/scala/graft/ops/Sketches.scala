@@ -481,8 +481,22 @@ object Sketches {
       cols: Seq[String],
       k: Int = 256,
       bits: Int = 44): (Long, Long) = {
+    val stats = computeCatalogStats(spark.table(table), cols, k, bits)
+    org.apache.spark.sql.GraftBridge.alterTableStats(spark, table, Some(stats))
+    (stats.rowCount.get.toLong, stats.sizeInBytes.toLong)
+  }
+
+  /** The compute half of [[analyzeToCatalog]], split out so a
+    * whole-suite CBO feed (`io.Tables` under `SPARK_GRAFT_CBO=1`) can
+    * memoize the ANALYZE pass per (dir, table) across the bench's
+    * recycled sessions — the stats object is session-independent;
+    * only the cheap catalog install repeats per session. */
+  def computeCatalogStats(
+      df: DataFrame,
+      cols: Seq[String],
+      k: Int = 256,
+      bits: Int = 44): org.apache.spark.sql.catalyst.catalog.CatalogStatistics = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
-    val df = spark.table(table)
     val nRows = df.count()
     val colStats = analyzeColumns(df, cols, k, bits).collect().map { r =>
       r.getString(0) -> CatalogColumnStat(
@@ -498,9 +512,7 @@ object Sketches {
     // this is the fallback for size-only consumers
     val sizeInBytes =
       nRows * df.schema.map(_.dataType.defaultSize.toLong).sum
-    org.apache.spark.sql.GraftBridge.alterTableStats(spark, table,
-      Some(CatalogStatistics(BigInt(sizeInBytes), Some(BigInt(nRows)), colStats)))
-    (nRows, sizeInBytes)
+    CatalogStatistics(BigInt(sizeInBytes), Some(BigInt(nRows)), colStats)
   }
 
   /** Textbook equi-join cardinality estimate from one-pass per-side

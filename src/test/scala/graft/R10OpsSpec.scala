@@ -411,21 +411,133 @@ class R10OpsSpec extends SparkSpec {
     }
   }
 
-  test("swapCompacting: swaps content in, clears stale .old from a prior crash, leaves no siblings") {
+  private def swapFixture(): (String, (String, String) => Unit) = {
     import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("swap_spec").toString
     def write(dir: String, marker: String): Unit = {
       Files.createDirectories(Paths.get(s"$root/$dir"))
       Files.writeString(Paths.get(s"$root/$dir/m"), marker)
+      // swapCompacting refuses a replacement without the parquet
+      // commit marker; the fixture writes complete relations
+      Files.writeString(Paths.get(s"$root/$dir/_SUCCESS"), "")
     }
+    (root, write)
+  }
+
+  test("swapCompacting: swaps content in, clears stale .old from a prior crash, leaves no siblings") {
+    import java.nio.file.{Files, Paths}
+    val (root, write) = swapFixture()
     write("rel", "old-content")
     write("rel.compacting", "new-content")
     write("rel.old", "stale-crash-leftover")
     write("rel_delta_0", "delta")
     io.Sinks.swapCompacting(spark, root, Seq("rel"), Seq(s"$root/rel_delta_0"))
     assert(Files.readString(Paths.get(s"$root/rel/m")) == "new-content")
-    for (gone <- Seq("rel.compacting", "rel.old", "rel_delta_0"))
+    for (gone <- Seq("rel.compacting", "rel.old", "rel_delta_0", "_swap_inprogress"))
       assert(!Files.exists(Paths.get(s"$root/$gone")), gone)
+  }
+
+  test("swapCompacting refuses a .compacting directory without _SUCCESS") {
+    import java.nio.file.{Files, Paths}
+    val (root, write) = swapFixture()
+    write("rel", "old-content")
+    write("rel.compacting", "half-written")
+    Files.delete(Paths.get(s"$root/rel.compacting/_SUCCESS"))
+    intercept[IllegalArgumentException] {
+      io.Sinks.swapCompacting(spark, root, Seq("rel"))
+    }
+    // nothing was touched: the original base still serves
+    assert(Files.readString(Paths.get(s"$root/rel/m")) == "old-content")
+  }
+
+  test("recoverSwap rolls a mid-swap crash FORWARD from the journal (cross-relation atomicity)") {
+    import java.nio.file.{Files, Paths}
+    val (root, write) = swapFixture()
+    // crash state: postings already swapped (base = new, sibling gone),
+    // term_df parked mid-rel (base absent, .old + .compacting present),
+    // meta untouched (base = old, .compacting complete), delta dir and
+    // journal still on disk
+    write("postings", "postings-new")
+    write("term_df.old", "term_df-old")
+    write("term_df.compacting", "term_df-new")
+    write("meta", "meta-old")
+    write("meta.compacting", "meta-new")
+    write("postings_delta_0", "delta")
+    Files.writeString(Paths.get(s"$root/_swap_inprogress"),
+      s"rel postings\nrel term_df\nrel meta\nextra $root/postings_delta_0\n")
+    val completed = io.Sinks.recoverSwap(spark, root, Seq("postings", "term_df", "meta"))
+    assert(completed)
+    assert(Files.readString(Paths.get(s"$root/postings/m")) == "postings-new")
+    assert(Files.readString(Paths.get(s"$root/term_df/m")) == "term_df-new")
+    assert(Files.readString(Paths.get(s"$root/meta/m")) == "meta-new")
+    for (gone <- Seq("term_df.old", "term_df.compacting", "meta.compacting",
+        "postings_delta_0", "_swap_inprogress"))
+      assert(!Files.exists(Paths.get(s"$root/$gone")), gone)
+    // idempotent: a second recovery is a no-op
+    assert(!io.Sinks.recoverSwap(spark, root, Seq("postings", "term_df", "meta")))
+  }
+
+  test("recoverSwap clears pre-swap leftovers when no journal exists (bases untouched)") {
+    import java.nio.file.{Files, Paths}
+    val (root, write) = swapFixture()
+    write("rel", "old-content")
+    write("rel.compacting", "from-a-crashed-write")
+    assert(!io.Sinks.recoverSwap(spark, root, Seq("rel")))
+    assert(Files.readString(Paths.get(s"$root/rel/m")) == "old-content")
+    assert(!Files.exists(Paths.get(s"$root/rel.compacting")))
+  }
+
+  test("purgeTextIndex completes an interrupted swap before recomputing (no stale idf)") {
+    import java.nio.file.{Files, Paths}
+    val docs = io.Tables(spark, sf, "documents")
+    val del = docs.where(pmod(col("doc_id"), lit(37)) === 3).select("doc_id")
+    // reference index: purge applied cleanly
+    val pRef = Files.createTempDirectory("purge_ref").toString
+    ext.Search.writeTextIndex(docs, "doc_id", "text", pRef)
+    ext.Search.purgeTextIndex(spark, pRef, del, "doc_id")
+    // crashed twin: replay the purge's rewrite phase by hand (the same
+    // per-relation formulas), journal all three relations, then apply
+    // ONLY the postings swap — the exact crash window ADVICE r10
+    // flagged: re-running the purge on this mixed state without
+    // recovery would find an empty deleted sliver and keep the stale
+    // term_df/meta mass forever
+    val pCrash = Files.createTempDirectory("purge_crash").toString
+    ext.Search.writeTextIndex(docs, "doc_id", "text", pCrash)
+    val delIds = del.select(col("doc_id").as("id"))
+    val post = spark.read.parquet(s"$pCrash/postings")
+    val gone = post.join(broadcast(delIds), Seq("id"), "left_semi")
+      .select("id", "term", "dl").cache()
+    post.join(broadcast(delIds), Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$pCrash/postings.compacting")
+    spark.read.parquet(s"$pCrash/term_df")
+      .join(gone.groupBy("term").agg(count(lit(1)).as("dec")), Seq("term"), "left")
+      .select(col("term"), (col("df") - coalesce(col("dec"), lit(0L))).as("df"))
+      .where(col("df") > 0)
+      .write.mode("overwrite").parquet(s"$pCrash/term_df.compacting")
+    spark.read.parquet(s"$pCrash/meta")
+      .crossJoin(broadcast(gone.select("id", "dl").distinct()
+        .agg(count(lit(1)).as("nd"), coalesce(sum(col("dl")), lit(0L)).as("sd"))))
+      .select((col("n_docs") - col("nd")).as("n_docs"),
+        (col("sum_dl") - col("sd")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$pCrash/meta.compacting")
+    gone.unpersist()
+    Files.writeString(Paths.get(s"$pCrash/_swap_inprogress"),
+      "rel postings\nrel term_df\nrel meta\n")
+    val fs = new org.apache.hadoop.fs.Path(pCrash)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def P(s: String) = new org.apache.hadoop.fs.Path(s)
+    assert(fs.rename(P(s"$pCrash/postings"), P(s"$pCrash/postings.old")))
+    assert(fs.rename(P(s"$pCrash/postings.compacting"), P(s"$pCrash/postings")))
+    fs.delete(P(s"$pCrash/postings.old"), true)
+    // the natural retry: purgeTextIndex must FIRST finish the journaled
+    // swap (installing the correct term_df/meta), after which its own
+    // rewrite is a no-op compaction — not a recompute from mixed state
+    ext.Search.purgeTextIndex(spark, pCrash, del, "doc_id")
+    for (rel <- Seq("postings", "term_df", "meta")) {
+      val a = spark.read.parquet(s"$pRef/$rel").collect().map(_.toSeq).toSet
+      val b = spark.read.parquet(s"$pCrash/$rel").collect().map(_.toSeq).toSet
+      assert(a == b, rel)
+    }
   }
 
   test("streaming two-batch ANN purge equals one batch purge of the union") {

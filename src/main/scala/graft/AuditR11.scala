@@ -23,6 +23,10 @@ object AuditR11 {
       .split("\n")
       .filter(l => l.contains("Join") || l.contains("Exchange"))
       .map(_.replaceAll("#\\d+", "#").replaceAll("plan_id=\\d+", "")
+        // catalog-served attributes print fully qualified
+        // (spark_catalog.default.graft_lineitem.l_suppkey) — strip the
+        // prefix so a naming-only delta doesn't read as a plan change
+        .replaceAll("spark_catalog\\.default\\.graft_\\w+\\.", "")
         .replaceAll("^[\\s:+-]*", ""))
       .mkString("\n")
 
@@ -85,6 +89,81 @@ object AuditR11 {
       }
       spark.stop()
 
-    case other => sys.error(s"unknown audit: $other (want cbo|ivfpq)")
+    case "dupngrams" =>
+      // attribution probe for the text_dup_ngrams scale tail (verdict
+      // ask #2): census the gram relation at factor f (instance count
+      // vs distinct (doc, gram) vs distinct grams, heaviest groups)
+      // and time the kernel in-session. Round-11 findings at 64×/128×:
+      // instances == docGram (no in-document duplicates), max group
+      // size 4 (the cipher generator creates NO cross-copy gram
+      // collisions beyond the base corpus's own ≤4-way duplicates),
+      // kernel 13.8 s → 32.4 s (2.35× for 2× data — linear). The
+      // committed union-protocol rows (27.6 s / 143.9 s) carry f-leg
+      // planning/codegen on top — see BenchScale's materialized-input
+      // protocol.
+      val f = args.drop(1).headOption.map(_.toInt).getOrElse(64)
+      val spark = GraftSession.local(32, 32, "audit-dupngrams")
+      val docs = BenchScale.inflateDocs(
+        io.Tables(spark, "/root/testdata/sf0.1", "documents"), f)
+      def time[T](label: String)(body: => T): T = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"[audit] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      import org.apache.spark.sql.functions._
+      val grams = docs
+        .select(col("doc_id"), ops.TextOps.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          explode(ops.TextOps.wordNgramsFromTokens(col("tk"), 8)).as("g"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+      val stats = time("instance/distinct/groups census")(
+        grams.agg(
+          count(lit(1)).as("instances"),
+          count_distinct(struct(col("doc_id"), col("h"))).as("doc_gram"),
+          count_distinct(col("h")).as("grams")).collect()(0))
+      println(s"[audit] f=$f instances=${stats.getLong(0)} " +
+        s"docGram=${stats.getLong(1)} grams=${stats.getLong(2)}")
+      val top = time("heaviest gram groups")(
+        grams.groupBy("h").agg(count(lit(1)).as("n")).orderBy(desc("n"))
+          .limit(5).collect().map(_.getLong(1)).toSeq)
+      println(s"[audit] top group sizes: $top")
+      time("dupNgramStats in-session")(
+        ext.TextAnalysis.dupNgramStats(docs, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save())
+      spark.stop()
+
+    case "neardup" =>
+      // attribution for the dedup_neardup/pairs_by_source top-octave
+      // step (materialized-input rows 34.0 s at 64× → 134.6 s at
+      // 128×): the count-derived LSH geometry crosses an octave at
+      // 320k→640k rows (r 3→4, bands 96→160 — 2.2× minhash work per
+      // doc, 1.67× band rows), the DESIGNED constant-recall schedule.
+      // A/B: the same 128× corpus under the derived schedule vs the
+      // 64× geometry pinned — if the step is the schedule, the pinned
+      // run lands at ~2× the 64× cost (linear), with the recall trade
+      // visible in the pair count.
+      val f = args.drop(1).headOption.map(_.toInt).getOrElse(128)
+      val spark = GraftSession.local(32, 32, "audit-neardup")
+      val docs0 = io.Tables(spark, "/root/testdata/sf0.1", "documents")
+      val dir = java.nio.file.Files.createTempDirectory("nd_mat").toString
+      BenchScale.inflateDocs(docs0, f).write.parquet(s"$dir/docs")
+      val docsM = spark.read.parquet(s"$dir/docs")
+      ext.Dedup.nearDupPairs(docs0, "doc_id", "text").count() // untimed codegen warmup
+      spark.catalog.clearCache()
+      for ((label, np, nb) <- Seq(
+          ("count-derived schedule (r=4,b=160)", 0, 0),
+          ("pinned 64x geometry (r=3,b=96)", 288, 96))) {
+        val t0 = System.nanoTime()
+        val n = ext.Dedup.nearDupPairs(docsM, "doc_id", "text",
+          numPerms = np, bands = nb).count()
+        println(f"[audit] neardup f=$f $label: ${(System.nanoTime() - t0) / 1e9}%.2f s, pairs=$n")
+        spark.catalog.clearCache()
+      }
+      spark.stop()
+
+    case other => sys.error(s"unknown audit: $other (want cbo|ivfpq|dupngrams|neardup)")
   }
 }

@@ -140,11 +140,22 @@ object Bench {
         sink: scala.collection.mutable.Map[String, List[Double]]): Unit =
       for (group <- gs) {
         val spark = newSession()
+        // clearCache() releases catalog-cached relations but NOT
+        // localCheckpoint RDDs (CC / PageRank / k-core persist per
+        // round OUTSIDE the cache manager) — without the explicit
+        // RDD sweep those accumulate across passes and the untimed
+        // warmup's extra execution pushed exactly the checkpoint-
+        // heavy queries ~2× over their quiet medians (r11 measured)
+        def scrub(): Unit = {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
         if (warmQ) for (name <- group) {
           try SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
           catch { case _: Throwable => () }
-          spark.catalog.clearCache()
+          scrub()
         }
         for (_ <- 1 to passes; name <- group) {
           val fn = SparkEntry.queries(name)
@@ -161,7 +172,7 @@ object Bench {
           }
           // caches opened while building a query must not leak into the
           // next measurement (or accumulate over passes × group queries)
-          spark.catalog.clearCache()
+          scrub()
         }
         spark.stop()
       }
@@ -182,9 +193,19 @@ object Bench {
     // noise-robust within its window, and contention only ever
     // INFLATES, so the smaller window median is the better estimate of
     // the quiet cost.
+    // 1.5, not 2.0: a host phase long enough to cover a whole session
+    // (observed r11: a 34-min window inflating every sample of the
+    // early singleton groups ~3× with median/min = 1.63) slips a 2×
+    // trigger precisely because median ≈ min inside the window. With
+    // the untimed per-query warmup the timed samples of a clean
+    // session sit within ~1.3× of each other, so 1.5 stays quiet on a
+    // calm host and catches session-wide windows by their residual
+    // intra-session drift.
+    val retryFactor =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_FACTOR", "1.5").toDouble
     val retried = names.filter { n =>
       val xs = times.getOrElse(n, Nil)
-      xs.nonEmpty && median(xs) > 2.0 * xs.min
+      xs.nonEmpty && median(xs) > retryFactor * xs.min
     }
     val retryTimes = scala.collection.mutable.Map.empty[String, List[Double]]
     if (retried.nonEmpty) {

@@ -53,10 +53,83 @@ object Bench {
       spark
     }
 
+    // round 12 (verdict ask #2): stream state stores / staged sources
+    // ride tmpfs when available. The AuditStream 2×2 (placement ×
+    // induced fsync load) read a consistent 5–15% on the stream pair
+    // from tmpfs placement and NO inflation from a single-writer disk
+    // load in either cell — so the r11 3.8× driver reading was a
+    // host-level throughput phase (now canary-detected below), not
+    // state-store disk contention; tmpfs still removes the stream
+    // family's one disk dependency outright. Explicit settings win.
+    if (!sys.props.contains("graft.scratch") && !sys.env.contains("GRAFT_SCRATCH") &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      sys.props("graft.scratch") = "/dev/shm/graft_scratch"
+
+    val benchStart = System.nanoTime()
+    def now(): Double = (System.nanoTime() - benchStart) / 1e9
+    def scrub(spark: SparkSession): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     // optional comma-separated name filter for targeted local runs
     // (attribution experiments); the driver sets no env → full suite
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    // Noise defense #7 (round 12, verdict r11 ask #1): host-phase
+    // EVIDENCE in the artifact. This host has multi-minute throughput
+    // phases (heaviest midday) that inflate checkpoint/state-store
+    // kernels 2–4× while CPU-light queries stay quiet; a phase long
+    // enough to own a query's whole session defeats both the
+    // interleaved median and the median>1.5×min retry trigger
+    // (median ≈ min inside the window — exactly how r11's driver
+    // artifact read stream_join_outer at 3.8× quiet undetected). The
+    // defense is DETECTION: every `canaryEvery` sessions, one fresh
+    // session times the canary pair — graph_pagerank (checkpoint-
+    // heavy, the family phases inflate) and q6_filter (CPU-light, the
+    // family they don't) — warmed then timed once each. Each point's
+    // phase_ratio = heavy / quiet-reference, where the reference is
+    // the run's own MIN heavy sample (self-calibrating; at least one
+    // point lands quiet on anything but an all-phase run) unless
+    // SPARK_GRAFT_CANARY_QUIET pins it to the committed quiet median.
+    // Any query whose session is bracketed by a point with ratio >
+    // SPARK_GRAFT_PHASE_FACTOR joins the retry set (a later, often
+    // quieter window) and — if its REPORTED sample still comes from a
+    // suspect window — lands in `phase_flagged` in the artifact, so a
+    // reader can tell "the plan regressed" from "the host was busy"
+    // mechanically. Disabled on targeted runs (attribution experiments
+    // time raw) and by SPARK_GRAFT_CANARY_EVERY=0.
+    val canaryEvery =
+      if (only.isDefined) 0
+      else sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "4").toInt
+    val (canaryHeavy, canaryLight) = ("graph_pagerank", "q6_filter")
+    // (t seconds since start, heavy sec, light sec)
+    val canaryPoints = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+    def runCanary(): Unit =
+      if (canaryEvery > 0 && SparkEntry.queries.contains(canaryHeavy)) {
+        val spark = newSession()
+        def timed(n: String): Double = {
+          val fn = SparkEntry.queries(n)
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            scrub(spark)
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val s = (System.nanoTime() - t0) / 1e9
+            scrub(spark)
+            s
+          } catch { case _: Throwable => -1.0 }
+        }
+        val h = timed(canaryHeavy)
+        val l = timed(canaryLight)
+        spark.stop()
+        if (h > 0 && l > 0) {
+          canaryPoints += ((now(), h, l))
+          System.err.println(f"[bench] canary t=${now()}%.0fs heavy=$h%.2fs light=$l%.2fs")
+        }
+      }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -137,25 +210,25 @@ object Bench {
     val warmQ = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMQ", "1") == "1"
     def runGroups(
         gs: Seq[Seq[String]],
-        sink: scala.collection.mutable.Map[String, List[Double]]): Unit =
+        sink: scala.collection.mutable.Map[String, List[Double]],
+        spans: scala.collection.mutable.ArrayBuffer[(Seq[String], Double, Double)]): Unit = {
+      var gi = 0
       for (group <- gs) {
+        if (canaryEvery > 0 && gi % canaryEvery == 0) runCanary()
+        gi += 1
+        val g0 = now()
         val spark = newSession()
         // clearCache() releases catalog-cached relations but NOT
         // localCheckpoint RDDs (CC / PageRank / k-core persist per
         // round OUTSIDE the cache manager) — without the explicit
-        // RDD sweep those accumulate across passes and the untimed
-        // warmup's extra execution pushed exactly the checkpoint-
-        // heavy queries ~2× over their quiet medians (r11 measured)
-        def scrub(): Unit = {
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-        }
+        // RDD sweep (scrub) those accumulate across passes and the
+        // untimed warmup's extra execution pushed exactly the
+        // checkpoint-heavy queries ~2× over their quiet medians (r11)
         if (warmQ) for (name <- group) {
           try SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
           catch { case _: Throwable => () }
-          scrub()
+          scrub(spark)
         }
         for (_ <- 1 to passes; name <- group) {
           val fn = SparkEntry.queries(name)
@@ -172,11 +245,15 @@ object Bench {
           }
           // caches opened while building a query must not leak into the
           // next measurement (or accumulate over passes × group queries)
-          scrub()
+          scrub(spark)
         }
         spark.stop()
+        spans += ((group, g0, now()))
       }
-    runGroups(groups, times)
+      if (gs.nonEmpty) runCanary()
+    }
+    val mainSpans = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Double, Double)]
+    runGroups(groups, times, mainSpans)
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       s(s.length / 2)
@@ -203,16 +280,52 @@ object Bench {
     // intra-session drift.
     val retryFactor =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_FACTOR", "1.5").toDouble
-    val retried = names.filter { n =>
+    // phase evaluation over the canary points: a session is SUSPECT
+    // when either of the points bracketing its wall-clock interval
+    // read over phaseFactor × the quiet reference
+    val phaseFactor = sys.env.getOrElse("SPARK_GRAFT_PHASE_FACTOR", "1.5").toDouble
+    def quietHeavy: Double = sys.env.get("SPARK_GRAFT_CANARY_QUIET")
+      .map(_.toDouble)
+      .getOrElse(if (canaryPoints.isEmpty) 0.0 else canaryPoints.map(_._2).min)
+    def suspect(spans: Seq[(Seq[String], Double, Double)]): Set[String] =
+      if (canaryPoints.isEmpty || quietHeavy <= 0) Set.empty
+      else spans.flatMap { case (group, t0, t1) =>
+        val before = canaryPoints.filter(_._1 <= t0).lastOption
+        val after = canaryPoints.find(_._1 >= t1)
+        val ratios = (before.toSeq ++ after.toSeq).map(_._2 / quietHeavy)
+        if (ratios.exists(_ > phaseFactor)) group else Nil
+      }.toSet
+    val phaseSuspectMain = suspect(mainSpans.toSeq)
+    val retriedNoise = names.filter { n =>
       val xs = times.getOrElse(n, Nil)
       xs.nonEmpty && median(xs) > retryFactor * xs.min
     }
+    // phase-suspect queries retry even when their own median/min sits
+    // flat — the all-samples-inflated case the canary exists to catch
+    val retried = (retriedNoise ++ names.filter(phaseSuspectMain)).distinct
     val retryTimes = scala.collection.mutable.Map.empty[String, List[Double]]
+    val retrySpans = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Double, Double)]
     if (retried.nonEmpty) {
+      // optional quiet-window wait: probe the canary and hold the retry
+      // until it reads quiet, bounded by SPARK_GRAFT_PHASE_WAIT seconds
+      // (default 0 — a driver round must not stall on a long phase;
+      // the flags record what the wait would have avoided)
+      val waitBudget = sys.env.getOrElse("SPARK_GRAFT_PHASE_WAIT", "0").toInt
+      if (waitBudget > 0 && canaryPoints.nonEmpty) {
+        val deadline = now() + waitBudget
+        var probed = canaryPoints.last
+        while (probed._2 / quietHeavy > phaseFactor && now() < deadline) {
+          System.err.println(f"[bench] phase ratio ${probed._2 / quietHeavy}%.2f — waiting for a quiet window")
+          Thread.sleep(60000)
+          runCanary()
+          probed = canaryPoints.last
+        }
+      }
       System.err.println(s"[bench] retrying ${retried.size} noisy queries: " +
         retried.mkString(", "))
-      runGroups(groupsOf(retried).reverse, retryTimes)
+      runGroups(groupsOf(retried).reverse, retryTimes, retrySpans)
     }
+    val phaseSuspectRetry = suspect(retrySpans.toSeq)
     // a query is failed only when NO pass succeeded; medians are over
     // the passes that did succeed
     val (ok, failed) = names.partition(n => times.getOrElse(n, Nil).nonEmpty)
@@ -223,6 +336,20 @@ object Bench {
     }
     def allSamples(n: String): List[Double] =
       times.getOrElse(n, Nil) ++ retryTimes.getOrElse(n, Nil)
+    // a query is phase-flagged when the window its REPORTED median
+    // came from (main, or the retry when that won the min-of-medians
+    // merge) was canary-suspect — the artifact's machine-readable
+    // "the host was busy here, don't read this row as a regression"
+    val phaseFlagged = ok.filter { n =>
+      val m = median(times(n))
+      val choseRetry = retryTimes.get(n).exists(r => r.nonEmpty && median(r) < m)
+      if (choseRetry) phaseSuspectRetry(n) else phaseSuspectMain(n)
+    }
+    def r3j(v: Double): String = f"$v%.3f"
+    val canaryJson = canaryPoints
+      .map(p => s"""{"t":${r3j(p._1)},"heavy":${r3j(p._2)},"light":${r3j(p._3)},"ratio":${r3j(if (quietHeavy > 0) p._2 / quietHeavy else 0.0)}}""")
+      .mkString("[", ",", "]")
+    val phaseFlaggedJson = phaseFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = med.map(_._2).sum
@@ -234,12 +361,15 @@ object Bench {
     // precision plus the min map.
     def r3(v: Double): String = f"$v%.3f"
     val qsShort = med.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // the canary/phase evidence rides the STDOUT line too: the driver's
+    // artifact of record is built from this line, and the whole point
+    // of ask r11 #1 is that BENCH_r12.json itself carries the proof
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"passes":$passes,"failed":$failedJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"passes":$passes,"failed":$failedJson,"canary_quiet":${r3(quietHeavy)},"canary":$canaryJson,"phase_flagged":$phaseFlaggedJson,"sf":"$sfDir"}""")
     val qs = med.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val mins = ok.map(n => "\"" + n + "\":" + allSamples(n).min).mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"passes":$passes,"failed":$failedJson,"retried":$retriedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"passes":$passes,"failed":$failedJson,"retried":$retriedJson,"canary_quiet":${r3(quietHeavy)},"canary":$canaryJson,"phase_flagged":$phaseFlaggedJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
   }

@@ -55,6 +55,19 @@ object BenchScale {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic per-doc source label (20 per copy leg) for kernels
+    * whose operator needs a `source` column — `inflateDocs` carries
+    * only (doc_id, text) so the label re-derives from the id. */
+  private def withSyntheticSource(docs: DataFrame): DataFrame =
+    docs.withColumn("source",
+      concat(expr("doc_id div 1000000000"), lit("_src"),
+        pmod(pmod(col("doc_id"), lit(1000000000L)), lit(20))))
+
+  /** Every langid outcome admitted at qscore ≥ 0 — see the
+    * corpus_pipeline kernel comment. */
+  private val permissivePolicy: Seq[(String, Double)] =
+    (ext.TextAnalysis.langMarkers.map(_._1) :+ "und").map(_ -> 0.0)
+
   /** f copies of embeddings; copy k id-offset and sign-flipped by a
     * k-seeded deterministic ±1 pattern. A fixed sign pattern s preserves
     * every within-copy dot product exactly ((s_i·a_i)(s_i·b_i) =
@@ -192,6 +205,34 @@ object BenchScale {
       // rows ×f (every doc emits one row)
       ("corpus_strip_spans", Int.MaxValue, (docs0, emb0, f) =>
         ext.TextAnalysis.stripDupSpans(inflateDocs(docs0, f), "doc_id", "text")),
+      // THE CAPSTONE at scale (round 12): the full 8-stage curation
+      // chain as ONE DAG over the ×f corpus — composition is where
+      // exchange creep or cache leaks would appear first, and until now
+      // the one query whose point is cross-stage chaining had no
+      // measured scale row. The lang policy admits every langid outcome
+      // at qscore ≥ 0: the affine-cipher copies are not English, and
+      // the production-selective policy would collapse the scaled
+      // corpus right after the gate, benching the dedup/decon/mixture/
+      // packing stages at 1× regardless of f. Source labels re-derive
+      // from doc_id (20 per copy leg — O(sources) mixture metadata).
+      ("corpus_pipeline", Int.MaxValue, (docs0, emb0, f) =>
+        ExtQueries.pipelinePackedDocs(docs0.sparkSession,
+          withSyntheticSource(inflateDocs(docs0, f)), cache = true,
+          policyRows = permissivePolicy)),
+      // the same chain with the dedup stage swapped to near-dup
+      // keep-first: PINNED production LSH geometry (the 1× schedule —
+      // r=2 × 64 bands — held fixed across factors, the per-epoch
+      // override `nearDupPairs` takes) vs the count-derived adaptive
+      // schedule. The row pair IS the measured cost delta of pinning
+      // at each factor (verdict r11 ask #6).
+      ("corpus_pipeline_nd_pinned", Int.MaxValue, (docs0, emb0, f) =>
+        ExtQueries.pipelinePackedDocs(docs0.sparkSession,
+          withSyntheticSource(inflateDocs(docs0, f)), cache = true,
+          nearDupGeometry = Some((128, 64)), policyRows = permissivePolicy)),
+      ("corpus_pipeline_nd_adaptive", Int.MaxValue, (docs0, emb0, f) =>
+        ExtQueries.pipelinePackedDocs(docs0.sparkSession,
+          withSyntheticSource(inflateDocs(docs0, f)), cache = true,
+          nearDupGeometry = Some((0, 0)), policyRows = permissivePolicy)),
       // IVF-PQ search: candidate pass over the 8-code representation;
       // const k output — cost should track the coarse+codebook
       // trainings (constant) plus the linear encode
@@ -456,12 +497,19 @@ object BenchScale {
     // decontaminate bench slice, the incremental-screen batch — would
     // silently change meaning), hence the whitelist.
     val materialize = sys.env.get("SPARK_GRAFT_SCALE_MATERIALIZE").contains("1")
-    val materializable = Set(
+    // split by which input the kernel inflates, so only that side is
+    // written (writing a 128× embeddings parquet for a doc-only dedup
+    // kernel doubles the untimed I/O and the /tmp footprint for nothing)
+    val materializableDocs = Set(
       "text_dup_ngrams", "corpus_strip_spans", "dedup_neardup_pairs",
       "dedup_clusters", "dedup_pairs_by_source", "dedup_jaccard_pairs",
+      "corpus_pipeline", "corpus_pipeline_nd_pinned",
+      "corpus_pipeline_nd_adaptive")
+    val materializableEmb = Set(
       "ann_lsh_topk", "ann_lsh_mp_topk", "ann_ivf_topk", "ann_ivfpq_topk",
       "ann_sq8_topk", "ann_ivf_sq8_topk", "graph_pagerank",
       "emb_bitext_mine", "graph_linkpred", "emb_neardup_pairs")
+    val materializable = materializableDocs ++ materializableEmb
     require(!materialize || onlyKernels.exists(_.forall(materializable)),
       "SPARK_GRAFT_SCALE_MATERIALIZE=1 needs SPARK_GRAFT_SCALE_ONLY " +
         s"restricted to the materializable kernels: $materializable")
@@ -474,20 +522,30 @@ object BenchScale {
           // kernel's expressions otherwise lands on the timed factor
           build(docs0, emb0, 1).count()
           spark.catalog.clearCache()
-          val (docsIn, embIn, fIn) =
-            if (materialize) {
-              val dir = java.nio.file.Files
-                .createTempDirectory("scale_mat").toString
+          val matDir: Option[String] =
+            if (materialize) Some(java.nio.file.Files
+              .createTempDirectory("scale_mat").toString)
+            else None
+          val (docsIn, embIn, fIn) = matDir match {
+            case Some(dir) if materializableDocs(name) =>
               inflateDocs(docs0, f).write.parquet(s"$dir/docs")
+              (spark.read.parquet(s"$dir/docs"), emb0, 1)
+            case Some(dir) =>
               inflateEmbeddings(emb0, f).write.parquet(s"$dir/emb")
-              (spark.read.parquet(s"$dir/docs"),
-                spark.read.parquet(s"$dir/emb"), 1)
-            } else (docs0, emb0, f)
+              (docs0, spark.read.parquet(s"$dir/emb"), 1)
+            case None => (docs0, emb0, f)
+          }
           val t0 = System.nanoTime()
           val df = build(docsIn, embIn, fIn).cache()
           val rows = df.count()
           val sec = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
+          // a full sweep at high factors otherwise strands many GB of
+          // inflated parquet in /tmp — one dir per (kernel, factor)
+          matDir.foreach { dir =>
+            val p = new org.apache.hadoop.fs.Path(dir)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          }
           System.err.println(f"[scale] $name%-22s f=$f%-3d ${sec}%8.2f s  rows=$rows" +
             (if (materialize) "  (materialized-input)" else ""))
           (f, sec, rows)

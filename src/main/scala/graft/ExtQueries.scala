@@ -3369,12 +3369,26 @@ object ExtQueries {
     * one relation every downstream consumer (decon screen, mixture
     * sizing, packing passes) re-reads. */
   private[graft] def pipelineTrain(
-      s: SparkSession, dir: String, cache: Boolean): DataFrame = {
+      s: SparkSession, dir: String, cache: Boolean): DataFrame =
+    pipelineTrainDocs(s, t(s, dir, "documents"), cache)
+
+  /** [[pipelineTrain]] over an explicit documents relation (BenchScale
+    * feeds the ×f-inflated corpus through here). `nearDupGeometry`
+    * switches the dedup stage from exact keep-first to MinHash-LSH
+    * near-dup keep-first — exact-verified pairs → component labels →
+    * drop every member above its cluster's min doc_id: `Some((0, 0))`
+    * uses the count-derived adaptive geometry, `Some((numPerms,
+    * bands))` PINS the production geometry (the per-epoch override on
+    * `Dedup.nearDupPairs`), so the capstone can model the production
+    * cost profile instead of the constant-recall adaptive schedule. */
+  private[graft] def pipelineTrainDocs(
+      s: SparkSession, docs: DataFrame, cache: Boolean,
+      nearDupGeometry: Option[(Int, Int)] = None,
+      policyRows: Seq[(String, Double)] = Seq(("en", 0.5))): DataFrame = {
     import s.implicits._
-    val docs = t(s, dir, "documents")
     val bench = docs.where(col("doc_id") % 7 === 0)
     val corpus = docs.where(col("doc_id") % 7 =!= 0)
-    val policy = Seq(("en", 0.5)).toDF("lang", "min_qscore")
+    val policy = policyRows.toDF("lang", "min_qscore")
     val kept = corpus
       .select(col("doc_id"), col("source"), col("text"),
         TextOps.tokens(col("text")).as("tk"))
@@ -3394,7 +3408,17 @@ object ExtQueries {
     // between macro-stages.
     val scope = new graft.util.CacheScope
     def c(df: DataFrame): DataFrame = if (cache) scope.cache(df) else df
-    val deduped = c(Dedup.exactKeepFirst(kept, "text", "doc_id"))
+    val deduped = c(nearDupGeometry match {
+      case None => Dedup.exactKeepFirst(kept, "text", "doc_id")
+      case Some((p, b)) =>
+        val pairs = Dedup.nearDupPairs(kept, "doc_id", "text",
+          shingleN = 3, numPerms = p, bands = b, threshold = 0.6,
+          scope = scope)
+        val drop = Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .where(col("id") =!= col("cluster_id"))
+          .select(col("id").as("doc_id"))
+        kept.join(drop, Seq("doc_id"), "left_anti")
+    })
     val dirty = TextAnalysis.contaminationScreen(
         deduped, bench, "doc_id", "text", n = 5)
       .select("doc_id")
@@ -3411,8 +3435,15 @@ object ExtQueries {
     * prefix sum in doc order) + the round-robin shard law. */
   private[graft] def pipelinePacked(
       s: SparkSession, dir: String, cache: Boolean): DataFrame =
+    pipelinePackedDocs(s, t(s, dir, "documents"), cache)
+
+  private[graft] def pipelinePackedDocs(
+      s: SparkSession, docs: DataFrame, cache: Boolean,
+      nearDupGeometry: Option[(Int, Int)] = None,
+      policyRows: Seq[(String, Double)] = Seq(("en", 0.5))): DataFrame =
     graft.ops.GlobalSort.globalPrefixSum(
-        pipelineTrain(s, dir, cache), Seq(col("doc_id").asc), "n_tokens",
+        pipelineTrainDocs(s, docs, cache, nearDupGeometry, policyRows),
+        Seq(col("doc_id").asc), "n_tokens",
         parts = s.conf.get("spark.sql.shuffle.partitions").toInt,
         cumCol = "start")
       .select(col("doc_id"), col("source"), col("n_tokens"),

@@ -123,6 +123,19 @@ object Queries {
         |WHERE word <> ''
         |GROUP BY word
         |ORDER BY word""".stripMargin,
+    // python str.count and the replace-length trick both count
+    // NON-overlapping occurrences — the same number by construction
+    "mr_py_grep" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS key,
+        |       CAST((len(lower(text)) - len(replace(lower(text), 'data', ''))) / 4 AS BIGINT) AS hits
+        |FROM documents
+        |WHERE lower(text) LIKE '%data%'
+        |ORDER BY key""".stripMargin,
+    "mr_py_keymax" ->
+      """SELECT o_orderpriority AS priority, max(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY priority""".stripMargin,
     "mr_wordcount_topk" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), ' ')) AS word
@@ -488,6 +501,61 @@ object Queries {
       |    return totals
       |""".stripMargin
 
+  // the reference contract is ARBITRARY map/reduce .py pairs
+  // (w6/docs/design.md:66-74); wordcount alone left the whole RDD.pipe
+  // path with a single oracle-checked job shape. Two structurally
+  // different jobs close that (round-12 ask #4): a grep-shaped
+  // MAP-ONLY job (reducer absent — the degenerate case the reference
+  // allows) whose keys are globally unique doc ids so the shard-local
+  // dicts concatenate deterministically, and a per-key MAX whose
+  // reduce is non-additive (the wordcount reducer's sum would be
+  // wrong — this proves the user reducefunc, not a built-in, decides
+  // the merge).
+  private val grepMapperPy =
+    """def mapfunc(in_file):
+      |    hits = {}
+      |    with open(in_file, "r", encoding="utf-8") as f:
+      |        for line in f:
+      |            line = line.rstrip("\n")
+      |            if not line:
+      |                continue
+      |            doc_id, _, text = line.partition("\t")
+      |            n = text.lower().count("data")
+      |            if n > 0:
+      |                hits[doc_id] = n
+      |    return hits
+      |""".stripMargin
+
+  private val keyMaxMapperPy =
+    """def mapfunc(in_file):
+      |    best = {}
+      |    with open(in_file, "r", encoding="utf-8") as f:
+      |        for line in f:
+      |            line = line.rstrip("\n")
+      |            if not line:
+      |                continue
+      |            key, _, v = line.partition("|")
+      |            v = int(v)
+      |            if key not in best or v > best[key]:
+      |                best[key] = v
+      |    return best
+      |""".stripMargin
+
+  private val keyMaxReducerPy =
+    """def reducefunc(in_file):
+      |    best = {}
+      |    with open(in_file, "r", encoding="utf-8") as f:
+      |        for line in f:
+      |            line = line.rstrip("\n")
+      |            if not line:
+      |                continue
+      |            key, value = line.rsplit(":", 1)
+      |            v = int(value)
+      |            if key not in best or v > best[key]:
+      |                best[key] = v
+      |    return best
+      |""".stripMargin
+
   /** Write the two wordcount scripts to a fresh temp dir → (map, reduce)
     * paths. Exposed to MainSpec, which submits them through the CLI. */
   private[graft] def writeWordcountScripts(): (String, String) = {
@@ -496,6 +564,13 @@ object Queries {
     java.nio.file.Files.writeString(m, wordcountMapperPy)
     java.nio.file.Files.writeString(r, wordcountReducerPy)
     (m.toString, r.toString)
+  }
+
+  private def writePyScript(name: String, body: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_py")
+    val p = d.resolve(name)
+    java.nio.file.Files.writeString(p, body)
+    p.toString
   }
 
   val plans: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -510,6 +585,34 @@ object Queries {
       graft.api.PyJob.run(lines, mapPy, Some(redPy), r = 8)
         .select(col("key").as("word"), col("value").cast("long").as("cnt"))
         .orderBy("word")
+    },
+    "mr_py_grep" -> { (s, dir) =>
+      // grep-shaped MAP-ONLY .py job (reducerPy = None — the
+      // reference's absent-reduce degenerate case): one mapfunc per
+      // shard emits doc_id → substring-hit count for matching docs;
+      // keys are globally unique, so the concatenated shard dicts are
+      // partitioning-independent and hash-comparable to the oracle
+      import s.implicits._
+      val mapPy = writePyScript("grep_map.py", grepMapperPy)
+      val lines = t(s, dir, "documents")
+        .select(concat_ws("\t", col("doc_id"), col("text"))).na.drop().as[String]
+      graft.api.PyJob.run(lines, mapPy, None, r = 8)
+        .select(col("key"), col("value").cast("long").as("hits"))
+        .orderBy("key")
+    },
+    "mr_py_keymax" -> { (s, dir) =>
+      // per-key MAX through the same pyshim/RDD.pipe path: the reduce
+      // is non-additive, so a correct result proves the USER
+      // reducefunc decides the merge (a built-in sum would be wrong);
+      // all-integer values keep the string wire format exact
+      import s.implicits._
+      val mapPy = writePyScript("keymax_map.py", keyMaxMapperPy)
+      val redPy = writePyScript("keymax_reduce.py", keyMaxReducerPy)
+      val lines = t(s, dir, "orders")
+        .select(concat_ws("|", col("o_orderpriority"), col("o_orderkey"))).as[String]
+      graft.api.PyJob.run(lines, mapPy, Some(redPy), r = 8)
+        .select(col("key").as("priority"), col("value").cast("long").as("max_key"))
+        .orderBy("priority")
     },
     "mr_wordcount_topk" -> { (s, dir) =>
       TextOps

@@ -308,13 +308,18 @@ object Sinks {
     // a half-written .compacting must fail here, not get installed
     for (rel <- rels) {
       val next = new Path(s"$root/$rel.compacting")
-      require(fs.exists(new Path(next, "_SUCCESS")),
-        s"swapCompacting: $next is missing its _SUCCESS marker — " +
-          "refusing to install a possibly-truncated relation")
+      require(relComplete(fs, next),
+        s"swapCompacting: $next looks incomplete (no _SUCCESS marker and " +
+          "no data files) — refusing to install a possibly-truncated relation")
     }
+    // The journal itself must commit atomically: it ends with a COMMIT
+    // sentinel, and recoverSwap treats a sentinel-less journal as "the
+    // swap never began" (renames only start after this write returns,
+    // so a torn manifest can only come from a crash mid-write — before
+    // any base was touched).
     val out = fs.create(swapJournal(root), true)
     try out.write(
-      (rels.map("rel " + _) ++ extraDirs.map("extra " + _))
+      (rels.map("rel " + _) ++ extraDirs.map("extra " + _) ++ Seq(JournalCommit))
         .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     for (rel <- rels) swapOneRel(fs, root, rel)
@@ -324,6 +329,27 @@ object Sinks {
 
   private def swapJournal(root: String): Path =
     new Path(s"$root/_swap_inprogress")
+
+  /** Last line of a fully-written swap journal; a journal missing it is
+    * a torn write from a crash BEFORE any rename started. */
+  private val JournalCommit = "commit"
+
+  /** Is `.compacting` dir `next` a complete relation replacement?
+    * Normally that's the committer's `_SUCCESS` marker. Only when the
+    * deployment is configured to never write one
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`) do we
+    * fall back to "directory holds at least one visible data file" —
+    * with markers enabled, a data-but-no-marker directory is a
+    * crashed write and must NOT be installed. */
+  private def relComplete(fs: FileSystem, next: Path): Boolean = {
+    if (fs.exists(new Path(next, "_SUCCESS"))) true
+    else if (fs.getConf.getBoolean(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)) false
+    else fs.exists(next) && fs.listStatus(next).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
 
   /** One relation's park/rename/drop, resumable from any crash point:
     * a missing `.compacting` means this relation already swapped (only
@@ -354,30 +380,51 @@ object Sinks {
     * the journal is only ever written after every `.compacting`
     * replacement verified complete, so finishing the remaining
     * renames (and extra-dir deletes) reaches exactly the state the
-    * crashed rewrite was committing. Without a journal, any leftover
-    * `.compacting`/`.old` siblings are from a crash BEFORE the swap
-    * began — every base is still the pre-rewrite original — so the
-    * leftovers are deleted and the caller recomputes from a
-    * consistent base. Returns true when an interrupted swap was
-    * completed (the caller's rewrite is then already applied). */
+    * crashed rewrite was committing. A journal MISSING its COMMIT
+    * sentinel is a torn write from a crash before any rename — it is
+    * discarded and handled as no-journal. Without a (committed)
+    * journal, any leftover `.compacting`/`.old` siblings are from a
+    * crash BEFORE the swap began — every base is still the
+    * pre-rewrite original — so the leftovers are deleted (after
+    * restoring `.old` to base if base is somehow absent) and the
+    * caller recomputes from a consistent base. Returns true when an
+    * interrupted swap was completed (the caller's rewrite is then
+    * already applied). */
   def recoverSwap(spark: SparkSession, root: String, rels: Seq[String]): Boolean = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(swapJournal(root))) {
-      val in = fs.open(swapJournal(root))
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val lines = text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-      val jRels = lines.collect { case l if l.startsWith("rel ") => l.stripPrefix("rel ") }
-      val jExtras = lines.collect { case l if l.startsWith("extra ") => l.stripPrefix("extra ") }
-      for (rel <- jRels) swapOneRel(fs, root, rel)
-      jExtras.foreach(d => fs.delete(new Path(d), true))
-      fs.delete(swapJournal(root), false)
-      true
-    } else {
-      for (rel <- rels) {
-        fs.delete(new Path(s"$root/$rel.compacting"), true)
-        fs.delete(new Path(s"$root/$rel.old"), true)
+    val committed: Option[Seq[String]] =
+      if (!fs.exists(swapJournal(root))) None
+      else {
+        val in = fs.open(swapJournal(root))
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val lines = text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+        // A journal without the trailing COMMIT sentinel is a torn write:
+        // swapCompacting only starts renaming after the full journal (incl.
+        // sentinel) is on disk, so no base was touched — treat as no-journal.
+        if (lines.lastOption.contains(JournalCommit)) Some(lines.init) else None
       }
-      false
+    committed match {
+      case Some(lines) =>
+        val jRels = lines.collect { case l if l.startsWith("rel ") => l.stripPrefix("rel ") }
+        val jExtras = lines.collect { case l if l.startsWith("extra ") => l.stripPrefix("extra ") }
+        for (rel <- jRels) swapOneRel(fs, root, rel)
+        jExtras.foreach(d => fs.delete(new Path(d), true))
+        fs.delete(swapJournal(root), false)
+        true
+      case None =>
+        fs.delete(swapJournal(root), false) // torn sentinel-less journal, if any
+        for (rel <- rels) {
+          val base = new Path(s"$root/$rel")
+          val old = new Path(s"$root/$rel.old")
+          // If something (pre-journal crash, manual surgery) left the base
+          // absent with `.old` holding the only copy, RESTORE it — deleting
+          // `.old` here would destroy the relation.
+          if (!fs.exists(base) && fs.exists(old))
+            require(fs.rename(old, base), s"recoverSwap: restore $old -> $base failed")
+          fs.delete(new Path(s"$root/$rel.compacting"), true)
+          fs.delete(old, true)
+        }
+        false
     }
   }
 

@@ -62,16 +62,33 @@ object Tables {
     * suite plans price joins/filters with real row counts, NDVs, and
     * min/max instead of raw file sizes — the broadcast-flip and
     * join-reorder decisions `CboSpec` pins, now suite-wide. Default
-    * OFF: the driver's gate-of-record artifacts stay comparable
-    * across rounds. */
+    * ON since round 12 (measured correctness-neutral 228/228,
+    * plan-neutral at sf0.01, cost-neutral at sf0.1 — SURVEY §9);
+    * `SPARK_GRAFT_CBO=0` is the kill-switch back to stats-blind
+    * file-size planning. */
   private def cboEnabled: Boolean =
-    sys.props.get("graft.cbo").orElse(sys.env.get("SPARK_GRAFT_CBO")).contains("1")
+    !sys.props.get("graft.cbo").orElse(sys.env.get("SPARK_GRAFT_CBO")).contains("0")
 
-  // the ANALYZE pass is per-(dir, table) memoized ACROSS sessions —
-  // the bench recycles ~60 SparkContexts and must not pay a stats
-  // rescan in each; only the metadata-sized catalog install repeats
+  // the ANALYZE pass is memoized ACROSS sessions — the bench recycles
+  // ~60 SparkContexts and must not pay a stats rescan in each; only
+  // the metadata-sized catalog install repeats. The key carries a
+  // directory-contents signature (file count + total bytes + max
+  // mtime) so a rewritten parquet dir re-ANALYZEs instead of pricing
+  // plans with stale row counts/NDVs; the signature is one O(files)
+  // metadata listing, paid only on the once-per-session install path.
   private val statsMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String), org.apache.spark.sql.catalyst.catalog.CatalogStatistics]
+    .empty[(String, String, String), org.apache.spark.sql.catalyst.catalog.CatalogStatistics]
+
+  private def dirSignature(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val files = fs.listStatus(p).filter(_.isFile)
+      s"${files.length}:${files.map(_.getLen).sum}:" +
+        s"${if (files.isEmpty) 0L else files.map(_.getModificationTime).max}"
+    }
+  }
 
   private def catalogTable(spark: SparkSession, dir: String, name: String): DataFrame = {
     val tbl = s"graft_$name"
@@ -89,7 +106,8 @@ object Tables {
             f.dataType == org.apache.spark.sql.types.IntegerType ||
             f.dataType == org.apache.spark.sql.types.ShortType => f.name
         }.toSeq
-        val stats = statsMemo.getOrElseUpdate((dir, name),
+        val sig = dirSignature(spark, s"$dir/$name.parquet")
+        val stats = statsMemo.getOrElseUpdate((dir, name, sig),
           graft.ops.Sketches.computeCatalogStats(spark.table(tbl), integral))
         org.apache.spark.sql.GraftBridge.alterTableStats(spark, tbl, Some(stats))
         spark.conf.set(marker, dir)

@@ -247,7 +247,8 @@ object StreamOps {
     * micro-batch. */
   private[graft] def stagedStream(parts: Seq[DataFrame]): DataFrame = {
     val spark = parts.head.sparkSession
-    val stage = java.nio.file.Files.createTempDirectory("staged_stream")
+    val stage = java.nio.file.Paths.get(
+      graft.util.Scratch.dirAutoClean("staged_stream"))
     val flat = stage.resolve("flat")
     java.nio.file.Files.createDirectory(flat)
     parts.zipWithIndex.foreach { case (df, i) =>
@@ -276,17 +277,27 @@ object StreamOps {
     * resolves identically at ANY micro-batch slicing — batch
     * boundaries only decide how many commits the same ordered log is
     * split into. */
-  def cdcApply(changes: DataFrame, path: String): Unit = {
-    val q = changes.writeStream
+  def cdcApply(changes: DataFrame, path: String): Unit =
+    drain(changes.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty)
           graft.io.Sinks.writeVersion(batch.toDF(), path,
             graft.io.Sinks.nextVersion(batch.sparkSession, path))
-      }
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      })
+
+  /** Start → drain → stop with the checkpoint/state-store dir placed
+    * under [[graft.util.Scratch]] (tmpfs-relocatable — the state
+    * store's per-micro-batch delta files are the one disk-I/O term in
+    * these otherwise CPU-bound drains) and deleted afterwards. */
+  private def drain(
+      w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+    val ckpt = graft.util.Scratch.dir("graft_ckpt")
+    try {
+      val q = w.option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally graft.util.Scratch.delete(ckpt)
   }
 
   /** Streaming materialized-view maintenance — the stream-to-lakehouse
@@ -314,7 +325,7 @@ object StreamOps {
       grpCol: String,
       oldVal: org.apache.spark.sql.Column,
       newVal: org.apache.spark.sql.Column): Unit = {
-    val q = changes.writeStream
+    drain(changes.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
@@ -334,10 +345,7 @@ object StreamOps {
           fs.rename(tmp, new org.apache.hadoop.fs.Path(mvPath))
           ()
         }
-      }
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      })
   }
 
   /** Streaming right-to-be-forgotten: delete requests arriving as a
@@ -356,18 +364,14 @@ object StreamOps {
     * batch purge of the union of all arrived ids — which is why
     * `stream_index_purge` shares `privacy_purge_text`'s
     * rebuild-on-the-retained-corpus oracle shape. */
-  def indexPurgeApply(deletes: DataFrame, path: String, idCol: String): Unit = {
-    val q = deletes.writeStream
+  def indexPurgeApply(deletes: DataFrame, path: String, idCol: String): Unit =
+    drain(deletes.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty)
           graft.ext.Search.purgeTextIndex(
             batch.sparkSession, path, batch.toDF(), idCol)
-      }
-      .start()
-    q.processAllAvailable()
-    q.stop()
-  }
+      })
 
   /** The ANN-side twin of [[indexPurgeApply]]: delete requests folded
     * into the persisted vector index per trigger via
@@ -376,18 +380,14 @@ object StreamOps {
     * throughout, so codes stay comparable across every trigger), so
     * the drained index equals one batch purge of the union of
     * arrivals. */
-  def annPurgeApply(deletes: DataFrame, dir: String, idCol: String): Unit = {
-    val q = deletes.writeStream
+  def annPurgeApply(deletes: DataFrame, dir: String, idCol: String): Unit =
+    drain(deletes.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty)
           graft.ext.Similarity.purgeAnnIndex(
             batch.sparkSession, dir, batch.toDF(), idCol)
-      }
-      .start()
-    q.processAllAvailable()
-    q.stop()
-  }
+      })
 
   /** Stream-stream interval LEFT OUTER join — attribution with the
     * unconverted rows kept: every purchase, matched to same-user
@@ -631,13 +631,13 @@ object StreamOps {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
     try {
-      val q = df.writeStream
+      // checkpoint/state store on the Scratch root (tmpfs-relocatable):
+      // a stateful drain writes one state delta per partition per
+      // micro-batch, the only disk term in the memory-sink path
+      drain(df.writeStream
         .outputMode(mode)
         .format("memory")
-        .queryName(name)
-        .start()
-      q.processAllAvailable()
-      q.stop()
+        .queryName(name))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     df.sparkSession.table(name)
   }

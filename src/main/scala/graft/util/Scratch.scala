@@ -1,0 +1,59 @@
+package graft.util
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Scratch-space placement for the engine's ephemeral streaming state
+  * (stream checkpoints / state stores, staged micro-batch sources).
+  *
+  * Default is the JVM temp dir — on this host a DISK-backed path,
+  * which makes every stream-stream join and stateful aggregation pay
+  * per-micro-batch state-store fsyncs against whatever else the host's
+  * disk is doing. Production Spark puts state stores on the fastest
+  * local storage available (RocksDB on NVMe/instance SSD); the
+  * single-node equivalent is a tmpfs path. Set `graft.scratch` (system
+  * property) or `GRAFT_SCRATCH` (env) to relocate — e.g. `/dev/shm/
+  * graft_scratch` — without touching any query code. Every consumer
+  * creates a fresh unique dir per use and deletes it when done, so the
+  * footprint is one query's state, never an accumulation.
+  */
+object Scratch {
+
+  def root: String = sys.props.get("graft.scratch")
+    .orElse(sys.env.get("GRAFT_SCRATCH"))
+    .getOrElse(System.getProperty("java.io.tmpdir"))
+
+  /** Fresh unique directory under the scratch root. */
+  def dir(prefix: String): String = {
+    val base = Paths.get(root)
+    Files.createDirectories(base)
+    Files.createTempDirectory(base, prefix).toString
+  }
+
+  /** [[dir]] + registration for recursive deletion at JVM exit — for
+    * scratch whose lifetime is "until the consuming stream drains" with
+    * no natural owner to delete it sooner (staged micro-batch sources:
+    * the returned DataFrame may be re-executed, so the files must
+    * outlive any one drain). */
+  def dirAutoClean(prefix: String): String = {
+    val d = dir(prefix)
+    autoClean.synchronized { autoClean += d }
+    d
+  }
+
+  private val autoClean = scala.collection.mutable.ArrayBuffer.empty[String]
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    autoClean.synchronized { autoClean.foreach(delete) }))
+
+  /** Recursive delete (best-effort — scratch cleanup must never fail
+    * the query that used it). */
+  def delete(path: String): Unit = {
+    def rec(p: Path): Unit = {
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val s = Files.list(p)
+        try s.forEach(c => rec(c)) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    try rec(Paths.get(path)) catch { case _: Throwable => () }
+  }
+}

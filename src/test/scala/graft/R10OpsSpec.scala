@@ -464,7 +464,7 @@ class R10OpsSpec extends SparkSpec {
     write("meta.compacting", "meta-new")
     write("postings_delta_0", "delta")
     Files.writeString(Paths.get(s"$root/_swap_inprogress"),
-      s"rel postings\nrel term_df\nrel meta\nextra $root/postings_delta_0\n")
+      s"rel postings\nrel term_df\nrel meta\nextra $root/postings_delta_0\ncommit\n")
     val completed = io.Sinks.recoverSwap(spark, root, Seq("postings", "term_df", "meta"))
     assert(completed)
     assert(Files.readString(Paths.get(s"$root/postings/m")) == "postings-new")
@@ -485,6 +485,36 @@ class R10OpsSpec extends SparkSpec {
     assert(!io.Sinks.recoverSwap(spark, root, Seq("rel")))
     assert(Files.readString(Paths.get(s"$root/rel/m")) == "old-content")
     assert(!Files.exists(Paths.get(s"$root/rel.compacting")))
+  }
+
+  test("recoverSwap treats a torn (sentinel-less) journal as 'swap never began'") {
+    import java.nio.file.{Files, Paths}
+    val (root, write) = swapFixture()
+    // crash mid-journal-write: manifest lists only SOME relations and has
+    // no commit sentinel; no rename has happened yet (bases original).
+    // Rolling forward the journaled subset would install a MIXED index —
+    // the recovery must instead discard the torn journal and clean up.
+    write("postings", "postings-old")
+    write("postings.compacting", "postings-new")
+    write("term_df", "term_df-old")
+    write("term_df.compacting", "term_df-new")
+    Files.writeString(Paths.get(s"$root/_swap_inprogress"), "rel postings\n")
+    assert(!io.Sinks.recoverSwap(spark, root, Seq("postings", "term_df")))
+    assert(Files.readString(Paths.get(s"$root/postings/m")) == "postings-old")
+    assert(Files.readString(Paths.get(s"$root/term_df/m")) == "term_df-old")
+    for (gone <- Seq("postings.compacting", "term_df.compacting", "_swap_inprogress"))
+      assert(!Files.exists(Paths.get(s"$root/$gone")), gone)
+  }
+
+  test("recoverSwap restores .old to an absent base instead of deleting the only copy") {
+    import java.nio.file.{Files, Paths}
+    val (root, write) = swapFixture()
+    // pre-journal-era (or manual) state: base gone, .old holds the only
+    // copy — the no-journal branch must rename it back, not delete it
+    write("rel.old", "the-only-copy")
+    assert(!io.Sinks.recoverSwap(spark, root, Seq("rel")))
+    assert(Files.readString(Paths.get(s"$root/rel/m")) == "the-only-copy")
+    assert(!Files.exists(Paths.get(s"$root/rel.old")))
   }
 
   test("purgeTextIndex completes an interrupted swap before recomputing (no stale idf)") {
@@ -522,7 +552,7 @@ class R10OpsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$pCrash/meta.compacting")
     gone.unpersist()
     Files.writeString(Paths.get(s"$pCrash/_swap_inprogress"),
-      "rel postings\nrel term_df\nrel meta\n")
+      "rel postings\nrel term_df\nrel meta\ncommit\n")
     val fs = new org.apache.hadoop.fs.Path(pCrash)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def P(s: String) = new org.apache.hadoop.fs.Path(s)

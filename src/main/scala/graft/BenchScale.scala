@@ -68,6 +68,26 @@ object BenchScale {
   private val permissivePolicy: Seq[(String, Double)] =
     (ext.TextAnalysis.langMarkers.map(_._1) :+ "und").map(_ -> 0.0)
 
+  /** Mixture budget ∝ corpus for the pipeline kernels: the oracle
+    * query's fixed token budget over a ×f corpus drives the
+    * temperature mixture's integer permille rates to 0 by f=64
+    * (measured: rows 103 → 0 across 1×→64×, leaving nothing for the
+    * packing/shard stages to chew). Budget ∝ n keeps the per-source
+    * rates factor-INVARIANT under √n temperature (rate = b·√n_s /
+    * (Σ√n · n_s) — both numerator and denominator scale by f), so
+    * every stage carries ×f rows, which is what the scale row is
+    * supposed to measure. Derived from row counts, not the f
+    * argument, because the materialized protocol hands the kernel a
+    * pre-inflated input with f=1; a parquet count() is a row-group
+    * metadata read, not a scan. */
+  private def pipelineBudget(docs: DataFrame): Long = {
+    val base = io.Tables(docs.sparkSession,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+      "documents").count()
+    math.max(ext.Sampling.defaultPipelineBudget,
+      ext.Sampling.defaultPipelineBudget * docs.count() / math.max(1L, base))
+  }
+
   /** f copies of embeddings; copy k id-offset and sign-flipped by a
     * k-seeded deterministic ±1 pattern. A fixed sign pattern s preserves
     * every within-copy dot product exactly ((s_i·a_i)(s_i·b_i) =
@@ -215,24 +235,33 @@ object BenchScale {
       // corpus right after the gate, benching the dedup/decon/mixture/
       // packing stages at 1× regardless of f. Source labels re-derive
       // from doc_id (20 per copy leg — O(sources) mixture metadata).
-      ("corpus_pipeline", Int.MaxValue, (docs0, emb0, f) =>
-        ExtQueries.pipelinePackedDocs(docs0.sparkSession,
-          withSyntheticSource(inflateDocs(docs0, f)), cache = true,
-          policyRows = permissivePolicy)),
+      ("corpus_pipeline", Int.MaxValue, (docs0, emb0, f) => {
+        val docs = withSyntheticSource(inflateDocs(docs0, f))
+        ExtQueries.pipelinePackedDocs(docs0.sparkSession, docs, cache = true,
+          policyRows = permissivePolicy, budget = pipelineBudget(docs))
+      }),
       // the same chain with the dedup stage swapped to near-dup
-      // keep-first: PINNED production LSH geometry (the 1× schedule —
-      // r=2 × 64 bands — held fixed across factors, the per-epoch
-      // override `nearDupPairs` takes) vs the count-derived adaptive
-      // schedule. The row pair IS the measured cost delta of pinning
-      // at each factor (verdict r11 ask #6).
-      ("corpus_pipeline_nd_pinned", Int.MaxValue, (docs0, emb0, f) =>
-        ExtQueries.pipelinePackedDocs(docs0.sparkSession,
-          withSyntheticSource(inflateDocs(docs0, f)), cache = true,
-          nearDupGeometry = Some((128, 64)), policyRows = permissivePolicy)),
-      ("corpus_pipeline_nd_adaptive", Int.MaxValue, (docs0, emb0, f) =>
-        ExtQueries.pipelinePackedDocs(docs0.sparkSession,
-          withSyntheticSource(inflateDocs(docs0, f)), cache = true,
-          nearDupGeometry = Some((0, 0)), policyRows = permissivePolicy)),
+      // keep-first: PINNED production LSH geometry — the per-epoch
+      // override `nearDupPairs` takes, set to the schedule the count
+      // law derives at the TOP factor (r=3 × 96 bands at ~370k gated
+      // docs), i.e. what a production epoch of this size would pin —
+      // vs the count-derived adaptive schedule, which pays an EXTRA
+      // uncached pass over the whole gate chain for its sizing count.
+      // Pinning a STALE geometry instead (the 1× schedule r=2 × 64)
+      // was measured too: identical output at every factor but 135.5 s
+      // at 64× — the loose schedule's candidate blowup (SURVEY §9).
+      ("corpus_pipeline_nd_pinned", Int.MaxValue, (docs0, emb0, f) => {
+        val docs = withSyntheticSource(inflateDocs(docs0, f))
+        ExtQueries.pipelinePackedDocs(docs0.sparkSession, docs, cache = true,
+          nearDupGeometry = Some((288, 96)), policyRows = permissivePolicy,
+          budget = pipelineBudget(docs))
+      }),
+      ("corpus_pipeline_nd_adaptive", Int.MaxValue, (docs0, emb0, f) => {
+        val docs = withSyntheticSource(inflateDocs(docs0, f))
+        ExtQueries.pipelinePackedDocs(docs0.sparkSession, docs, cache = true,
+          nearDupGeometry = Some((0, 0)), policyRows = permissivePolicy,
+          budget = pipelineBudget(docs))
+      }),
       // IVF-PQ search: candidate pass over the 8-code representation;
       // const k output — cost should track the coarse+codebook
       // trainings (constant) plus the linear encode

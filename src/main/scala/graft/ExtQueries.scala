@@ -3384,7 +3384,8 @@ object ExtQueries {
   private[graft] def pipelineTrainDocs(
       s: SparkSession, docs: DataFrame, cache: Boolean,
       nearDupGeometry: Option[(Int, Int)] = None,
-      policyRows: Seq[(String, Double)] = Seq(("en", 0.5))): DataFrame = {
+      policyRows: Seq[(String, Double)] = Seq(("en", 0.5)),
+      budget: Long = Sampling.defaultPipelineBudget): DataFrame = {
     import s.implicits._
     val bench = docs.where(col("doc_id") % 7 === 0)
     val corpus = docs.where(col("doc_id") % 7 =!= 0)
@@ -3411,13 +3412,19 @@ object ExtQueries {
     val deduped = c(nearDupGeometry match {
       case None => Dedup.exactKeepFirst(kept, "text", "doc_id")
       case Some((p, b)) =>
-        val pairs = Dedup.nearDupPairs(kept, "doc_id", "text",
+        // cache the gated corpus: the near-dup stage reads it three
+        // ways (shingle projection, adaptive sizing count, survivor
+        // anti-join) and each uncached read re-executes the whole
+        // tokenize+langid+quality chain — measured as ~2× the stage
+        // cost at 1× when the adaptive schedule's count paid it
+        val keptC = c(kept)
+        val pairs = Dedup.nearDupPairs(keptC, "doc_id", "text",
           shingleN = 3, numPerms = p, bands = b, threshold = 0.6,
           scope = scope)
         val drop = Dedup.connectedComponents(pairs, "id_a", "id_b")
           .where(col("id") =!= col("cluster_id"))
           .select(col("id").as("doc_id"))
-        kept.join(drop, Seq("doc_id"), "left_anti")
+        keptC.join(drop, Seq("doc_id"), "left_anti")
     })
     val dirty = TextAnalysis.contaminationScreen(
         deduped, bench, "doc_id", "text", n = 5)
@@ -3425,8 +3432,7 @@ object ExtQueries {
     val clean = c(deduped
       .join(broadcast(dirty), Seq("doc_id"), "left_anti")
       .select("doc_id", "source", "n_tokens"))
-    Sampling.temperatureMixture(clean, "doc_id", "source",
-        Sampling.defaultPipelineBudget, scope)
+    Sampling.temperatureMixture(clean, "doc_id", "source", budget, scope)
       .where(pmod(Sampling.md5Hash(col("doc_id")), lit(100L)) < 80)
       .select("doc_id", "source", "n_tokens")
   }
@@ -3440,9 +3446,10 @@ object ExtQueries {
   private[graft] def pipelinePackedDocs(
       s: SparkSession, docs: DataFrame, cache: Boolean,
       nearDupGeometry: Option[(Int, Int)] = None,
-      policyRows: Seq[(String, Double)] = Seq(("en", 0.5))): DataFrame =
+      policyRows: Seq[(String, Double)] = Seq(("en", 0.5)),
+      budget: Long = Sampling.defaultPipelineBudget): DataFrame =
     graft.ops.GlobalSort.globalPrefixSum(
-        pipelineTrainDocs(s, docs, cache, nearDupGeometry, policyRows),
+        pipelineTrainDocs(s, docs, cache, nearDupGeometry, policyRows, budget),
         Seq(col("doc_id").asc), "n_tokens",
         parts = s.conf.get("spark.sql.shuffle.partitions").toInt,
         cumCol = "start")

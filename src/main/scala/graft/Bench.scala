@@ -101,9 +101,8 @@ object Bench {
     // reader can tell "the plan regressed" from "the host was busy"
     // mechanically. Disabled on targeted runs (attribution experiments
     // time raw) and by SPARK_GRAFT_CANARY_EVERY=0.
-    val canaryEvery =
-      if (only.isDefined) 0
-      else sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "4").toInt
+    val canaryEvery = sys.env.get("SPARK_GRAFT_CANARY_EVERY").map(_.toInt)
+      .getOrElse(if (only.isDefined) 0 else 4)
     val (canaryHeavy, canaryLight) = ("graph_pagerank", "q6_filter")
     // (t seconds since start, heavy sec, light sec)
     val canaryPoints = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]

@@ -339,10 +339,14 @@ object Bench {
     // came from (main, or the retry when that won the min-of-medians
     // merge) was canary-suspect — the artifact's machine-readable
     // "the host was busy here, don't read this row as a regression"
+    // recomputed with the FINAL canary set/quiet reference (a late
+    // quiet point can lower the denominator after the retry-set
+    // decision was made) so the printed ratios and these flags agree
+    val phaseSuspectMainFinal = suspect(mainSpans.toSeq)
     val phaseFlagged = ok.filter { n =>
       val m = median(times(n))
       val choseRetry = retryTimes.get(n).exists(r => r.nonEmpty && median(r) < m)
-      if (choseRetry) phaseSuspectRetry(n) else phaseSuspectMain(n)
+      if (choseRetry) phaseSuspectRetry(n) else phaseSuspectMainFinal(n)
     }
     def r3j(v: Double): String = f"$v%.3f"
     val canaryJson = canaryPoints

@@ -2718,6 +2718,21 @@ object ExtQueries {
         |       CAST(count(DISTINCT (lang, source)) - count(DISTINCT lang) AS BIGINT)
         |FROM documents
         |ORDER BY rule""".stripMargin,
+    // same injection, same regexes (RE2 and Java agree on this
+    // subset), 'g'-flagged replaces ≙ Spark's replace-all default
+    "privacy_redact_pii" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN text || ' contact user' || doc_id || '@example.com from 10.' || (doc_id % 256) || '.0.1'
+        |              ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |       CAST(len(regexp_extract_all(text, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ip,
+        |       md5(regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'), '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')) AS redacted_md5
+        |FROM inj
+        |ORDER BY doc_id""".stripMargin,
     // k-anonymity/l-diversity replay: one grouped count +
     // count-distinct per equivalence class, boolean gates inline
     "privacy_k_anon" ->
@@ -4375,6 +4390,35 @@ object ExtQueries {
             "doc_id_determines_lang" -> ((Seq("doc_id"), Seq("lang"))),
             "lang_determines_source" -> ((Seq("lang"), Seq("source")))))
         .orderBy("rule")
+    },
+    "privacy_redact_pii" -> { (s, dir) =>
+      // PII scrubbing (C4-style pre-training hygiene), the privacy
+      // family's rewrite leg: emails and IPv4s redacted to typed
+      // tokens with per-doc detection counts — map-only codegen'd
+      // regex work, no shuffle, the 100 TB shape of a scrub pass.
+      // The synthetic corpus is digit-free by construction, so
+      // deterministic PII is injected first from doc_id (the same
+      // synthesize-then-operate pattern as io_merge_upsert's CDC
+      // batch); emails are redacted before IPs so the two patterns
+      // can never overlap-race. Patterns restricted to the
+      // Java/RE2-common subset (character classes + bounded repeats,
+      // no boundary anchors) so DuckDB replays them byte-for-byte.
+      val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ipPat = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com from 10."), pmod(col("doc_id"), lit(256)),
+            lit(".0.1")))
+          .otherwise(col("text")).as("text"))
+      injected.select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(emailPat)).cast("long").as("n_email"),
+          regexp_count(col("text"), lit(ipPat)).cast("long").as("n_ip"),
+          md5(regexp_replace(
+            regexp_replace(col("text"), emailPat, "<EMAIL>"),
+            ipPat, "<IP>")).as("redacted_md5"))
+        .orderBy("doc_id")
     },
     "privacy_k_anon" -> { (s, dir) =>
       // re-identification audit before person-derived data joins a

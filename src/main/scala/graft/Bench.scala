@@ -342,11 +342,19 @@ object Bench {
     // recomputed with the FINAL canary set/quiet reference (a late
     // quiet point can lower the denominator after the retry-set
     // decision was made) so the printed ratios and these flags agree
+    // A main-window value that a QUIET retry window failed to beat is
+    // counter-evidence, not a suspect row: main ≤ retry-median under
+    // quiet conditions means the phase didn't inflate it (the first
+    // full round-12 run flagged 12 such rows — every one bounded by
+    // its quiet retry). Flag only when the chosen window is suspect
+    // AND no unsuspect window bounded the reported value.
     val phaseSuspectMainFinal = suspect(mainSpans.toSeq)
     val phaseFlagged = ok.filter { n =>
       val m = median(times(n))
-      val choseRetry = retryTimes.get(n).exists(r => r.nonEmpty && median(r) < m)
-      if (choseRetry) phaseSuspectRetry(n) else phaseSuspectMainFinal(n)
+      val r = retryTimes.get(n).filter(_.nonEmpty).map(median)
+      val choseRetry = r.exists(_ < m)
+      if (choseRetry) phaseSuspectRetry(n)
+      else phaseSuspectMainFinal(n) && (r.isEmpty || phaseSuspectRetry(n))
     }
     def r3j(v: Double): String = f"$v%.3f"
     val canaryJson = canaryPoints

@@ -39,6 +39,21 @@ def main():
         result = fn(tmp)
         out = sys.stdout
         for k, v in result.items():
+            k, v = str(k), str(v)
+            # wire-format guard: the downstream read splits lines on the
+            # LAST colon (w7/src/python/reduce.py:9 rsplit), so keys may
+            # contain ':' but values must not, and neither may contain a
+            # newline (the format is line-delimited). Emitting anyway
+            # would silently corrupt adjacent pairs — fail the task loudly
+            # instead and let the user fix the UDF.
+            if "\n" in k or "\n" in v:
+                raise ValueError(
+                    "key/value must not contain newlines "
+                    f"(key:value wire format is line-delimited): {k!r} -> {v!r}")
+            if ":" in v:
+                raise ValueError(
+                    "value must not contain ':' (the read side splits on "
+                    f"the LAST colon, so a colon in the value shifts the key): {v!r}")
             out.write(f"{k}:{v}\n")
     finally:
         os.unlink(tmp)

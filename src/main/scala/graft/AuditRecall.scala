@@ -61,12 +61,17 @@ object AuditRecall {
     val nProbes = args.lift(1).map(_.toInt).getOrElse(100)
     val spark = GraftSession.local(16, 32, "audit-recall")
     val nCorpus = io.Tables(spark, dir, "embeddings").count()
+    // targeted re-runs: SPARK_GRAFT_RECALL_REGIMES="clustered16x" (comma
+    // list) skips the others — each regime's numbers are independent
+    val only = sys.env.get("SPARK_GRAFT_RECALL_REGIMES")
+      .map(_.split(",").map(_.trim).toSet)
+    def wanted(r: String): Boolean = only.forall(_.contains(r))
 
     val regimes: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
       "isotropic" -> io.Tables(spark, dir, "embeddings"),
       "clustered" -> clusteredEmbeddings(spark, nCorpus))
 
-    for ((regime, emb0) <- regimes) {
+    for ((regime, emb0) <- regimes if wanted(regime)) {
       val emb = emb0.cache()
       val n = emb.count()
       val pf = col("vec_id") < nProbes
@@ -137,6 +142,50 @@ object AuditRecall {
       val qRes = ext.Similarity.pqEncodeResidual(emb, "vec_id", "embedding")
         .agg(avg(col("qerr"))).head.getDouble(0)
       println(f"[recall] $regime%-10s mean qerr: raw-PQ=$qRaw%.0f residual-PQ=$qRes%.0f ratio=${qRes / qRaw}%.3f")
+      spark.catalog.clearCache()
+      emb.unpersist()
+    }
+
+    // Round 13 (verdict r12 ask #5): the degradation DIRECTION at
+    // scale, on the regime that matters. IVF-PQ is the path whose
+    // recall erodes first as a clustered corpus grows — the coarse
+    // budget (64 centroids) is fixed while real corpora add MODES with
+    // volume, so each probed cell covers ever more distinct clusters
+    // and the ADC ordering noise gets more candidates to mis-rank.
+    // This regime inflates the clustered corpus 16× WITH the mode
+    // count growing alongside (4096 clusters — preserves the ~8 < k
+    // points/cluster honesty property of the base generator), measures
+    // the shipped default, and measures which knob buys the recall
+    // back (nprobe vs refine) plus the IVF / IVF+SQ8 contrast rows
+    // that isolate routing loss from in-list quantizer loss.
+    if (wanted("clustered16x")) {
+      val regime = "clustered16x"
+      val emb = clusteredEmbeddings(spark, nCorpus * 16, clusters = 4096).cache()
+      val n = emb.count()
+      val pf = col("vec_id") < nProbes
+      val probes = emb.where(pf)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val truth = keySet(ext.Similarity
+        .bruteForceTopK(emb, probes, "vec_id", "embedding", "probe_id", "pe", 10))
+      println(s"[recall] regime=$regime corpus n=$n probes=$nProbes truth pairs=${truth.size}")
+      def report(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val got = keySet(df)
+        val hit = got.count(truth.contains)
+        println(f"[recall] $regime%-11s $name%-28s recall@10 = ${hit.toDouble / truth.size}%.4f  (${hit}/${truth.size})")
+        spark.catalog.clearCache()
+        emb.cache().count()
+      }
+      for ((np, rf) <- Seq((16, 160), (32, 160), (16, 320), (32, 320)))
+        report(s"ann_ivfpq_topk np=$np rf=$rf",
+          ext.Similarity.ivfPqTopK(emb, "vec_id", "embedding", pf, 10,
+            nprobe = np, refine = rf))
+      for (np <- Seq(16, 32))
+        report(s"ann_ivf_topk np=$np",
+          ext.Similarity.ivfTopK(emb, "vec_id", "embedding", pf, 10, nprobe = np))
+      report("ann_ivf_sq8_topk",
+        ext.Similarity.ivfSq8TopK(emb, "vec_id", "embedding", pf, 10))
+      report("ann_sq8_topk rf=160",
+        ext.Similarity.sq8TopK(emb, "vec_id", "embedding", pf, 10, refine = 160))
       spark.catalog.clearCache()
       emb.unpersist()
     }

@@ -80,12 +80,12 @@ object BenchScale {
     * argument, because the materialized protocol hands the kernel a
     * pre-inflated input with f=1; a parquet count() is a row-group
     * metadata read, not a scan. */
-  private def pipelineBudget(docs: DataFrame): Long = {
-    val base = io.Tables(docs.sparkSession,
+  private def pipelineBudget(spark: SparkSession, inflatedRows: Long): Long = {
+    val base = io.Tables(spark,
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
       "documents").count()
     math.max(ext.Sampling.defaultPipelineBudget,
-      ext.Sampling.defaultPipelineBudget * docs.count() / math.max(1L, base))
+      ext.Sampling.defaultPipelineBudget * inflatedRows / math.max(1L, base))
   }
 
   /** f copies of embeddings; copy k id-offset and sign-flipped by a
@@ -130,6 +130,15 @@ object BenchScale {
       .split(",").map(_.trim.toInt).toSeq
     val quadMax = sys.env.getOrElse("SPARK_GRAFT_QUAD_MAX", "4").toInt
 
+    // stream state stores / staged sources on tmpfs when it has
+    // headroom — the same placement Bench.main uses, so the streaming
+    // scale rows measure the engine, not this host's disk fsync path
+    if (!sys.props.contains("graft.scratch") && !sys.env.contains("GRAFT_SCRATCH") &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")) &&
+        (try java.nio.file.Files.getFileStore(java.nio.file.Paths.get("/dev/shm"))
+          .getUsableSpace >= (4L << 30) catch { case _: Throwable => false }))
+      sys.props("graft.scratch") = "/dev/shm/graft_scratch"
+
     // ONE FRESH SparkContext PER KERNEL. Round-6 audits (AuditR6/R6b)
     // showed the long-lived probe JVM reads the heavy kernels ~2× above
     // their isolated matched-conditions cost (64× neardup: 52–55 s
@@ -163,25 +172,25 @@ object BenchScale {
     // (name, factor-cap, inflated-input → result) — the result is
     // cache()+count()ed so every column materializes (a bare count
     // would let the optimizer prune the score columns)
-    val kernels: Seq[(String, Int, (DataFrame, DataFrame, Int) => DataFrame)] = Seq(
-      ("dedup_neardup_pairs", Int.MaxValue, (docs0, emb0, f) =>
+    val kernels: Seq[(String, Int, (DataFrame, DataFrame, Int, Long) => DataFrame)] = Seq(
+      ("dedup_neardup_pairs", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.Dedup.nearDupPairs(inflateDocs(docs0, f), "doc_id", "text",
           shingleN = 3, threshold = 0.6)),
-      ("dedup_clusters", Int.MaxValue, (docs0, emb0, f) =>
+      ("dedup_clusters", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.Dedup.connectedComponents(
           ext.Dedup.nearDupPairs(inflateDocs(docs0, f), "doc_id", "text",
             shingleN = 3, threshold = 0.6),
           "id_a", "id_b")),
-      ("ann_lsh_topk", Int.MaxValue, (docs0, emb0, f) =>
+      ("ann_lsh_topk", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.Similarity.lshTopK(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10, dim = 64)),
       // the multiprobe contrast: constant 8 tables (corpus index rows
       // LINEAR in n) vs lshTopK's count-grown table schedule — the
       // growth-curve difference is the point of this kernel
-      ("ann_lsh_mp_topk", Int.MaxValue, (docs0, emb0, f) =>
+      ("ann_lsh_mp_topk", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.Similarity.lshTopKMp(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10, dim = 64)),
-      ("ann_ivf_topk", Int.MaxValue, (docs0, emb0, f) =>
+      ("ann_ivf_topk", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.Similarity.ivfTopK(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10)),
       // iterative graph kernel over the kNN edges: |edges| = 5n exactly,
@@ -189,7 +198,7 @@ object BenchScale {
       // dst-keyed agg — cost should track the embedded kNN-graph build
       // (the same IVF-blocked self-join, every vector probing) plus a
       // linear-in-edges iteration term
-      ("graph_pagerank", Int.MaxValue, (docs0, emb0, f) => {
+      ("graph_pagerank", Int.MaxValue, (docs0, emb0, f, _) => {
         val infl = inflateEmbeddings(emb0, f)
         ext.Graph.pageRank(
           ext.Similarity.knnGraphIvf(infl, "vec_id", "embedding", k = 5),
@@ -199,31 +208,31 @@ object BenchScale {
       // same O(n^1.5) substrate as graph_pagerank, cross-side-filtered);
       // the margin/mutual joins on top are linear in edges — the curve
       // should track the graph build without the 5 rank rounds
-      ("emb_bitext_mine", Int.MaxValue, (docs0, emb0, f) =>
+      ("emb_bitext_mine", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.Similarity.mineBitext(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           k = 5)),
       // common-neighbor link prediction: wedge self-join bounded by
       // the kNN graph's ≤2k degree — O(n·k²) on top of the graph
       // build, so the curve should stay within a constant of
       // graph_pagerank's
-      ("graph_linkpred", Int.MaxValue, (docs0, emb0, f) => {
+      ("graph_linkpred", Int.MaxValue, (docs0, emb0, f, _) => {
         val infl = inflateEmbeddings(emb0, f)
         ext.Graph.linkPredict(
           ext.Similarity.knnGraphIvf(infl, "vec_id", "embedding", k = 5),
           "probe_id", "vec_id", k = 100)
       }),
-      ("emb_neardup_pairs", quadMax, (docs0, emb0, f) =>
+      ("emb_neardup_pairs", quadMax, (docs0, emb0, f, _) =>
         ext.Similarity.nearDupPairs(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           450000L, blocks = 16)),
       // the affine cipher is a bijection on tokens, so within-copy gram
       // equality (and cross-copy inequality) is preserved exactly: rows
       // and dup structure grow ×f by construction
-      ("text_dup_ngrams", Int.MaxValue, (docs0, emb0, f) =>
+      ("text_dup_ngrams", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.TextAnalysis.dupNgramStats(inflateDocs(docs0, f), "doc_id", "text")),
       // the rewrite half on top of the same gram relation: adds the
       // doc-keyed duplicated-start-list join + per-row array filter;
       // rows ×f (every doc emits one row)
-      ("corpus_strip_spans", Int.MaxValue, (docs0, emb0, f) =>
+      ("corpus_strip_spans", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.TextAnalysis.stripDupSpans(inflateDocs(docs0, f), "doc_id", "text")),
       // THE CAPSTONE at scale (round 12): the full 8-stage curation
       // chain as ONE DAG over the ×f corpus — composition is where
@@ -235,10 +244,10 @@ object BenchScale {
       // corpus right after the gate, benching the dedup/decon/mixture/
       // packing stages at 1× regardless of f. Source labels re-derive
       // from doc_id (20 per copy leg — O(sources) mixture metadata).
-      ("corpus_pipeline", Int.MaxValue, (docs0, emb0, f) => {
+      ("corpus_pipeline", Int.MaxValue, (docs0, emb0, f, budget) => {
         val docs = withSyntheticSource(inflateDocs(docs0, f))
         ExtQueries.pipelinePackedDocs(docs0.sparkSession, docs, cache = true,
-          policyRows = permissivePolicy, budget = pipelineBudget(docs))
+          policyRows = permissivePolicy, budget = budget)
       }),
       // the same chain with the dedup stage swapped to near-dup
       // keep-first: PINNED production LSH geometry — the per-epoch
@@ -250,22 +259,22 @@ object BenchScale {
       // Pinning a STALE geometry instead (the 1× schedule r=2 × 64)
       // was measured too: identical output at every factor but 135.5 s
       // at 64× — the loose schedule's candidate blowup (SURVEY §9).
-      ("corpus_pipeline_nd_pinned", Int.MaxValue, (docs0, emb0, f) => {
+      ("corpus_pipeline_nd_pinned", Int.MaxValue, (docs0, emb0, f, budget) => {
         val docs = withSyntheticSource(inflateDocs(docs0, f))
         ExtQueries.pipelinePackedDocs(docs0.sparkSession, docs, cache = true,
           nearDupGeometry = Some((288, 96)), policyRows = permissivePolicy,
-          budget = pipelineBudget(docs))
+          budget = budget)
       }),
-      ("corpus_pipeline_nd_adaptive", Int.MaxValue, (docs0, emb0, f) => {
+      ("corpus_pipeline_nd_adaptive", Int.MaxValue, (docs0, emb0, f, budget) => {
         val docs = withSyntheticSource(inflateDocs(docs0, f))
         ExtQueries.pipelinePackedDocs(docs0.sparkSession, docs, cache = true,
           nearDupGeometry = Some((0, 0)), policyRows = permissivePolicy,
-          budget = pipelineBudget(docs))
+          budget = budget)
       }),
       // IVF-PQ search: candidate pass over the 8-code representation;
       // const k output — cost should track the coarse+codebook
       // trainings (constant) plus the linear encode
-      ("ann_ivfpq_topk", Int.MaxValue, (docs0, emb0, f) =>
+      ("ann_ivfpq_topk", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.Similarity.ivfPqTopK(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10)),
       // SQ8 flat-scan ANN (round 10): bounds + encode are one linear
@@ -273,21 +282,21 @@ object BenchScale {
       // over the compressed codes — slope should be cleanly ×f at
       // constant probes; this is the flat-scan baseline IVF routing
       // exists to beat, benched so the contrast stays measured
-      ("ann_sq8_topk", Int.MaxValue, (docs0, emb0, f) =>
+      ("ann_sq8_topk", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.Similarity.sq8TopK(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10)),
       // IVF+SQ8 (round 10): routing bounds the decode-dot pass at
       // probes·nprobe·n/K — should grow like ann_ivf_topk (constant
       // trainers + linear assignment/encode) and beat the flat sq8
       // kernel's slope at the top factors
-      ("ann_ivf_sq8_topk", Int.MaxValue, (docs0, emb0, f) =>
+      ("ann_ivf_sq8_topk", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.Similarity.ivfSq8TopK(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           probeFilter = col("vec_id") < 10, k = 10)),
       // privacy audit (round 10): ONE map-combined hash agg to a
       // constant 125-class report (quasi classes derive from the
       // pre-offset id, so the class set is factor-invariant while rows
       // grow ×f) — flat per-row cost is the claim
-      ("privacy_k_anon", Int.MaxValue, (docs0, emb0, f) =>
+      ("privacy_k_anon", Int.MaxValue, (docs0, emb0, f, _) =>
         ops.Constraints.privacyReport(
           inflateDocs(docs0, f)
             .withColumn("seg", pmod(pmod(col("doc_id"), lit(1000000000L)), lit(125L))),
@@ -296,7 +305,7 @@ object BenchScale {
       // (constant 20 sources at any factor) + a 1-row Σw broadcast —
       // the corpus scan is the whole cost; budget scales with f so the
       // allocation arithmetic stays in the same regime at every factor
-      ("corpus_epochs", Int.MaxValue, (docs0, emb0, f) =>
+      ("corpus_epochs", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.Sampling.epochSchedule(
           inflateDocs(docs0, f)
             .withColumn("src",
@@ -308,7 +317,7 @@ object BenchScale {
       // grams with the original bench set); cost should grow only
       // with the corpus-side gram extraction — linear, no shuffle of
       // corpus grams at any f.
-      ("decontaminate_screen", Int.MaxValue, (docs0, emb0, f) =>
+      ("decontaminate_screen", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.TextAnalysis.contaminationScreen(
           inflateDocs(docs0.where(pmod(col("doc_id"), lit(7)) =!= 0), f),
           docs0.where(pmod(col("doc_id"), lit(7)) === 0),
@@ -317,7 +326,7 @@ object BenchScale {
       // ciphered copies share no gram with bench, so the contaminated
       // sliver stays constant while the scan+rewrite grows linearly —
       // the map-only-rewrite claim is the flat-per-byte slope
-      ("decontaminate_strip", Int.MaxValue, (docs0, emb0, f) =>
+      ("decontaminate_strip", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.TextAnalysis.decontaminateStrip(
           inflateDocs(docs0.where(pmod(col("doc_id"), lit(7)) =!= 0), f),
           docs0.where(pmod(col("doc_id"), lit(7)) === 0),
@@ -325,7 +334,7 @@ object BenchScale {
       // semantic decon: fixed bench broadcast, corpus ×f; sign-flipped
       // copies don't near-match the bench, so hits stay ~constant and
       // the probe isolates the O(n·|bench|) map-side dot cost
-      ("decontaminate_semantic", Int.MaxValue, (docs0, emb0, f) =>
+      ("decontaminate_semantic", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.Similarity.semanticDecontaminate(
           inflateEmbeddings(emb0.where(pmod(col("vec_id"), lit(7)) =!= 0), f)
             .unionByName(emb0.where(pmod(col("vec_id"), lit(7)) === 0)
@@ -338,7 +347,7 @@ object BenchScale {
       // put the pair side at f²; the probe measures the √n rule
       // holding that off. True drops grow ×f (sign-flips preserve
       // within-copy dots, cross-copy dots ≈ 0).
-      ("emb_semdedup", Int.MaxValue, (docs0, emb0, f) =>
+      ("emb_semdedup", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.Similarity.semDedupKeep(inflateEmbeddings(emb0, f), "vec_id", "embedding",
           minQdot = 450000L,
           numCentroids = 64 * math.sqrt(f.toDouble).round.toInt)),
@@ -347,7 +356,7 @@ object BenchScale {
       // shared fingerprints with the hot-fingerprint df cap — the
       // cipher preserves within-copy fingerprints exactly, so true
       // pairs grow ×f while cross-copy fingerprints stay disjoint
-      ("dedup_winnow_pairs", Int.MaxValue, (docs0, emb0, f) =>
+      ("dedup_winnow_pairs", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.Dedup.winnowPairs(inflateDocs(docs0, f), "doc_id", "text")),
       // exact-Jaccard PPJoin (round 7): the prefix relation is the
       // rare tail of each copy's gram spectrum; copies share no grams,
@@ -355,14 +364,14 @@ object BenchScale {
       // should hold the growth near-linear — the probe watches for the
       // prefix-to-prefix join going superlinear on a merged frequency
       // spectrum (each gram's df stays constant as copies multiply)
-      ("dedup_jaccard_pairs", Int.MaxValue, (docs0, emb0, f) =>
+      ("dedup_jaccard_pairs", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.Dedup.jaccardPairs(inflateDocs(docs0, f), "doc_id", "text",
           shingleN = 3, threshold = 0.5)),
       // LPA over the kNN graph (round 9): same substrate as
       // graph_pagerank (the IVF-blocked kNN build dominates), plus 4
       // label rounds each linear in the 10n symmetrized edges — the
       // delta over pagerank's row isolates the per-round argmax cost
-      ("graph_communities", Int.MaxValue, (docs0, emb0, f) => {
+      ("graph_communities", Int.MaxValue, (docs0, emb0, f, _) => {
         val infl = inflateEmbeddings(emb0, f)
         ext.Graph.labelPropagation(
           ext.Similarity.knnGraphIvf(infl, "vec_id", "embedding", k = 5),
@@ -372,7 +381,7 @@ object BenchScale {
       // are ~2k regardless of n, so the wedge relation — the
       // O(|E|^1.5) worst case — is LINEAR here; the probe watches the
       // orientation bound deliver that, on top of the same kNN build
-      ("graph_triangles", Int.MaxValue, (docs0, emb0, f) => {
+      ("graph_triangles", Int.MaxValue, (docs0, emb0, f, _) => {
         val infl = inflateEmbeddings(emb0, f)
         ext.Graph.triangleCounts(
           ext.Similarity.knnGraphIvf(infl, "vec_id", "embedding", k = 5),
@@ -381,7 +390,7 @@ object BenchScale {
       // k-core peel (round 10): kNN build dominates like the other
       // graph kernels; the peel itself is 6 rounds of degree-agg +
       // semi-joins over an only-shrinking edge set
-      ("graph_kcore", Int.MaxValue, (docs0, emb0, f) => {
+      ("graph_kcore", Int.MaxValue, (docs0, emb0, f, _) => {
         val infl = inflateEmbeddings(emb0, f)
         ext.Graph.kCore(
           ext.Similarity.knnGraphIvf(infl, "vec_id", "embedding", k = 5),
@@ -392,7 +401,7 @@ object BenchScale {
       // per key and candidates are birthday-rare, so the probe
       // isolates the two-shuffle (variant join + pair distinct) cost —
       // the claim is a linear slope with no all-pairs component
-      ("join_fuzzy_blocked", Int.MaxValue, (docs0, emb0, f) =>
+      ("join_fuzzy_blocked", Int.MaxValue, (docs0, emb0, f, _) =>
         ops.FuzzyJoin.editDist1SelfPairs(
           inflateDocs(docs0, f).select(col("doc_id"),
             substring(md5(col("doc_id").cast("string")), 1, 8).as("k8")),
@@ -405,7 +414,7 @@ object BenchScale {
       // grows ×f — the claim is the scan-bound slope of the
       // decontaminate_strip family, with the (source, h) doc-count agg
       // the only corpus-wide exchange
-      ("strip_boilerplate", Int.MaxValue, (docs0, emb0, f) =>
+      ("strip_boilerplate", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.TextAnalysis.stripBoilerplate(
           inflateDocs(docs0, f).withColumn("source",
             concat(expr("doc_id div 1000000000"), lit("_src"),
@@ -416,7 +425,7 @@ object BenchScale {
       // FIXED at 50 while the corpus inflates — the O(n·|anchors|)
       // brute scoring slope (the documented trade: exact triples for a
       // bounded anchor sample)
-      ("emb_training_triples", Int.MaxValue, (docs0, emb0, f) =>
+      ("emb_training_triples", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.Similarity.trainingTriples(inflateEmbeddings(emb0, f),
           "vec_id", "embedding", probeFilter = col("vec_id") < 50,
           negatives = 3)),
@@ -424,7 +433,7 @@ object BenchScale {
       // label joins touch only the ≤|pairs| sliver and the rollup is
       // ≤|sources|² rows, so this should track dedup_neardup_pairs
       // with an O(pairs) epsilon; 20 sources per copy (bounded)
-      ("dedup_pairs_by_source", Int.MaxValue, (docs0, emb0, f) => {
+      ("dedup_pairs_by_source", Int.MaxValue, (docs0, emb0, f, _) => {
         val infl = inflateDocs(docs0, f)
         val pairs = ext.Dedup.nearDupPairs(infl, "doc_id", "text",
           shingleN = 3, threshold = 0.6)
@@ -442,7 +451,7 @@ object BenchScale {
       // one key-partitioned window + map-only bucketing + ≤64-row
       // rollup over events ×f (user ids offset per copy, so per-key
       // stream length is constant — the watermark-profiling shape)
-      ("events_disorder", Int.MaxValue, (docs0, emb0, f) => {
+      ("events_disorder", Int.MaxValue, (docs0, emb0, f, _) => {
         val ev0 = io.Tables(docs0.sparkSession,
           sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), "events")
           .select(col("user_id"), col("ts"), col("event_id"))
@@ -461,7 +470,7 @@ object BenchScale {
       // bench FIXED (copy-0 slice split into 3 labels) — cost must
       // track `decontaminate`'s scan-bound shape, the per-benchmark
       // key riding only the contaminated sliver
-      ("decontaminate_attrib", Int.MaxValue, (docs0, emb0, f) =>
+      ("decontaminate_attrib", Int.MaxValue, (docs0, emb0, f, _) =>
         ext.TextAnalysis.contaminationAttribution(
           inflateDocs(docs0, f).where(pmod(col("doc_id"), lit(7)) =!= 0),
           docs0.where(pmod(col("doc_id"), lit(7)) === 0)
@@ -471,7 +480,7 @@ object BenchScale {
       // two ×f parity slices through the shared-histogram TV gate:
       // one scan per side + two ≤ cols·1001-row relations — the
       // stats_analyze scan-bound envelope
-      ("stats_drift_tv", Int.MaxValue, (docs0, emb0, f) => {
+      ("stats_drift_tv", Int.MaxValue, (docs0, emb0, f, _) => {
         val infl = inflateDocs(docs0, f)
           .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
         graft.ops.Sketches.histogramDriftTv(
@@ -481,7 +490,7 @@ object BenchScale {
       }),
       // map-only tokenize + langid pass, |langs|² rollup — the
       // scan-bound text-analysis slope (10 labels per copy, bounded)
-      ("text_langid_confusion", Int.MaxValue, (docs0, emb0, f) =>
+      ("text_langid_confusion", Int.MaxValue, (docs0, emb0, f, _) =>
         inflateDocs(docs0, f)
           .withColumn("lang",
             concat(lit("l"), pmod(col("doc_id"), lit(10)).cast("string")))
@@ -549,7 +558,7 @@ object BenchScale {
         withSession { (spark, docs0, emb0) =>
           // untimed f=1 warmup per session: codegen/compile of the
           // kernel's expressions otherwise lands on the timed factor
-          build(docs0, emb0, 1).count()
+          build(docs0, emb0, 1, ext.Sampling.defaultPipelineBudget).count()
           spark.catalog.clearCache()
           val matDir: Option[String] =
             if (materialize) Some(java.nio.file.Files
@@ -564,8 +573,17 @@ object BenchScale {
               (docs0, spark.read.parquet(s"$dir/emb"), 1)
             case None => (docs0, emb0, f)
           }
+          // the pipeline kernels' mixture budget ∝ corpus rows — a pure
+          // function of (input rows × f), so it is computed HERE, before
+          // t0: computing it inside the kernel billed two count() jobs
+          // (the ×f union count + the first-touch base count) to the
+          // timed region on non-materialized runs
+          val budget: Long =
+            if (name.startsWith("corpus_pipeline"))
+              pipelineBudget(spark, docsIn.count() * fIn)
+            else 0L
           val t0 = System.nanoTime()
-          val df = build(docsIn, embIn, fIn).cache()
+          val df = build(docsIn, embIn, fIn, budget).cache()
           val rows = df.count()
           val sec = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
@@ -1147,6 +1165,234 @@ object BenchScale {
     if (evRuns.nonEmpty) {
       secs("events_concurrency") = evRuns.map { case (f, c, _, r, _) => (f, c, r) }
       secs("events_pattern") = evRuns.map { case (f, _, p, _, r) => (f, p, r) }
+    }
+
+    // ---- streaming kernels (round 13, verdict r12 ask #1): the one
+    // family that had zero scale rows. The probe stages the ×f input
+    // as TIME-CONTIGUOUS parquet files (id-offset copies, timestamps
+    // unchanged — density grows ×f over the fixed 30-day range, the
+    // worst case for event-time state) replayed one file per trigger,
+    // ⌈8·√f⌉ data batches + two far-future sentinel batches that push
+    // the watermark past all data so outer/timeout emissions flush
+    // deterministically (the readEventsStaged choreography). Staging
+    // is untimed — the streaming twin of the materialized protocol
+    // (a real feed's micro-batches arrive; they are not synthesized
+    // inside the timed region). Both interesting axes are recorded:
+    // micro-batch count grows ~√f with ~√f-sized batches (wall time
+    // should track total rows), while STATE must stay bounded by
+    // watermark-window density + one batch — never O(total input):
+    // `<name>_state` rows carry (max state MB, max state rows) per
+    // factor. stream_dedup is the deliberate contrast: complete-mode
+    // running dedup state is O(distinct keys) BY DESIGN, so its state
+    // row grows ×f — bounded-vs-growing is the comparison the claim
+    // needs. Sinks are foreachBatch count() (every batch's output
+    // materialized, nothing accumulated driver-side).
+    val streamNames = Seq("stream_join_outer", "stream_sessionize", "stream_dedup")
+    val streamRuns = if (!gated(streamNames: _*))
+      Seq.empty[(Int, Seq[(String, Double, Long, Long, Long, Long)])]
+    else factors.map { f =>
+      withSession { (spark, docs0, emb0) =>
+        import org.apache.spark.sql.streaming.OutputMode
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
+        // stream parity with the suite harness (StreamOps.runToMemory
+        // drains at 8 shuffle partitions)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val evCols = Seq("event_id", "user_id", "ts", "event_type", "value")
+        val ev0 = io.Tables(spark, sfDir, "events")
+          .select(evCols.map(col): _*)
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        // materialize the ×f union ONCE (untimed) so the nParts slice
+        // writes re-scan a parquet copy, not f plan legs each
+        val evDir = java.nio.file.Files.createTempDirectory(s"sevents_$f").toString
+        (0 until f).map(k => ev0.select(
+          (col("event_id") + lit(k.toLong * 1000000000000L)).as("event_id"),
+          (col("user_id") + lit(k.toLong * 1000000000L)).as("user_id"),
+          col("ts"), col("event_type"), col("value")))
+          .reduce(_ unionByName _)
+          .write.parquet(s"$evDir/ev")
+        val evInfl = spark.read.parquet(s"$evDir/ev")
+        val Array(loTs, hiTs) = ev0
+          .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val nParts = 8 * math.max(1, math.round(math.sqrt(f.toDouble)).toInt)
+        val step = math.max(1L, (hiTs - loTs) / nParts + 1)
+        val dataParts = (0 until nParts).map { i =>
+          evInfl.where(unix_timestamp(col("ts")) >= loTs + i.toLong * step &&
+            unix_timestamp(col("ts")) < loTs + (i + 1).toLong * step)
+        }
+        def sentinel(tsLit: String, idBase: Long) = ev0.limit(1)
+          .withColumn("event_id", lit(idBase))
+          .withColumn("user_id", lit(-1L))
+          .withColumn("event_type", lit("click"))
+          .withColumn("ts", to_timestamp(lit(tsLit)))
+          .unionByName(ev0.limit(1)
+            .withColumn("event_id", lit(idBase + 1))
+            .withColumn("user_id", lit(-2L))
+            .withColumn("event_type", lit("purchase"))
+            .withColumn("ts", to_timestamp(lit(tsLit))))
+        // drain through a driver-side foreachBatch count: returns
+        // (sec, batches, totalOut, lastBatchOut, maxStateRows, maxStateMB)
+        def drainStats(df: DataFrame, mode: OutputMode): (Double, Long, Long, Long, Long, Long) = {
+          var batches = 0L; var total = 0L; var last = 0L
+          val ckpt = graft.util.Scratch.dir("graft_ckpt")
+          val t0 = System.nanoTime()
+          val q = df.writeStream.outputMode(mode)
+            .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              val c = b.count(); batches += 1; total += c; last = c
+            }
+            .option("checkpointLocation", ckpt)
+            .start()
+          q.processAllAvailable()
+          q.stop()
+          val sec = (System.nanoTime() - t0) / 1e9
+          graft.util.Scratch.delete(ckpt)
+          val stateRows = q.recentProgress
+            .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(0L)(math.max)
+          val stateBytes = q.recentProgress
+            .flatMap(_.stateOperators.map(_.memoryUsedBytes)).foldLeft(0L)(math.max)
+          // per-batch phase breakdown (stderr only): where a batch's
+          // time goes — planning vs addBatch (execution) vs commit
+          def sumMs(k: String): Long = q.recentProgress
+            .flatMap(p => Option(p.durationMs.get(k)).map(_.toLong)).sum
+          System.err.println(
+            s"[scale]   durations(ms): trigger=${sumMs("triggerExecution")} " +
+              s"planning=${sumMs("queryPlanning")} addBatch=${sumMs("addBatch")} " +
+              s"getBatch=${sumMs("getBatch")} walCommit=${sumMs("walCommit")} " +
+              s"stateCommit=${sumMs("commitOffsets")}")
+          (sec, batches, total, last, stateRows, stateBytes / (1 << 20))
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long, Long, Long, Long)]
+        // untimed warm drain per kernel over a TINY staged stream of
+        // the same shape (2 data batches + sentinels): the first
+        // streaming query in a fresh session pays streaming-machinery
+        // classload + state-store/codegen init measured at ~10+ s —
+        // the per-kernel analogue of the batch kernels' f=1 warmup
+        def tinyEventParts: Seq[DataFrame] = Seq(
+          ev0.limit(100), ev0.limit(200),
+          sentinel("2090-01-01 00:00:00", -10L),
+          sentinel("2091-01-01 00:00:00", -20L))
+        // 1. watermark-bounded stream-stream interval LEFT OUTER join
+        locally {
+          def joined(parts: Seq[DataFrame]): DataFrame = {
+            val ev = streaming.StreamOps.stagedStream(parts)
+            streaming.StreamOps.attributionJoinOuter(
+                ev.where(col("event_type") === "click"),
+                ev.where(col("event_type") === "purchase"))
+              .where(col("user_id") >= 0)
+          }
+          drainStats(joined(tinyEventParts), OutputMode.Append()) // warm
+          val (sec, nb, tot, _, sr, smb) = drainStats(joined(dataParts ++ Seq(
+            sentinel("2090-01-01 00:00:00", -10L),
+            sentinel("2091-01-01 00:00:00", -20L))), OutputMode.Append())
+          out += (("stream_join_outer", sec, tot, nb, sr, smb))
+        }
+        // 2. flatMapGroupsWithState sessionize (event-time timeout)
+        locally {
+          import spark.implicits._
+          def sess(parts: Seq[DataFrame]): DataFrame = {
+            val ds = streaming.StreamOps.stagedStream(parts)
+              .select(col("user_id").cast("long").as("user_id"),
+                col("ts").cast("timestamp").as("ts"),
+                col("event_type"), col("value").cast("double").as("value"))
+              .as[streaming.StreamOps.Event]
+            streaming.StreamOps.sessionize(ds, gapSeconds = 1800)
+              .toDF().where(col("user_id") >= 0)
+          }
+          drainStats(sess(tinyEventParts), OutputMode.Append()) // warm
+          val (sec, nb, tot, _, sr, smb) = drainStats(sess(dataParts ++ Seq(
+            sentinel("2090-01-01 00:00:00", -10L),
+            sentinel("2091-01-01 00:00:00", -20L))), OutputMode.Append())
+          out += (("stream_sessionize", sec, tot, nb, sr, smb))
+        }
+        // 3. running exact dedup (complete mode — the growing-state
+        // contrast; parts are doc-id slices, order irrelevant)
+        locally {
+          inflateDocs(docs0, f).write.parquet(s"$evDir/docs") // untimed
+          val docsInfl = spark.read.parquet(s"$evDir/docs")
+          def grouped(parts: Seq[DataFrame]): DataFrame =
+            streaming.StreamOps.stagedStream(parts)
+              .select(col("doc_id"), ext.TextAnalysis.fingerprint(col("text")).as("fp"))
+              .groupBy("fp")
+              .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+              .select("keeper", "n_dups")
+          drainStats(grouped(Seq(docs0.limit(50), docs0.limit(120))),
+            OutputMode.Complete()) // warm
+          val dParts = (0 until nParts).map(i =>
+            docsInfl.where(pmod(pmod(col("doc_id"), lit(1000000000L)), lit(nParts.toLong)) === i))
+          val (sec, nb, _, lastC, sr, smb) = drainStats(grouped(dParts), OutputMode.Complete())
+          out += (("stream_dedup", sec, lastC, nb, sr, smb))
+        }
+        out.foreach { case (n, sec, rows, nb, sr, smb) =>
+          System.err.println(
+            f"[scale] $n%-22s f=$f%-3d ${sec}%8.2f s  rows=$rows batches=$nb stateRows=$sr stateMB=$smb")
+        }
+        val pDir = new org.apache.hadoop.fs.Path(evDir)
+        pDir.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pDir, true)
+        (f, out.toSeq)
+      }
+    }
+    if (streamRuns.nonEmpty) for (n <- streamNames) {
+      secs(n) = streamRuns.map { case (f, rs) =>
+        val r = rs.find(_._1 == n).get; (f, r._2, r._3)
+      }
+      secs(s"${n}_state") = streamRuns.map { case (f, rs) =>
+        val r = rs.find(_._1 == n).get; (f, r._6.toDouble, r._5)
+      }
+    }
+
+    // ---- pinned-geometry near-dup under the materialized protocol
+    // (round 13, verdict r12 ask #4): the production posture at the
+    // octave the adaptive schedule pays for. Geometry is pinned to
+    // what the count law derives AT THIS factor (the per-epoch pin a
+    // production corpus build writes down), passed explicitly so the
+    // kernel skips its sizing pass; the adaptive leg re-derives the
+    // same schedule from its own count on the identical materialized
+    // corpus, and both legs' pair sets are asserted checksum-equal —
+    // the pin changes COST PROFILE only, never output. Run at 128×
+    // via SPARK_GRAFT_SCALE_FACTORS=128 + SPARK_GRAFT_SCALE_ONLY=
+    // dedup_neardup_pairs_pinned@mat.
+    val ndPinned = if (!gated("dedup_neardup_pairs_pinned@mat"))
+      Seq.empty[(Int, Double, Double, Long)]
+    else factors.map { f =>
+      withSession { (spark, docs0, emb0) =>
+        val dir = java.nio.file.Files.createTempDirectory(s"ndpin_$f").toString
+        inflateDocs(docs0, f).write.parquet(s"$dir/docs") // untimed
+        val docs = spark.read.parquet(s"$dir/docs")
+        val n = docs.count()
+        val (rr, bb) = ext.Dedup.lshGeometry(n, 0.6)
+        // untimed 1× warmup at the pinned geometry (codegen/compile)
+        ext.Dedup.nearDupPairs(docs0, "doc_id", "text",
+          shingleN = 3, numPerms = rr * bb, bands = bb, threshold = 0.6).count()
+        spark.catalog.clearCache()
+        def checksum(df: DataFrame): (Long, Long) = {
+          val row = df.agg(count(lit(1)),
+            sum(xxhash64(col("id_a"), col("id_b")))).collect().head
+          (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+        }
+        val t0 = System.nanoTime()
+        val pinned = ext.Dedup.nearDupPairs(docs, "doc_id", "text",
+          shingleN = 3, numPerms = rr * bb, bands = bb, threshold = 0.6)
+        val ckP = checksum(pinned)
+        val secP = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        val t1 = System.nanoTime()
+        val adaptive = ext.Dedup.nearDupPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.6)
+        val ckA = checksum(adaptive)
+        val secA = (System.nanoTime() - t1) / 1e9
+        spark.catalog.clearCache()
+        require(ckP == ckA,
+          s"pinned/adaptive near-dup outputs diverged at f=$f: $ckP vs $ckA")
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        System.err.println(
+          f"[scale] dedup_neardup_pairs_pinned@mat f=$f%-3d r=$rr b=$bb pinned ${secP}%8.2f s  adaptive ${secA}%8.2f s  pairs=${ckP._1} (outputs equal)")
+        (f, secP, secA, ckP._1)
+      }
+    }
+    if (ndPinned.nonEmpty) {
+      secs("dedup_neardup_pairs_pinned@mat") = ndPinned.map { case (f, p, _, r) => (f, p, r) }
+      secs("dedup_neardup_pairs_adaptive@mat") = ndPinned.map { case (f, _, a, r) => (f, a, r) }
     }
 
     val qJson = secs.map { case (n, runs) =>

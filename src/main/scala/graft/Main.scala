@@ -125,7 +125,11 @@ object Main {
           sys.error("--mapper-py required with --query py"))
         import spark.implicits._
         val lines = df.select(textCol.cast("string")).na.drop().as[String]
-        val result = graft.api.PyJob.run(lines, mp, opts.get("reducer-py"), r)
+        // --m on the py path pins the mapfunc invocation count exactly
+        // (the split-size heuristic above can't subdivide one small
+        // file); elsewhere --m only steers source split planning
+        val result = graft.api.PyJob.run(lines, mp, opts.get("reducer-py"), r,
+          m = opts.get("m").map(_.toInt).getOrElse(0))
         // the reduce form arrives hash(key)%r partitioned (PyJob's own
         // exchange); map-only output has no reduce partitioning yet
         sink(result, prePartitioned = opts.contains("reducer-py"))

@@ -53,12 +53,22 @@ object PyJob {
     * map-only when `reducerPy` is None (the reference's absent-reduce
     * degenerate case). Output of the reduce form keeps the
     * `hash(key) % r` partitioning, so `KvText.write(prePartitioned =
-    * true)` emits the `out_<j>` contract without a second exchange. */
+    * true)` emits the `out_<j>` contract without a second exchange.
+    *
+    * `m > 0` pins the MAP task count exactly (one `mapfunc` invocation
+    * per partition ≙ the reference's M knob, `--m M` /
+    * `Master::create_sharding_data`): the explicit round-robin
+    * repartition overrides whatever partitioning the source planning
+    * produced — the direct control when split-size-derived sharding
+    * (`GraftSession.withMapShards`) can't reach the requested count
+    * (e.g. a single small file never splits below one partition).
+    * `m = 0` (default) keeps the source partitioning. */
   def run(
       lines: Dataset[String],
       mapperPy: String,
       reducerPy: Option[String],
       r: Int,
+      m: Int = 0,
       python: String = sys.env.getOrElse("GRAFT_PYTHON", "python3")): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
@@ -69,8 +79,9 @@ object PyJob {
         regexp_extract(col("value"), "^(.*):([^:]*)$", 2).as("value"))
     val mapperAbs = Paths.get(mapperPy).toAbsolutePath.toString
     require(Files.exists(Paths.get(mapperAbs)), s"mapper script not found: $mapperAbs")
+    val sharded = if (m > 0) lines.repartition(m) else lines
     val mapped = parse(
-      lines.rdd.pipe(Seq(python, shimPath, "map", mapperAbs)).toDS())
+      sharded.rdd.pipe(Seq(python, shimPath, "map", mapperAbs)).toDS())
     reducerPy match {
       case None => mapped
       case Some(rp) =>

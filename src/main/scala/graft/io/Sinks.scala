@@ -398,10 +398,43 @@ object Sinks {
         val in = fs.open(swapJournal(root))
         val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
         val lines = text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-        // A journal without the trailing COMMIT sentinel is a torn write:
-        // swapCompacting only starts renaming after the full journal (incl.
-        // sentinel) is on disk, so no base was touched — treat as no-journal.
-        if (lines.lastOption.contains(JournalCommit)) Some(lines.init) else None
+        // A journal without the trailing COMMIT sentinel is normally a
+        // torn write: swapCompacting only starts renaming after the full
+        // journal (incl. sentinel) is on disk, so no base was touched —
+        // treat as no-journal. EXCEPT the legacy case: a journal written
+        // by the pre-sentinel build never carried the sentinel yet WAS
+        // committed (that build too only journalled after every
+        // `.compacting` verified complete). The two are distinguished by
+        // RENAME PROGRESS on the journalled rels — in the torn case no
+        // rename began, so every rel still has its base present, no
+        // parked `.old`, and its `.compacting` untouched; any rel with
+        // base absent or `.old` present, or every journalled `.compacting`
+        // already gone, proves renames ran ⇒ legacy-committed ⇒ roll
+        // FORWARD (the no-journal cleanup would restore `.old` on the
+        // mid-rename rels while already-swapped rels keep the new
+        // version — a mixed old/new set handed back as "swap never
+        // began").
+        if (lines.lastOption.contains(JournalCommit)) Some(lines.init)
+        else {
+          val jRels = lines.collect { case l if l.startsWith("rel ") => l.stripPrefix("rel ") }
+          def base(rel: String) = new Path(s"$root/$rel")
+          def old(rel: String) = new Path(s"$root/$rel.old")
+          def next(rel: String) = new Path(s"$root/$rel.compacting")
+          // mid-swap states always leave corroborating siblings (`.old`
+          // parked, or base absent WITH `.compacting` still pending) —
+          // a bare "base absent" could be a garbage rel name on a torn
+          // line and must not trigger a roll-forward; the all-installed
+          // state additionally requires every base present so truncated
+          // names can't fake completion
+          val progressed = jRels.nonEmpty && (
+            jRels.exists { rel =>
+              fs.exists(old(rel)) ||
+                (!fs.exists(base(rel)) && fs.exists(next(rel)))
+            } ||
+              jRels.forall(rel =>
+                !fs.exists(next(rel)) && fs.exists(base(rel))))
+          if (progressed) Some(lines) else None
+        }
       }
     committed match {
       case Some(lines) =>

@@ -67,17 +67,22 @@ object Tables {
     * `SPARK_GRAFT_CBO=0` is the kill-switch back to stats-blind
     * file-size planning. */
   private def cboEnabled: Boolean =
-    !sys.props.get("graft.cbo").orElse(sys.env.get("SPARK_GRAFT_CBO")).contains("0")
+    !sys.props.get("graft.cbo").orElse(sys.env.get("SPARK_GRAFT_CBO"))
+      .exists(v => Set("0", "false", "off", "no")(v.trim.toLowerCase))
 
   // the ANALYZE pass is memoized ACROSS sessions — the bench recycles
   // ~60 SparkContexts and must not pay a stats rescan in each; only
-  // the metadata-sized catalog install repeats. The key carries a
+  // the metadata-sized catalog install repeats. The entry carries a
   // directory-contents signature (file count + total bytes + max
   // mtime) so a rewritten parquet dir re-ANALYZEs instead of pricing
   // plans with stale row counts/NDVs; the signature is one O(files)
   // metadata listing, paid only on the once-per-session install path.
+  // Keyed by (dir, table) with the signature INSIDE the value — a
+  // stale signature's entry is REPLACED, not accumulated, so a
+  // long-lived JVM rewriting table dirs holds one entry per table,
+  // not one per rewrite.
   private val statsMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String, String), org.apache.spark.sql.catalyst.catalog.CatalogStatistics]
+    .empty[(String, String), (String, org.apache.spark.sql.catalyst.catalog.CatalogStatistics)]
 
   private def dirSignature(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -107,8 +112,13 @@ object Tables {
             f.dataType == org.apache.spark.sql.types.ShortType => f.name
         }.toSeq
         val sig = dirSignature(spark, s"$dir/$name.parquet")
-        val stats = statsMemo.getOrElseUpdate((dir, name, sig),
-          graft.ops.Sketches.computeCatalogStats(spark.table(tbl), integral))
+        val stats = statsMemo.get((dir, name)) match {
+          case Some((s, st)) if s == sig => st
+          case _ =>
+            val st = graft.ops.Sketches.computeCatalogStats(spark.table(tbl), integral)
+            statsMemo.put((dir, name), (sig, st))
+            st
+        }
         org.apache.spark.sql.GraftBridge.alterTableStats(spark, tbl, Some(stats))
         spark.conf.set(marker, dir)
       }

@@ -247,8 +247,22 @@ object StreamOps {
     * micro-batch. */
   private[graft] def stagedStream(parts: Seq[DataFrame]): DataFrame = {
     val spark = parts.head.sparkSession
-    val stage = java.nio.file.Paths.get(
-      graft.util.Scratch.dirAutoClean("staged_stream"))
+    val stageDir = graft.util.Scratch.dirAutoClean("staged_stream")
+    // The staged copy's true lifetime is the OWNING SparkContext's (the
+    // returned DataFrame may be re-executed until the session stops,
+    // never after) — reclaim it at application end instead of only at
+    // JVM exit: a multi-pass bench recycles dozens of sessions, and on
+    // a tmpfs scratch root (Bench defaults to /dev/shm) exit-only
+    // cleanup would accumulate RAM-backed parquet that competes with
+    // the page cache. The JVM exit hook stays as the crash backstop.
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+        graft.util.Scratch.delete(stageDir)
+        graft.util.Scratch.release(stageDir)
+      }
+    })
+    val stage = java.nio.file.Paths.get(stageDir)
     val flat = stage.resolve("flat")
     java.nio.file.Files.createDirectory(flat)
     parts.zipWithIndex.foreach { case (df, i) =>

@@ -33,12 +33,25 @@ object Scratch {
     * scratch whose lifetime is "until the consuming stream drains" with
     * no natural owner to delete it sooner (staged micro-batch sources:
     * the returned DataFrame may be re-executed, so the files must
-    * outlive any one drain). */
+    * outlive any one drain).
+    *
+    * The registry (and its dirs, if never [[release]]d) lives for the
+    * PROCESS lifetime — fine for a one-process-per-session bench/CLI,
+    * but a long-lived server embedding the library should pair every
+    * `dirAutoClean` with `delete(d); release(d)` once the consumer is
+    * done (the streaming layer does this at SparkContext shutdown), or
+    * the list and the scratch footprint grow with every staged query. */
   def dirAutoClean(prefix: String): String = {
     val d = dir(prefix)
     autoClean.synchronized { autoClean += d }
     d
   }
+
+  /** Unregister a [[dirAutoClean]] dir that was deleted early — keeps
+    * the exit-hook list (and duplicate delete work) from accumulating
+    * in a long-lived process. */
+  def release(path: String): Unit =
+    autoClean.synchronized { autoClean -= path }
 
   private val autoClean = scala.collection.mutable.ArrayBuffer.empty[String]
   Runtime.getRuntime.addShutdownHook(new Thread(() =>

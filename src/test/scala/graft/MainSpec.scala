@@ -152,6 +152,93 @@ class MainSpec extends SparkSpec {
     assert(rows == Map("ab:x" -> "2", "cde:x" -> "3"))
   }
 
+  test("PyJob colon keys survive the FULL map+reduce wire round trip (rsplit contract)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("py_colon_mr")
+    // keys like 'a:b' traverse the wire TWICE in the reduce form (map
+    // stdout → repartition → reduce stdin → reduce stdout); the
+    // reference's reduce.py:9 rsplit(':') contract must hold at every
+    // hop, not just the map-only read-back
+    Files.writeString(d.resolve("m.py"),
+      """def mapfunc(p):
+        |    out = {}
+        |    with open(p) as f:
+        |        for line in f:
+        |            w = line.strip()
+        |            if w:
+        |                out[w + ":x"] = out.get(w + ":x", 0) + 1
+        |    return out
+        |""".stripMargin)
+    Files.writeString(d.resolve("r.py"),
+      """def reducefunc(p):
+        |    out = {}
+        |    with open(p) as f:
+        |        for line in f:
+        |            k, _, v = line.rstrip("\n").rpartition(":")
+        |            if k:
+        |                out[k] = out.get(k, 0) + int(v)
+        |    return out
+        |""".stripMargin)
+    val lines = Seq("a:b", "cd", "a:b", "a:b", "cd").toDS().repartition(3)
+    val rows = api.PyJob.run(lines, d.resolve("m.py").toString,
+        Some(d.resolve("r.py").toString), r = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == Map("a:b:x" -> "3", "cd:x" -> "2"))
+  }
+
+  test("PyJob rejects wire-breaking UDF output loudly (colon in value, newline in key)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("py_badwire")
+    // a value containing ':' would shift the key boundary on read-back
+    // (silent corruption); the shim must fail the task instead
+    Files.writeString(d.resolve("colon_val.py"),
+      """def mapfunc(p):
+        |    return {"k": "a:b"}
+        |""".stripMargin)
+    def chainMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => s"${c.getClass.getName}: ${c.getMessage}").mkString("\n")
+    val e1 = intercept[Exception] {
+      api.PyJob.run(Seq("x").toDS(), d.resolve("colon_val.py").toString, None, 1)
+        .collect()
+    }
+    assert(chainMsg(e1).contains("Subprocess exited"), chainMsg(e1))
+    // a newline in a key would split one pair into two wire lines
+    Files.writeString(d.resolve("nl_key.py"),
+      """def mapfunc(p):
+        |    return {"k\nq": 1}
+        |""".stripMargin)
+    val e2 = intercept[Exception] {
+      api.PyJob.run(Seq("x").toDS(), d.resolve("nl_key.py").toString, None, 1)
+        .collect()
+    }
+    assert(chainMsg(e2).contains("Subprocess exited"), chainMsg(e2))
+  }
+
+  test("PyJob m override pins the mapfunc invocation count exactly") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("py_mctl")
+    // one marker pair per invocation: key = first input line (distinct
+    // per shard under round-robin of distinct lines), value = shard
+    // line count — so the row count IS the map task count and the
+    // value sum proves every line reached exactly one shard
+    Files.writeString(d.resolve("m.py"),
+      """def mapfunc(p):
+        |    with open(p) as f:
+        |        lines = [l.strip() for l in f if l.strip()]
+        |    if not lines:
+        |        return {}
+        |    return {"shard_" + lines[0]: len(lines)}
+        |""".stripMargin)
+    val lines = (0 until 24).map(i => f"L$i%02d").toDS()
+    for (m <- Seq(1, 4, 8)) {
+      val rows = api.PyJob.run(lines, d.resolve("m.py").toString, None, r = 2, m = m)
+        .collect().map(r => r.getString(0) -> r.getString(1).toInt)
+      assert(rows.length == m, s"m=$m produced ${rows.length} map invocations")
+      assert(rows.map(_._2).sum == 24, s"m=$m lost or duplicated lines")
+    }
+  }
+
   test("CLI sql job runs arbitrary SQL with custom functions over the tables") {
     val out = Files.createTempDirectory("cli_sql_out").toString
     Main.main(Array(

@@ -506,6 +506,75 @@ class R10OpsSpec extends SparkSpec {
       assert(!Files.exists(Paths.get(s"$root/$gone")), gone)
   }
 
+  test("recoverSwap rolls a LEGACY (sentinel-less) committed journal forward when renames progressed") {
+    import java.nio.file.{Files, Paths}
+    val (root, write) = swapFixture()
+    // a journal written by the pre-sentinel build: committed (that
+    // build also journalled only after every .compacting was complete)
+    // but with no trailing sentinel, and the crash fell MID-RENAME —
+    // postings already swapped, term_df parked (base absent, .old +
+    // .compacting present), meta untouched. Treating this as "swap
+    // never began" (the r12 behavior ADVICE flagged) would restore
+    // term_df's OLD content beside postings' NEW content — a mixed
+    // index returned as consistent. Rename progress (.old present)
+    // must version-gate the journal to committed and roll it forward.
+    write("postings", "postings-new")
+    write("term_df.old", "term_df-old")
+    write("term_df.compacting", "term_df-new")
+    write("meta", "meta-old")
+    write("meta.compacting", "meta-new")
+    write("postings_delta_0", "delta")
+    Files.writeString(Paths.get(s"$root/_swap_inprogress"),
+      s"rel postings\nrel term_df\nrel meta\nextra $root/postings_delta_0\n")
+    val completed = io.Sinks.recoverSwap(spark, root, Seq("postings", "term_df", "meta"))
+    assert(completed)
+    assert(Files.readString(Paths.get(s"$root/postings/m")) == "postings-new")
+    assert(Files.readString(Paths.get(s"$root/term_df/m")) == "term_df-new")
+    assert(Files.readString(Paths.get(s"$root/meta/m")) == "meta-new")
+    for (gone <- Seq("term_df.old", "term_df.compacting", "meta.compacting",
+        "postings_delta_0", "_swap_inprogress"))
+      assert(!Files.exists(Paths.get(s"$root/$gone")), gone)
+  }
+
+  test("recoverSwap finishes a LEGACY journal whose renames all completed (only cleanup left)") {
+    import java.nio.file.{Files, Paths}
+    val (root, write) = swapFixture()
+    // legacy crash after the last rename but before journal delete:
+    // every base installed, a stale .old parked, extras pending — the
+    // all-installed gate (every .compacting gone AND every base
+    // present) must classify this as committed and clean up, never
+    // roll the parked .old back over the installed base
+    write("postings", "postings-new")
+    write("postings.old", "postings-old")
+    write("term_df", "term_df-new")
+    write("postings_delta_0", "delta")
+    Files.writeString(Paths.get(s"$root/_swap_inprogress"),
+      s"rel postings\nrel term_df\nextra $root/postings_delta_0\n")
+    assert(io.Sinks.recoverSwap(spark, root, Seq("postings", "term_df")))
+    assert(Files.readString(Paths.get(s"$root/postings/m")) == "postings-new")
+    assert(Files.readString(Paths.get(s"$root/term_df/m")) == "term_df-new")
+    for (gone <- Seq("postings.old", "postings_delta_0", "_swap_inprogress"))
+      assert(!Files.exists(Paths.get(s"$root/$gone")), gone)
+  }
+
+  test("recoverSwap discards a torn journal whose only rel line is a truncated (garbage) name") {
+    import java.nio.file.{Files, Paths}
+    val (root, write) = swapFixture()
+    // crash mid-line in the NEW build: the single journalled name is a
+    // truncated prefix of a real rel — its base is "absent" only
+    // because no such relation exists. A bare base-absent must not
+    // count as rename progress (rolling forward would require-fail on
+    // the garbage rel); the torn journal is discarded and the caller's
+    // rel set cleaned normally.
+    write("postings", "postings-old")
+    write("postings.compacting", "postings-new")
+    Files.writeString(Paths.get(s"$root/_swap_inprogress"), "rel post")
+    assert(!io.Sinks.recoverSwap(spark, root, Seq("postings")))
+    assert(Files.readString(Paths.get(s"$root/postings/m")) == "postings-old")
+    for (gone <- Seq("postings.compacting", "_swap_inprogress"))
+      assert(!Files.exists(Paths.get(s"$root/$gone")), gone)
+  }
+
   test("recoverSwap restores .old to an absent base instead of deleting the only copy") {
     import java.nio.file.{Files, Paths}
     val (root, write) = swapFixture()

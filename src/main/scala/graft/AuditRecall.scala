@@ -175,7 +175,7 @@ object AuditRecall {
         spark.catalog.clearCache()
         emb.cache().count()
       }
-      for ((np, rf) <- Seq((16, 160), (32, 160), (16, 320), (32, 320)))
+      for ((np, rf) <- Seq((16, 160), (32, 160), (16, 320), (32, 320), (32, 640)))
         report(s"ann_ivfpq_topk np=$np rf=$rf",
           ext.Similarity.ivfPqTopK(emb, "vec_id", "embedding", pf, 10,
             nprobe = np, refine = rf))
@@ -184,6 +184,8 @@ object AuditRecall {
           ext.Similarity.ivfTopK(emb, "vec_id", "embedding", pf, 10, nprobe = np))
       report("ann_ivf_sq8_topk",
         ext.Similarity.ivfSq8TopK(emb, "vec_id", "embedding", pf, 10))
+      report("ann_ivf_sq8_topk np=32",
+        ext.Similarity.ivfSq8TopK(emb, "vec_id", "embedding", pf, 10, nprobe = 32))
       report("ann_sq8_topk rf=160",
         ext.Similarity.sq8TopK(emb, "vec_id", "embedding", pf, 10, refine = 160))
       spark.catalog.clearCache()

@@ -1364,9 +1364,12 @@ object BenchScale {
         ext.Dedup.nearDupPairs(docs0, "doc_id", "text",
           shingleN = 3, numPerms = rr * bb, bands = bb, threshold = 0.6).count()
         spark.catalog.clearCache()
+        // set checksum: XOR of per-pair hashes — order-independent and
+        // overflow-free (a SUM of full-range xxhash64 longs trips ANSI
+        // arithmetic overflow at a few thousand pairs)
         def checksum(df: DataFrame): (Long, Long) = {
           val row = df.agg(count(lit(1)),
-            sum(xxhash64(col("id_a"), col("id_b")))).collect().head
+            expr("bit_xor(xxhash64(id_a, id_b))")).collect().head
           (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
         }
         val t0 = System.nanoTime()

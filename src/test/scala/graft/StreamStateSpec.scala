@@ -63,6 +63,50 @@ class StreamStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoinOuter: watermark EVICTS interval-join state — state tracks the window, not total input") {
+    // the spec twin of BENCH_scale's stream_join_outer_state rows
+    // (round 13): input grew 64× while peak state grew 10× there; here
+    // the mechanism is pinned — rows the watermark has passed LEAVE
+    // the store, so state is watermark+window of both sides, never the
+    // feed. A join that buffers forever looks correct in every output
+    // row right up to the state-store OOM at 100 TB/day.
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def leg(ms: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      ms.toDS().toDF("event_id", "user_id", "ts")
+    val q = StreamOps.attributionJoinOuter(leg(clicks), leg(purchases),
+        windowSeconds = 30, watermark = "60 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("join_state_pressure").start()
+    try {
+      val k = 1000
+      // k users, one click + one in-window purchase each, all within a
+      // 10 s span: both sides buffer while the watermark sits at the span
+      clicks.addData((1 to k).map(i => (i.toLong, i.toLong, ts(1000 + i % 10))))
+      purchases.addData((1 to k).map(i => (100000L + i, i.toLong, ts(1005 + i % 10))))
+      q.processAllAvailable()
+      val buffered = lastStateRows(q)
+      // advance BOTH watermarks far past the data; eviction is applied
+      // on the batch after the advance, so drive two sentinel rounds
+      clicks.addData(Seq((900001L, -1L, ts(100000))))
+      purchases.addData(Seq((900002L, -2L, ts(100000))))
+      q.processAllAvailable()
+      clicks.addData(Seq((900003L, -1L, ts(200000))))
+      purchases.addData(Seq((900004L, -2L, ts(200000))))
+      q.processAllAvailable()
+      val afterSweep = lastStateRows(q)
+      assert(buffered >= 2L * k,
+        s"expected both sides buffered (>= ${2 * k} rows) before the watermark moved, saw $buffered")
+      assert(afterSweep <= 10,
+        s"watermark-passed join state must be EVICTED, still holding $afterSweep rows")
+      // and the emissions are complete: every real purchase came out
+      // exactly once (matched eagerly — none needed the outer path)
+      assert(spark.table("join_state_pressure")
+        .where(col("user_id") >= 0 && col("click_id").isNotNull).count() == k)
+    } finally q.stop()
+  }
+
   test("exact-dedup running agg: state rows == distinct fingerprints; duplicates never grow it") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, String)]

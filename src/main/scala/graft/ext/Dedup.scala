@@ -305,9 +305,13 @@ object Dedup {
       salts: Int,
       hotThreshold: Int,
       scope: graft.util.CacheScope): DataFrame = {
-    val sh = scope.cache(df
-      .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
-      .where(size(col("ws")) > 0))
+    // filter ABOVE the cache: a where() inside the cached plan is
+    // substituted+pushed below the widen repartition and re-evaluates
+    // the shingle projection serially pre-shuffle (guide §4.4's
+    // duplicated-evaluation trap, expression form)
+    val sh = scope.cache(graft.util.Par.widen(df)
+      .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws")))
+      .where(size(col("ws")) > 0)
     // bands/numPerms = 0 → derive the geometry from the INPUT row
     // count: one O(1)-result pre-pass, the same shape as the
     // hot-bucket probe below. Counting `df` (column-pruned scan, no
@@ -375,9 +379,9 @@ object Dedup {
     // would find nothing. `nearDupPairsAgainst` derives ONE geometry
     // (from the corpus side) and pins it on both indexes; a production
     // deployment versions the geometry with the index.
-    val sh = scope.cache(docs
-      .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
-      .where(size(col("ws")) > 0))
+    val sh = scope.cache(graft.util.Par.widen(docs)
+      .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws")))
+      .where(size(col("ws")) > 0)
     val bandsDf = scope.cache(lshBands(
       sh.select(col(idCol), minHashSignature(col("ws"), numPerms).as("sig")),
       idCol, "sig", bands, numPerms / bands))
@@ -469,9 +473,9 @@ object Dedup {
         containmentPairs(docs, idCol, textCol, shingleN, threshold, scope,
           eager = false).localCheckpoint(true)
       }
-    val sh = scope.cache(docs
-      .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
-      .where(size(col("ws")) > 0))
+    val sh = scope.cache(graft.util.Par.widen(docs)
+      .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws")))
+      .where(size(col("ws")) > 0)
     val posts = sh.select(col(idCol).as("id_b"), explode(col("ws")).as("h"))
     val dfreq = posts.groupBy("h").agg(count(lit(1)).as("df"))
     // the bound is ⌊(1−t)·|A|⌋+1, but (1−t) in floating point can
@@ -544,9 +548,9 @@ object Dedup {
         jaccardPairs(docs, idCol, textCol, shingleN, threshold, scope,
           eager = false).localCheckpoint(true)
       }
-    val sh = scope.cache(docs
-      .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws"))
-      .where(size(col("ws")) > 0))
+    val sh = scope.cache(graft.util.Par.widen(docs)
+      .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws")))
+      .where(size(col("ws")) > 0)
     // Prefix EXTENSION (PPJoin-family positional extension, Δ = 3): a
     // prefix of ⌈(1−t)·sz⌉+Δ rarest grams guarantees a true pair shares
     // ≥ Δ prefix grams, not just one — pigeonhole on the Δ-th smallest
@@ -886,9 +890,13 @@ object Dedup {
     // consumed three times (value index + both member expansions):
     // cache the (id, simhash) relation — a checkpoint at cluster scale;
     // lifecycle owned by `scope` (see nearDupPairs)
+    // size filter ABOVE the cache (not inside it): inside, it would be
+    // substituted and pushed below a caller's widen repartition,
+    // re-evaluating the (often expensive) hashes expression serially
     val hashed = scope.cache(withHashes
-      .where(size(col(hashesCol)) > 0)
-      .select(col(idCol), graft.functions.SimHash60.simhash60(col(hashesCol)).as("sh")))
+      .select(col(idCol), size(col(hashesCol)).as("__nh"),
+        graft.functions.SimHash60.simhash60(col(hashesCol)).as("sh")))
+      .where(col("__nh") > 0).select(col(idCol), col("sh"))
     val values = hashed.select("sh").distinct()
     // chunk c covers bits [c*60/nChunks, (c+1)*60/nChunks)
     val bounds = (0 to nChunks).map(c => c * 60 / nChunks)

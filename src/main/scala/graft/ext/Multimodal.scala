@@ -160,6 +160,7 @@ object Multimodal {
           .cast("long")))
       .otherwise(array().cast("array<long>"))
     graft.ext.Dedup.simHashPairsFromHashes(
-      media.select(col(idCol), grams.as("__bh")), idCol, "__bh", maxHamming)
+      graft.util.Par.widen(media).select(col(idCol), grams.as("__bh")),
+      idCol, "__bh", maxHamming)
   }
 }

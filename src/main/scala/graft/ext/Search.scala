@@ -76,7 +76,7 @@ object Search {
     val tfCols = terms.indices.map { i =>
       size(filter(col("tk"), x => x === lit(terms(i)))).cast("long").as(s"tf_$i")
     }
-    val base = docs
+    val base = graft.util.Par.widen(docs)
       .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
       .select(col(idCol) +: size(col("tk")).cast("long").as("dl") +: tfCols: _*)
 
@@ -164,7 +164,7 @@ object Search {
     val qRel = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("qid", "term")
     val allTerms = queries.flatMap(_._2).distinct
-    val base = docs
+    val base = graft.util.Par.widen(docs)
       .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
       .select(col(idCol), size(col("tk")).cast("long").as("dl"), col("tk"))
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -330,13 +330,20 @@ object Search {
     require(phrase.nonEmpty && phrase.size <= 16,
       s"phrase must carry 1..16 tokens, got ${phrase.size}")
     val p = phrase.mkString(" ")
-    docs
+    // explode + count rather than size(filter(...)) + where: the where
+    // on the derived count would be substituted and pushed below the
+    // widen repartition, re-running the m-gram extraction serially
+    // pre-shuffle; a generator cannot be pushed through a repartition,
+    // so this form extracts grams exactly once, in parallel. Rows are
+    // identical: docs with 0 matches simply produce no rows, which is
+    // the where(n_hits > 0) cut.
+    graft.util.Par.widen(docs)
       .select(col(idCol),
-        graft.ops.TextOps.wordNgramsFromTokens(
-          graft.ops.TextOps.tokens(col(textCol)), phrase.size).as("gs"))
-      .select(col(idCol),
-        size(filter(col("gs"), g => g === lit(p))).cast("long").as("n_hits"))
-      .where(col("n_hits") > 0)
+        explode(graft.ops.TextOps.wordNgramsFromTokens(
+          graft.ops.TextOps.tokens(col(textCol)), phrase.size)).as("g"))
+      .where(col("g") === lit(p))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
       .orderBy(desc("n_hits"), col(idCol))
       .limit(k)
   }
@@ -490,7 +497,8 @@ object Search {
       idCol: String,
       textCol: String,
       path: String): Unit = {
-    val dl = docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
+    val dl = graft.util.Par.widen(docs)
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
       .select(col("id"), size(col("tk")).cast("long").as("dl"), col("tk"))
     val postings = dl
       .select(col("id"), col("dl"), explode(col("tk")).as("term"))
@@ -498,7 +506,17 @@ object Search {
     postings
       .repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$path/postings")
-    postings.groupBy("term").agg(count(lit(1)).as("df"))
+    // r13: term_df comes off the postings just WRITTEN — a pruned
+    // (term) columnar scan of the compact index relation — instead of
+    // re-running the tokenize+explode+aggregate pipeline over the
+    // corpus a second time (strictly cheaper at every scale: the
+    // postings relation is the gram stream already term-sorted).
+    // meta still needs one corpus-side pass: n_docs must count
+    // token-LESS documents too, which leave no postings row (the
+    // purge contract documents exactly this asymmetry) — but it is a
+    // no-explode partial aggregate, not a gram-stream shuffle.
+    docs.sparkSession.read.parquet(s"$path/postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/term_df")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -572,7 +590,8 @@ object Search {
       .flatMap(rel => deltaDirs(spark, path, rel)
         .map(_.split("_delta_").last.toInt))
       .reduceOption(_ max _).map(_ + 1).getOrElse(0)
-    val dl = batch.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
+    val dl = graft.util.Par.widen(batch)
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
       .select(col("id"), size(col("tk")).cast("long").as("dl"), col("tk"))
     val newPost = dl
       .select(col("id"), col("dl"), explode(col("tk")).as("term"))
@@ -580,7 +599,10 @@ object Search {
     newPost
       .repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$path/postings_delta_$gen")
-    newPost.groupBy("term").agg(count(lit(1)).as("df"))
+    // df from the delta just written (pruned columnar read) — the
+    // writeTextIndex r13 rationale, per fold-in batch
+    spark.read.parquet(s"$path/postings_delta_$gen")
+      .groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/term_df_delta_$gen")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$path/meta_delta_$gen")

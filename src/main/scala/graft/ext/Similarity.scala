@@ -431,6 +431,19 @@ object Similarity {
     * Returned columns: (cent_id, cv: array<long>, nrm = |cv|² — carried
     * so consumers score 2·dot − nrm without re-deriving the norm per
     * candidate row). */
+  // test-only hooks for TrainerParitySpec (the trainers are private[ext])
+  private[graft] def ivfCentroidsForTest(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, trainRounds: Int, trainSample: Int): DataFrame =
+    ivfCentroids(corpus, idCol, vecCol, numCentroids, trainRounds, trainSample,
+      new graft.util.CacheScope)
+
+  private[graft] def pqCodebookForTest(
+      qdf: DataFrame, idCol: String,
+      numSub: Int, subDim: Int, codebook: Int, trainSample: Int): DataFrame =
+    pqCodebookFromQ(qdf, idCol, numSub, subDim, codebook, trainSample,
+      new graft.util.CacheScope)
+
   private[ext] def ivfCentroids(
       corpus: DataFrame,
       idCol: String,
@@ -439,58 +452,131 @@ object Similarity {
       trainRounds: Int,
       trainSample: Int,
       scope: graft.util.CacheScope): DataFrame = {
+    // Round-13 optimization (guide §1.2 step 1 — remove passes): the
+    // Lloyd loop runs on the DRIVER over the bounded training sample.
+    // The sample is <= max(trainSample, numCentroids) rows BY CONTRACT
+    // (constant in corpus size — the same rows the previous distributed
+    // formulation broadcast to every executor each round), so the
+    // collect is O(constant); what it replaces is ~15 scheduler
+    // round-trips per trainer call (per round: a broadcast build, a
+    // crossJoin+agg shuffle, a posexplode two-level agg shuffle, a
+    // fallback join, and an EAGER localCheckpoint job) — profiled at
+    // 2-4 s of pure job overhead per call at sf0.1 while moving < 20 MB.
+    // Arithmetic is replicated EXACTLY (int64 dots; `div` = Java
+    // truncating division, probed in OPTIMIZATION_r13.md; argmax ties =
+    // max(cd, -cent_id); vectors arrive PRE-QUANTIZED so the driver
+    // never touches a float) and the DuckDB oracle replay pins it — a
+    // one-ulp divergence fails 20+ query hashes. The corpus-wide passes
+    // (assignment, encode, probe) remain fully distributed.
     val idHash = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
       .cast("long")
     val qv = transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long"))
-    // cached: consumed twice per training round (assignment + recenter)
-    val sample = scope.cache(corpus
-      .select(col(idCol).as("sid"), qv.as("qv"), idHash.as("__h"))
+    // ONE distributed TakeOrdered serves both the training sample (first
+    // trainSample rows) and the seed set (first numCentroids rows) —
+    // both are prefixes of the same (md5-hash, id) global order the
+    // previous two orderBy+limit selections used.
+    val take = math.max(numCentroids, trainSample)
+    val rows = corpus
+      .select(col(idCol).cast("long").as("sid"), qv.as("qv"), idHash.as("__h"))
       .orderBy(asc("__h"), asc("sid"))
-      .limit(trainSample)
-      .select("sid", "qv"))
-    var cents = corpus
-      .select(col(idCol).as("cent_id"), qv.as("cv"), idHash.as("__h"))
-      .orderBy(asc("__h"), asc("cent_id"))
-      .limit(numCentroids)
-      .select("cent_id", "cv")
-    for (_ <- 1 to trainRounds) {
-      val asgn = sample.crossJoin(broadcast(cents))
-        .select(col("sid"), col("cent_id"),
-          (lit(2L) * quantizedDot(col("qv"), col("cv"))
-            - quantizedDot(col("cv"), col("cv"))).as("cd"))
-        .groupBy(col("sid"))
-        .agg(max_by(col("cent_id"),
-          struct(col("cd"), (lit(0L) - col("cent_id")).as("nc"))).as("list_id"))
-        .join(sample, "sid")
-      val trained = asgn
-        .select(col("list_id"), posexplode(col("qv")))
-        .groupBy("list_id", "pos")
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-        .select(col("list_id"), col("pos"), expr("s div n").as("qc"))
-        .groupBy("list_id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("qc")))).as("arr"))
-        .select(col("list_id").as("cent_id"),
-          transform(col("arr"), e => e.getField("qc")).as("cv"))
-      // localCheckpoint each round's (tiny, ≤ numCentroids rows)
-      // centroid relation: the next round references it twice
-      // (assignment + keep-previous fallback), so an open lineage
-      // DOUBLES per round — 2^rounds logical-plan branches that the
-      // analyzer re-walks even when execution would hit a cache (a
-      // multi-round probe measured 2 GB plan strings). The checkpoint
-      // truncates the plan to a leaf, the same trick the
-      // connectedComponents loop uses.
-      // trained is ≤ numCentroids rows by construction but sits behind
-      // an aggregation (no size stats) — without the hint the planner
-      // sort-merges two 64-row relations
-      cents = cents.select(col("cent_id"), col("cv").as("cv0"))
-        .join(broadcast(trained), Seq("cent_id"), "left")
-        .select(col("cent_id"), coalesce(col("cv"), col("cv0")).as("cv"))
-        .localCheckpoint(true)
+      .limit(take)
+      .select("sid", "qv")
+      .collect()
+    val sample = rows.map(_.getSeq[Long](1).toArray).take(trainSample)
+    var cents: Array[(Long, Array[Long])] = rows.take(numCentroids)
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    for (_ <- 1 to trainRounds) cents = localLloydRound(sample, cents)
+    val spark = corpus.sparkSession
+    val idType = corpus.schema(idCol).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cent_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false),
+        nullable = false),
+      org.apache.spark.sql.types.StructField("nrm",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val out: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList
+    cents.foreach { case (cid, cv) =>
+      out.add(org.apache.spark.sql.Row(cid, cv.toSeq, localDot(cv, cv)))
     }
-    // cached: the trained relation is broadcast at least twice (corpus
-    // assignment + probe-list selection) and its plan re-runs the whole
-    // training per evaluation otherwise
-    scope.cache(cents.withColumn("nrm", quantizedDot(col("cv"), col("cv"))))
+    // LocalRelation result: broadcasts into every consumer with no job,
+    // no cache entry, no lineage to truncate
+    spark.createDataFrame(out, schema)
+      .select(col("cent_id").cast(idType).as("cent_id"), col("cv"), col("nrm"))
+  }
+
+  /** Exact int64 dot — the driver twin of the codegen'd `QuantizedDot`
+    * over pre-quantized arrays (equal lengths by construction here). */
+  private def localDot(a: Array[Long], b: Array[Long]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** One synchronous Lloyd round over the bounded sample, exact int64:
+    * per sample vector the argmax of 2*dot(x,c) - |c|^2 with ties to the
+    * smallest cent_id (= the distributed max_by(cent_id, (cd, -cent_id))),
+    * then per-list truncating-division component means, empty lists
+    * keeping their previous centroid (= the left-join coalesce
+    * fallback). Chunk-parallel over the sample: per-list (count,
+    * component-sum) accumulators merge by addition, so the thread split
+    * cannot change the result. */
+  private def localLloydRound(
+      sample: Array[Array[Long]],
+      cents: Array[(Long, Array[Long])]): Array[(Long, Array[Long])] = {
+    val k = cents.length
+    if (k == 0 || sample.isEmpty) return cents
+    val dim = sample(0).length
+    val cnorm = cents.map(c => localDot(c._2, c._2))
+    val nThreads = math.max(1, math.min(
+      Runtime.getRuntime.availableProcessors(), sample.length / 256 + 1))
+    val bounds = (0 to nThreads).map(t => (sample.length.toLong * t / nThreads).toInt)
+    val partials = (0 until nThreads).map { t =>
+      java.util.concurrent.CompletableFuture.supplyAsync { () =>
+        val counts = new Array[Long](k)
+        val sums = Array.ofDim[Long](k, dim)
+        var r = bounds(t)
+        while (r < bounds(t + 1)) {
+          val x = sample(r)
+          var best = 0
+          var bestCd = 0L
+          var first = true
+          var c = 0
+          while (c < k) {
+            val cd = 2L * localDot(x, cents(c)._2) - cnorm(c)
+            if (first || cd > bestCd ||
+                (cd == bestCd && cents(c)._1 < cents(best)._1)) {
+              best = c; bestCd = cd; first = false
+            }
+            c += 1
+          }
+          counts(best) += 1
+          val s = sums(best)
+          var i = 0
+          while (i < dim) { s(i) += x(i); i += 1 }
+          r += 1
+        }
+        (counts, sums)
+      }
+    }.map(_.join())
+    val counts = new Array[Long](k)
+    val sums = Array.ofDim[Long](k, dim)
+    partials.foreach { case (cs, ss) =>
+      var c = 0
+      while (c < k) {
+        counts(c) += cs(c)
+        var i = 0
+        while (i < dim) { sums(c)(i) += ss(c)(i); i += 1 }
+        c += 1
+      }
+    }
+    cents.zipWithIndex.map { case ((cid, cv0), c) =>
+      if (counts(c) == 0) (cid, cv0)
+      else (cid, Array.tabulate(dim)(i => sums(c)(i) / counts(c)))
+    }
   }
 
   /** Euclidean-nearest-centroid list assignment: (idCol, list_id), one
@@ -1210,42 +1296,44 @@ object Similarity {
       codebook: Int,
       trainSample: Int,
       scope: graft.util.CacheScope): DataFrame = {
+    // Driver-local Lloyd round over the bounded sample — the
+    // ivfCentroids rationale verbatim (see there): one distributed
+    // TakeOrdered collect replaces a broadcast + two shuffle rounds +
+    // fallback join, exact int64 arithmetic, codes = hash rank of the
+    // first `codebook` sample rows, per-(sub) argmin ties to the
+    // smaller code, truncating-division means, codeless (sub, code)
+    // cells keep their seed vector.
     val idHash = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
       .cast("long")
-    val ranked = qdf
-      .select(col(idCol).as("sid"), col("q"), idHash.as("__h"))
+    val rows = qdf
+      .select(col(idCol).cast("long").as("sid"), col("q"), idHash.as("__h"))
       .orderBy(asc("__h"), asc("sid"))
       .limit(trainSample)
-    // cached: both sides of the Lloyd round read the sample
-    val sample = scope.cache(ranked.select("sid", "q"))
-    // codes 0..codebook-1 = hash rank of the seed vectors (the window
-    // sees ≤ codebook rows — driver-trivial, not a data window)
-    val seeds = pqSubspaces(
-      ranked.limit(codebook)
-        .withColumn("code",
-          row_number().over(Window.orderBy(asc("__h"), asc("sid"))).cast("long") - 1)
-        .select("code", "q"),
-      "q", numSub, subDim).select(col("sub"), col("code"), col("sv").as("cv"))
-    val sasgn = pqSubspaces(sample, "q", numSub, subDim)
-      .join(broadcast(seeds), Seq("sub"))
-      .select(col("sid"), col("sub"), col("sv"), col("code"),
-        qdist(col("sv"), col("cv")).as("d"))
-      .groupBy("sid", "sub")
-      .agg(min_by(struct(col("code"), col("sv")), struct(col("d"), col("code"))).as("best"))
-      .select(col("sub"), col("best.code").as("code"), col("best.sv").as("sv"))
-    val trained = sasgn
-      .select(col("sub"), col("code"), posexplode(col("sv")))
-      .groupBy("sub", "code", "pos")
-      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-      .select(col("sub"), col("code"), col("pos"), expr("s div n").as("qc"))
-      .groupBy("sub", "code")
-      .agg(array_sort(collect_list(struct(col("pos"), col("qc")))).as("arr"))
-      .select(col("sub"), col("code"), transform(col("arr"), e => e.getField("qc")).as("cv"))
-    // cached: the codebook is broadcast into the corpus-wide encode
-    scope.cache(
-      seeds.select(col("sub"), col("code"), col("cv").as("cv0"))
-        .join(broadcast(trained), Seq("sub", "code"), "left")
-        .select(col("sub"), col("code"), coalesce(col("cv"), col("cv0")).as("cv")))
+      .select("sid", "q")
+      .collect()
+    val sample = rows.map(_.getSeq[Long](1).toArray)
+    val nSeeds = math.min(codebook, sample.length)
+    // per sub: codebook seed subvectors (code = sample rank)
+    def sliceOf(v: Array[Long], sub: Int): Array[Long] =
+      java.util.Arrays.copyOfRange(v, sub * subDim, (sub + 1) * subDim)
+    val book = Array.tabulate(numSub) { sub =>
+      val seeds = Array.tabulate(nSeeds)(code => (code.toLong, sliceOf(sample(code), sub)))
+      localLloydRound(sample.map(sliceOf(_, sub)), seeds)
+    }
+    val spark = qdf.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false),
+        nullable = false)))
+    val out: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList
+    for (sub <- 0 until numSub; (code, cv) <- book(sub))
+      out.add(org.apache.spark.sql.Row(sub, code, cv.toSeq))
+    spark.createDataFrame(out, schema)
   }
 
   /** Encode the corpus under a trained codebook: (id, sub, code, qerr)

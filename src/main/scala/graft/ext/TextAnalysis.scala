@@ -129,7 +129,7 @@ object TextAnalysis {
     * ids+hashes relation feeds two consumers and is cached for the
     * query's lifetime (Verify/Bench clear per query). */
   def dupNgramStats(docs: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    val grams = docs
+    val grams = graft.util.Par.widen(docs)
       .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
       .select(col(idCol), explode(TextOps.wordNgramsFromTokens(col("tk"), n)).as("g"))
       .select(col(idCol),
@@ -168,7 +168,7 @@ object TextAnalysis {
     // consumed twice (min-owner agg + join back): cached past the
     // distinct so the corpus tokenizes once — the dupNgramStats rule;
     // lifecycle owned by the caller's CacheScope like the sibling ops
-    val grams = scope.cache(docs
+    val grams = scope.cache(graft.util.Par.widen(docs)
       .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
       .select(col(idCol), explode(TextOps.wordNgramsFromTokens(col("tk"), n)).as("g"))
       .select(col(idCol),
@@ -214,7 +214,7 @@ object TextAnalysis {
     * on `kept` directly. */
   private[graft] def stripDupSpansKept(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = docs
+    val toks = graft.util.Par.widen(docs)
       .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
       .cache()
     val grams = posGramHashes(toks, idCol, n).cache()
@@ -286,7 +286,7 @@ object TextAnalysis {
     * ⊇ strip-all survivor relation on `kept` directly. */
   private[graft] def dedupSpansKeepFirstKept(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = docs
+    val toks = graft.util.Par.widen(docs)
       .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
       .cache()
     val grams = posGramHashes(toks, idCol, n)
@@ -326,7 +326,7 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       n: Int = 5): DataFrame = {
-    val toks = corpus
+    val toks = graft.util.Par.widen(corpus)
       .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
       .cache()
     val benchHashes = bench
@@ -379,7 +379,7 @@ object TextAnalysis {
       pctOfDocs: Int = 5): DataFrame = {
     require(pctOfDocs >= 1 && pctOfDocs <= 100,
       s"pctOfDocs must be in [1, 100], got $pctOfDocs")
-    val toks = docs
+    val toks = graft.util.Par.widen(docs)
       .select(col(idCol), col(sourceCol), TextOps.tokens(col(textCol)).as("tk"))
       .cache()
     val srcN = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
@@ -447,7 +447,7 @@ object TextAnalysis {
     * the wordcount shape twice, no corpus-wide state at all. Docs
     * with < 2 tokens report bigram 0. */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs
+    val toks = graft.util.Par.widen(docs)
       .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
       .where(size(col("tk")) > 0)
       .cache()
@@ -526,7 +526,7 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       n: Int = 5): DataFrame = {
-    def grams(df: DataFrame) = df.select(
+    def grams(df: DataFrame) = graft.util.Par.widen(df).select(
       col(idCol),
       explode(graft.functions.ShingleMd5Hashes.shingleMd5(
         TextOps.tokens(col(textCol)), n)).as("h"))
@@ -560,7 +560,7 @@ object TextAnalysis {
       textCol: String,
       benchCol: String,
       n: Int = 5): DataFrame = {
-    def grams(df: DataFrame, key: Column, keyName: String) = df.select(
+    def grams(df: DataFrame, key: Column, keyName: String) = graft.util.Par.widen(df).select(
       key.as(keyName),
       explode(graft.functions.ShingleMd5Hashes.shingleMd5(
         TextOps.tokens(col(textCol)), n)).as("h"))
@@ -580,7 +580,7 @@ object TextAnalysis {
     // corpus is re-tokenized and re-grammed per consumer (the same
     // multi-consumer rule as dupNgramStats; Verify/Bench clear per
     // query)
-    val bg = docs
+    val bg = graft.util.Par.widen(docs)
       .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
       .where(size(col("tk")) >= 2)
       .select(col(idCol), explode(bigrams(col("tk"))).as("bg"))
@@ -622,7 +622,7 @@ object TextAnalysis {
       minSup: Long = 10L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0 && minSup > 0, s"need k > 0 and minSup > 0, got $k/$minSup")
-    val c2 = docs
+    val c2 = graft.util.Par.widen(docs)
       .select(TextOps.tokens(col(textCol)).as("tk"))
       .where(size(col("tk")) >= 2)
       .select(explode(bigrams(col("tk"))).as("bg"))
@@ -669,7 +669,7 @@ object TextAnalysis {
     // cached through the caller's scope (the Dedup-entry-point idiom):
     // the exploded bigram relation is the largest intermediate here and
     // a bare .cache() would accumulate per call in a long-lived session
-    val bg = scope.cache(docs
+    val bg = scope.cache(graft.util.Par.widen(docs)
       .select(col(idCol), isTarget.as("tgt"), TextOps.tokens(col(textCol)).as("tk"))
       .where(size(col("tk")) >= 2)
       .select(col(idCol), col("tgt"), explode(bigrams(col("tk"))).as("bg"))
@@ -764,7 +764,7 @@ object TextAnalysis {
     * at full density. Returns (id, pos, h), pos 1-based gram start. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = winnowK, w: Int = winnowW): DataFrame =
-    docs
+    graft.util.Par.widen(docs)
       .select(col(idCol),
         explode(graft.functions.WinnowKeys.winnowKeys(
           TextOps.tokens(col(textCol)), k, w, winnowPosBits)).as("key"))
@@ -827,7 +827,7 @@ object TextAnalysis {
     * engine replays it bit-for-bit. */
   def qualityMicroScores(
       docs: DataFrame, idCol: String, textCol: String, srcCol: String): DataFrame =
-    docs
+    graft.util.Par.widen(docs)
       .select(col(idCol), col(srcCol), col(textCol).as("text"),
         TextOps.tokens(col(textCol)).as("tk"))
       .select(col(idCol), col(srcCol),

@@ -340,7 +340,10 @@ object Sketches {
               .cast("long"),
             lit(sentinel))).as(s"__kv_$c"))
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    // widen: the md5-per-value KMV fold is the CPU here, and a
+    // single-row-group fixture scan would run it on one core
+    // (identity on streams and on real multi-split inputs)
+    graft.util.Par.widen(df).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Reshape the wide one-row state to the long `(col_name, min_v,

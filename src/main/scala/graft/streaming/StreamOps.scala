@@ -307,6 +307,12 @@ object StreamOps {
   private def drain(
       w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
     val ckpt = graft.util.Scratch.dir("graft_ckpt")
+    // r13 note: disabling no-data micro-batches here was tried and
+    // REVERTED — the staged choreographies don't need them, but every
+    // UNSTAGED single-batch Append drain (windowed counts over a plain
+    // file stream) relies on the trailing no-data batch to emit its
+    // watermark-closed windows; StreamMultimodalSpec catches the empty
+    // sink. Left at the engine default.
     try {
       val q = w.option("checkpointLocation", ckpt).start()
       q.processAllAvailable()

@@ -92,10 +92,17 @@ class WinnowSpec extends SparkSpec {
   }
 
   test("extraction is map-only: no exchange in the fingerprint plan") {
+    // r13: the scale-adaptive input widen (Par.widen, guide §2.5) may
+    // round-robin repartition an under-split fixture scan before the
+    // CPU-heavy extraction; that is the ONE exchange allowed here — the
+    // extraction itself must still be map-only (no hash/range exchange,
+    // i.e. no data-dependent shuffle of the gram stream).
     val plan = TextAnalysis
       .winnowFingerprints(io.Tables(spark, sf, "documents"), "doc_id", "text")
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"winnow extraction must not shuffle:\n$plan")
+    val nonWiden = "Exchange(?! RoundRobinPartitioning)".r
+    assert(nonWiden.findFirstIn(plan).isEmpty,
+      s"winnow extraction must not shuffle (widen round-robin aside):\n$plan")
   }
 
   test("pair detection finds the planted partial copy and caps hot fingerprints") {

@@ -3994,7 +3994,7 @@ object ExtQueries {
       // answer from the artifact — queries read O(their terms'
       // postings), never the corpus; results bit-identical to the scan
       // form, so both share one oracle
-      val path = java.nio.file.Files.createTempDirectory("txtidx").toString
+      val path = graft.util.Scratch.dirAutoClean("txtidx")
       Search.writeTextIndex(t(s, dir, "documents"), "doc_id", "text", path)
       Search.indexTopK(s, path, Search.defaultTerms, Search.defaultK)
         .orderBy(desc("score"), col("doc_id"))
@@ -4008,7 +4008,7 @@ object ExtQueries {
       // uncompacted delta path is deliberately what the oracle checks;
       // compactTextIndex equivalence is spec-pinned.
       val docs = t(s, dir, "documents")
-      val p0 = java.nio.file.Files.createTempDirectory("txtidx0").toString
+      val p0 = graft.util.Scratch.dirAutoClean("txtidx0")
       Search.writeTextIndex(
         docs.where(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text", p0)
       Search.updateTextIndex(s, p0,
@@ -4024,7 +4024,7 @@ object ExtQueries {
       // decrements — and serve. Must equal a rebuild on the retained
       // corpus (the oracle), stats and all
       val docs = t(s, dir, "documents")
-      val path = java.nio.file.Files.createTempDirectory("txtpurge").toString
+      val path = graft.util.Scratch.dirAutoClean("txtpurge")
       Search.writeTextIndex(docs, "doc_id", "text", path)
       Search.purgeTextIndex(s, path,
         docs.where(pmod(col("doc_id"), lit(37)) === 3).select("doc_id"),
@@ -4039,7 +4039,7 @@ object ExtQueries {
       // the drained index must serve exactly like a rebuild on the
       // corpus minus the union of arrivals
       val docs = t(s, dir, "documents")
-      val path = java.nio.file.Files.createTempDirectory("sidxpurge").toString
+      val path = graft.util.Scratch.dirAutoClean("sidxpurge")
       Search.writeTextIndex(docs, "doc_id", "text", path)
       StreamOps.indexPurgeApply(
         StreamOps.stagedStream(Seq(
@@ -4074,7 +4074,7 @@ object ExtQueries {
       // encode pass — ivfPqTopK's per-query retrain is only for
       // stand-alone oracle replay; this query is the train-once path
       val emb = t(s, dir, "embeddings")
-      val idxDir = java.nio.file.Files.createTempDirectory("ann_index").toString
+      val idxDir = graft.util.Scratch.dirAutoClean("ann_index")
       Similarity.writeAnnIndex(Similarity.annIndex(emb, "vec_id", "embedding"), idxDir)
       Similarity.probeIndex(Similarity.readAnnIndex(s, idxDir),
           emb, "vec_id", "embedding",
@@ -4090,7 +4090,7 @@ object ExtQueries {
       // same pinned-training oracle replay as ann_index_probe with
       // the arrival batch as probes
       val emb = t(s, dir, "embeddings")
-      val idxDir = java.nio.file.Files.createTempDirectory("ann_screen").toString
+      val idxDir = graft.util.Scratch.dirAutoClean("ann_screen")
       Similarity.writeAnnIndex(Similarity.annIndex(emb, "vec_id", "embedding"), idxDir)
       val index = Similarity.readAnnIndex(s, idxDir)
       Similarity.annServingView(index, "vec_id")
@@ -4116,7 +4116,7 @@ object ExtQueries {
       // encode over everything, so a drifted quantizer or a rewritten
       // code would hash-mismatch
       val emb = t(s, dir, "embeddings")
-      val idxDir = java.nio.file.Files.createTempDirectory("ann_upd").toString
+      val idxDir = graft.util.Scratch.dirAutoClean("ann_upd")
       Similarity.writeAnnIndex(
         Similarity.annIndex(emb.where(pmod(col("vec_id"), lit(5)) =!= 0),
           "vec_id", "embedding"), idxDir)
@@ -4136,7 +4136,7 @@ object ExtQueries {
       // retained ids, so any surviving trace of a purged vector
       // hash-mismatches
       val emb = t(s, dir, "embeddings")
-      val idxDir = java.nio.file.Files.createTempDirectory("ann_purge").toString
+      val idxDir = graft.util.Scratch.dirAutoClean("ann_purge")
       Similarity.writeAnnIndex(Similarity.annIndex(emb, "vec_id", "embedding"), idxDir)
       Similarity.purgeAnnIndex(s, idxDir,
         emb.where(pmod(col("vec_id"), lit(37)) === 3).select("vec_id"), "vec_id")
@@ -4154,7 +4154,7 @@ object ExtQueries {
       // of the union, which is what the restricted-candidate replay
       // checks
       val emb = t(s, dir, "embeddings")
-      val idxDir = java.nio.file.Files.createTempDirectory("ann_spurge").toString
+      val idxDir = graft.util.Scratch.dirAutoClean("ann_spurge")
       Similarity.writeAnnIndex(Similarity.annIndex(emb, "vec_id", "embedding"), idxDir)
       StreamOps.annPurgeApply(
         StreamOps.stagedStream(Seq(

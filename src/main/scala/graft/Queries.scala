@@ -627,7 +627,7 @@ object Queries {
       // The oracle computes the same aggregate straight from parquet,
       // so the CSV codec round trip must be lossless for longs,
       // decimals-as-doubles, and strings alike.
-      val out = java.nio.file.Files.createTempDirectory("csvrt").toString
+      val out = graft.util.Scratch.dirAutoClean("csvrt")
       val rev = t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
@@ -658,7 +658,7 @@ object Queries {
         .withColumn("__deleted", lit(false))
       val merged = io.Sinks.mergeSnapshot(
         docs, upd.unionByName(del).unionByName(ins), "doc_id", "__deleted")
-      val out = java.nio.file.Files.createTempDirectory("mergert").toString
+      val out = graft.util.Scratch.dirAutoClean("mergert")
       merged.write.mode("overwrite").parquet(out)
       s.read.parquet(out)
         .select(col("doc_id"), length(col("text")).cast("long").as("n_text"),
@@ -678,7 +678,7 @@ object Queries {
       import org.apache.spark.sql.functions._
       val docs = t(s, dir, "documents")
       val path =
-        java.nio.file.Files.createTempDirectory("ttravel").toString + "/tbl"
+        graft.util.Scratch.dirAutoClean("ttravel") + "/tbl"
       writeCdcChain(s, docs, path)
       val v1 = io.Sinks.readSnapshotAt(s, path, 1, "doc_id")
         .withColumn("as_of", lit(1L))
@@ -701,7 +701,7 @@ object Queries {
       // of resolving an empty snapshot
       import org.apache.spark.sql.functions._
       val docs = t(s, dir, "documents")
-      val base = java.nio.file.Files.createTempDirectory("vacuum").toString
+      val base = graft.util.Scratch.dirAutoClean("vacuum")
       val path = base + "/tbl"
       writeCdcChain(s, docs, path)
       def head = io.Sinks.readSnapshotAt(s, path, 2, "doc_id")
@@ -724,7 +724,7 @@ object Queries {
       import org.apache.spark.sql.functions._
       val docs = t(s, dir, "documents").select("doc_id", "text", "source")
       val path =
-        java.nio.file.Files.createTempDirectory("restore").toString + "/tbl"
+        graft.util.Scratch.dirAutoClean("restore") + "/tbl"
       writeCdcChain(s, docs, path)
       val v = io.Sinks.restoreVersion(s, path, toVersion = 1, "doc_id")
       def read(asOf: Long, phase: String) =
@@ -747,7 +747,7 @@ object Queries {
       import org.apache.spark.sql.functions._
       val docs = t(s, dir, "documents").select("doc_id", "text", "source")
       val path =
-        java.nio.file.Files.createTempDirectory("mvmaint").toString + "/tbl"
+        graft.util.Scratch.dirAutoClean("mvmaint") + "/tbl"
       writeCdcChain(s, docs, path)
       val mv0 = io.Sinks.readSnapshotAt(s, path, 0, "doc_id")
         .groupBy("source")
@@ -768,7 +768,7 @@ object Queries {
       // query shares io_mv_maintain's oracle verbatim
       import org.apache.spark.sql.functions._
       val docs = t(s, dir, "documents").select("doc_id", "text", "source")
-      val base = java.nio.file.Files.createTempDirectory("mvstream").toString
+      val base = graft.util.Scratch.dirAutoClean("mvstream")
       val path = base + "/tbl"
       io.Sinks.writeVersion(docs, path, 0)
       // the deployment's initial backfill: seed the stored view once
@@ -797,7 +797,7 @@ object Queries {
       import org.apache.spark.sql.functions._
       val docs = t(s, dir, "documents").select("doc_id", "text", "source")
       val path =
-        java.nio.file.Files.createTempDirectory("chfeed").toString + "/tbl"
+        graft.util.Scratch.dirAutoClean("chfeed") + "/tbl"
       writeCdcChain(s, docs, path)
       Seq((0L, 1L), (1L, 2L))
         .map { case (f, v) =>
@@ -820,7 +820,7 @@ object Queries {
       import org.apache.spark.sql.functions._
       val docs = t(s, dir, "documents")
       val path =
-        java.nio.file.Files.createTempDirectory("cdcapply").toString + "/tbl"
+        graft.util.Scratch.dirAutoClean("cdcapply") + "/tbl"
       io.Sinks.writeVersion(docs, path, 0)
       val ch1 = docs.where(pmod(col("doc_id"), lit(10)) === 0)
         .withColumn("text", concat(lit("v2 "), col("text")))
@@ -856,7 +856,7 @@ object Queries {
       import org.apache.spark.sql.functions._
       val docs = t(s, dir, "documents")
       val path =
-        java.nio.file.Files.createTempDirectory("wap").toString + "/tbl"
+        graft.util.Scratch.dirAutoClean("wap") + "/tbl"
       io.Sinks.writeAudited(docs, path,
         rowRules = Seq(
           "doc_id_not_null" -> col("doc_id").isNull,
@@ -876,7 +876,7 @@ object Queries {
       import org.apache.spark.sql.functions._
       val docs = t(s, dir, "documents")
       val path =
-        java.nio.file.Files.createTempDirectory("scd2").toString + "/tbl"
+        graft.util.Scratch.dirAutoClean("scd2") + "/tbl"
       io.Sinks.writeVersion(docs, path, 0)
       val up1 = docs.where(pmod(col("doc_id"), lit(10)) === 0)
         .withColumn("text", concat(lit("v2 "), col("text")))
@@ -915,7 +915,7 @@ object Queries {
       import org.apache.spark.sql.functions._
       val docs = t(s, dir, "documents")
       val path =
-        java.nio.file.Files.createTempDirectory("pit").toString + "/tbl"
+        graft.util.Scratch.dirAutoClean("pit") + "/tbl"
       io.Sinks.writeVersion(docs, path, 0)
       val up1 = docs.where(pmod(col("doc_id"), lit(10)) === 0)
         .withColumn("text", concat(lit("v2 "), col("text")))
@@ -958,7 +958,7 @@ object Queries {
       import org.apache.spark.sql.functions._
       val docs = t(s, dir, "documents")
       val path =
-        java.nio.file.Files.createTempDirectory("shards").toString + "/out"
+        graft.util.Scratch.dirAutoClean("shards") + "/out"
       io.Sinks.writeShards(docs, path, "doc_id", 16,
         length(col("text")).cast("long"))
       io.Sinks.readShardManifest(s, path).orderBy("shard")
@@ -977,7 +977,7 @@ object Queries {
       import org.apache.spark.sql.functions._
       val docs = t(s, dir, "documents")
       val path =
-        java.nio.file.Files.createTempDirectory("sevol").toString + "/tbl"
+        graft.util.Scratch.dirAutoClean("sevol") + "/tbl"
       val era1 = docs.where(pmod(col("doc_id"), lit(3)) === 0)
         .select(col("doc_id"), col("text"), col("lang"))
       val era2 = docs.where(pmod(col("doc_id"), lit(3)) === 1)
@@ -1002,7 +1002,7 @@ object Queries {
       // JSON reader inference (longs stay longs, doubles doubles,
       // strings strings); the oracle reads the same aggregate straight
       // from parquet
-      val out = java.nio.file.Files.createTempDirectory("jsonrt").toString
+      val out = graft.util.Scratch.dirAutoClean("jsonrt")
       val agg = t(s, dir, "customer")
         .groupBy(col("c_mktsegment"))
         .agg(
@@ -1020,7 +1020,7 @@ object Queries {
       // oracle computes the same aggregate straight from parquet, so
       // the ORC codec round trip must be lossless for longs, doubles,
       // and grouping keys
-      val out = java.nio.file.Files.createTempDirectory("orcrt").toString
+      val out = graft.util.Scratch.dirAutoClean("orcrt")
       val agg = t(s, dir, "supplier")
         .groupBy(col("s_nationkey"))
         .agg(
@@ -1036,7 +1036,7 @@ object Queries {
       // `out_<j>` files of `key:value` lines (D10) → read back via
       // last-colon split (reduce.py:9) — the oracle sees plain wordcount,
       // so the codec round trip must be lossless
-      val out = java.nio.file.Files.createTempDirectory("kvrt").toString
+      val out = graft.util.Scratch.dirAutoClean("kvrt")
       io.KvText.write(
         TextOps.wordCount(t(s, dir, "documents"), col("text")),
         "word", "cnt", out, r = 5)

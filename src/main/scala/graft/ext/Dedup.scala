@@ -309,7 +309,13 @@ object Dedup {
     // substituted+pushed below the widen repartition and re-evaluates
     // the shingle projection serially pre-shuffle (guide §4.4's
     // duplicated-evaluation trap, expression form)
-    val sh = scope.cache(graft.util.Par.widen(df)
+    // r13 note: Par.widen on this scan was A/B-measured a NET LOSS for
+    // the dedup pipelines (family 29.2 -> 33.9 s with it): the shingle
+    // projection is cheap relative to the many downstream stages, and a
+    // 32-way cache multiplies every later stage's task count at tiny
+    // split counts. The text/ngram kernels keep their widen (measured
+    // win); the filter stays above the cache either way.
+    val sh = scope.cache(df
       .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws")))
       .where(size(col("ws")) > 0)
     // bands/numPerms = 0 → derive the geometry from the INPUT row
@@ -379,7 +385,7 @@ object Dedup {
     // would find nothing. `nearDupPairsAgainst` derives ONE geometry
     // (from the corpus side) and pins it on both indexes; a production
     // deployment versions the geometry with the index.
-    val sh = scope.cache(graft.util.Par.widen(docs)
+    val sh = scope.cache(docs
       .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws")))
       .where(size(col("ws")) > 0)
     val bandsDf = scope.cache(lshBands(
@@ -473,7 +479,7 @@ object Dedup {
         containmentPairs(docs, idCol, textCol, shingleN, threshold, scope,
           eager = false).localCheckpoint(true)
       }
-    val sh = scope.cache(graft.util.Par.widen(docs)
+    val sh = scope.cache(docs
       .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws")))
       .where(size(col("ws")) > 0)
     val posts = sh.select(col(idCol).as("id_b"), explode(col("ws")).as("h"))
@@ -548,7 +554,7 @@ object Dedup {
         jaccardPairs(docs, idCol, textCol, shingleN, threshold, scope,
           eager = false).localCheckpoint(true)
       }
-    val sh = scope.cache(graft.util.Par.widen(docs)
+    val sh = scope.cache(docs
       .select(col(idCol), shingleHashSet(col(textCol), shingleN).as("ws")))
       .where(size(col("ws")) > 0)
     // Prefix EXTENSION (PPJoin-family positional extension, Δ = 3): a

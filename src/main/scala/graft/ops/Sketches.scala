@@ -432,7 +432,7 @@ object Sketches {
       buckets: Int = 1000,
       scope: graft.util.CacheScope = new graft.util.CacheScope): DataFrame = {
     require(cols.nonEmpty && buckets > 1, s"need cols and buckets > 1")
-    def packed(df: DataFrame, side: Int) = df
+    def packed(df: DataFrame, side: Int) = graft.util.Par.widen(df)
       .select(explode(array(cols.map(c => struct(
         lit(c).as("col_name"), col(c).cast("long").as("v"))): _*)).as("e"))
       .select(col("e.col_name").as("col_name"), col("e.v").as("v"))

@@ -634,7 +634,16 @@ object StreamOps {
   def analyzeGate(
       stream: DataFrame, cols: Seq[String],
       k: Int = 256, bits: Int = 44): DataFrame =
-    graft.ops.Sketches.analyzeWideState(stream, cols, k, bits)
+    // r13: repartition the micro-batch before the md5-per-value KMV
+    // partial aggregate — a file-stream batch arrives with one
+    // partition per file, so without this the CPU-heavy sketch fold of
+    // a whole batch runs on one core (profiled ~3 s of the ~3.7 s
+    // query at sf0.1). The KMV buffer is a merge-order-invariant
+    // multiset reduction and min/max/sum are commutative, so the
+    // partition count cannot change the sunk row.
+    graft.ops.Sketches.analyzeWideState(
+      stream.repartition(stream.sparkSession.sparkContext.defaultParallelism),
+      cols, k, bits)
 
   def analyzeReport(
       sunkWide: DataFrame, cols: Seq[String],
@@ -649,7 +658,13 @@ object StreamOps {
       shufflePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    // env override for attribution experiments / deployment sizing —
+    // the default stays 8 (the measured local sweet spot; a production
+    // deployment sizes state-store partitions to throughput)
+    val parts = sys.props.get("graft.stream.parts")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_PARTS"))
+      .map(_.toInt).getOrElse(shufflePartitions)
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
       // checkpoint/state store on the Scratch root (tmpfs-relocatable):
       // a stateful drain writes one state delta per partition per

